@@ -1,0 +1,218 @@
+"""Checkpoint manifest store: per-epoch, per-bucket lineage + watermarks.
+
+The Ray-native analog of Gobblin's state store + watermark storage +
+commit-sequence machinery:
+
+- one JSON manifest per committed epoch under ``<lake>/_checkpoints/``
+  written atomically via tmp + ``os.replace`` (FsStateStore.put:156-174
+  writes via ``_tmp_`` + rename),
+- each manifest row carries per-bucket ``(low_seq, high_seq]`` applied
+  ranges, event counts, output row counts and the base-file epoch —
+  the Iceberg-offset-range idea (IcebergMetadataWriter.mergeOffsets:406-435)
+  that makes re-applies of covered ranges no-ops,
+- buckets with zero events still get a row with ``low == high`` so the
+  watermark is carried forward (empty-WorkUnit analog,
+  gobblin-modules/gobblin-kafka-common/.../KafkaSource.java:568-574),
+- resume point = the highest epoch with a manifest file
+  (AbstractJobLauncher.java:453-458 commit-sequence resume).
+
+The manifest is written by the driver only — no distributed writes to the
+checkpoint store (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+CHECKPOINT_DIR = "_checkpoints"
+STAGING_DIR = "_staging"
+DATA_DIR = "data"
+ERRORS_DIR = "_errors"
+
+
+@dataclass
+class BucketState:
+    """Lineage for one url-hash bucket as of a committed epoch."""
+
+    bucket: int
+    high_seq: int  # high watermark: all events with seq <= high applied
+    base_epoch: int  # epoch whose base file holds this bucket's data
+    rows: int  # live + tombstone rows in the base file
+    events_applied: int  # cumulative events applied to this bucket
+    events_epoch: int = 0  # events applied in THIS epoch (salt-plan input);
+    # 0 == watermark carried forward with no work (empty-WorkUnit analog)
+
+
+@dataclass
+class Manifest:
+    """State of the lake after committing ``epoch``."""
+
+    epoch: int
+    low_seq: int  # this epoch applied events in (low_seq, high_seq]
+    high_seq: int
+    num_buckets: int
+    schema_fingerprint: str
+    schema_ipc: str  # base64 Arrow-IPC serialization of the base schema
+    buckets: dict[int, BucketState] = field(default_factory=dict)
+    event_count: int = 0  # events applied in this epoch
+    error_count: int = 0  # rows diverted to the error sink this epoch
+
+    def base_schema(self):
+        """Deserialize the committed base schema (Arrow IPC round-trip)."""
+        import base64
+
+        import pyarrow as pa
+
+        return pa.ipc.read_schema(
+            pa.BufferReader(base64.b64decode(self.schema_ipc))
+        )
+
+    @staticmethod
+    def encode_schema(schema) -> str:
+        import base64
+
+        return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+    def to_json(self) -> dict:
+        return {
+            "epoch": self.epoch,
+            "low_seq": self.low_seq,
+            "high_seq": self.high_seq,
+            "num_buckets": self.num_buckets,
+            "schema_fingerprint": self.schema_fingerprint,
+            "schema_ipc": self.schema_ipc,
+            "schema_human": [
+                [f.name, str(f.type)] for f in self.base_schema()
+            ],
+            "event_count": self.event_count,
+            "error_count": self.error_count,
+            "buckets": {
+                str(b): vars(s) for b, s in sorted(self.buckets.items())
+            },
+        }
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Manifest":
+        m = cls(
+            epoch=d["epoch"],
+            low_seq=d["low_seq"],
+            high_seq=d["high_seq"],
+            num_buckets=d["num_buckets"],
+            schema_fingerprint=d["schema_fingerprint"],
+            schema_ipc=d["schema_ipc"],
+            event_count=d.get("event_count", 0),
+            error_count=d.get("error_count", 0),
+        )
+        m.buckets = {int(b): BucketState(**s) for b, s in d["buckets"].items()}
+        return m
+
+
+class CheckpointStore:
+    """Reads/writes epoch manifests under ``<lake>/_checkpoints/``."""
+
+    def __init__(self, lake_dir: str):
+        self.dir = os.path.join(lake_dir, CHECKPOINT_DIR)
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _path(self, epoch: int) -> str:
+        return os.path.join(self.dir, f"epoch={epoch:06d}.json")
+
+    def committed_epochs(self) -> list[int]:
+        out = []
+        for name in os.listdir(self.dir):
+            if name.startswith("epoch=") and name.endswith(".json"):
+                out.append(int(name[len("epoch=") : -len(".json")]))
+        return sorted(out)
+
+    def latest(self) -> Manifest | None:
+        epochs = self.committed_epochs()
+        return self.load(epochs[-1]) if epochs else None
+
+    def load(self, epoch: int) -> Manifest:
+        with open(self._path(epoch)) as f:
+            return Manifest.from_json(json.load(f))
+
+    def commit(self, manifest: Manifest) -> None:
+        """Atomic publish: the manifest file appearing IS the commit."""
+        path = self._path(manifest.epoch)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest.to_json(), f, indent=1)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)
+
+    def is_applied(self, epoch: int) -> bool:
+        return os.path.exists(self._path(epoch))
+
+
+def base_path(lake_dir: str, bucket: int, epoch: int) -> str:
+    """Bucket base-file path for a given epoch (immutable once promoted)."""
+    return os.path.join(
+        lake_dir, DATA_DIR, f"bucket={bucket:05d}", f"base-epoch{epoch:06d}.parquet"
+    )
+
+
+def staging_path(lake_dir: str, epoch: int, bucket: int) -> str:
+    """Deterministic, attempt-agnostic staged output name (speculative-safe:
+    retried tasks overwrite the same name via tmp+replace)."""
+    return os.path.join(
+        lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"bucket={bucket:05d}.parquet"
+    )
+
+
+def promote(lake_dir: str, epoch: int, buckets: list[int]) -> None:
+    """Phase 1 of the two-phase commit: staged bucket files -> data dir.
+
+    Idempotent like FsRenameCommitStep (isCompleted = dest exists,
+    gobblin-core/.../commit/FsRenameCommitStep.java:131-149): a bucket whose
+    destination already exists is skipped, so a crashed promote resumes.
+    """
+    for b in buckets:
+        dst = base_path(lake_dir, b, epoch)
+        if os.path.exists(dst):
+            continue
+        src = staging_path(lake_dir, epoch, b)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.replace(src, dst)
+
+
+def vacuum(lake_dir: str, manifest: Manifest) -> int:
+    """Delete base files superseded by the committed manifest (and stale
+    staging dirs of committed epochs). Returns files removed."""
+    removed = 0
+    keep = {base_path(lake_dir, b, s.base_epoch) for b, s in manifest.buckets.items()}
+    data = os.path.join(lake_dir, DATA_DIR)
+    if os.path.isdir(data):
+        for bdir in os.listdir(data):
+            full = os.path.join(data, bdir)
+            for name in os.listdir(full):
+                p = os.path.join(full, name)
+                if p not in keep:
+                    os.remove(p)
+                    removed += 1
+    stage_root = os.path.join(lake_dir, STAGING_DIR)
+    if os.path.isdir(stage_root):
+        for edir in os.listdir(stage_root):
+            epoch = int(edir.split("=")[1])
+            if epoch <= manifest.epoch:
+                full = os.path.join(stage_root, edir)
+                for name in os.listdir(full):
+                    os.remove(os.path.join(full, name))
+                    removed += 1
+                os.rmdir(full)
+    return removed
+
+
+def atomic_write_table(table, path: str) -> None:
+    """Parquet write via tmp + rename so readers never see partial files and
+    task retries are idempotent (FsDataWriter staging-commit analog,
+    gobblin-core/.../writer/FsDataWriter.java:108-270)."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)

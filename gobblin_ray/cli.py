@@ -1,0 +1,146 @@
+"""CLI entry point: ``python -m gobblin_ray.cli <cmd>``.
+
+The `bin/gobblin` + EmbeddedGobblin analog
+(gobblin-runtime/.../embedded/EmbeddedGobblin.java:122): synthesize a corpus,
+bootstrap a lake, replay the change log (resumable), inspect state. On a real
+cluster the same module runs under ``ray job submit`` — the driver code is
+identical; only ``ray.init`` picks up the cluster address.
+
+This module OWNS its Ray session (guarded init + shutdown); library code
+never initializes Ray.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="gobblin_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate a deterministic CDC corpus")
+    sp.add_argument("out_dir")
+    sp.add_argument("--pages", type=int, default=2_000)
+    sp.add_argument("--events", type=int, default=20_000)
+    sp.add_argument("--shard-rows", type=int, default=2_000)
+
+    for name in ("bootstrap", "run", "status", "read"):
+        s = sub.add_parser(name)
+        s.add_argument("lake_dir")
+        if name in ("bootstrap", "run"):
+            s.add_argument("--events-dir", required=True)
+            s.add_argument("--buckets", type=int, default=16)
+            s.add_argument("--epoch-width", type=int, default=100_000)
+        if name == "bootstrap":
+            s.add_argument("--pages", required=True, help="pages snapshot parquet")
+        if name == "run":
+            s.add_argument("--max-epochs", type=int, default=None)
+            s.add_argument("--no-vacuum", action="store_true")
+        if name == "read":
+            s.add_argument("--limit", type=int, default=5)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .synth import write_corpus
+
+        meta = write_corpus(
+            args.out_dir, n_pages=args.pages, n_events=args.events, shard_rows=args.shard_rows
+        )
+        print(
+            json.dumps(
+                {
+                    "out_dir": args.out_dir,
+                    "shards": len(meta["shards"]),
+                    "max_seq": meta["max_seq"],
+                }
+            )
+        )
+        return 0
+
+    from .checkpoint import CheckpointStore
+    from .engine import CdcEngine, EngineConfig
+
+    if args.cmd == "status":
+        m = CheckpointStore(args.lake_dir).latest()
+        if m is None:
+            print(json.dumps({"lake": args.lake_dir, "state": "uninitialized"}))
+            return 1
+        print(
+            json.dumps(
+                {
+                    "lake": args.lake_dir,
+                    "epoch": m.epoch,
+                    "high_seq": m.high_seq,
+                    "num_buckets": m.num_buckets,
+                    "rows": sum(s.rows for s in m.buckets.values()),
+                    "events_applied": sum(s.events_applied for s in m.buckets.values()),
+                    "schema": [f.name for f in m.base_schema()],
+                    "schema_fingerprint": m.schema_fingerprint,
+                }
+            )
+        )
+        return 0
+
+    _ray_up(args.num_cpus)
+    try:
+        if args.cmd == "bootstrap":
+            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width)
+            eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
+            m = eng.bootstrap(args.pages)
+            print(json.dumps({"epoch": m.epoch, "rows": sum(s.rows for s in m.buckets.values())}))
+        elif args.cmd == "run":
+            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width)
+            eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
+            t0 = time.time()
+            reports = eng.run(max_epochs=args.max_epochs, vacuum=not args.no_vacuum)
+            dt = time.time() - t0
+            events = sum(r.events for r in reports)
+            print(
+                json.dumps(
+                    {
+                        "epochs": [r.epoch for r in reports],
+                        "events": events,
+                        "errors": sum(r.errors for r in reports),
+                        "sec": round(dt, 3),
+                        "events_per_sec": round(events / dt, 1) if dt > 0 else None,
+                    }
+                )
+            )
+        elif args.cmd == "read":
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            ds = eng.read_table()
+            n = ds.count()
+            rows = ds.take(args.limit)
+            for r in rows:
+                r.pop("html", None)
+                r["text"] = (r.get("text") or "")[:60]
+                print(json.dumps(r, default=str))
+            print(json.dumps({"live_rows": n}))
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,128 @@
+"""Work-unit planning: epochs, event-log file pruning, skew salting.
+
+The Source.getWorkunits analog (gobblin-api/.../source/Source.java:44-96):
+planning is a tiny driver-side computation over the checkpoint manifest and
+the event-log shard metadata — O(shards + buckets), never O(events)
+(SURVEY.md §7.4 extrapolability requirement).
+
+- ``plan_epochs``: previous high watermark (from the manifest) vs the log
+  head -> list of ``(low, high]`` epoch intervals, capped at
+  ``epoch_width`` events (Partitioner analog,
+  gobblin-core/.../partition/Partitioner.java:95-217; Kafka offset planning
+  KafkaSource.java:544-676).
+- ``prune_shards``: shard files overlapping an interval (row-group /
+  partition pruning at the read — only relevant bytes leave storage).
+- ``salt_plan``: per-bucket event counts from the previous epoch decide
+  which hot buckets get salted sub-partitions this epoch
+  (bin-packing / WorkUnitChangeEvent hot-split analog,
+  KafkaWorkUnitPacker.worstFitDecreasingBinPacking:313-331).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Epoch:
+    """One replay unit: apply events with ``low_seq < event_seq <= high_seq``."""
+
+    index: int
+    low_seq: int
+    high_seq: int
+
+    @property
+    def width(self) -> int:
+        return self.high_seq - self.low_seq
+
+
+def load_log_meta(events_dir: str) -> dict:
+    """Shard metadata written by the log producer (synth.write_corpus). If
+    absent, derive it from parquet footers (driver-side, O(files))."""
+    meta_path = os.path.join(events_dir, "_meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            return json.load(f)
+    import pyarrow.parquet as pq
+
+    shards = []
+    max_seq = -1
+    for name in sorted(os.listdir(events_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(events_dir, name))
+        idx = md.schema.to_arrow_schema().get_field_index("event_seq")
+        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        shards.append(
+            {
+                "file": name,
+                "min_seq": int(lo),
+                "max_seq": int(hi),
+                "rows": md.num_rows,
+                "schema_version": 0,
+            }
+        )
+        max_seq = max(max_seq, int(hi))
+    return {"shards": shards, "max_seq": max_seq}
+
+
+def plan_epochs(
+    log_meta: dict, committed_high: int, epoch_width: int, start_index: int
+) -> list[Epoch]:
+    """Split the unapplied span ``(committed_high, log_head]`` into epochs."""
+    head = log_meta["max_seq"]
+    epochs = []
+    low = committed_high
+    idx = start_index
+    while low < head:
+        high = min(low + epoch_width, head)
+        epochs.append(Epoch(index=idx, low_seq=low, high_seq=high))
+        low = high
+        idx += 1
+    return epochs
+
+
+def prune_shards(log_meta: dict, low: int, high: int) -> list[dict]:
+    """Shards overlapping ``(low, high]`` — the file-level predicate pushdown."""
+    return [
+        s for s in log_meta["shards"] if s["max_seq"] > low and s["min_seq"] <= high
+    ]
+
+
+@dataclass
+class SaltPlan:
+    """Which buckets are salted this epoch and into how many sub-groups.
+
+    LWW is associative, so a hot bucket's events may be partially reduced
+    per (bucket, salt) group and then finally merged per bucket —
+    correctness is unchanged, skew is spread over ``factor`` reducers.
+    """
+
+    hot_buckets: dict[int, int]  # bucket -> salt factor (sub-group count)
+
+    def factor_for(self, bucket: int) -> int:
+        return self.hot_buckets.get(bucket, 1)
+
+
+def salt_plan(
+    prev_counts: dict[int, int] | None,
+    num_buckets: int,
+    hot_factor: float = 4.0,
+    max_salt: int = 8,
+) -> SaltPlan:
+    """Buckets whose previous-epoch event count exceeded ``hot_factor`` x the
+    mean get ``min(count/mean, max_salt)`` salt sub-groups."""
+    if not prev_counts:
+        return SaltPlan(hot_buckets={})
+    total = sum(prev_counts.values())
+    if total == 0:
+        return SaltPlan(hot_buckets={})
+    mean = max(1.0, total / max(1, num_buckets))
+    hot = {}
+    for b, c in prev_counts.items():
+        if c > hot_factor * mean:
+            hot[b] = int(min(max_salt, max(2, round(c / mean))))
+    return SaltPlan(hot_buckets=hot)

@@ -1,0 +1,218 @@
+"""Deterministic synthetic webtext CDC corpus (FIXTURES.md).
+
+Generates the ``pages`` base snapshot and the ``events`` change log with the
+exact column shapes from BASELINE.json ``input_hint``. Fully seeded and
+vectorized (numpy/pandas) so the bench-scale corpus (200k pages / 2M events)
+generates in seconds. Modeled on the reference's deterministic test sources
+(gobblin-core-base/.../test/SequentialTestSource.java:57).
+
+Log layout on disk: ``events/part-NNNNN.parquet`` shards of ``shard_rows``
+events each, plus ``events/_meta.json`` recording per-shard
+``[min_seq, max_seq]`` and schema version — the planner's file-pruning input
+(KafkaSource offset-planning analog). Shards at ``event_seq >= 0.6*E`` carry
+the additive ``fetch_status`` column (schema-evolution segment, FIXTURES §3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .schema import EVENTS_SCHEMA, EVENTS_V2_SCHEMA, PAGES_SCHEMA
+
+SEED = 42
+T0 = np.datetime64("2026-01-01T00:00:00", "us")
+LANGS = np.array(["en", "de", "fr", "es", "zh"])
+_TAG_RE = re.compile(r"<[^>]*>")
+
+_WORDS = np.array(
+    "the fast key order sort table scan merge part window small hash join batch "
+    "stream spark dup group query row data slow filter customer line value agg "
+    "column big vector crawl page web text html fetch index rank token".split()
+)
+
+
+def strip_tags(html: bytes) -> str:
+    """The fixed extraction rule: text == html with tags stripped."""
+    return _TAG_RE.sub("", html.decode("utf-8"))
+
+
+def _filler_pool(rng: np.random.Generator, n_pool: int = 512) -> np.ndarray:
+    """Pool of deterministic filler strings with lengths ~150-1900 chars."""
+    pool = []
+    for _ in range(n_pool):
+        n_words = int(rng.integers(30, 380))
+        pool.append(" ".join(rng.choice(_WORDS, n_words)))
+    return np.array(pool, dtype=object)
+
+
+def _zipf_indices(rng: np.random.Generator, a: float, size: int, n: int) -> np.ndarray:
+    """Zipf-distributed indices in [0, n) — hot-prefix skew is intentional."""
+    z = rng.zipf(a, size=size)
+    return (z - 1) % n
+
+
+def _compose(prefix: pd.Series, pool: np.ndarray, pick: np.ndarray) -> pd.Series:
+    return prefix + pd.Series(pool[pick], dtype=object)
+
+
+def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
+    """Base snapshot: unique urls, deterministic html/text pairs."""
+    rng = np.random.default_rng(seed)
+    pool = _filler_pool(rng)
+    i = np.arange(n_rows)
+    sites = _zipf_indices(rng, 1.3, n_rows, max(8, n_rows // 64))
+    url = pd.Series(
+        ["https://site%d.example/p%08d" % (s, k) for s, k in zip(sites, i)], dtype=object
+    )
+    warc_ts = T0 + i.astype("timedelta64[s]").astype("timedelta64[us]")
+    text = _compose("page " + url + " rev 0 ", pool, rng.integers(0, len(pool), n_rows))
+    html = ("<html><body>" + text + "</body></html>").map(lambda s: s.encode())
+    lang = LANGS[rng.integers(0, len(LANGS), n_rows)]
+    return pa.Table.from_arrays(
+        [
+            pa.array(url, pa.string()),
+            pa.array(warc_ts, pa.timestamp("us")),
+            pa.array(html.tolist(), pa.binary()),
+            pa.array(text, pa.string()),
+            pa.array(lang, pa.string()),
+        ],
+        schema=PAGES_SCHEMA,
+    )
+
+
+def make_events(
+    n_events: int,
+    n_pages: int,
+    seed: int = SEED,
+    evolve_at: float = 0.6,
+) -> tuple[pa.Table, pa.Table]:
+    """The CDC log as (v1_segment, v2_segment) tables.
+
+    op ~ {insert: .25, update: .65, delete: .10}; urls zipf(a=1.2) over the
+    page universe (inserts may mint new urls); 5% late events carry an older
+    warc_ts (must lose LWW); ~1% duplicate (url, warc_ts) pairs exercise the
+    event_seq tiebreak.  v2 segment (seq >= evolve_at*E) adds fetch_status.
+    """
+    rng = np.random.default_rng(seed + 1)
+    pool = _filler_pool(rng)
+    i = np.arange(n_events)
+    seq = i.astype(np.int64)
+
+    op_draw = rng.random(n_events)
+    op = np.where(op_draw < 0.25, "insert", np.where(op_draw < 0.90, "update", "delete"))
+
+    # Target urls: zipf over the existing universe; a third of inserts mint new urls.
+    sites = _zipf_indices(rng, 1.3, n_events, max(8, n_pages // 64))
+    page_idx = _zipf_indices(rng, 1.2, n_events, n_pages)
+    url = np.array(
+        ["https://site%d.example/p%08d" % (s, k) for s, k in zip(sites, page_idx)],
+        dtype=object,
+    )
+    mint = (op == "insert") & (rng.random(n_events) < 0.34)
+    if mint.any():
+        midx = np.flatnonzero(mint)
+        url[midx] = ["https://site%d.example/new%08d" % (sites[k], k) for k in midx]
+
+    # Event time: mostly increasing; 5% late (older than the current row).
+    base_s = (n_pages + i).astype(np.int64)
+    late = rng.random(n_events) < 0.05
+    base_s[late] = base_s[late] // 2
+    warc_ts = T0 + base_s.astype("timedelta64[s]").astype("timedelta64[us]")
+    # ~1% exact duplicate (url, warc_ts) of the previous event (tiebreak on seq).
+    dup = np.flatnonzero(rng.random(n_events) < 0.01)
+    dup = dup[dup > 0]
+    url[dup] = url[dup - 1]
+    warc_ts[dup] = warc_ts[dup - 1]
+    op[dup] = np.where(op[dup] == "delete", "update", op[dup])
+
+    rev = pd.Series(seq).astype(str)
+    text = _compose(
+        "page " + pd.Series(url, dtype=object) + " rev " + rev + " ",
+        pool,
+        rng.integers(0, len(pool), n_events),
+    )
+    html_s = "<html><body>" + text + "</body></html>"
+    is_del = op == "delete"
+    text = text.mask(is_del)
+    html = html_s.map(lambda s: s.encode())
+    html[is_del] = None
+    lang = pd.Series(LANGS[rng.integers(0, len(LANGS), n_events)], dtype=object).mask(is_del)
+
+    fetch_status = rng.choice(np.array([200, 301, 404], np.int32), n_events)
+
+    def seg(lo: int, hi: int, v2: bool) -> pa.Table:
+        arrays = [
+            pa.array(seq[lo:hi]),
+            pa.array(op[lo:hi], pa.string()),
+            pa.array(url[lo:hi], pa.string()),
+            pa.array(warc_ts[lo:hi], pa.timestamp("us")),
+            pa.array(html[lo:hi].tolist(), pa.binary()),
+            pa.array(text[lo:hi], pa.string()),
+            pa.array(lang[lo:hi], pa.string()),
+        ]
+        schema = EVENTS_SCHEMA
+        if v2:
+            arrays.append(pa.array(fetch_status[lo:hi]))
+            schema = EVENTS_V2_SCHEMA
+        return pa.Table.from_arrays(arrays, schema=schema)
+
+    cut = int(n_events * evolve_at)
+    return seg(0, cut, False), seg(cut, n_events, True)
+
+
+def write_corpus(
+    out_dir: str,
+    n_pages: int = 2_000,
+    n_events: int = 20_000,
+    shard_rows: int = 2_000,
+    seed: int = SEED,
+) -> dict:
+    """Materialize pages.parquet + events/part-*.parquet + events/_meta.json.
+
+    Idempotent: if _meta.json exists with matching parameters, reuse.
+    """
+    meta_path = os.path.join(out_dir, "events", "_meta.json")
+    params = {"n_pages": n_pages, "n_events": n_events, "shard_rows": shard_rows, "seed": seed}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("params") == params:
+            return meta
+
+    os.makedirs(os.path.join(out_dir, "events"), exist_ok=True)
+    pages = make_pages(n_pages, seed)
+    pq.write_table(pages, os.path.join(out_dir, "pages.parquet"))
+    v1, v2 = make_events(n_events, n_pages, seed)
+
+    shards = []
+    part = 0
+    for tbl, version in ((v1, 1), (v2, 2)):
+        for lo in range(0, tbl.num_rows, shard_rows):
+            chunk = tbl.slice(lo, shard_rows)
+            name = f"part-{part:05d}.parquet"
+            pq.write_table(chunk, os.path.join(out_dir, "events", name))
+            seqs = chunk.column("event_seq")
+            shards.append(
+                {
+                    "file": name,
+                    "min_seq": int(seqs[0].as_py()),
+                    "max_seq": int(seqs[-1].as_py()),
+                    "rows": chunk.num_rows,
+                    "schema_version": version,
+                }
+            )
+            part += 1
+
+    meta = {"params": params, "shards": shards, "max_seq": n_events - 1}
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, meta_path)
+    return meta

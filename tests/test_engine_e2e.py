@@ -1,0 +1,176 @@
+"""End-to-end CDC replay tests against the sequential oracle (FIXTURES.md §4).
+
+Mirrors the reference's end-to-end job tests
+(gobblin-runtime JobLauncherTestHelper.runTest:80-131, TaskContinuousTest)
+and exactly-once resume tests (CommitSequenceTest)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gobblin_ray import synth
+from gobblin_ray.engine import CdcEngine, EngineConfig
+from tests.oracle_util import oracle_final_state
+
+N_PAGES = 400
+N_EVENTS = 4_000
+SHARD = 500
+EPOCH_W = 1_000  # -> 4 epochs
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("corpus"))
+    meta = synth.write_corpus(d, n_pages=N_PAGES, n_events=N_EVENTS, shard_rows=SHARD)
+    return d, meta
+
+
+@pytest.fixture(scope="module")
+def oracle_df(corpus):
+    d, meta = corpus
+    pages = pq.read_table(f"{d}/pages.parquet")
+    events = [
+        pq.read_table(f"{d}/events/{s['file']}") for s in meta["shards"]
+    ]
+    return oracle_final_state(pages, events)
+
+
+def replay(corpus_dir, lake_dir, **cfg_kw) -> CdcEngine:
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W, **cfg_kw)
+    eng = CdcEngine(lake_dir, f"{corpus_dir}/events", cfg)
+    eng.bootstrap(f"{corpus_dir}/pages.parquet")
+    eng.run()
+    return eng
+
+
+def engine_df(eng: CdcEngine) -> pd.DataFrame:
+    t = eng.read_table_arrow()
+    df = t.to_pandas().sort_values("url").reset_index(drop=True)
+    return df
+
+
+def assert_matches_oracle(df: pd.DataFrame, oracle: pd.DataFrame):
+    assert len(df) == len(oracle), f"{len(df)} vs oracle {len(oracle)}"
+    assert list(df["url"]) == list(oracle["url"])
+    # Invariant 1: byte-identical text (and html) per url.
+    for col in ("text", "html", "lang"):
+        mism = df[col].to_numpy() != oracle[col].to_numpy()
+        assert not mism.any(), f"{col} mismatch for urls {df['url'][mism].tolist()[:5]}"
+    assert (
+        df["warc_ts"].to_numpy() == oracle["warc_ts"].to_numpy("datetime64[us]")
+    ).all()
+    assert list(df["event_seq"]) == list(oracle["event_seq"])
+    got_fs = df["fetch_status"].to_numpy()
+    want_fs = oracle["fetch_status"].to_numpy()
+    same = (got_fs == want_fs) | (pd.isna(got_fs) & pd.isna(want_fs))
+    assert same.all()
+
+
+@pytest.fixture(scope="module")
+def full_run(ray_session, corpus, tmp_path_factory):
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_full"))
+    eng = replay(d, lake)
+    return eng
+
+
+def test_full_replay_matches_oracle(full_run, oracle_df):
+    assert_matches_oracle(engine_df(full_run), oracle_df)
+
+
+def test_manifest_lineage_invariants(full_run, corpus):
+    _, meta = corpus
+    store = full_run.store
+    epochs = store.committed_epochs()
+    assert epochs[0] == 0 and epochs[-1] == N_EVENTS // EPOCH_W
+    # Invariant 2: applied (low, high] ranges tile the log with no gap/overlap.
+    prev_high = -1
+    total_events = 0
+    for e in epochs[1:]:
+        m = store.load(e)
+        assert m.low_seq == prev_high
+        prev_high = m.high_seq
+        total_events += m.event_count
+        # Invariant 3: every bucket has a row, watermark carried forward.
+        assert set(m.buckets) == set(range(8))
+        for s in m.buckets.values():
+            assert s.high_seq == m.high_seq
+    assert prev_high == meta["max_seq"]
+    assert total_events == N_EVENTS
+
+
+def test_schema_evolution(full_run, oracle_df):
+    df = engine_df(full_run)
+    assert "fetch_status" in df.columns
+    # Rows last written before the evolution point must be null.
+    pre = df[df["event_seq"] < int(N_EVENTS * 0.6)]
+    assert pre["fetch_status"].isna().all()
+    post_vals = df[df["event_seq"] >= int(N_EVENTS * 0.6)]["fetch_status"].dropna()
+    assert set(post_vals.astype(int)).issubset({200, 301, 404})
+    assert len(post_vals) > 0
+
+
+def test_kill_and_resume_exactly_once(ray_session, corpus, oracle_df, tmp_path_factory):
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_resume"))
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)  # "kill" after 2 epochs
+    assert eng.store.latest().epoch == 2
+    # Fresh engine instance = new driver process resuming from the manifest.
+    eng2 = CdcEngine(lake, f"{d}/events", cfg)
+    reports = eng2.run()
+    assert [r.epoch for r in reports] == [3, 4]
+    assert_matches_oracle(engine_df(eng2), oracle_df)
+
+
+def test_reapply_committed_epoch_is_noop(ray_session, corpus, tmp_path_factory):
+    """Re-running over a fully-committed lake applies nothing (idempotent)."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_noop"))
+    eng = replay(d, lake)
+    reports = eng.run()
+    assert reports == []
+
+
+def test_salted_hot_buckets_match_oracle(ray_session, corpus, oracle_df, tmp_path_factory):
+    """Force the salted partial-merge path and re-verify byte identity."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_salt"))
+    eng = replay(d, lake, hot_factor=0.1, max_salt=4)
+    assert_matches_oracle(engine_df(eng), oracle_df)
+
+
+def test_error_rows_diverted_not_applied(ray_session, tmp_path_factory):
+    """RowLevelPolicy ERR_FILE semantics: invalid rows land in _errors/."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("badcorpus"))
+    synth.write_corpus(d, n_pages=50, n_events=200, shard_rows=100)
+    # Corrupt one shard: give one row an invalid op and one a null url.
+    p = f"{d}/events/part-00000.parquet"
+    t = pq.read_table(p)
+    op = t.column("op").to_pylist()
+    url = t.column("url").to_pylist()
+    op[5] = "upsert??"
+    url[7] = None
+    t = t.set_column(1, "op", pa.array(op, pa.string()))
+    t = t.set_column(2, "url", pa.array(url, pa.string()))
+    pq.write_table(t, p)
+
+    lake = str(tmp_path_factory.mktemp("lake_err"))
+    eng = CdcEngine(lake, f"{d}/events", EngineConfig(num_buckets=4, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    m1 = eng.store.load(1)
+    assert m1.error_count == 2
+    assert m1.event_count == 98
+    err_dir = os.path.join(lake, "_errors", "epoch=000001")
+    err = pq.read_table(
+        [os.path.join(err_dir, f) for f in os.listdir(err_dir)]
+    )
+    assert err.num_rows == 2
+    assert set(err.column("_err").to_pylist()) == {"bad_op", "null_url"}

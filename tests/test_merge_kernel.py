@@ -1,0 +1,139 @@
+"""Unit tests for the pure-pyarrow LWW merge kernel (Ray-free).
+
+Mirrors the reference's dedup-reducer tests (gobblin-compaction/src/test/)
+plus FIXTURES.md §4 delete/tiebreak semantics."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from gobblin_ray.merge import (
+    base_to_pseudo_events,
+    live_rows,
+    lww_reduce,
+    merge_base_with_events,
+)
+from gobblin_ray.schema import BASE_SCHEMA, conform, unify_additive
+
+TS = lambda s: pa.scalar(s, pa.timestamp("us"))  # noqa: E731
+
+
+def ev(rows):
+    """rows: list of (seq, op, url, ts_us_int, text)"""
+    return pa.table(
+        {
+            "event_seq": pa.array([r[0] for r in rows], pa.int64()),
+            "op": pa.array([r[1] for r in rows], pa.string()),
+            "url": pa.array([r[2] for r in rows], pa.string()),
+            "warc_ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            "html": pa.array(
+                [None if r[4] is None else r[4].encode() for r in rows], pa.binary()
+            ),
+            "text": pa.array([r[4] for r in rows], pa.string()),
+            "lang": pa.array(["en" if r[4] else None for r in rows], pa.string()),
+        }
+    )
+
+
+def final_text(base: pa.Table) -> dict:
+    t = live_rows(base)
+    return dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+
+
+def test_newer_update_wins():
+    base = merge_base_with_events(None, ev([(0, "insert", "u1", 100, "old")]))
+    base = merge_base_with_events(base, ev([(1, "update", "u1", 200, "new")]))
+    assert final_text(base) == {"u1": "new"}
+
+
+def test_late_update_loses():
+    base = merge_base_with_events(None, ev([(0, "insert", "u1", 200, "cur")]))
+    base = merge_base_with_events(base, ev([(1, "update", "u1", 100, "late")]))
+    assert final_text(base) == {"u1": "cur"}
+
+
+def test_equal_ts_tiebreak_on_event_seq():
+    base = merge_base_with_events(
+        None, ev([(0, "insert", "u1", 100, "a"), (1, "update", "u1", 100, "b")])
+    )
+    assert final_text(base) == {"u1": "b"}
+    # Same pair split across two merges — associativity must hold.
+    base2 = merge_base_with_events(None, ev([(1, "update", "u1", 100, "b")]))
+    base2 = merge_base_with_events(base2, ev([(0, "insert", "u1", 100, "a")]))
+    assert final_text(base2) == {"u1": "b"}
+
+
+def test_delete_tombstone_blocks_late_resurrection():
+    base = merge_base_with_events(None, ev([(0, "insert", "u1", 100, "x")]))
+    base = merge_base_with_events(base, ev([(1, "delete", "u1", 300, None)]))
+    assert final_text(base) == {}
+    # Tombstone must be retained in the base with its LWW position…
+    assert base.num_rows == 1
+    assert base.column("is_deleted").to_pylist() == [True]
+    # …so a later-arriving event with an OLDER warc_ts cannot resurrect.
+    base = merge_base_with_events(base, ev([(2, "insert", "u1", 200, "zombie")]))
+    assert final_text(base) == {}
+
+
+def test_newer_insert_after_delete_resurrects():
+    base = merge_base_with_events(None, ev([(0, "insert", "u1", 100, "x")]))
+    base = merge_base_with_events(base, ev([(1, "delete", "u1", 200, None)]))
+    base = merge_base_with_events(base, ev([(2, "insert", "u1", 300, "back")]))
+    assert final_text(base) == {"u1": "back"}
+
+
+def test_lww_reduce_associativity():
+    rows = [
+        (0, "insert", "u1", 100, "a"),
+        (1, "update", "u2", 100, "b"),
+        (2, "update", "u1", 150, "c"),
+        (3, "delete", "u2", 120, None),
+        (4, "update", "u1", 150, "d"),  # equal ts, higher seq
+    ]
+    all_at_once = lww_reduce(ev(rows))
+    part = lww_reduce(
+        pa.concat_tables([lww_reduce(ev(rows[:2])), lww_reduce(ev(rows[2:]))])
+    )
+    assert all_at_once.sort_by("url").equals(part.sort_by("url"))
+
+
+def test_schema_evolution_null_fill():
+    v2 = ev([(1, "update", "u2", 200, "new")]).append_column(
+        "fetch_status", pa.array([301], pa.int32())
+    )
+    base = merge_base_with_events(None, ev([(0, "insert", "u1", 100, "old")]))
+    base = merge_base_with_events(base, v2)
+    assert "fetch_status" in base.column_names
+    got = dict(
+        zip(base.column("url").to_pylist(), base.column("fetch_status").to_pylist())
+    )
+    assert got == {"u1": None, "u2": 301}
+
+
+def test_unify_additive_rejects_type_change():
+    a = pa.schema([("x", pa.int64())])
+    b = pa.schema([("x", pa.string())])
+    with pytest.raises(TypeError):
+        unify_additive(a, b)
+
+
+def test_conform_orders_and_null_fills():
+    t = pa.table({"b": [1], "a": ["x"]})
+    s = pa.schema([("a", pa.string()), ("b", pa.int64()), ("c", pa.float64())])
+    out = conform(t, s)
+    assert out.column_names == ["a", "b", "c"]
+    assert out.column("c").null_count == 1
+
+
+def test_base_roundtrip_through_pseudo_events():
+    base = merge_base_with_events(
+        None, ev([(0, "insert", "u1", 100, "x"), (1, "delete", "u2", 50, None)])
+    )
+    again = merge_base_with_events(base, ev([])[:0])
+    assert base.sort_by("url").equals(again.sort_by("url"))
+
+
+def test_empty_everything():
+    base = merge_base_with_events(None, ev([]))
+    assert base.num_rows == 0
+    assert live_rows(base).num_rows == 0
