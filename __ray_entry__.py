@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC pipeline; ``queries()`` exposes one entry
+per implemented operator/pipeline from SURVEY.md §2 (+ the training-data
+extension set); ``oracle_sql()`` gives the DuckDB equivalent for every
+SQL-expressible query (same column names; float aggregates rounded
+identically on both sides).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in gobblin_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,174 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from gobblin_ray.pipelines import demo
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: full CDC replay (bootstrap → epoch loop → exactly-once
+    commit → merge-on-read read-back) on a small deterministic corpus,
+    returning the final lake as a Dataset."""
+    return demo.cdc_replay_mini("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # converters / filters / projections (SURVEY §2.3)
+        "conv_filter_project": demo.conv_filter_project,
+        "json_extract_props": demo.json_extract_props,
+        "split_tokens_topk": demo.split_tokens_topk,
+        "sample_mod_events": demo.sample_mod_events,
+        # aggregations (§2.6)
+        "agg_pricing_summary": demo.agg_pricing_summary,
+        "token_count_totals": demo.token_count_totals,
+        # sorts / limits / top-k (§2.7)
+        "sort_topk_revenue": demo.sort_topk_revenue,
+        # joins / lookups (§2.5)
+        "join_orders_customer": demo.join_orders_customer,
+        "join_nation_region": demo.join_nation_region,
+        # CDC / dedup / set ops (§2.8, §2.10)
+        "cdc_lww_upsert_events": demo.cdc_lww_upsert_events,
+        "watermark_incremental": demo.watermark_incremental,
+        "dedup_exact_documents": demo.dedup_exact_documents,
+        "cdc_replay_mini": demo.cdc_replay_mini,
+        # fork / routing (§2.5) + partitioners (§2.2)
+        "fork_branches": demo.fork_branches,
+        "time_partition_counts": demo.time_partition_counts,
+        # quality checkers (§2.9)
+        "quality_policy_pass": demo.quality_policy_pass,
+        # text analysis (extension set)
+        "text_quality_features": demo.text_quality_features,
+        "fingerprint_md5": demo.fingerprint_md5,
+        "langid_documents": demo.langid_documents,
+        # dedup: near-dup family (extension set)
+        "dedup_minhash_documents": demo.dedup_minhash_documents,
+        "simhash_pairs_documents": demo.simhash_pairs_documents,
+        "embedding_dup_pairs": demo.embedding_dup_pairs,
+        # similarity search (extension set)
+        "knn_brute_force": demo.knn_brute_force,
+        "knn_lsh": demo.knn_lsh,
+        "embedding_dims": demo.embedding_dims,
+        # multimodal plumbing (extension set)
+        "multimodal_decode": demo.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "conv_filter_project": """
+            SELECT l_orderkey, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        """,
+        "json_extract_props": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        "split_tokens_topk": """
+            SELECT token, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        "sample_mod_events": """
+            SELECT count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events WHERE event_id % 100 < 5
+        """,
+        "agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "token_count_totals": """
+            SELECT lang, sum(array_length(string_split(text, ' '))) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "sort_topk_revenue": """
+            SELECT l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem GROUP BY l_orderkey
+            ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "join_orders_customer": """
+            SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "join_nation_region": """
+            SELECT r_name, count(*) AS n_nations
+            FROM nation JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "cdc_lww_upsert_events": """
+            SELECT user_id, event_id AS last_event_id,
+                   event_type AS last_event_type, value AS last_value,
+                   ts AS last_ts
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "watermark_incremental": """
+            SELECT event_type, count(*) AS n, max(ts) AS max_ts
+            FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY event_type
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "fork_branches": """
+            SELECT CASE WHEN event_type = 'purchase' THEN 'buy'
+                        WHEN value > 50.0 THEN 'high'
+                        ELSE 'rest' END AS branch,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "time_partition_counts": """
+            SELECT strftime(ts, '%Y-%m-%d') AS date_part, count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "quality_policy_pass": """
+            SELECT lang, count(*) AS n_pass
+            FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0 AND n_chars >= 100
+            GROUP BY lang
+        """,
+        "text_quality_features": """
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS n_chars_calc,
+                   round(length(text) * 1.0 /
+                         greatest(array_length(string_split(text, ' ')), 1), 4)
+                       AS avg_token_len,
+                   round(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 /
+                         greatest(length(text), 1), 4) AS alpha_ratio
+            FROM documents
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "knn_brute_force": """
+            SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])), 4) AS score
+            FROM embeddings q CROSS JOIN embeddings e
+            WHERE q.vec_id < 3 AND e.vec_id != q.vec_id
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(e.embedding AS DOUBLE[])) DESC,
+                         e.vec_id) <= 10
+        """,
+        "embedding_dims": """
+            SELECT label, array_length(embedding) AS dim, count(*) AS n
+            FROM embeddings GROUP BY label, array_length(embedding)
+        """,
+        # rows-only (non-SQL-expressible): cdc_replay_mini, langid_documents,
+        # dedup_minhash_documents, simhash_pairs_documents, embedding_dup_pairs,
+        # knn_lsh, multimodal_decode
+    }

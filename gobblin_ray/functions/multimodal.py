@@ -1,0 +1,147 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches`` stages.
+
+The decode codecs (PIL / libav / ffmpeg) are NOT in this container, so the
+decode kernels are STUBBED behind ``DeterministicFakeCodec`` (a seeded,
+header-driven fake) or raise NotImplementedError in strict mode — but the
+Ray-side plumbing is real and tested: schema, actor signature (state built
+once in ``__init__``), byte-aware batch sizing, and output layout.
+
+Batch-size note (SURVEY.md §4.5): media rows are wide — size batches by
+BYTES, not rows (``suggest_batch_size``); a 100 KB payload means a few
+hundred rows per batch, so batch x concurrency fits a worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),  # producer-claimed metadata
+        ("height", pa.int32()),
+    ]
+)
+
+_MAGIC = b"FAKEIMG1"
+
+
+def synth_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media corpus: payload = magic + w/h header +
+    seeded pixel bytes."""
+    rng = np.random.default_rng(seed)
+    ws = rng.integers(8, 64, n).astype(np.int32)
+    hs = rng.integers(8, 64, n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        px = rng.integers(0, 256, int(ws[i]) * int(hs[i]), dtype=np.uint8)
+        payloads.append(
+            _MAGIC
+            + int(ws[i]).to_bytes(4, "big")
+            + int(hs[i]).to_bytes(4, "big")
+            + px.tobytes()
+        )
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-fake"] * n),
+            "width": pa.array(ws),
+            "height": pa.array(hs),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+class DeterministicFakeCodec:
+    """Stand-in decoder: parses the fake header + pixels. Real deployments
+    replace this class with a PIL/libav wrapper — same interface."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:8] != _MAGIC:
+            raise ValueError("bad magic")
+        w = int.from_bytes(payload[8:12], "big")
+        h = int.from_bytes(payload[12:16], "big")
+        return np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
+
+
+class MediaDecoder:
+    """Actor-pool stage: decode payloads, verify claimed metadata, emit
+    decoded dims + a mean-luminance feature. Codec loaded ONCE per actor.
+
+    strict=True raises NotImplementedError where a real codec would be
+    required (documents the stub boundary)."""
+
+    def __init__(self, strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real image codec unavailable in this environment; "
+                "install PIL/libav and swap DeterministicFakeCodec"
+            )
+        self.codec = DeterministicFakeCodec()  # once per actor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ws, hs, lum, ok = [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                img = self.codec.decode(payload)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                lum.append(float(img.mean()))
+                ok.append(True)
+            except Exception:
+                hs.append(0)
+                ws.append(0)
+                lum.append(0.0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])  # decoded stages drop the heavy bytes
+            .append_column("dec_width", pa.array(ws, pa.int32()))
+            .append_column("dec_height", pa.array(hs, pa.int32()))
+            .append_column("mean_luma", pa.array(lum, pa.float64()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+class ByteHistogram:
+    """Actor-pool feature extractor over raw payload bytes (real compute,
+    codec-free): 16-bin byte histogram as a fixed-size list column."""
+
+    def __init__(self, bins: int = 16):
+        self.bins = bins
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("payload").to_pylist():
+            arr = np.frombuffer(payload or b"", dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=self.bins).astype(np.float64)
+            total = hist.sum() or 1.0
+            feats.append(hist / total)
+        return batch.append_column(
+            "byte_hist", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+def frame_sample_stub(*_a, **_k):
+    """Video frame sampling needs a real demuxer."""
+    raise NotImplementedError("video demuxer unavailable; stub per SURVEY plan")
+
+
+def suggest_batch_size(avg_payload_bytes: int, budget_bytes: int = 64 * 2**20) -> int:
+    """Rows per batch so one batch stays under ``budget_bytes`` of payload."""
+    return max(16, int(budget_bytes / max(1, avg_payload_bytes)))
+
+
+def decode_pipeline(media_ds, concurrency: int = 4, avg_payload_bytes: int = 4096):
+    """The canonical multimodal stage wiring: byte-aware batch size +
+    actor pool + heavy column dropped at the earliest stage."""
+    return media_ds.map_batches(
+        MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=suggest_batch_size(avg_payload_bytes),
+        concurrency=concurrency,
+    )

@@ -1,0 +1,148 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``knn_brute_force``: exact cosine top-k. The query matrix is broadcast
+  ONCE via ``ray.put`` and read inside each task (never re-shipped per
+  batch); each batch does one float64 matmul; per-batch top-k candidates
+  are then globally reduced per query (tiny shuffle over k x batches rows).
+- ``knn_lsh``: the scale path — hyperplane-LSH bucket the corpus once,
+  probe only the query's bucket (+ optional multi-probe neighbors).
+
+Determinism: float64 accumulation, ties broken by ascending id, so results
+are stable across runs and comparable to a DuckDB oracle using
+``list_cosine_similarity``."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .dedup import HyperplaneLSH
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+class _BatchTopK:
+    """Stateless per-batch scorer: cosine vs the broadcast query matrix,
+    emit the batch-local top-k candidates per query."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        self.q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, D)
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        mat = _normalize(
+            np.vstack(batch.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        scores = mat @ self.q.T  # (n, Q)
+        k = min(self.k, len(ids))
+        # argpartition per query column, then exact sort of the k candidates
+        idx = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, Q)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            cand = idx[:, qi]
+            out_q.append(np.full(k, qi, np.int64))
+            out_id.append(ids[cand])
+            out_s.append(scores[cand, qi])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                self.id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+
+def knn_brute_force(
+    embeddings,
+    query_matrix: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: dict[int, int] | None = None,
+):
+    """Exact top-k cosine neighbors for each row of ``query_matrix``.
+
+    Returns a Dataset (query_id, id_col, score) with exactly k rows per
+    query, score-descending (ties: ascending id). ``exclude_ids`` maps
+    query_id -> corpus id to exclude (self-match suppression)."""
+    import ray
+
+    qref = ray.put(np.ascontiguousarray(query_matrix))
+    scorer = _BatchTopK(qref, k + (1 if exclude_ids else 0), id_col, vec_col)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        return scorer(t)
+
+    candidates = embeddings.map_batches(
+        score_batch, batch_format="pyarrow", batch_size=8192
+    )
+    excl = exclude_ids or {}
+
+    def final_topk(group: pa.Table) -> pa.Table:
+        qid = int(group.column("query_id")[0].as_py())
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        sc = group.column("score").to_numpy(zero_copy_only=False)
+        if qid in excl:
+            m = ids != excl[qid]
+            ids, sc = ids[m], sc[m]
+        order = np.lexsort((ids, -sc))[:k]
+        return pa.table(
+            {
+                "query_id": pa.array(np.full(len(order), qid, np.int64)),
+                id_col: pa.array(ids[order]),
+                "score": pa.array(sc[order]),
+            }
+        )
+
+    return candidates.groupby("query_id").map_groups(
+        final_topk, batch_format="pyarrow"
+    )
+
+
+def knn_lsh(
+    embeddings,
+    query_matrix: np.ndarray,
+    dim: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    concurrency: int = 4,
+    seed: int = 42,
+):
+    """Approximate top-k: hyperplane-LSH bucket the corpus (one actor-pool
+    pass), then score ONLY batches' rows falling in each query's bucket.
+    Recall < 1.0 by construction; raise n_probes by lowering n_planes.
+
+    At 100 TB the bucketed corpus would be written partitioned by
+    ``lsh_bucket`` once and re-used across query sets (the IVF posture:
+    coarse quantize once, probe per query)."""
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed)
+    q_buckets = ((_normalize(query_matrix.astype(np.float64)) @ lsh.planes) > 0)
+    q_bucket_ids = (q_buckets * lsh.weights).sum(axis=1)
+    wanted = set(int(b) for b in q_bucket_ids)
+
+    bucketed = embeddings.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+
+    def in_wanted(t: pa.Table) -> pa.Table:
+        b = t.column("lsh_bucket").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(b, np.fromiter(wanted, np.int64, len(wanted)))))
+
+    in_wanted.__name__ = "probe_buckets"
+    probed = bucketed.map_batches(in_wanted, batch_format="pyarrow", batch_size=None)
+    return knn_brute_force(probed, query_matrix, k, id_col, vec_col)

@@ -1,0 +1,186 @@
+"""Text analysis for webtext pipelines: language-ID, quality scoring,
+token counting, fingerprinting. All column derivations are vectorized
+(pyarrow.compute); the only per-row work is md5 (no Arrow kernel exists),
+kept in an actor-pool-friendly callable.
+
+SQL-parity notes (for the DuckDB oracle): token_count splits on a single
+space exactly like ``array_length(string_split(text, ' '))``; alpha_ratio
+mirrors ``length(regexp_replace(text,'[^a-z ]','','g'))``-style arithmetic;
+fingerprints use md5 so ``md5(lower(text))`` matches byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tiny public stopword lists (language-ID heuristic evidence).
+STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"},
+    "fr": {"le", "la", "les", "et", "de", "un", "une", "est", "pour", "que"},
+    "es": {"el", "la", "los", "de", "y", "un", "una", "es", "por", "que"},
+    "zh": set(),  # no-space script: detected by CJK char ratio instead
+}
+
+
+def token_count(text_col: str = "text", out: str = "n_tokens"):
+    """Whitespace token count == array_length(string_split(text, ' '))."""
+
+    def run(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(pc.split_pattern(t.column(text_col), pattern=" "))
+        return t.append_column(out, n.cast(pa.int64()))
+
+    run.__name__ = f"token_count[{text_col}]"
+    return run
+
+
+def char_count(text_col: str = "text", out: str = "n_chars_calc"):
+    def run(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            out, pc.utf8_length(t.column(text_col)).cast(pa.int64())
+        )
+
+    run.__name__ = f"char_count[{text_col}]"
+    return run
+
+
+def bpe_ish_token_count(text_col: str = "text", out: str = "n_bpe_tokens"):
+    """BPE-ish token estimate: count matches of a GPT-2-style pre-tokenizer
+    regex (words / numbers / punctuation runs) — vectorized via
+    pc.count_substring_regex."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+    def run(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t.column(text_col), pattern)
+        return t.append_column(out, n.cast(pa.int64()))
+
+    run.__name__ = "bpe_ish_token_count"
+    return run
+
+
+def quality_features(text_col: str = "text"):
+    """Vectorized quality features: n_tokens, n_chars_calc, avg_token_len,
+    alpha_ratio (lowercase-alpha+space chars / total), upper_ratio."""
+
+    def run(t: pa.Table) -> pa.Table:
+        text = t.column(text_col)
+        n_chars = pc.utf8_length(text).cast(pa.int64())
+        n_tokens = pc.list_value_length(pc.split_pattern(text, pattern=" ")).cast(
+            pa.int64()
+        )
+        alpha = pc.utf8_length(
+            pc.replace_substring_regex(pc.utf8_lower(text), "[^a-z ]", "")
+        ).cast(pa.int64())
+        safe_chars = pc.max_element_wise(n_chars, pa.scalar(1, pa.int64()))
+        safe_toks = pc.max_element_wise(n_tokens, pa.scalar(1, pa.int64()))
+        t = t.append_column("n_tokens", n_tokens)
+        t = t.append_column("n_chars_calc", n_chars)
+        t = t.append_column(
+            "avg_token_len",
+            pc.divide(pc.cast(n_chars, pa.float64()), pc.cast(safe_toks, pa.float64())),
+        )
+        t = t.append_column(
+            "alpha_ratio",
+            pc.divide(pc.cast(alpha, pa.float64()), pc.cast(safe_chars, pa.float64())),
+        )
+        return t
+
+    run.__name__ = "quality_features"
+    return run
+
+
+def quality_score(text_col: str = "text", out: str = "quality"):
+    """Composite score in [0,1]: alpha-ratio weighted, penalizing very short
+    documents and degenerate token lengths. SQL-expressible arithmetic."""
+    feats = quality_features(text_col)
+
+    def run(t: pa.Table) -> pa.Table:
+        t = feats(t)
+        len_term = pc.min_element_wise(
+            pc.divide(pc.cast(t.column("n_tokens"), pa.float64()), pa.scalar(100.0)),
+            pa.scalar(1.0),
+        )
+        score = pc.multiply(
+            pc.multiply(t.column("alpha_ratio"), len_term), pa.scalar(1.0)
+        )
+        return t.append_column(out, score)
+
+    run.__name__ = "quality_score"
+    return run
+
+
+class LangId:
+    """Actor-pool stage: stopword + script heuristic language ID.
+
+    ``__init__`` compiles token tables once per actor; ``__call__`` scores
+    each language by stopword hit-rate (CJK char ratio for zh) and emits
+    ``lang_pred`` + ``lang_conf``. Heuristic (no model download) — the
+    plumbing (actor pool, batch shape) is the deliverable; swap in fastText
+    where models are available."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.tables = {k: v for k, v in STOPWORDS.items() if v}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        texts = pd.Series(batch.column(self.text_col).to_pylist(), dtype=object).fillna("")
+        toks = texts.str.lower().str.split()
+        preds, confs = [], []
+        for tk, raw in zip(toks, texts):
+            n = max(1, len(tk))
+            scores = {
+                lang: sum(w in sw for w in tk) / n for lang, sw in self.tables.items()
+            }
+            cjk = sum("一" <= ch <= "鿿" for ch in raw) / max(1, len(raw))
+            scores["zh"] = cjk
+            best = max(scores, key=scores.get)
+            preds.append(best if scores[best] > 0 else "und")
+            confs.append(float(scores[best]))
+        return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
+            "lang_conf", pa.array(confs, pa.float64())
+        )
+
+
+class Fingerprinter:
+    """md5 content fingerprint (matches DuckDB ``md5(...)``), optionally on
+    normalized text (lower). Per-row hashlib — no Arrow md5 kernel — so this
+    runs as an actor-pool stage sized by ``concurrency``."""
+
+    def __init__(self, text_col: str = "text", out: str = "fingerprint",
+                 normalize: bool = True):
+        self.text_col, self.out, self.normalize = text_col, out, normalize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.text_col)
+        if self.normalize:
+            col = pc.utf8_lower(col)
+        fps = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in col.to_pylist()
+        ]
+        return batch.append_column(self.out, pa.array(fps, pa.string()))
+
+
+def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
+                             window: int = 64):
+    """Winnowing-style document sketch: min polynomial rolling hash over
+    byte windows — a cheap locality-sensitive fingerprint (numpy per row)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        vals = []
+        for s in t.column(text_col).to_pylist():
+            b = np.frombuffer((s or "").encode("utf-8", "ignore"), dtype=np.uint8)
+            if len(b) < window:
+                b = np.pad(b, (0, window - len(b)), constant_values=32)
+            win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
+            powers = np.power(131, np.arange(window, dtype=np.uint64), dtype=np.uint64)
+            vals.append(int((win * powers).sum(axis=1).min()))
+        return t.append_column(out, pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)))
+
+    run.__name__ = "rolling_hash"
+    return run

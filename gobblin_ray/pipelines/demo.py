@@ -1,0 +1,467 @@
+"""Operator-demonstration queries over /root/testdata tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pandas DataFrame /
+pyarrow Table. Column names match the paired oracle SQL in
+``__ray_entry__.oracle_sql`` exactly (the driver hash-compares values after
+sorting columns by name). Float aggregates are rounded identically on both
+sides to absorb accumulation-order differences.
+
+Gobblin analog per query is noted inline (SURVEY.md §2 rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.readers import read_incremental, read_table
+from ..stages import converters as cv
+from ..stages.fork import route_column
+from ..stages.joins import broadcast_join
+from ..stages.partition import time_partition
+from ..stages.quality import PolicyChecker, min_timestamp, non_empty_string
+from ..functions import dedup as dd
+from ..functions import text as tx
+from ..functions import similarity as sim
+
+
+def _duck_round(v: np.ndarray, digits: int) -> np.ndarray:
+    """DuckDB-bit-exact round: half away from zero via the same double-op
+    sequence DuckDB uses (x*10^d, std::round, /10^d) — so hash comparison
+    against the oracle matches to the last ULP."""
+    p = float(10**digits)
+    return np.copysign(np.floor(np.abs(v) * p + 0.5), v) / p
+
+
+def _round_cols(cols: dict[str, int]):
+    def run(t: pa.Table) -> pa.Table:
+        for name, digits in cols.items():
+            idx = t.schema.get_field_index(name)
+            v = t.column(name).to_numpy(zero_copy_only=False).astype(np.float64)
+            t = t.set_column(idx, name, pa.array(_duck_round(v, digits)))
+        return t
+
+    run.__name__ = "round"
+    return run
+
+
+# ---------------------------------------------------------------- converters
+
+def conv_filter_project(sf_dir: str):
+    """Converter chain: filter (AvroFilterConverter) + projection
+    (AvroFieldsPickConverter) + computed column — column-pruned read."""
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    fn = cv.chain(
+        cv.filter_expr(
+            lambda t: pc.less(
+                t.column("l_shipdate"), pa.scalar(np.datetime64("1998-01-01", "us"))
+            )
+        ),
+        cv.add_column(
+            "revenue",
+            lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+        ),
+        _round_cols({"revenue": 2}),
+        cv.project(["l_orderkey", "l_quantity", "revenue"]),
+    )
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
+def agg_pricing_summary(sf_dir: str):
+    """Grouped aggregation (metrics rollup analog, SURVEY §2.6): TPC-H-Q1
+    shape with partial aggregation done by Ray's aggregate operator."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Count(alias_name="count_order"),
+    )
+    return out.map_batches(
+        _round_cols({"sum_qty": 2, "sum_base_price": 2, "avg_qty": 4}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def sort_topk_revenue(sf_dir: str):
+    """Sort + limit (top-k): revenue per order, top 10."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    rev = ds.map_batches(
+        cv.add_column(
+            "rev",
+            lambda t: pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            ),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    agg = rev.groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue"))
+    agg = agg.map_batches(
+        _round_cols({"revenue": 2}), batch_format="pyarrow", batch_size=None
+    )
+    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+def join_orders_customer(sf_dir: str):
+    """Broadcast join (small dimension side via ray.put — never re-shipped
+    per batch) + aggregation: order stats per market segment."""
+    import pyarrow.parquet as pq
+    import os
+
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = broadcast_join(
+        orders, cust.rename_columns(["o_custkey", "c_mktsegment"]), keys="o_custkey"
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Sum("o_totalprice", alias_name="total_price"),
+        Count(alias_name="n_orders"),
+    )
+    return out.map_batches(
+        _round_cols({"total_price": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def join_nation_region(sf_dir: str):
+    """Partitioned hash join of two Datasets (Ray-native Dataset.join)."""
+    from ray.data.aggregate import Count
+
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = read_table(sf_dir, "region")
+    from ..stages.joins import hash_join
+
+    joined = hash_join(
+        nation, region, on="n_regionkey", right_on="r_regionkey", num_partitions=2
+    )
+    out = joined.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+    return out
+
+
+# ---------------------------------------------------------------- CDC-shaped
+
+def cdc_lww_upsert_events(sf_dir: str):
+    """The dedup-reducer semantics on the driver's events table: latest
+    state per user_id, LWW on (ts, event_id) — AvroKeyDedupReducer analog
+    (gobblin-compaction/.../AvroKeyDedupReducer.java:35-93)."""
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def last_per_user(group: pa.Table) -> pa.Table:
+        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        last = g.slice(g.num_rows - 1, 1)
+        return pa.table(
+            {
+                "user_id": last.column("user_id"),
+                "last_event_id": last.column("event_id"),
+                "last_event_type": last.column("event_type"),
+                "last_value": last.column("value"),
+                "last_ts": last.column("ts"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(last_per_user, batch_format="pyarrow")
+
+
+def watermark_incremental(sf_dir: str):
+    """Incremental watermark pull (QueryBasedSource/KafkaExtractor analog):
+    only events past the previous high watermark, with predicate pushdown."""
+    import os
+
+    from ray.data.aggregate import Count, Max
+
+    low = np.datetime64("2024-01-15T00:00:00", "us")
+    ds = read_incremental(
+        os.path.join(sf_dir, "events.parquet"),
+        watermark_col="ts",
+        low=pa.scalar(low),
+        columns=["ts", "event_type"],
+    )
+    return ds.groupby("event_type").aggregate(
+        Count(alias_name="n"), Max("ts", alias_name="max_ts")
+    )
+
+
+def fork_branches(sf_dir: str):
+    """ForkOperator analog: 1->N routing by predicates (first match wins),
+    then per-branch counts."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    routed = ds.map_batches(
+        route_column(
+            {
+                "buy": lambda t: pc.equal(t.column("event_type"), pa.scalar("purchase")),
+                "high": lambda t: pc.greater(t.column("value"), pa.scalar(50.0)),
+            },
+            default="rest",
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return routed.groupby("branch").aggregate(Count(alias_name="n"))
+
+
+def json_extract_props(sf_dir: str):
+    """JSON-string parsing converter (JsonStringToJsonIntermediateConverter
+    analog) — vectorized regex fast path."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    parsed = ds.map_batches(
+        cv.parse_json_regex("props", "k", out="k", typ=pa.int64()),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return parsed.groupby("event_type").aggregate(Sum("k", alias_name="sum_k"))
+
+
+def sample_mod_events(sf_dir: str):
+    """Deterministic sampling converter (SamplingConverter analog with
+    oracle parity): keep event_id % 100 < 5."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+    sampled = ds.map_batches(
+        cv.sample_mod("event_id", 100, 5), batch_format="pyarrow", batch_size=None
+    )
+    agg = sampled.aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    sv = float(_duck_round(np.array([agg["sum_value"]]), 2)[0])
+    return pd.DataFrame([{"n": agg["n"], "sum_value": sv}])
+
+
+def time_partition_counts(sf_dir: str):
+    """TimeBasedWriterPartitioner analog: derive the partition key and count
+    rows per partition (what a partitioned write would lay out)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    parts = ds.map_batches(
+        time_partition("ts", "day"), batch_format="pyarrow", batch_size=None
+    )
+    return parts.groupby("date_part").aggregate(Count(alias_name="n"))
+
+
+def quality_policy_pass(sf_dir: str):
+    """RowLevelPolicy analog: pass rows only, counted per lang."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+    checker = PolicyChecker(
+        [
+            non_empty_string("text"),
+            # n_chars >= 100 (RecordTimestampLowerBoundPolicy shape, numeric)
+        ]
+    )
+    import pyarrow.compute as _pc
+
+    def apply(t: pa.Table) -> pa.Table:
+        t = checker(t)
+        good, _bad = PolicyChecker.split(t)
+        return good.filter(
+            _pc.greater_equal(good.column("n_chars"), pa.scalar(100))
+        )
+
+    apply.__name__ = "policy_pass"
+    out = ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+    return out.groupby("lang").aggregate(Count(alias_name="n_pass"))
+
+
+# ---------------------------------------------------------------- text / dedup
+
+def split_tokens_topk(sf_dir: str):
+    """1:N splitter converter (StringSplitterConverter) + count + top-k."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    toks = ds.map_batches(
+        cv.chain(cv.split_to_rows("text", " ", out="token"), cv.project(["token"])),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    counted = toks.groupby("token").aggregate(Count(alias_name="n"))
+    return counted.sort(["n", "token"], descending=[True, False]).limit(20)
+
+
+def dedup_exact_documents(sf_dir: str):
+    """Exact dedup: first (min doc_id) row per distinct text."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dd.dedup_exact(ds, ["text"], "doc_id")
+    return out.select_columns(["doc_id", "text"])
+
+
+def text_quality_features(sf_dir: str):
+    """Quality scoring features, vectorized (SQL-parity rounding)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(tx.quality_features("text"), batch_format="pyarrow", batch_size=None)
+    out = out.map_batches(
+        _round_cols({"avg_token_len": 4, "alpha_ratio": 4}),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return out.select_columns(
+        ["doc_id", "n_tokens", "n_chars_calc", "avg_token_len", "alpha_ratio"]
+    )
+
+
+def token_count_totals(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    out = ds.map_batches(tx.token_count("text"), batch_format="pyarrow", batch_size=None)
+    return out.groupby("lang").aggregate(Sum("n_tokens", alias_name="total_tokens"))
+
+
+def fingerprint_md5(sf_dir: str):
+    """Document fingerprinting (md5 of normalized text; actor-pool stage)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        tx.Fingerprinter,
+        fn_constructor_kwargs=dict(text_col="text", out="fingerprint", normalize=True),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    ).select_columns(["doc_id", "fingerprint"])
+
+
+def langid_documents(sf_dir: str):
+    """Language-ID heuristic (actor-pool stage) — rows-only check."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return ds.map_batches(
+        tx.LangId,
+        fn_constructor_kwargs=dict(text_col="text"),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=2,
+    ).select_columns(["doc_id", "lang", "lang_pred", "lang_conf"])
+
+
+def dedup_minhash_documents(sf_dir: str):
+    """MinHash+LSH near-dup removal — rows-only check (not SQL-expressible)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.dedup_minhash(ds, threshold=0.8, concurrency=2)
+
+
+def simhash_pairs_documents(sf_dir: str):
+    """SimHash near-dup candidate pairs — rows-only check."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dd.simhash_candidates(ds, concurrency=2)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs — rows-only check."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dd.embedding_dup_pairs(ds, dim=64, threshold=0.95, concurrency=2)
+
+
+# ---------------------------------------------------------------- similarity
+
+def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
+    import os
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n)],
+    ).sort_by("vec_id")
+    return np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
+
+
+def knn_brute_force(sf_dir: str):
+    """Exact cosine top-10 for query vectors vec_id 0..2 (self excluded)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_matrix(sf_dir, 3)
+    out = sim.knn_brute_force(
+        ds, q, k=10, exclude_ids={0: 0, 1: 1, 2: 2}
+    )
+    return out.map_batches(
+        _round_cols({"score": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def knn_lsh(sf_dir: str):
+    """LSH-bucketed approximate top-10 — rows-only check (recall < 1)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_matrix(sf_dir, 3)
+    return sim.knn_lsh(ds, q, dim=64, k=10, n_planes=6, concurrency=2)
+
+
+def embedding_dims(sf_dir: str):
+    """List-column handling smoke: per-label count + dim check."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "label", "embedding"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": t.column("label"),
+                "dim": pa.array(
+                    pc.list_value_length(t.column("embedding")).to_numpy(
+                        zero_copy_only=False
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    out = ds.map_batches(dims, batch_format="pyarrow", batch_size=None)
+    return out.groupby(["label", "dim"]).aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------- multimodal / CDC
+
+def multimodal_decode(sf_dir: str):
+    """Multimodal plumbing: synth binary media -> actor-pool decode ->
+    features. Deterministic (seed fixed); rows-only check."""
+    import ray.data as rd
+
+    from ..functions import multimodal as mm
+
+    media = rd.from_arrow(mm.synth_media(512))
+    return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
+
+
+def cdc_replay_mini(sf_dir: str):
+    """Flagship: full CDC engine replay (bootstrap -> epochs -> merge-on-read
+    read-back) on a small deterministic corpus. Rows-only check (the corpus
+    lives outside the DuckDB views)."""
+    import tempfile
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_mini_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale, shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events", EngineConfig(num_buckets=8, epoch_width=1_000)
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run()
+    return eng.read_table()

@@ -1,0 +1,222 @@
+"""Converter library: Gobblin's 1:1 / 1:0 / 1:N record converters re-expressed
+as vectorized Arrow batch transforms for ``ds.map_batches``.
+
+Reference analogs (gobblin-core unless noted):
+- AvroFieldsPickConverter (.../converter/filter/AvroFieldsPickConverter.java)  -> project
+- AvroProjectionConverter (gobblin-core-base, remove blacklisted fields)       -> drop_fields
+- AvroFilterConverter (.../converter/filter/AvroFilterConverter.java:92)       -> filter_equals
+- StringFilterConverter (.../converter/string/StringFilterConverter.java)     -> regex_filter
+- JsonStringToJsonIntermediateConverter (.../converter/json/)                  -> parse_json_regex / ParseJson
+- StringSplitterConverter (1:N, .../converter/string/)                        -> split_to_rows
+- JsonElementConversionFactory scalar casts (.../converter/avro/)              -> cast_column & friends
+- SamplingConverter (gobblin-core-base/.../SamplingConverter.java:36-42)       -> sample_mod / sample_hash
+- IdentityConverter                                                            -> identity
+- FlattenNestedKeyConverter                                                    -> flatten_struct
+
+Each builder returns a ``pa.Table -> pa.Table`` callable with a stable
+``__name__`` (Ray uses it for operator labels). Chain with ``chain(...)`` —
+the MultiConverter analog (gobblin-runtime/.../MultiConverter.java).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+BatchFn = Callable[[pa.Table], pa.Table]
+
+
+def _named(name: str, fn: BatchFn) -> BatchFn:
+    fn.__name__ = name
+    return fn
+
+
+def identity() -> BatchFn:
+    return _named("identity", lambda t: t)
+
+
+def chain(*fns: BatchFn) -> BatchFn:
+    """Compose converters left-to-right into one batch transform (one Ray
+    operator, no extra block materialization between steps)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        for f in fns:
+            t = f(t)
+        return t
+
+    return _named("chain(" + ",".join(f.__name__ for f in fns) + ")", run)
+
+
+def project(columns: list[str]) -> BatchFn:
+    return _named(f"project[{','.join(columns)}]", lambda t: t.select(columns))
+
+
+def drop_fields(columns: list[str]) -> BatchFn:
+    def run(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in columns if c in t.column_names])
+
+    return _named(f"drop[{','.join(columns)}]", run)
+
+
+def rename(mapping: dict[str, str]) -> BatchFn:
+    def run(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return _named("rename", run)
+
+
+def filter_expr(expr_fn: Callable[[pa.Table], pa.ChunkedArray]) -> BatchFn:
+    """1:0 converter from a vectorized boolean expression over the batch."""
+
+    def run(t: pa.Table) -> pa.Table:
+        return t.filter(pc.fill_null(expr_fn(t), False))
+
+    return _named("filter", run)
+
+
+def filter_equals(field: str, value) -> BatchFn:
+    f = filter_expr(lambda t: pc.equal(t.column(field), pa.scalar(value)))
+    return _named(f"filter[{field}=={value!r}]", f)
+
+
+def regex_filter(field: str, pattern: str, keep_matching: bool = True) -> BatchFn:
+    def run(t: pa.Table) -> pa.Table:
+        m = pc.match_substring_regex(t.column(field), pattern)
+        if not keep_matching:
+            m = pc.invert(m)
+        return t.filter(pc.fill_null(m, False))
+
+    return _named(f"regex_filter[{field}~{pattern}]", run)
+
+
+def add_column(name: str, expr_fn: Callable[[pa.Table], pa.Array]) -> BatchFn:
+    def run(t: pa.Table) -> pa.Table:
+        col = expr_fn(t)
+        if name in t.column_names:
+            return t.set_column(t.schema.get_field_index(name), name, col)
+        return t.append_column(name, col)
+
+    return _named(f"add[{name}]", run)
+
+
+def cast_column(field: str, typ: pa.DataType) -> BatchFn:
+    return add_column(field, lambda t: t.column(field).cast(typ))
+
+
+def lower(field: str, out: str | None = None) -> BatchFn:
+    return add_column(out or field, lambda t: pc.utf8_lower(t.column(field)))
+
+
+def upper(field: str, out: str | None = None) -> BatchFn:
+    return add_column(out or field, lambda t: pc.utf8_upper(t.column(field)))
+
+
+def concat_fields(out: str, fields: list[str], sep: str = " ") -> BatchFn:
+    def expr(t: pa.Table) -> pa.Array:
+        return pc.binary_join_element_wise(
+            *[pc.cast(t.column(f), pa.string()) for f in fields], pa.scalar(sep)
+        )
+
+    return add_column(out, expr)
+
+
+def parse_json_regex(field: str, key: str, out: str, typ: pa.DataType = None) -> BatchFn:
+    """Fast-path JSON scalar extraction for flat objects via a vectorized
+    regex (pc.extract_regex) — the hot-path variant of ParseJson."""
+    pat = rf'"{re.escape(key)}":\s*"?(?P<v>[^",}}]*)"?'
+
+    def expr(t: pa.Table) -> pa.Array:
+        ex = pc.extract_regex(t.column(field), pat)
+        v = pc.struct_field(ex, "v")
+        return v.cast(typ) if typ is not None else v
+
+    return add_column(out, expr)
+
+
+class ParseJson:
+    """General JSON-string parser (actor-pool stage for the non-flat case):
+    ``map_batches(ParseJson(field, keys), concurrency=N)``. json.loads per
+    row — use ``parse_json_regex`` when the payload is flat scalars."""
+
+    def __init__(self, field: str, keys: dict[str, pa.DataType]):
+        import json
+
+        self.field = field
+        self.keys = keys
+        self.loads = json.loads
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows = t.column(self.field).to_pylist()
+        parsed = [self.loads(r) if r else {} for r in rows]
+        for key, typ in self.keys.items():
+            t = t.append_column(key, pa.array([p.get(key) for p in parsed], typ))
+        return t
+
+
+def split_to_rows(field: str, pattern: str, out: str | None = None) -> BatchFn:
+    """1:N converter: split ``field`` and emit one output row per token,
+    repeating the other columns (vectorized explode via list flatten +
+    parent-index take)."""
+    out = out or field
+
+    def run(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(t.column(field), pattern=pattern)
+        lists = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        base = t.take(parents)
+        tokens = flat
+        if out in base.column_names:
+            return base.set_column(base.schema.get_field_index(out), out, tokens)
+        return base.append_column(out, tokens)
+
+    return _named(f"split[{field}]", run)
+
+
+def flatten_struct(field: str, prefix: str = "") -> BatchFn:
+    """Lift a struct column's children to top-level columns
+    (FlattenNestedKeyConverter analog)."""
+
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(field).combine_chunks()
+        for child_field in col.type:
+            t = t.append_column(
+                f"{prefix}{child_field.name}", pc.struct_field(col, child_field.name)
+            )
+        return t.drop_columns([field])
+
+    return _named(f"flatten[{field}]", run)
+
+
+def sample_mod(field: str, modulus: int, keep_below: int) -> BatchFn:
+    """Deterministic 'sample': keep rows where field % modulus < keep_below.
+    Oracle-parity-friendly (expressible in SQL); for statistical sampling
+    use sample_hash or ds.random_sample."""
+    def mod_expr(t: pa.Table):
+        v = t.column(field).cast(pa.int64())
+        # x - (x // m) * m  (pyarrow has no modulo kernel; valid for x >= 0)
+        return pc.less(
+            pc.subtract(v, pc.multiply(pc.divide(v, pa.scalar(modulus)), pa.scalar(modulus))),
+            pa.scalar(keep_below),
+        )
+
+    return _named(f"sample_mod[{field}%{modulus}<{keep_below}]", filter_expr(mod_expr))
+
+
+def sample_hash(field: str, ratio: float) -> BatchFn:
+    """Bernoulli-style deterministic sample on a stable hash of ``field``
+    (SamplingConverter analog, but reproducible across runs/processes)."""
+    import pandas as pd
+
+    threshold = int(ratio * (2**64))
+
+    def run(t: pa.Table) -> pa.Table:
+        arr = t.column(field).to_pandas().to_numpy(dtype=object, na_value=None)
+        h = pd.util.hash_array(arr, categorize=False)
+        return t.filter(pa.array(h < threshold))
+
+    return _named(f"sample_hash[{field}@{ratio}]", run)
