@@ -40,6 +40,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins / lookups (§2.5)
         "join_orders_customer": demo.join_orders_customer,
         "join_nation_region": demo.join_nation_region,
+        "semi_join_orders": demo.semi_join_orders,
+        "anti_join_orders": demo.anti_join_orders,
+        "asof_join_purchase_click": demo.asof_join_purchase_click,
+        # set ops / windows (§2.8, §2.10)
+        "distinct_flag_status": demo.distinct_flag_status,
+        "union_counts": demo.union_counts,
+        "window_user_daily": demo.window_user_daily,
         # CDC / dedup / set ops (§2.8, §2.10)
         "cdc_lww_upsert_events": demo.cdc_lww_upsert_events,
         "watermark_incremental": demo.watermark_incremental,
@@ -117,6 +124,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT r_name, count(*) AS n_nations
             FROM nation JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "semi_join_orders": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            GROUP BY o_orderstatus
+        """,
+        "anti_join_orders": """
+            SELECT o_orderstatus, count(*) AS n FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+            GROUP BY o_orderstatus
+        """,
+        "asof_join_purchase_click": """
+            SELECT p.event_id AS event_id, c.event_id AS click_event_id,
+                   c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "distinct_flag_status": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "union_counts": """
+            SELECT event_type, count(*) AS n FROM (
+                SELECT event_type FROM events WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT event_type FROM events WHERE value > 90.0
+            ) GROUP BY event_type
+        """,
+        "window_user_daily": """
+            SELECT user_id, strftime(ts, '%Y-%m-%d') AS window_day,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
         """,
         "cdc_lww_upsert_events": """
             SELECT user_id, event_id AS last_event_id,

@@ -34,15 +34,22 @@ ERRORS_DIR = "_errors"
 
 @dataclass
 class BucketState:
-    """Lineage for one url-hash bucket as of a committed epoch."""
+    """Lineage for one url-hash bucket as of a committed epoch.
+
+    Merge-on-read layout: one base file (``base_epoch``) plus zero or more
+    delta files (``delta_epochs``, ascending). An epoch either appends one
+    LWW-reduced delta (O(epoch events)) or compacts base+deltas into a new
+    base (amortized by EngineConfig.compact_every) — Gobblin's separation
+    of ingestion from the compaction job (SURVEY §3.3)."""
 
     bucket: int
     high_seq: int  # high watermark: all events with seq <= high applied
     base_epoch: int  # epoch whose base file holds this bucket's data
-    rows: int  # live + tombstone rows in the base file
+    rows: int  # live + tombstone rows across base + delta files
     events_applied: int  # cumulative events applied to this bucket
     events_epoch: int = 0  # events applied in THIS epoch (salt-plan input);
     # 0 == watermark carried forward with no work (empty-WorkUnit analog)
+    delta_epochs: list = field(default_factory=list)
 
 
 @dataclass
@@ -155,35 +162,56 @@ def base_path(lake_dir: str, bucket: int, epoch: int) -> str:
     )
 
 
-def staging_path(lake_dir: str, epoch: int, bucket: int) -> str:
-    """Deterministic, attempt-agnostic staged output name (speculative-safe:
-    retried tasks overwrite the same name via tmp+replace)."""
+def delta_path(lake_dir: str, bucket: int, epoch: int) -> str:
+    """Bucket delta-file path: the LWW-reduced events of one epoch."""
     return os.path.join(
-        lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"bucket={bucket:05d}.parquet"
+        lake_dir, DATA_DIR, f"bucket={bucket:05d}", f"delta-epoch{epoch:06d}.parquet"
     )
 
 
-def promote(lake_dir: str, epoch: int, buckets: list[int]) -> None:
+def bucket_files(lake_dir: str, state: "BucketState") -> list[str]:
+    """All live data files of a bucket (base first, then deltas ascending)."""
+    files = []
+    if state.base_epoch >= 0:
+        files.append(base_path(lake_dir, state.bucket, state.base_epoch))
+    files += [delta_path(lake_dir, state.bucket, e) for e in state.delta_epochs]
+    return files
+
+
+def staging_path(lake_dir: str, epoch: int, bucket: int, kind: str = "base") -> str:
+    """Deterministic, attempt-agnostic staged output name (speculative-safe:
+    retried tasks overwrite the same name via tmp+replace)."""
+    return os.path.join(
+        lake_dir, STAGING_DIR, f"epoch={epoch:06d}", f"bucket={bucket:05d}.{kind}.parquet"
+    )
+
+
+def promote(lake_dir: str, epoch: int, buckets: list[int] | list[tuple[int, str]]) -> None:
     """Phase 1 of the two-phase commit: staged bucket files -> data dir.
 
-    Idempotent like FsRenameCommitStep (isCompleted = dest exists,
+    ``buckets`` entries are (bucket, kind) with kind 'base' | 'delta'
+    (bare ints mean 'base'). Idempotent like FsRenameCommitStep
+    (isCompleted = dest exists,
     gobblin-core/.../commit/FsRenameCommitStep.java:131-149): a bucket whose
     destination already exists is skipped, so a crashed promote resumes.
     """
-    for b in buckets:
-        dst = base_path(lake_dir, b, epoch)
+    for entry in buckets:
+        b, kind = entry if isinstance(entry, tuple) else (entry, "base")
+        dst = (base_path if kind == "base" else delta_path)(lake_dir, b, epoch)
         if os.path.exists(dst):
             continue
-        src = staging_path(lake_dir, epoch, b)
+        src = staging_path(lake_dir, epoch, b, kind)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         os.replace(src, dst)
 
 
 def vacuum(lake_dir: str, manifest: Manifest) -> int:
-    """Delete base files superseded by the committed manifest (and stale
-    staging dirs of committed epochs). Returns files removed."""
+    """Delete base/delta files superseded by the committed manifest (and
+    stale staging dirs of committed epochs). Returns files removed."""
     removed = 0
-    keep = {base_path(lake_dir, b, s.base_epoch) for b, s in manifest.buckets.items()}
+    keep = {
+        p for s in manifest.buckets.values() for p in bucket_files(lake_dir, s)
+    }
     data = os.path.join(lake_dir, DATA_DIR)
     if os.path.isdir(data):
         for bdir in os.listdir(data):
@@ -209,10 +237,13 @@ def vacuum(lake_dir: str, manifest: Manifest) -> int:
 def atomic_write_table(table, path: str) -> None:
     """Parquet write via tmp + rename so readers never see partial files and
     task retries are idempotent (FsDataWriter staging-commit analog,
-    gobblin-core/.../writer/FsDataWriter.java:108-270)."""
+    gobblin-core/.../writer/FsDataWriter.java:108-270).
+
+    zstd: webtext compresses ~2x better than snappy, trading cheap CPU for
+    scarce IO — the right trade for an IO-bound lake (and this sandbox)."""
     import pyarrow.parquet as pq
 
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(table, tmp)
+    pq.write_table(table, tmp, compression="zstd", compression_level=3)
     os.replace(tmp, path)

@@ -61,9 +61,11 @@ def stable_hash_u64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
 class EngineConfig:
     num_buckets: int = 16
     epoch_width: int = 100_000  # events per epoch (FlushingExtractor interval analog)
-    merge_concurrency: int | None = None  # actor-pool size for merge; None = tasks
     hot_factor: float = 4.0  # salt buckets > hot_factor * mean events
     max_salt: int = 8
+    compact_every: int = 8  # compact a bucket after this many delta files
+    # (lower = faster reads / slower ingest; 1 = copy-on-write every epoch)
+    pipeline_epochs: int = 2  # overlapped epoch executions (ordered commits)
 
 
 @dataclass
@@ -154,24 +156,34 @@ def _salted_partial_reduce(group: pa.Table) -> pa.Table:
 
 
 class _MergeBucket:
-    """Per-bucket merge-on-read task: read the bucket's current base file,
-    LWW-merge the epoch's events into it, write the staged output
-    atomically, emit one lineage row. Runs inside groupby(url_bucket)
-    .map_groups — the single wide exchange of the epoch."""
+    """Per-bucket apply task (runs inside groupby(url_bucket).map_groups —
+    the single wide exchange of the epoch).
+
+    Normal epoch: LWW-reduce the bucket's events and write a DELTA file —
+    O(epoch events), the base is not even read (Gobblin's append-only
+    ingestion posture). Every ``compact_every`` deltas the task instead
+    reads base+deltas and rewrites a compacted base (the separate
+    compaction job of SURVEY §3.3, amortized into the epoch loop)."""
 
     def __init__(
         self,
         lake_dir: str,
         epoch: int,
-        base_epochs: dict[int, int],
+        bucket_files: dict[int, list[str]],
+        delta_counts: dict[int, int],
         base_schema: pa.Schema,
+        compact_every: int,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
-        self.base_epochs = base_epochs  # bucket -> epoch of current base file
+        self.bucket_files = bucket_files  # bucket -> current data files
+        self.delta_counts = delta_counts  # bucket -> #deltas outstanding
         self.base_schema = base_schema
+        self.compact_every = compact_every
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        from .merge import merge_bases
+
         bucket = int(group.column(_BUCKET_COL)[0].as_py())
         err_mask = pc.is_valid(group.column(_ERR_COL))
         errors = group.filter(err_mask)
@@ -190,18 +202,29 @@ class _MergeBucket:
                 ),
             )
 
-        base = None
-        prev_epoch = self.base_epochs.get(bucket)
-        if prev_epoch is not None:
-            base = pq.read_table(ckpt.base_path(self.lake_dir, bucket, prev_epoch))
-        merged = merge_base_with_events(base, events, self.base_schema)
-        ckpt.atomic_write_table(merged, ckpt.staging_path(self.lake_dir, self.epoch, bucket))
+        # This epoch's contribution in base form (LWW-reduced, tombstones kept).
+        delta = merge_base_with_events(None, events, self.base_schema)
+        files = self.bucket_files.get(bucket, [])
+        compact = self.delta_counts.get(bucket, 0) + 1 >= self.compact_every
+        if compact and files:
+            tables = [pq.read_table(p) for p in files] + [delta]
+            merged = merge_bases(tables, self.base_schema)
+            kind = "base"
+            out_rows = merged.num_rows
+        else:
+            merged = delta
+            kind = "delta" if files else "base"  # no base yet -> delta IS the base
+            out_rows = delta.num_rows
+        ckpt.atomic_write_table(
+            merged, ckpt.staging_path(self.lake_dir, self.epoch, bucket, kind)
+        )
         return pa.table(
             {
                 "bucket": pa.array([bucket], pa.int32()),
-                "rows": pa.array([merged.num_rows], pa.int64()),
+                "rows": pa.array([out_rows], pa.int64()),
                 "events": pa.array([n_events], pa.int64()),
                 "errors": pa.array([errors.num_rows], pa.int64()),
+                "kind": pa.array([kind], pa.string()),
             }
         )
 
@@ -303,7 +326,18 @@ class CdcEngine:
         flt = (pc.field("event_seq") > pa.scalar(epoch.low_seq)) & (
             pc.field("event_seq") <= pa.scalar(epoch.high_seq)
         )
-        return rd.read_parquet(paths, schema=events_schema, filter=flt)
+        # Block count = min(buckets, cluster CPUs): blocks drive the
+        # downstream task width (the shuffle's output partitions follow its
+        # input blocks), so this one knob sets the epoch's parallelism.
+        # Ray's cpu*2 default instead shreds a small epoch into dozens of
+        # tiny blocks and the groupby becomes an n^2 exchange of tiny
+        # objects — measured 5s of sort wall at 0.7s of compute.
+        import ray
+
+        blocks = int(min(self.cfg.num_buckets, ray.cluster_resources().get("CPU", 8)))
+        return rd.read_parquet(
+            paths, schema=events_schema, filter=flt, override_num_blocks=blocks
+        )
 
     def _event_schemas(self, log_meta: dict, shards: list[dict]) -> pa.Schema:
         seen: dict[int, pa.Schema] = {}
@@ -313,15 +347,23 @@ class CdcEngine:
                 seen[v] = pq.read_schema(os.path.join(self.events_dir, s["file"]))
         return unify_additive(*seen.values())
 
-    def apply_epoch(
-        self, epoch: planmod.Epoch, manifest: Manifest, log_meta: dict
-    ) -> tuple[Manifest, EpochReport]:
-        """Apply one ``(low, high]`` interval. Idempotent: if this epoch's
-        manifest exists the committed result is returned untouched."""
+    def _execute_epoch(
+        self,
+        epoch: planmod.Epoch,
+        manifest: Manifest,
+        log_meta: dict,
+        allow_compact: bool = True,
+    ) -> dict | None:
+        """Run the epoch's Ray pipeline and stage its outputs (NO commit).
+
+        ``manifest`` is the planning snapshot — when epochs are pipelined,
+        every epoch of a window plans against the window-start manifest,
+        which is safe because a non-compacting epoch never reads other
+        epochs' outputs; only the window's first epoch may compact
+        (``allow_compact``). Returns None if the epoch is already committed.
+        """
         if self.store.is_applied(epoch.index):
-            return self.store.load(epoch.index), EpochReport(
-                epoch.index, epoch.low_seq, epoch.high_seq
-            )
+            return None
 
         shards = planmod.prune_shards(log_meta, epoch.low_seq, epoch.high_seq)
         events_schema = self._event_schemas(log_meta, shards)
@@ -349,10 +391,14 @@ class CdcEngine:
                 _salted_partial_reduce, batch_format="pyarrow"
             )
 
-        base_epochs = {
-            b: s.base_epoch for b, s in manifest.buckets.items() if s.base_epoch >= 0
+        bucket_files = {
+            b: ckpt.bucket_files(self.lake_dir, s) for b, s in manifest.buckets.items()
         }
-        merge = _MergeBucket(self.lake_dir, epoch.index, base_epochs, base_schema)
+        delta_counts = {b: len(s.delta_epochs) for b, s in manifest.buckets.items()}
+        merge = _MergeBucket(
+            self.lake_dir, epoch.index, bucket_files, delta_counts, base_schema,
+            self.cfg.compact_every if allow_compact else 10**9,
+        )
 
         def merge_bucket(group: pa.Table) -> pa.Table:
             return merge(group)
@@ -362,9 +408,33 @@ class CdcEngine:
             .map_groups(merge_bucket, batch_format="pyarrow")
             .take_all()
         )
+        return {
+            "lineage": lineage,
+            "base_schema": base_schema,
+            "salted": len(splan.hot_buckets),
+        }
+
+    def _commit_epoch(
+        self, epoch: planmod.Epoch, manifest: Manifest, execution: dict | None
+    ) -> tuple[Manifest, EpochReport]:
+        """Two-phase commit of a staged epoch against its PREDECESSOR's
+        committed manifest (commits are strictly ordered even when
+        executions overlap)."""
+        if execution is None:  # already committed (resume path)
+            return self.store.load(epoch.index), EpochReport(
+                epoch.index, epoch.low_seq, epoch.high_seq
+            )
+        lineage = execution["lineage"]
+        # Schema only ever widens across epochs, even if this epoch's
+        # shards predate a column introduced by an earlier window member.
+        base_schema = unify_additive(manifest.base_schema(), execution["base_schema"])
 
         touched = {int(r["bucket"]): r for r in lineage}
-        ckpt.promote(self.lake_dir, epoch.index, sorted(touched))
+        ckpt.promote(
+            self.lake_dir,
+            epoch.index,
+            sorted((b, r["kind"]) for b, r in touched.items()),
+        )
 
         new = Manifest(
             epoch=epoch.index,
@@ -375,18 +445,26 @@ class CdcEngine:
             schema_ipc=Manifest.encode_schema(base_schema),
         )
         report = EpochReport(epoch.index, epoch.low_seq, epoch.high_seq)
-        report.salted_buckets = len(splan.hot_buckets)
+        report.salted_buckets = execution["salted"]
         for b, prev in manifest.buckets.items():
             r = touched.get(b)
             if r is not None:
                 n_ev, n_err = int(r["events"]), int(r["errors"])
+                if r["kind"] == "base":
+                    base_epoch, deltas = epoch.index, []
+                    rows = int(r["rows"])
+                else:
+                    base_epoch = prev.base_epoch
+                    deltas = prev.delta_epochs + [epoch.index]
+                    rows = prev.rows + int(r["rows"])
                 new.buckets[b] = BucketState(
                     bucket=b,
                     high_seq=epoch.high_seq,
-                    base_epoch=epoch.index,
-                    rows=int(r["rows"]),
+                    base_epoch=base_epoch,
+                    rows=rows,
                     events_applied=prev.events_applied + n_ev,
                     events_epoch=n_ev,
+                    delta_epochs=deltas,
                 )
                 report.events += n_ev
                 report.errors += n_err
@@ -401,18 +479,58 @@ class CdcEngine:
                     rows=prev.rows,
                     events_applied=prev.events_applied,
                     events_epoch=0,
+                    delta_epochs=list(prev.delta_epochs),
                 )
         new.event_count = report.events
         new.error_count = report.errors
         self.store.commit(new)
         return new, report
 
+    def apply_epoch(
+        self, epoch: planmod.Epoch, manifest: Manifest, log_meta: dict
+    ) -> tuple[Manifest, EpochReport]:
+        """Apply one ``(low, high]`` interval (execute + commit).
+        Idempotent: a committed epoch is returned untouched."""
+        execution = self._execute_epoch(epoch, manifest, log_meta)
+        return self._commit_epoch(epoch, manifest, execution)
+
     # ---------------- top-level run ----------------
 
     def run(
         self, max_epochs: int | None = None, vacuum: bool = True
     ) -> list[EpochReport]:
-        """Resume from the latest manifest and replay the log to its head."""
+        """Resume from the latest manifest and replay the log to its head.
+
+        Epoch executions are PIPELINED in windows of
+        ``cfg.pipeline_epochs`` (delta-append epochs are independent — only
+        the window's first epoch may compact), while promotes + manifest
+        commits stay strictly ordered — overlapping flush intervals the way
+        Gobblin overlaps task execution with publish. Windows are
+        recomputed from the committed resume point, so a crash mid-window
+        replays deterministically (staged writes are idempotent)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        # Ray's read path lazily imports fsspec's HTTP filesystem on every
+        # call; with aiohttp absent that import fails each time, and two
+        # executor threads attempting it concurrently race in the import
+        # machinery (observed: spurious "cannot import name HTTPFileSystem").
+        # Cache a benign stub after a failed import so later imports are
+        # deterministic and thread-safe; isinstance checks against the stub
+        # are simply False (no HTTP filesystem is ever in use here).
+        try:  # pragma: no cover
+            from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        except Exception:  # pragma: no cover
+            import sys
+            import types
+
+            stub = types.ModuleType("fsspec.implementations.http")
+
+            class HTTPFileSystem:  # noqa: N801 - stub, never instantiated
+                pass
+
+            stub.HTTPFileSystem = HTTPFileSystem
+            sys.modules.setdefault("fsspec.implementations.http", stub)
+
         manifest = self.store.latest()
         if manifest is None:
             raise RuntimeError("lake not bootstrapped — call bootstrap(pages) first")
@@ -423,46 +541,74 @@ class CdcEngine:
         if max_epochs is not None:
             epochs = epochs[:max_epochs]
         reports = []
-        for ep in epochs:
-            manifest, report = self.apply_epoch(ep, manifest, log_meta)
-            reports.append(report)
+        w = max(1, self.cfg.pipeline_epochs)
+        with ThreadPoolExecutor(max_workers=w) as pool:
+            for lo in range(0, len(epochs), w):
+                window = epochs[lo : lo + w]
+                futures = [
+                    pool.submit(
+                        self._execute_epoch, ep, manifest, log_meta,
+                        allow_compact=(i == 0),
+                    )
+                    for i, ep in enumerate(window)
+                ]
+                for ep, fut in zip(window, futures):
+                    manifest, report = self._commit_epoch(ep, manifest, fut.result())
+                    reports.append(report)
         if vacuum and reports:
             ckpt.vacuum(self.lake_dir, manifest)
         return reports
 
     # ---------------- readers ----------------
 
-    def base_files(self, manifest: Manifest | None = None) -> list[str]:
+    def bucket_file_map(self, manifest: Manifest | None = None) -> dict[int, list[str]]:
         manifest = manifest or self.store.latest()
-        return [
-            ckpt.base_path(self.lake_dir, b, s.base_epoch)
+        return {
+            b: ckpt.bucket_files(self.lake_dir, s)
             for b, s in sorted(manifest.buckets.items())
-            if s.base_epoch >= 0 and s.rows > 0
-        ]
+            if s.rows > 0
+        }
 
     def read_table(self, manifest: Manifest | None = None):
-        """The lake's live rows as a streaming Dataset (tombstones and
-        bookkeeping dropped) — the merge-on-read reader."""
+        """The lake's live rows as a Dataset — the merge-on-read reader:
+        one task per bucket LWW-merges base + outstanding deltas in memory
+        (a bucket is sized to fit a worker heap by construction), drops
+        tombstones and bookkeeping."""
         import ray.data as rd
 
-        files = self.base_files(manifest)
-        # partitioning=None: the bucket=NNNNN dirs are layout, not hive columns.
-        ds = rd.read_parquet(
-            files,
-            filter=pc.field("is_deleted") == pa.scalar(False),
-            partitioning=None,
+        manifest = manifest or self.store.latest()
+        schema = manifest.base_schema()
+        file_map = self.bucket_file_map(manifest)
+        specs = [{"files": files} for files in file_map.values() if files]
+
+        def load_merge(batch: pa.Table) -> pa.Table:
+            from .merge import merge_bases
+
+            out = []
+            for files in batch.column("files").to_pylist():
+                merged = merge_bases([pq.read_table(p) for p in files], schema)
+                out.append(live_rows(merged))
+            return pa.concat_tables(out) if out else conform(pa.table({}), schema)
+
+        load_merge.__name__ = "merge_on_read"
+        return rd.from_items(specs).map_batches(
+            load_merge, batch_format="pyarrow", batch_size=1
         )
-        return ds.drop_columns(["is_deleted"])
 
     def read_table_arrow(self, manifest: Manifest | None = None) -> pa.Table:
         """Driver-side materialized view — tests/small lakes only."""
+        from .merge import merge_bases
+
         manifest = manifest or self.store.latest()
-        tables = [
-            live_rows(pq.read_table(p)) for p in self.base_files(manifest)
-        ]
+        schema = manifest.base_schema()
+        tables = []
+        for files in self.bucket_file_map(manifest).values():
+            merged = merge_bases([pq.read_table(p) for p in files], schema)
+            if merged.num_rows:
+                tables.append(live_rows(merged))
         if not tables:
-            return conform(pa.table({}), manifest.base_schema())
-        schema = unify_additive(*[t.schema for t in tables])
-        return pa.concat_tables([conform(t, schema) for t in tables]).sort_by(
+            return conform(pa.table({}), schema)
+        out_schema = unify_additive(*[t.schema for t in tables])
+        return pa.concat_tables([conform(t, out_schema) for t in tables]).sort_by(
             [("url", "ascending")]
         )

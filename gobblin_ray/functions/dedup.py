@@ -154,7 +154,7 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
-    concurrency: int = 4,
+    concurrency=(1, 4),
     max_pairs_per_bucket: int = 1000,
 ):
     """Candidate near-dup pairs (a < b) via MinHash LSH banding."""
@@ -165,7 +165,7 @@ def minhash_lsh_pairs(
             bands=bands, shingle_k=shingle_k,
         ),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=512,  # small batches spread the pool; state amortized anyway
         concurrency=concurrency,
     )
     pairs = sig.groupby(["band", "band_hash"]).map_groups(
@@ -323,7 +323,7 @@ class SimHasher:
 
 
 def simhash_candidates(
-    docs, text_col: str = "text", id_col: str = "doc_id", concurrency: int = 4
+    docs, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4)
 ):
     """Near-dup candidate pairs with Hamming distance <= 3 (pigeonhole over
     the 4 chunk bands); verify with true Hamming distance on the signature."""
@@ -396,7 +396,7 @@ def embedding_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 10,
-    concurrency: int = 4,
+    concurrency=(1, 4),
 ):
     """Near-dup pairs by cosine >= threshold within hyperplane-LSH buckets."""
     bucketed = embeddings.map_batches(

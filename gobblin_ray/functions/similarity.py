@@ -116,7 +116,7 @@ def knn_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
-    concurrency: int = 4,
+    concurrency=(1, 4),
     seed: int = 42,
 ):
     """Approximate top-k: hyperplane-LSH bucket the corpus (one actor-pool

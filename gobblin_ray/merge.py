@@ -110,6 +110,26 @@ def merge_base_with_events(
     return events_to_base(merged, schema)
 
 
+def merge_bases(tables: list[pa.Table], schema: pa.Schema | None = None) -> pa.Table:
+    """LWW-merge several base-form tables (a base file + its delta files)
+    into one. Order-independent: LWW over (warc_ts, event_seq) is
+    associative and commutative, so base+deltas merge in any order."""
+    tables = [t for t in tables if t is not None and t.num_rows]
+    if not tables:
+        return pa.table({})
+    if schema is None:
+        schema = unify_additive(*[t.schema for t in tables])
+    if len(tables) == 1:
+        return conform(tables[0], schema)
+    ev_schema = pa.schema([f for f in schema if f.name != "is_deleted"]).append(
+        pa.field("op", pa.string())
+    )
+    pseudo = pa.concat_tables(
+        [conform(base_to_pseudo_events(t), ev_schema) for t in tables]
+    )
+    return events_to_base(lww_reduce(pseudo), schema)
+
+
 def live_rows(base: pa.Table) -> pa.Table:
     """Reader view: drop tombstones + bookkeeping columns."""
     live = base.filter(pc.equal(pc.fill_null(base.column("is_deleted"), False), False))

@@ -291,6 +291,129 @@ def quality_policy_pass(sf_dir: str):
     return out.groupby("lang").aggregate(Count(alias_name="n_pass"))
 
 
+def semi_join_orders(sf_dir: str):
+    """Semi join via broadcast key set (Bloom-filter shape, SURVEY §2.5):
+    orders of customers with acctbal > 5000, counted per status."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import semi_join
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    rich = keys.filter(pc.greater(keys.column("c_acctbal"), pa.scalar(5000.0)))
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    out = semi_join(orders, "o_custkey", rich.column("c_custkey").to_pylist())
+    return out.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+def anti_join_orders(sf_dir: str):
+    """Anti join (broadcast complement of semi_join_orders)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from ..stages.joins import semi_join
+
+    keys = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_acctbal"]
+    )
+    rich = keys.filter(pc.greater(keys.column("c_acctbal"), pa.scalar(5000.0)))
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+    out = semi_join(orders, "o_custkey", rich.column("c_custkey").to_pylist(), anti=True)
+    return out.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
+
+
+def distinct_flag_status(sf_dir: str):
+    """Distinct pairs (set op; the groupby IS the distinct)."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])
+    return ds.groupby(["l_returnflag", "l_linestatus"]).count().drop_columns(["count()"])
+
+
+def union_counts(sf_dir: str):
+    """ds.union (compaction late+on-time dirs analog, SURVEY §2.8): purchase
+    events ∪ high-value events, counted per type (duplicates retained —
+    UNION ALL semantics, like reading two input directories)."""
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    a = ds.map_batches(cv.filter_equals("event_type", "purchase"),
+                       batch_format="pyarrow", batch_size=None)
+    b = ds.map_batches(
+        cv.filter_expr(lambda t: pc.greater(t.column("value"), pa.scalar(90.0))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return a.union(b).groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def window_user_daily(sf_dir: str):
+    """Tumbling event-time window (streaming semantics per ray_guide):
+    events partitioned by key, windowed by day, aggregated per window."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    parts = ds.map_batches(
+        time_partition("ts", "day", out="window_day"),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    out = parts.groupby(["user_id", "window_day"]).aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def asof_join_purchase_click(sf_dir: str):
+    """As-of join (operator Ray Data lacks; composition per SURVEY §2.5):
+    for each purchase, the user's most recent click at-or-before it.
+    Partitioning assumption: one user's events fit in a worker."""
+    from ..stages.joins import merge_asof_by_key
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ds.map_batches(
+        cv.filter_equals("event_type", "purchase"), batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ds.map_batches(
+        cv.filter_equals("event_type", "click"), batch_format="pyarrow",
+        batch_size=None,
+    ).map_batches(
+        cv.chain(
+            cv.rename({"event_id": "click_event_id", "ts": "click_ts"}),
+            cv.project(["click_event_id", "click_ts", "user_id"]),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = merge_asof_by_key(
+        purchases, clicks, key="user_id", left_on="ts", right_on="click_ts",
+        right_cols=["click_event_id"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("click_event_id")))
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "click_event_id": t.column("click_event_id").cast(pa.int64()),
+                "click_ts": t.column("click_ts"),
+            }
+        )
+
+    finish.__name__ = "asof_finish"
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------- text / dedup
 
 def split_tokens_topk(sf_dir: str):
@@ -363,7 +486,9 @@ def langid_documents(sf_dir: str):
 def dedup_minhash_documents(sf_dir: str):
     """MinHash+LSH near-dup removal — rows-only check (not SQL-expressible)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return dd.dedup_minhash(ds, threshold=0.8, concurrency=2)
+    return dd.dedup_minhash(
+        ds, threshold=0.8, num_perm=64, bands=16, concurrency=(1, 8)
+    )
 
 
 def simhash_pairs_documents(sf_dir: str):

@@ -57,3 +57,84 @@ def hash_join(left, right, on, right_on=None, join_type: str = "inner",
         on=on,
         right_on=right_on,
     )
+
+
+def semi_join(ds, key: str, key_set, anti: bool = False):
+    """Semi / anti join against a broadcast key set: ``ray.put`` the keys
+    once, filter per batch with a vectorized is_in. No shuffle — the right
+    pattern when the key side fits in memory (SURVEY §2.5; at larger key
+    cardinalities swap the set for a Bloom filter, same shape)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ref = ray.put(pa.array(sorted(key_set)))
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            col = batch.column(key)
+            hit = pc.fill_null(pc.is_in(col, value_set=self.keys), False)
+            keep = pc.and_(pc.invert(hit) if anti else hit, pc.is_valid(col))
+            return batch.filter(keep)
+
+    return ds.map_batches(SemiFilter, batch_format="pyarrow", batch_size=None,
+                          concurrency=(1, 8))
+
+
+def merge_asof_by_key(
+    left,
+    right,
+    key: str,
+    left_on: str,
+    right_on: str,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+):
+    """As-of join: for each left row, the closest right row (by the
+    ``direction`` rule on the *_on columns) within the same ``key`` group.
+
+    Ray Data has no as-of join; the composition (ray_guide pattern) is:
+    co-partition both sides by key (one union + groupby shuffle), then
+    ``pd.merge_asof`` per key group on the sorted timestamps. Assumes one
+    key group fits in a worker (same partitioning assumption as the CDC
+    bucket merge)."""
+    import pandas as pd
+
+    from ..schema import conform, unify_additive
+
+    lcols = left.schema().names
+    rcols = [key, right_on] + [c for c in (right_cols or []) if c not in (key, right_on)]
+    l_schema = pa.schema(zip(left.schema().names, left.schema().types))
+    r_full = right.select_columns(rcols)
+    r_schema = pa.schema(zip(r_full.schema().names, r_full.schema().types))
+    union_schema = unify_additive(l_schema, r_schema).append(
+        pa.field("_side", pa.string())
+    )
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            return conform(t, union_schema)
+
+        f.__name__ = f"tag_{side}"
+        return f
+
+    l_tag = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
+    r_tag = r_full.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+
+    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][[c for c in g.columns if c in lcols]]
+        rg = g[g["_side"] == "r"][[c for c in rcols if c in g.columns]]
+        lg = lg.sort_values(left_on)
+        rg = rg.sort_values(right_on).dropna(subset=[right_on])
+        out = pd.merge_asof(
+            lg, rg.drop(columns=[key]), left_on=left_on, right_on=right_on,
+            direction=direction,
+        )
+        return out
+
+    # union carries both sides through ONE shuffle on the key
+    both = l_tag.union(r_tag)
+    return both.groupby(key).map_groups(asof_group, batch_format="pandas")

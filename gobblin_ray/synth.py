@@ -62,27 +62,65 @@ def _compose(prefix: pd.Series, pool: np.ndarray, pick: np.ndarray) -> pd.Series
     return prefix + pd.Series(pool[pick], dtype=object)
 
 
+def _join(*parts) -> "pa.Array":
+    """Element-wise concat of string arrays/scalars via one Arrow C kernel."""
+    import pyarrow.compute as pc
+
+    return pc.binary_join_element_wise(*parts, "")
+
+
+def _make_urls(
+    sites: np.ndarray,
+    page_idx: np.ndarray,
+    mint_idx: np.ndarray,
+    row_ids: np.ndarray | None = None,
+) -> "pa.Array":
+    """Vectorized url synthesis: https://site{s}.example/p{idx:08d}, with
+    rows in ``mint_idx`` minted as .../new{row_id:08d} instead."""
+    import pyarrow.compute as pc
+
+    site_str = pc.cast(pa.array(sites.astype(np.int64)), pa.string())
+    path = pc.utf8_lpad(
+        pc.cast(pa.array(page_idx.astype(np.int64)), pa.string()), 8, "0"
+    )
+    url = _join("https://site", site_str, ".example/p", path)
+    if len(mint_idx):
+        n = len(sites)
+        if row_ids is None:
+            row_ids = np.arange(n, dtype=np.int64)
+        mint_mask = np.zeros(n, dtype=bool)
+        mint_mask[mint_idx] = True
+        row_path = pc.utf8_lpad(
+            pc.cast(pa.array(row_ids.astype(np.int64)), pa.string()), 8, "0"
+        )
+        minted = _join("https://site", site_str, ".example/new", row_path)
+        url = pc.if_else(pa.array(mint_mask), minted, url)
+    return url
+
+
 def make_pages(n_rows: int, seed: int = SEED) -> pa.Table:
-    """Base snapshot: unique urls, deterministic html/text pairs."""
+    """Base snapshot: unique urls, deterministic html/text pairs.
+    Assembled with vectorized Arrow string kernels (see make_events)."""
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed)
     pool = _filler_pool(rng)
     i = np.arange(n_rows)
     sites = _zipf_indices(rng, 1.3, n_rows, max(8, n_rows // 64))
-    url = pd.Series(
-        ["https://site%d.example/p%08d" % (s, k) for s, k in zip(sites, i)], dtype=object
-    )
+    url = _make_urls(sites, i, mint_idx=np.array([], dtype=np.int64))
     warc_ts = T0 + i.astype("timedelta64[s]").astype("timedelta64[us]")
-    text = _compose("page " + url + " rev 0 ", pool, rng.integers(0, len(pool), n_rows))
-    html = ("<html><body>" + text + "</body></html>").map(lambda s: s.encode())
-    lang = LANGS[rng.integers(0, len(LANGS), n_rows)]
+    text = _join(
+        "page ",
+        url,
+        " rev 0 ",
+        pa.array(pool, pa.string()).take(pa.array(rng.integers(0, len(pool), n_rows))),
+    )
+    html = pc.cast(_join("<html><body>", text, "</body></html>"), pa.binary())
+    lang = pa.array(LANGS, pa.string()).take(
+        pa.array(rng.integers(0, len(LANGS), n_rows))
+    )
     return pa.Table.from_arrays(
-        [
-            pa.array(url, pa.string()),
-            pa.array(warc_ts, pa.timestamp("us")),
-            pa.array(html.tolist(), pa.binary()),
-            pa.array(text, pa.string()),
-            pa.array(lang, pa.string()),
-        ],
+        [url, pa.array(warc_ts, pa.timestamp("us")), html, text, lang],
         schema=PAGES_SCHEMA,
     )
 
@@ -100,71 +138,88 @@ def make_events(
     warc_ts (must lose LWW); ~1% duplicate (url, warc_ts) pairs exercise the
     event_seq tiebreak.  v2 segment (seq >= evolve_at*E) adds fetch_status.
     """
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng(seed + 1)
     pool = _filler_pool(rng)
+    pool_arr = pa.array(pool, pa.string())
+    lang_pool = pa.array(LANGS, pa.string())
     i = np.arange(n_events)
     seq = i.astype(np.int64)
 
+    # All cheap (numeric) draws happen globally up front so results are
+    # independent of the string-chunking below.
     op_draw = rng.random(n_events)
     op = np.where(op_draw < 0.25, "insert", np.where(op_draw < 0.90, "update", "delete"))
-
-    # Target urls: zipf over the existing universe; a third of inserts mint new urls.
     sites = _zipf_indices(rng, 1.3, n_events, max(8, n_pages // 64))
     page_idx = _zipf_indices(rng, 1.2, n_events, n_pages)
-    url = np.array(
-        ["https://site%d.example/p%08d" % (s, k) for s, k in zip(sites, page_idx)],
-        dtype=object,
-    )
     mint = (op == "insert") & (rng.random(n_events) < 0.34)
-    if mint.any():
-        midx = np.flatnonzero(mint)
-        url[midx] = ["https://site%d.example/new%08d" % (sites[k], k) for k in midx]
+    row_id = i.copy()  # minted urls embed the row id
 
     # Event time: mostly increasing; 5% late (older than the current row).
     base_s = (n_pages + i).astype(np.int64)
     late = rng.random(n_events) < 0.05
     base_s[late] = base_s[late] // 2
     warc_ts = T0 + base_s.astype("timedelta64[s]").astype("timedelta64[us]")
-    # ~1% exact duplicate (url, warc_ts) of the previous event (tiebreak on seq).
+    # ~1% exact duplicate (url, warc_ts) of the previous event (tiebreak on
+    # seq): copy the previous event's url-defining fields + timestamp.
     dup = np.flatnonzero(rng.random(n_events) < 0.01)
     dup = dup[dup > 0]
-    url[dup] = url[dup - 1]
+    for arr in (sites, page_idx, mint, row_id):
+        arr[dup] = arr[dup - 1]
     warc_ts[dup] = warc_ts[dup - 1]
     op[dup] = np.where(op[dup] == "delete", "update", op[dup])
 
-    rev = pd.Series(seq).astype(str)
-    text = _compose(
-        "page " + pd.Series(url, dtype=object) + " rev " + rev + " ",
-        pool,
-        rng.integers(0, len(pool), n_events),
-    )
-    html_s = "<html><body>" + text + "</body></html>"
-    is_del = op == "delete"
-    text = text.mask(is_del)
-    html = html_s.map(lambda s: s.encode())
-    html[is_del] = None
-    lang = pd.Series(LANGS[rng.integers(0, len(LANGS), n_events)], dtype=object).mask(is_del)
-
+    pick = rng.integers(0, len(pool), n_events)
+    lang_pick = rng.integers(0, len(LANGS), n_events)
     fetch_status = rng.choice(np.array([200, 301, 404], np.int32), n_events)
+    is_del = op == "delete"
 
-    def seg(lo: int, hi: int, v2: bool) -> pa.Table:
-        arrays = [
+    # String assembly in Arrow C kernels, CHUNKED: a single string array is
+    # capped at 2 GiB (int32 offsets), and ~1 KB texts x millions of rows
+    # blow past it — also pandas object-Series concat (the first
+    # implementation) was 50x slower. Chunk boundaries align to the schema
+    # cut so the two segments slice cleanly.
+    cut = int(n_events * evolve_at)
+    chunk_rows = 250_000
+    bounds = sorted({0, cut, n_events} | set(range(0, n_events, chunk_rows)))
+    null_str = pa.scalar(None, pa.string())
+
+    def chunk(lo: int, hi: int) -> list[pa.Array]:
+        url = _make_urls(
+            sites[lo:hi], page_idx[lo:hi], np.flatnonzero(mint[lo:hi]),
+            row_ids=row_id[lo:hi],
+        )
+        text = _join(
+            "page ", url, " rev ",
+            pc.cast(pa.array(seq[lo:hi]), pa.string()), " ",
+            pool_arr.take(pa.array(pick[lo:hi])),
+        )
+        html = _join("<html><body>", text, "</body></html>")
+        del_mask = pa.array(is_del[lo:hi])
+        return [
             pa.array(seq[lo:hi]),
             pa.array(op[lo:hi], pa.string()),
-            pa.array(url[lo:hi], pa.string()),
+            url,
             pa.array(warc_ts[lo:hi], pa.timestamp("us")),
-            pa.array(html[lo:hi].tolist(), pa.binary()),
-            pa.array(text[lo:hi], pa.string()),
-            pa.array(lang[lo:hi], pa.string()),
+            pc.cast(pc.if_else(del_mask, null_str, html), pa.binary()),
+            pc.if_else(del_mask, null_str, text),
+            pc.if_else(del_mask, null_str, lang_pool.take(pa.array(lang_pick[lo:hi]))),
         ]
-        schema = EVENTS_SCHEMA
-        if v2:
-            arrays.append(pa.array(fetch_status[lo:hi]))
-            schema = EVENTS_V2_SCHEMA
-        return pa.Table.from_arrays(arrays, schema=schema)
 
-    cut = int(n_events * evolve_at)
-    return seg(0, cut, False), seg(cut, n_events, True)
+    def build(lo: int, hi: int, v2: bool) -> pa.Table:
+        tables = []
+        bs = [b for b in bounds if lo <= b < hi] + [hi]
+        for clo, chi in zip(bs, bs[1:]):
+            arrays = chunk(clo, chi)
+            schema = EVENTS_SCHEMA
+            if v2:
+                arrays.append(pa.array(fetch_status[clo:chi]))
+                schema = EVENTS_V2_SCHEMA
+            tables.append(pa.Table.from_arrays(arrays, schema=schema))
+        return pa.concat_tables(tables)
+
+    return build(0, cut, False), build(cut, n_events, True)
 
 
 def write_corpus(
@@ -197,7 +252,12 @@ def write_corpus(
         for lo in range(0, tbl.num_rows, shard_rows):
             chunk = tbl.slice(lo, shard_rows)
             name = f"part-{part:05d}.parquet"
-            pq.write_table(chunk, os.path.join(out_dir, "events", name))
+            pq.write_table(
+                chunk,
+                os.path.join(out_dir, "events", name),
+                compression="zstd",
+                compression_level=3,
+            )
             seqs = chunk.column("event_seq")
             shards.append(
                 {

@@ -1,0 +1,212 @@
+"""Unit tests for the training-data function suite on crafted corpora
+(near-dups that actually exist, unlike the random driver testdata)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gobblin_ray.functions import dedup as dd
+from gobblin_ray.functions import multimodal as mm
+from gobblin_ray.functions import text as tx
+from gobblin_ray.functions.similarity import _normalize
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the sly cat "
+    "watches from the fence and the birds sing in the morning light "
+    "over the quiet village where people go about their daily work"
+)
+
+
+def near_dup_corpus() -> pa.Table:
+    docs = [
+        BASE,
+        BASE + " extra tail words here",  # near-dup of 0
+        BASE.replace("quick", "swift"),  # near-dup of 0
+        "completely different content about spark sql query engines and "
+        "vectorized execution with columnar formats and late materialization",
+        "yet another unrelated document discussing distributed consensus "
+        "protocols like raft and paxos with leader election and quorums",
+        BASE,  # exact dup of 0
+    ]
+    return pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                     "text": pa.array(docs)})
+
+
+def test_shingle_jaccard_sanity():
+    a = dd._char_shingle_hashes(BASE, 5)
+    b = dd._char_shingle_hashes(BASE + " extra tail", 5)
+    c = dd._char_shingle_hashes("totally different text", 5)
+    assert dd.jaccard(a, a) == 1.0
+    assert dd.jaccard(a, b) > 0.8
+    assert dd.jaccard(a, c) < 0.1
+
+
+def test_minhash_signature_similarity_tracks_jaccard():
+    h = dd.MinHasher()
+    s1 = h.signature(BASE)
+    s2 = h.signature(BASE + " extra tail words here")
+    s3 = h.signature("completely different content entirely unrelated")
+    sim12 = (s1 == s2).mean()
+    sim13 = (s1 == s3).mean()
+    assert sim12 > 0.7
+    assert sim13 < 0.2
+
+
+def test_minhash_banding_emits_rows():
+    h = dd.MinHasher(num_perm=64, bands=16)
+    out = h(near_dup_corpus())
+    assert out.num_rows == 6 * 16
+    assert set(out.column_names) == {"doc_id", "band", "band_hash"}
+
+
+def test_dedup_minhash_removes_near_dups(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_arrow(near_dup_corpus())
+    kept = dd.dedup_minhash(docs, threshold=0.7, num_perm=64, bands=16, concurrency=2)
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    # cluster {0,1,2,5} -> keep 0; singletons 3,4 kept
+    assert ids == [0, 3, 4]
+
+
+def test_simhash_hamming_near_dups(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_arrow(near_dup_corpus())
+    pairs = dd.simhash_candidates(docs, concurrency=2).take_all()
+    got = {(r["a"], r["b"]) for r in pairs}
+    assert (0, 5) in got  # exact dup -> hamming 0
+    for a, b in got:
+        assert a < b
+
+
+def test_connected_components_union_find():
+    import ray.data as rd
+
+    pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 7, "b": 9}])
+    comp = dd.connected_components(pairs)
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[9] == 7
+
+
+def test_embedding_dup_pairs_finds_planted_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + rng.standard_normal(16).astype(np.float32) * 0.01  # planted dup
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }
+    )
+    pairs = dd.embedding_dup_pairs(
+        rd.from_arrow(t), dim=16, threshold=0.95, n_planes=6, concurrency=2
+    ).take_all()
+    assert any(r["a"] == 3 and r["b"] == 7 for r in pairs)
+
+
+def test_knn_brute_force_exact(ray_session):
+    import ray.data as rd
+
+    from gobblin_ray.functions.similarity import knn_brute_force
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((200, 8)).astype(np.float64)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(200), pa.int64()),
+            "embedding": pa.array([list(v) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    q = vecs[:2]
+    got = knn_brute_force(
+        rd.from_arrow(t), q, k=5, exclude_ids={0: 0, 1: 1}
+    ).take_all()
+    # numpy oracle
+    nv = _normalize(vecs)
+    for qid in (0, 1):
+        scores = nv @ nv[qid]
+        scores[qid] = -np.inf
+        want = np.lexsort((np.arange(200), -scores))[:5]
+        mine = [r["vec_id"] for r in got if r["query_id"] == qid]
+        assert mine == list(want), f"q{qid}: {mine} vs {list(want)}"
+
+
+def test_quality_features_values():
+    fn = tx.quality_features("text")
+    t = fn(pa.table({"text": ["Hello World 123", ""]}))
+    assert t.column("n_tokens").to_pylist() == [3, 1]
+    assert t.column("n_chars_calc").to_pylist() == [15, 0]
+    ar = t.column("alpha_ratio").to_pylist()
+    assert abs(ar[0] - 12 / 15) < 1e-9
+
+
+def test_token_counts_match_split_semantics():
+    fn = tx.token_count()
+    t = fn(pa.table({"text": ["a b  c", "single"]}))
+    # split on single space: "a b  c" -> ["a","b","","c"] = 4 (SQL parity)
+    assert t.column("n_tokens").to_pylist() == [4, 1]
+
+
+def test_fingerprinter_matches_hashlib():
+    import hashlib
+
+    fp = tx.Fingerprinter()
+    t = fp(pa.table({"doc_id": [1], "text": ["MiXeD Case"]}))
+    assert t.column("fingerprint")[0].as_py() == hashlib.md5(b"mixed case").hexdigest()
+
+
+def test_langid_on_real_stopwords():
+    lid = tx.LangId()
+    t = lid(
+        pa.table(
+            {
+                "text": [
+                    "the cat and the dog went to the park for a walk in the sun",
+                    "der Hund ist nicht mit der Katze und das ist ein Problem",
+                ]
+            }
+        )
+    )
+    assert t.column("lang_pred").to_pylist() == ["en", "de"]
+
+
+def test_media_decode_roundtrip():
+    t = mm.synth_media(16)
+    dec = mm.MediaDecoder()
+    out = dec(t)
+    assert out.column("decode_ok").to_pylist() == [True] * 16
+    assert out.column("dec_width").to_pylist() == t.column("width").to_pylist()
+    assert out.column("dec_height").to_pylist() == t.column("height").to_pylist()
+    assert "payload" not in out.column_names
+
+
+def test_media_strict_mode_documents_stub():
+    with pytest.raises(NotImplementedError):
+        mm.MediaDecoder(strict=True)
+    with pytest.raises(NotImplementedError):
+        mm.frame_sample_stub()
+
+
+def test_byte_histogram_normalized():
+    t = mm.synth_media(4)
+    out = mm.ByteHistogram()(t)
+    for row in out.column("byte_hist").to_pylist():
+        assert abs(sum(row) - 1.0) < 1e-9
+
+
+def test_suggest_batch_size_bounds():
+    assert mm.suggest_batch_size(100_000) >= 16
+    assert mm.suggest_batch_size(1) <= 64 * 2**20
+
+
+def test_media_decode_pipeline(ray_session):
+    import ray.data as rd
+
+    out = mm.decode_pipeline(rd.from_arrow(mm.synth_media(64)), concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 64 and df["decode_ok"].all()

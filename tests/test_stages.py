@@ -1,0 +1,188 @@
+"""Unit tests for the converter / quality / fork / partition stage library
+(pure batch functions — Ray-free except the partitioned-write checks)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gobblin_ray.stages import converters as cv
+from gobblin_ray.stages.fork import route_column
+from gobblin_ray.stages.partition import time_partition
+from gobblin_ray.stages.quality import (
+    PolicyAction,
+    PolicyChecker,
+    RowCountPolicy,
+    min_timestamp,
+    non_empty_string,
+    not_null,
+    value_in,
+)
+
+
+def t_events():
+    return pa.table(
+        {
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "kind": ["a", "b", "a", None],
+            "val": pa.array([1.0, 55.5, 20.0, 70.0]),
+            "ts": pa.array(
+                np.array(["2024-01-01", "2024-01-02", "2024-01-02", "2024-02-01"],
+                         "datetime64[us]")
+            ),
+            "props": ['{"k": 1}', '{"k": 22}', "{}", None],
+        }
+    )
+
+
+def test_project_and_drop():
+    assert cv.project(["id", "val"])(t_events()).column_names == ["id", "val"]
+    assert "kind" not in cv.drop_fields(["kind"])(t_events()).column_names
+
+
+def test_rename():
+    out = cv.rename({"val": "value"})(t_events())
+    assert "value" in out.column_names and "val" not in out.column_names
+
+
+def test_filter_equals_and_regex():
+    assert cv.filter_equals("kind", "a")(t_events()).num_rows == 2
+    assert cv.regex_filter("kind", "^a$")(t_events()).num_rows == 2
+    assert cv.regex_filter("kind", "^a$", keep_matching=False)(t_events()).num_rows == 1
+
+
+def test_chain_composes_in_order():
+    fn = cv.chain(cv.filter_equals("kind", "a"), cv.project(["id"]))
+    out = fn(t_events())
+    assert out.column_names == ["id"] and out.num_rows == 2
+
+
+def test_cast_lower_upper_concat():
+    t = pa.table({"s": ["Ab", "cD"], "n": [1, 2]})
+    assert cv.lower("s")(t).column("s").to_pylist() == ["ab", "cd"]
+    assert cv.upper("s", out="S")(t).column("S").to_pylist() == ["AB", "CD"]
+    assert cv.cast_column("n", pa.float64())(t).column("n").type == pa.float64()
+    out = cv.concat_fields("joined", ["s", "n"], sep="-")(t)
+    assert out.column("joined").to_pylist() == ["Ab-1", "cD-2"]
+
+
+def test_parse_json_regex_and_class():
+    out = cv.parse_json_regex("props", "k", out="k", typ=pa.int64())(t_events())
+    assert out.column("k").to_pylist() == [1, 22, None, None]
+    out2 = cv.ParseJson("props", {"k": pa.int64()})(t_events())
+    assert out2.column("k").to_pylist() == [1, 22, None, None]
+
+
+def test_split_to_rows_explodes():
+    t = pa.table({"id": [1, 2], "text": ["a b c", "x"]})
+    out = cv.split_to_rows("text", " ", out="tok")(t)
+    assert out.column("tok").to_pylist() == ["a", "b", "c", "x"]
+    assert out.column("id").to_pylist() == [1, 1, 1, 2]
+
+
+def test_flatten_struct():
+    t = pa.table({"s": pa.array([{"x": 1, "y": "a"}, {"x": 2, "y": "b"}])})
+    out = cv.flatten_struct("s")(t)
+    assert out.column("x").to_pylist() == [1, 2]
+    assert out.column("y").to_pylist() == ["a", "b"]
+
+
+def test_sample_mod_deterministic():
+    t = pa.table({"id": pa.array(range(1000), pa.int64())})
+    out = cv.sample_mod("id", 100, 5)(t)
+    assert out.num_rows == 50
+    assert cv.sample_mod("id", 100, 5)(t).equals(out)
+
+
+def test_sample_hash_stable_and_ratioish():
+    t = pa.table({"u": [f"url{i}" for i in range(2000)]})
+    a = cv.sample_hash("u", 0.25)(t)
+    b = cv.sample_hash("u", 0.25)(t)
+    assert a.equals(b)
+    assert 0.15 < a.num_rows / 2000 < 0.35
+
+
+def test_policy_checker_err_file_and_split():
+    checker = PolicyChecker([not_null("kind"), value_in("kind", ["a", "b"])])
+    out = checker(t_events())
+    good, bad = PolicyChecker.split(out)
+    assert good.num_rows == 3
+    assert bad.column(PolicyChecker.ERR_COL).to_pylist() == ["not_null[kind]"]
+
+
+def test_policy_fail_action_raises():
+    checker = PolicyChecker([not_null("kind", action=PolicyAction.FAIL)])
+    with pytest.raises(ValueError):
+        checker(t_events())
+
+
+def test_min_timestamp_policy():
+    checker = PolicyChecker([min_timestamp("ts", np.datetime64("2024-01-02", "us"))])
+    good, bad = PolicyChecker.split(checker(t_events()))
+    assert good.num_rows == 3 and bad.num_rows == 1
+
+
+def test_non_empty_string_policy():
+    t = pa.table({"s": ["x", "", None]})
+    good, bad = PolicyChecker.split(PolicyChecker([non_empty_string("s")])(t))
+    assert good.num_rows == 1 and bad.num_rows == 2
+
+
+def test_row_count_policy():
+    assert RowCountPolicy(100).check(100)
+    assert not RowCountPolicy(100).check(99)
+    assert RowCountPolicy(100, tolerance=0.05).check(96)
+    with pytest.raises(AssertionError):
+        RowCountPolicy(100).assert_ok(99)
+
+
+def test_route_column_first_match_wins():
+    import pyarrow.compute as pc
+
+    fn = route_column(
+        {
+            "b_kind": lambda t: pc.equal(t.column("kind"), pa.scalar("b")),
+            "high": lambda t: pc.greater(t.column("val"), pa.scalar(10.0)),
+        }
+    )
+    out = fn(t_events())
+    assert out.column("branch").to_pylist() == ["rest", "b_kind", "high", "high"]
+
+
+def test_time_partition_granularities():
+    t = t_events()
+    assert time_partition("ts", "day")(t).column("date_part").to_pylist() == [
+        "2024-01-01", "2024-01-02", "2024-01-02", "2024-02-01",
+    ]
+    assert time_partition("ts", "month")(t).column("date_part").to_pylist()[0] == "2024-01"
+
+
+def test_fork_and_partitioned_write(ray_session, tmp_path):
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from gobblin_ray.stages.fork import fork, fork_partitioned_write
+
+    ds = rd.from_arrow(t_events())
+    branches = {
+        "a_kind": lambda t: pc.equal(t.column("kind"), pa.scalar("a")),
+    }
+    views = fork(ds, branches)
+    assert views["a_kind"].count() == 2
+
+    out = str(tmp_path / "forked")
+    fork_partitioned_write(ds, branches, out)
+    assert sorted(os.listdir(out)) == ["branch=a_kind", "branch=rest"]
+
+
+def test_write_time_partitioned(ray_session, tmp_path):
+    import os
+
+    import ray.data as rd
+
+    from gobblin_ray.stages.partition import write_time_partitioned
+
+    out = str(tmp_path / "by_day")
+    write_time_partitioned(rd.from_arrow(t_events()), out, "ts", "day")
+    assert len([d for d in os.listdir(out) if d.startswith("date_part=")]) == 3
