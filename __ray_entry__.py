@@ -84,7 +84,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_props": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "split_tokens_topk": """
@@ -105,7 +106,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "token_count_totals": """
-            SELECT lang, sum(array_length(string_split(text, ' '))) AS total_tokens
+            SELECT lang, CAST(sum(array_length(string_split(text, ' ')))
+                              AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
         "sort_topk_revenue": """

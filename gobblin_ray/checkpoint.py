@@ -178,6 +178,14 @@ def bucket_files(lake_dir: str, state: "BucketState") -> list[str]:
     return files
 
 
+def errors_path(lake_dir: str, bucket: int, epoch: int) -> str:
+    """Committed error-sink file (RowLevelPolicy ERR_FILE analog).
+    Same (lake, bucket, epoch) argument order as base_path/delta_path."""
+    return os.path.join(
+        lake_dir, ERRORS_DIR, f"epoch={epoch:06d}", f"bucket={bucket:05d}.parquet"
+    )
+
+
 def staging_path(lake_dir: str, epoch: int, bucket: int, kind: str = "base") -> str:
     """Deterministic, attempt-agnostic staged output name (speculative-safe:
     retried tasks overwrite the same name via tmp+replace)."""
@@ -189,15 +197,18 @@ def staging_path(lake_dir: str, epoch: int, bucket: int, kind: str = "base") -> 
 def promote(lake_dir: str, epoch: int, buckets: list[int] | list[tuple[int, str]]) -> None:
     """Phase 1 of the two-phase commit: staged bucket files -> data dir.
 
-    ``buckets`` entries are (bucket, kind) with kind 'base' | 'delta'
-    (bare ints mean 'base'). Idempotent like FsRenameCommitStep
+    ``buckets`` entries are (bucket, kind) with kind 'base' | 'delta' |
+    'errors' (bare ints mean 'base'). Error-sink files ride the same
+    staged→promoted path so an uncommitted epoch never leaves error parquet
+    visible under _errors/. Idempotent like FsRenameCommitStep
     (isCompleted = dest exists,
     gobblin-core/.../commit/FsRenameCommitStep.java:131-149): a bucket whose
     destination already exists is skipped, so a crashed promote resumes.
     """
+    dst_of = {"base": base_path, "delta": delta_path, "errors": errors_path}
     for entry in buckets:
         b, kind = entry if isinstance(entry, tuple) else (entry, "base")
-        dst = (base_path if kind == "base" else delta_path)(lake_dir, b, epoch)
+        dst = dst_of[kind](lake_dir, b, epoch)
         if os.path.exists(dst):
             continue
         src = staging_path(lake_dir, epoch, b, kind)

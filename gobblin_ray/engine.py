@@ -66,6 +66,8 @@ class EngineConfig:
     compact_every: int = 8  # compact a bucket after this many delta files
     # (lower = faster reads / slower ingest; 1 = copy-on-write every epoch)
     pipeline_epochs: int = 2  # overlapped epoch executions (ordered commits)
+    commit_gate: bool = True  # TaskLevelPolicy/RowCountPolicy analog: assert
+    # extracted == applied + diverted before promoting an epoch
 
 
 @dataclass
@@ -192,14 +194,11 @@ class _MergeBucket:
         events = events.drop_columns([_ERR_COL, _BUCKET_COL, _SALT_COL, _N_COL])
 
         if errors.num_rows:
+            # Staged like data files; promoted to _errors/ only at commit so
+            # a crashed epoch leaves no error parquet outside staging.
             ckpt.atomic_write_table(
                 errors.drop_columns([_SALT_COL, _N_COL]),
-                os.path.join(
-                    self.lake_dir,
-                    ckpt.ERRORS_DIR,
-                    f"epoch={self.epoch:06d}",
-                    f"bucket={bucket:05d}.parquet",
-                ),
+                ckpt.staging_path(self.lake_dir, self.epoch, bucket, "errors"),
             )
 
         # This epoch's contribution in base form (LWW-reduced, tombstones kept).
@@ -213,7 +212,13 @@ class _MergeBucket:
             out_rows = merged.num_rows
         else:
             merged = delta
-            kind = "delta" if files else "base"  # no base yet -> delta IS the base
+            # Always a DELTA when not compacting. Deciding base-vs-delta from
+            # the planning snapshot is wrong under pipelined windows: two
+            # window epochs both see base_epoch=-1 for an untouched bucket and
+            # would both stage a "base", the later commit dropping the earlier
+            # epoch's events (exactly-once violation). bucket_files/readers
+            # handle base_epoch=-1 delta-only buckets natively.
+            kind = "delta"
             out_rows = delta.num_rows
         ckpt.atomic_write_table(
             merged, ckpt.staging_path(self.lake_dir, self.epoch, bucket, kind)
@@ -408,10 +413,18 @@ class CdcEngine:
             .map_groups(merge_bucket, batch_format="pyarrow")
             .take_all()
         )
+        expected = (
+            planmod.expected_event_count(
+                log_meta, self.events_dir, epoch.low_seq, epoch.high_seq
+            )
+            if self.cfg.commit_gate
+            else None
+        )
         return {
             "lineage": lineage,
             "base_schema": base_schema,
             "salted": len(splan.hot_buckets),
+            "expected_events": expected,
         }
 
     def _commit_epoch(
@@ -430,11 +443,24 @@ class CdcEngine:
         base_schema = unify_additive(manifest.base_schema(), execution["base_schema"])
 
         touched = {int(r["bucket"]): r for r in lineage}
-        ckpt.promote(
-            self.lake_dir,
-            epoch.index,
-            sorted((b, r["kind"]) for b, r in touched.items()),
-        )
+        # TaskLevelPolicy commit gate (gobblin-api/.../qualitychecker/task/
+        # TaskLevelPolicy.java + RowCountPolicy): the epoch commits only if
+        # every extracted event was either applied or diverted to the error
+        # sink — an independent count from shard metadata, checked BEFORE
+        # promote so a row-dropping bug fails the commit, not the audit.
+        expected = execution.get("expected_events")
+        if expected is not None:
+            seen = sum(int(r["events"]) + int(r["errors"]) for r in touched.values())
+            if seen != expected:
+                raise AssertionError(
+                    f"commit gate: epoch {epoch.index} extracted {expected} "
+                    f"events but applied+diverted {seen}"
+                )
+        promote_entries = [(b, r["kind"]) for b, r in touched.items()]
+        promote_entries += [
+            (b, "errors") for b, r in touched.items() if int(r["errors"]) > 0
+        ]
+        ckpt.promote(self.lake_dir, epoch.index, sorted(promote_entries))
 
         new = Manifest(
             epoch=epoch.index,

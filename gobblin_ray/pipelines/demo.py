@@ -404,7 +404,10 @@ def asof_join_purchase_click(sf_dir: str):
         t = t.filter(pc.is_valid(t.column("click_event_id")))
         return pa.table(
             {
-                "event_id": t.column("event_id"),
+                # Both id columns re-cast to int64: the unioned asof schema
+                # makes them nullable and the pandas group stage upcasts to
+                # float64 (round-1 hash-parity failure was exactly this).
+                "event_id": t.column("event_id").cast(pa.int64()),
                 "click_event_id": t.column("click_event_id").cast(pa.int64()),
                 "click_ts": t.column("click_ts"),
             }

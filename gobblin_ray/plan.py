@@ -49,11 +49,20 @@ def load_log_meta(events_dir: str) -> dict:
 
     shards = []
     max_seq = -1
+    # schema_version in the fallback is a fingerprint-derived id: distinct
+    # footer schemas get distinct versions so _event_schemas unifies ALL of
+    # them (a constant 0 here would silently drop evolved columns from any
+    # shard whose schema differs from the first one read).
+    version_of: dict[str, int] = {}
     for name in sorted(os.listdir(events_dir)):
         if not name.endswith(".parquet"):
             continue
-        md = pq.read_metadata(os.path.join(events_dir, name))
-        idx = md.schema.to_arrow_schema().get_field_index("event_seq")
+        path = os.path.join(events_dir, name)
+        md = pq.read_metadata(path)
+        arrow_schema = md.schema.to_arrow_schema()
+        fp = ",".join(f"{f.name}:{f.type}" for f in arrow_schema)
+        version = version_of.setdefault(fp, len(version_of))
+        idx = arrow_schema.get_field_index("event_seq")
         lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
         hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
         shards.append(
@@ -62,7 +71,7 @@ def load_log_meta(events_dir: str) -> dict:
                 "min_seq": int(lo),
                 "max_seq": int(hi),
                 "rows": md.num_rows,
-                "schema_version": 0,
+                "schema_version": version,
             }
         )
         max_seq = max(max_seq, int(hi))
@@ -90,6 +99,29 @@ def prune_shards(log_meta: dict, low: int, high: int) -> list[dict]:
     return [
         s for s in log_meta["shards"] if s["max_seq"] > low and s["min_seq"] <= high
     ]
+
+
+def expected_event_count(log_meta: dict, events_dir: str, low: int, high: int) -> int:
+    """Independent count of log rows in ``(low, high]`` for the commit gate
+    (RowCountPolicy analog, gobblin-core/.../policies/count/). Fully-covered
+    shards contribute their metadata row count for free; only the <=2
+    boundary shards need their event_seq column read (driver-side,
+    O(boundary-shard rows), never O(epoch events))."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    total = 0
+    for s in prune_shards(log_meta, low, high):
+        if s["min_seq"] > low and s["max_seq"] <= high:
+            total += s["rows"]
+        else:
+            col = pq.read_table(
+                os.path.join(events_dir, s["file"]), columns=["event_seq"]
+            ).column("event_seq")
+            in_range = pc.and_(pc.greater(col, low), pc.less_equal(col, high))
+            total += int(pc.sum(pc.cast(in_range, pa.int64())).as_py() or 0)
+    return total
 
 
 @dataclass

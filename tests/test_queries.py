@@ -57,8 +57,16 @@ ORACLES = entrymod.oracle_sql()
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(ray_session, con, name):
-    got = normalize(to_pandas(QUERIES[name](SF_DIR)))
-    want = normalize(con.execute(ORACLES[name]).fetchdf())
+    got_raw = to_pandas(QUERIES[name](SF_DIR))
+    want_raw = con.execute(ORACLES[name]).fetchdf()
+    # The driver's value-hash is dtype-sensitive (int64 vs float64 of the
+    # same number hash differently): assert RAW dtype parity per column
+    # before normalizing (round-1 lesson: 3 dtype-only hash failures).
+    for c in sorted(set(got_raw.columns) & set(want_raw.columns)):
+        gk, wk = got_raw[c].dtype.kind, want_raw[c].dtype.kind
+        assert gk == wk, f"{name}.{c}: raw dtype {got_raw[c].dtype} vs {want_raw[c].dtype}"
+    got = normalize(got_raw)
+    want = normalize(want_raw)
     assert list(got.columns) == list(want.columns), (
         f"columns {list(got.columns)} vs {list(want.columns)}"
     )
