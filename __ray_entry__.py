@@ -57,14 +57,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_partition_counts": demo.time_partition_counts,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
-        # text analysis (extension set)
+        # grok parsing (§2.3) / config-driven assembly (§2.11)
+        "grok_parse_props": demo.grok_parse_props,
+        "pipeline_config_demo": demo.pipeline_config_demo,
+        # CSV / JSON source parity (§2.1, §2.3)
+        "csv_source_region": demo.csv_source_region,
+        "json_source_nation": demo.json_source_nation,
+        # text analysis (extension set; planted fixtures carry ground truth
+        # so the near-dup/langid family is value-checked, not rows-only —
+        # the driver-table scale variants run in bench.py)
         "text_quality_features": demo.text_quality_features,
         "fingerprint_md5": demo.fingerprint_md5,
-        "langid_documents": demo.langid_documents,
+        "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
-        "dedup_minhash_documents": demo.dedup_minhash_documents,
-        "simhash_pairs_documents": demo.simhash_pairs_documents,
-        "embedding_dup_pairs": demo.embedding_dup_pairs,
+        "dedup_minhash_planted": demo.dedup_minhash_planted,
+        "simhash_planted_pairs": demo.simhash_planted_pairs,
+        "embedding_dup_planted": demo.embedding_dup_planted,
         # similarity search (extension set)
         "knn_brute_force": demo.knn_brute_force,
         "knn_lsh": demo.knn_lsh,
@@ -193,6 +201,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE text IS NOT NULL AND length(text) > 0 AND n_chars >= 100
             GROUP BY lang
         """,
+        "grok_parse_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": ([+-]?\\d+)', 1)
+                                 AS BIGINT)) AS BIGINT) AS sum_kval
+            FROM events GROUP BY event_type
+        """,
+        "pipeline_config_demo": """
+            SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events WHERE event_id % 10 < 5 GROUP BY event_type
+        """,
+        "csv_source_region": """
+            SELECT r_regionkey, r_name FROM region
+        """,
+        "json_source_nation": """
+            SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey
+        """,
         "text_quality_features": """
             SELECT doc_id,
                    array_length(string_split(text, ' ')) AS n_tokens,
@@ -223,7 +247,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, array_length(embedding) AS dim, count(*) AS n
             FROM embeddings GROUP BY label, array_length(embedding)
         """,
-        # rows-only (non-SQL-expressible): cdc_replay_mini, langid_documents,
-        # dedup_minhash_documents, simhash_pairs_documents, embedding_dup_pairs,
-        # knn_lsh, multimodal_decode
+        "langid_planted": """
+            SELECT doc_id, expected_lang AS lang_pred
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_langid.parquet')
+        """,
+        "dedup_minhash_planted": """
+            SELECT min(doc_id) AS doc_id
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
+            GROUP BY cluster_id
+        """,
+        "simhash_planted_pairs": """
+            SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_simdup.parquet') x
+            JOIN read_parquet('/tmp/gobblin_ray_fixtures/planted_simdup.parquet') y
+              ON x.text = y.text AND x.doc_id < y.doc_id
+        """,
+        "embedding_dup_planted": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                CAST(y.embedding AS DOUBLE[])), 4)
+                       AS cosine
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_embdup.parquet') x
+            JOIN read_parquet('/tmp/gobblin_ray_fixtures/planted_embdup.parquet') y
+              ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.95
+        """,
+        "knn_lsh": """
+            WITH e AS (
+                SELECT em.vec_id, em.embedding, bk.lsh_bucket
+                FROM embeddings em
+                JOIN read_parquet('/tmp/gobblin_ray_fixtures/knn_lsh_buckets.parquet') bk
+                  ON em.vec_id = bk.vec_id
+            ),
+            probed AS (
+                SELECT * FROM e
+                WHERE lsh_bucket IN (SELECT lsh_bucket FROM e WHERE vec_id < 3)
+            )
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 4)
+                       AS score
+            FROM e q CROSS JOIN probed c
+            WHERE q.vec_id < 3
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) <= 10
+        """,
+        # rows-only (non-SQL-expressible by nature): cdc_replay_mini (its
+        # oracle is the sequential-replay pytest suite), multimodal_decode
+        # (decode codecs are documented stubs).
     }

@@ -50,6 +50,8 @@ class BucketState:
     events_epoch: int = 0  # events applied in THIS epoch (salt-plan input);
     # 0 == watermark carried forward with no work (empty-WorkUnit analog)
     delta_epochs: list = field(default_factory=list)
+    delta_rows: int = 0  # rows across outstanding delta files (the
+    # RecompactionCondition file-ratio input; 0 after a compaction)
 
 
 @dataclass

@@ -51,9 +51,16 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--epoch-width", type=int, default=100_000)
         if name == "bootstrap":
             s.add_argument("--pages", required=True, help="pages snapshot parquet")
+        if name in ("bootstrap", "run"):
+            s.add_argument("--epoch-bytes", type=int, default=None,
+                           help="size-based epoch planning target (bytes)")
         if name == "run":
             s.add_argument("--max-epochs", type=int, default=None)
             s.add_argument("--no-vacuum", action="store_true")
+            s.add_argument("--follow", action="store_true",
+                           help="continuous tailing: poll for log growth "
+                                "(stop by creating <lake>/_STOP)")
+            s.add_argument("--poll-interval", type=float, default=2.0)
         if name == "read":
             s.add_argument("--limit", type=int, default=5)
 
@@ -103,15 +110,20 @@ def main(argv: list[str] | None = None) -> int:
     _ray_up(args.num_cpus)
     try:
         if args.cmd == "bootstrap":
-            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width)
+            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
+                               epoch_bytes=args.epoch_bytes)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             m = eng.bootstrap(args.pages)
             print(json.dumps({"epoch": m.epoch, "rows": sum(s.rows for s in m.buckets.values())}))
         elif args.cmd == "run":
-            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width)
+            cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
+                               epoch_bytes=args.epoch_bytes)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             t0 = time.time()
-            reports = eng.run(max_epochs=args.max_epochs, vacuum=not args.no_vacuum)
+            if args.follow:
+                reports = eng.run_forever(poll_interval=args.poll_interval)
+            else:
+                reports = eng.run(max_epochs=args.max_epochs, vacuum=not args.no_vacuum)
             dt = time.time() - t0
             events = sum(r.events for r in reports)
             print(

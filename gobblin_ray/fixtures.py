@@ -1,0 +1,213 @@
+"""Planted-truth fixtures for oracling the non-SQL-native operators
+(language-ID, MinHash/SimHash/embedding near-dup): small deterministic
+parquet corpora whose EXPECTED output is either stored alongside the data
+(expected_lang, cluster_id) or exactly SQL-computable (cosine over list
+columns), so the driver's DuckDB oracle can check these pipelines
+value-for-value instead of rows-only.
+
+Mirrors the reference's deterministic test-source strategy
+(gobblin-core-base/.../test/SequentialTestSource.java; golden-file harness
+gobblin-test-harness/): fixed seed, fixed output path, idempotent write.
+Fixture paths are FIXED (no sf tag) because ``oracle_sql()`` strings are
+static; the queries rewrite the fixture idempotently before running.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "gobblin_ray_fixtures")
+LANGID_PATH = os.path.join(FIXTURE_DIR, "planted_langid.parquet")
+NEARDUP_PATH = os.path.join(FIXTURE_DIR, "planted_neardup.parquet")
+SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
+EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
+KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
+
+
+def _write(table: pa.Table, path: str) -> str:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+# ---------------------------------------------------------------- language ID
+
+_LANG_SENTENCES = {
+    "en": [
+        "the house is old and the garden is full of flowers for a quiet walk",
+        "it is a long road to the sea and the wind is cold in the morning",
+        "the teacher said that it is good to read a book in the library",
+        "a dog ran to the river and the children laughed in the warm sun",
+    ],
+    "de": [
+        "der alte mann und die junge frau gehen mit das kind zu der schule",
+        "das wetter ist nicht gut und der regen ist kalt und die nacht lang",
+        "ein freund von mir ist mit der bahn zu der stadt gefahren heute",
+        "die katze und der hund spielen nicht mit das rote band von oma",
+    ],
+    "fr": [
+        "le chien et la petite fille jouent dans le jardin pres de la mer",
+        "il est tard et le train pour la ville ne part pas avant le matin",
+        "la maison de mon ami est grande et le salon est plein de livres",
+        "un homme et une femme marchent le long de la riviere sous la pluie",
+    ],
+    "es": [
+        "el perro y el gato juegan en la casa grande cerca de la playa",
+        "la comida es buena y el vino de la region es famoso por su sabor",
+        "un amigo de la familia vive en el centro de la ciudad con su madre",
+        "los libros de la biblioteca son viejos y el aire es seco y frio",
+    ],
+    "zh": [
+        "这是一个测试文档 内容都是中文字符 用于语言识别",
+        "今天天气很好 我们去公园散步 然后回家吃饭",
+        "数据处理系统 需要正确识别 文本的语言类型",
+        "这个句子没有空格问题 只有汉字和少量标点",
+    ],
+}
+
+
+def planted_langid(path: str = LANGID_PATH) -> str:
+    """Docs with a known dominant language; ``expected_lang`` is stored so
+    the oracle is `SELECT doc_id, expected_lang AS lang_pred`."""
+    rows = []
+    i = 0
+    for lang, sentences in _LANG_SENTENCES.items():
+        for s in sentences:
+            rows.append((i, s, lang))
+            i += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "expected_lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    return _write(t, path)
+
+
+# ---------------------------------------------------------------- near-dup text
+
+_PARA = (
+    "the quick brown fox jumps over the lazy dog while the sly cat watches "
+    "from the wooden fence and the small birds sing in the morning light "
+    "over the quiet village where people go about their daily work with "
+    "steady hands and open minds under a pale autumn sky"
+)
+_PARA2 = (
+    "distributed query engines use vectorized execution over columnar "
+    "formats with late materialization and runtime code generation to "
+    "process analytical workloads at interactive speed across many nodes "
+    "while spilling gracefully when memory pressure rises"
+)
+_PARA3 = (
+    "consensus protocols such as raft and paxos elect a leader and then "
+    "replicate an ordered log to a quorum of followers so that a majority "
+    "of healthy machines can always reconstruct the committed state after "
+    "any single failure or network partition"
+)
+
+
+def planted_neardup(path: str = NEARDUP_PATH) -> str:
+    """Near-dup clusters (small edits of a base paragraph, within-cluster
+    5-gram Jaccard > 0.85) + singleton docs; ``cluster_id`` stores the
+    ground truth: kept set == min(doc_id) per cluster."""
+    docs = [
+        # cluster 0: 3 near-identical members
+        (0, _PARA, 0),
+        (1, _PARA + " extra tail words here", 0),
+        (2, _PARA.replace("quick", "swift"), 0),
+        # cluster 1: 2 members
+        (3, _PARA2, 1),
+        (4, _PARA2.replace("interactive", "blazing"), 1),
+        # singletons
+        (5, _PARA3, 2),
+        (6, "short unique note about nothing in particular worth keeping", 3),
+        (7, _PARA3.replace("consensus", "gossip").replace("raft", "scuttlebutt")
+            .replace("paxos", "epidemic broadcast").replace("leader", "peer")
+            .replace("log", "digest"), 4),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+            "cluster_id": pa.array([d[2] for d in docs], pa.int64()),
+        }
+    )
+    return _write(t, path)
+
+
+def planted_simdup(path: str = SIMDUP_PATH) -> str:
+    """Exact-dup groups (identical texts) among very different paragraphs:
+    SimHash candidates must be exactly the identical-text pairs (hamming 0),
+    which SQL reproduces with a self-join on text."""
+    docs = [
+        (0, _PARA), (1, _PARA2), (2, _PARA3),
+        (3, _PARA),              # dup of 0
+        (4, _PARA2),             # dup of 1
+        (5, _PARA),              # dup of 0
+        (6, "completely standalone sentence with its own odd vocabulary like "
+            "zymurgy quixotic fjord sphinx and blitz"),
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+            "text": pa.array([d[1] for d in docs], pa.string()),
+        }
+    )
+    return _write(t, path)
+
+
+# ---------------------------------------------------------------- embeddings
+
+def planted_embdup(path: str = EMBDUP_PATH, n: int = 80, dim: int = 16) -> str:
+    """Random unit-ish vectors with planted near-identical pairs
+    (cosine > 0.999); every >=0.95 pair in the corpus is a planted one, so
+    the SQL oracle (exact all-pairs cosine) equals the LSH pipeline output
+    as long as the bucketer co-locates near-identical vectors (verified by
+    test_fixture_oracles)."""
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((n, dim))
+    planted = [(3, 41), (10, 55), (22, 67)]
+    for a, b in planted:
+        vecs[b] = vecs[a] + rng.standard_normal(dim) * 0.003
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    return _write(t, path)
+
+
+def knn_bucket_sidecar(
+    sf_dir: str, dim: int = 64, n_planes: int = 6, seed: int = 42,
+    path: str = KNN_BUCKETS_PATH,
+) -> str:
+    """Sidecar (vec_id, lsh_bucket) for the driver's embeddings table,
+    computed with the SAME hyperplanes the knn_lsh query uses — this is the
+    'oracle the verify stage' pattern: the bucketing is engine input, and
+    DuckDB then independently reproduces the probe + exact top-k math."""
+    from .functions.dedup import HyperplaneLSH
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    lsh = HyperplaneLSH(dim=dim, n_planes=n_planes, seed=seed)
+    mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
+    bucket = ((mat @ lsh.planes) > 0) @ lsh.weights
+    out = pa.table(
+        {
+            "vec_id": t.column("vec_id"),
+            "lsh_bucket": pa.array(bucket.astype(np.int64)),
+        }
+    )
+    return _write(out, path)

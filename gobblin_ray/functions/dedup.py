@@ -7,19 +7,24 @@ BigCode/SlimPajama-style MinHash dedup):
   the first row per group — Gobblin's compaction dedup with an identity
   delta (AvroKeyDedupReducer keeps one record per key,
   gobblin-compaction/.../AvroKeyDedupReducer.java:35-93).
-- MinHash+LSH: shingle -> minhash signature per doc (stateful actor-pool
-  stage, permutations built once per actor) -> explode to
-  (band, band_hash, doc_id) rows -> groupby band bucket -> candidate pairs
-  -> verify true n-gram Jaccard (pairs joined back to texts) -> connected
-  components -> keep min doc per cluster.
+- MinHash+LSH: shingle -> minhash signature (stateful actor-pool stage;
+  signatures computed BATCHED across docs via a segmented reduceat) ->
+  explode to (band, band_hash, doc_id) rows -> pair-gen over BOUNDED
+  partitions (sort + boundary-detect buckets inside each partition; a
+  per-bucket map_groups would dispatch one Python call per distinct band
+  hash) -> verify true n-gram Jaccard (pairs joined back to texts) ->
+  distributed connected components -> keep min doc per cluster.
 - SimHash: 64-bit token-vote fingerprint; candidates via exact-chunk
-  banding (4 x 16-bit) which catches Hamming distance <= 3.
+  banding (4 x 16-bit) which catches Hamming distance <= 3; same
+  bounded-partition pair-gen, with a sorted-window + star fallback for
+  degenerate (skewed) buckets.
 - embedding cosine: random-hyperplane LSH buckets -> within-bucket pairwise
-  cosine -> threshold pairs -> components.
+  cosine (projection-sorted blocks guard oversized buckets) -> threshold
+  pairs -> components.
 
-All per-batch math is numpy; the only Python-level loop is per-document
-(each iteration does vectorized work over that document's
-shingles/tokens).
+Connected components is min-label propagation over label-annotated
+symmetric edges — one groupby per round, no joins, no driver-side edge
+materialization (the driver holds only the final node->label map).
 """
 
 from __future__ import annotations
@@ -29,6 +34,41 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _M61 = (1 << 61) - 1  # Mersenne prime for universal hashing
+
+
+def _mulmod_m61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Exact ``(x * y) mod 2^61-1`` for uint64 operands — the 128-bit product
+    via 32-bit split-multiply, so the MinHash permutations really are the
+    universal family ((a*x+b) mod p), not a wrap-around mixing hash."""
+    M61 = np.uint64(_M61)
+    mask32 = np.uint64(0xFFFFFFFF)
+    # Reduce x into [0, 2^61) first so every partial product fits uint64.
+    x = (x >> np.uint64(61)) + (x & M61)
+    x_hi, x_lo = x >> np.uint64(32), x & mask32  # x_hi < 2^29
+    y_hi, y_lo = y >> np.uint64(32), y & mask32  # y < 2^61 -> y_hi < 2^29
+    hh = x_hi * y_hi  # < 2^58
+    mid = x_hi * y_lo + x_lo * y_hi  # < 2^62
+    ll = x_lo * y_lo  # < 2^64, exact
+    # x*y = hh*2^64 + mid*2^32 + ll; mod M61: 2^61 = 1 so 2^64 = 8 and
+    # mid*2^32 = (mid>>29)*2^61 + (mid&(2^29-1))*2^32 = (mid>>29) + low<<32.
+    v = (
+        (hh << np.uint64(3))
+        + (mid >> np.uint64(29))
+        + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+        + (ll >> np.uint64(61))
+        + (ll & M61)
+    )
+    v = (v >> np.uint64(61)) + (v & M61)
+    v = (v >> np.uint64(61)) + (v & M61)
+    return np.where(v >= M61, v - M61, v)
+
+
+def _fold61(v: np.ndarray) -> np.ndarray:
+    """Reduce values < 2^62 into [0, 2^61-1) — the post-``+b`` step of the
+    universal hash."""
+    M61 = np.uint64(_M61)
+    v = (v >> np.uint64(61)) + (v & M61)
+    return np.where(v >= M61, v - M61, v)
 
 
 # ---------------------------------------------------------------- exact
@@ -43,6 +83,30 @@ def dedup_exact(ds, keys: list[str], order_col: str):
     return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         first, batch_format="pyarrow"
     )
+
+
+def dedup_exact_by_hash(ds, text_col: str, order_col: str):
+    """Exact dedup whose SHUFFLE KEY is a 64-bit content hash, not the wide
+    text column (at webtext scale a text-keyed groupby ships the corpus as
+    both key and payload; hash-keying halves the exchange and makes the
+    shuffle sort compare 8-byte ints). Exactness is preserved by splitting
+    each hash group per distinct text (hash collisions land in one group and
+    are separated there), keeping the min-``order_col`` row per text."""
+
+    def first_per_text(group: pa.Table) -> pa.Table:
+        g = group.sort_by([(text_col, "ascending"), (order_col, "ascending")])
+        codes = pc.dictionary_encode(
+            g.column(text_col).combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False)
+        take = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1) != 0)
+        return g.take(pa.array(take)).drop_columns(["_chash"])
+
+    hashed = ds.map_batches(
+        content_hash_column(text_col, out="_chash"),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return hashed.groupby("_chash").map_groups(first_per_text, batch_format="pyarrow")
 
 
 def content_hash_column(text_col: str, out: str = "content_hash"):
@@ -110,16 +174,42 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         h = _char_shingle_hashes(text or "", self.k)
         # (shingles x perms) universal hash, min over shingles
-        vals = (h[:, None] * self.a[None, :] + self.b[None, :]) % _M61
+        vals = _fold61(_mulmod_m61(h[:, None], self.a[None, :]) + self.b[None, :])
         return vals.min(axis=0)
+
+    def _signatures(self, texts: list) -> np.ndarray:
+        """Batched signatures: shingles of MANY docs are concatenated and the
+        per-doc min is a single segmented ``np.minimum.reduceat`` — the
+        perm-hash matrix is built per memory-capped chunk of docs, not per
+        doc (the round-1 per-document Python loop was the MinHash hot-spot).
+        """
+        sh = [_char_shingle_hashes(t or "", self.k) for t in texts]
+        lens = np.array([len(s) for s in sh], dtype=np.int64)  # all >= 1
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
+        # Chunk so (shingles x perms) stays ~<=100 MB of uint64.
+        max_rows = max(1, 12_000_000 // self.num_perm)
+        lo = 0
+        while lo < len(texts):
+            hi = lo
+            total = 0
+            while hi < len(texts) and (hi == lo or total + lens[hi] <= max_rows):
+                total += lens[hi]
+                hi += 1
+            h = np.concatenate(sh[lo:hi])
+            vals = _fold61(
+                _mulmod_m61(h[:, None], self.a[None, :]) + self.b[None, :]
+            )
+            starts = np.zeros(hi - lo, dtype=np.int64)
+            np.cumsum(lens[lo : hi - 1], out=starts[1:])
+            sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
+            lo = hi
+        return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
         n = len(ids)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = self.signature(t)
+        sigs = self._signatures(texts)
         # band hashes: combine r rows per band into one uint64
         bands = sigs.reshape(n, self.bands, self.r)
         band_hash = (bands * self.band_pow).sum(axis=2)  # (n, bands)
@@ -134,17 +224,58 @@ class MinHasher:
         )
 
 
-def _bucket_pairs_fn(id_col: str, max_pairs_per_bucket: int):
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column(id_col).to_numpy(zero_copy_only=False))
-        if len(ids) < 2:
-            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
-        ii, jj = np.triu_indices(len(ids), k=1)
-        if len(ii) > max_pairs_per_bucket:
-            ii, jj = ii[:max_pairs_per_bucket], jj[:max_pairs_per_bucket]
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+def _segment_pairs(
+    ids_sorted: np.ndarray, bounds: np.ndarray, max_pairs_per_bucket: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Pairs within each [bounds[i], bounds[i+1]) segment of a sorted id
+    array. Small segments get the full triangle; a segment larger than the
+    triangle cap contributes a head-triangle plus an adjacency CHAIN over
+    the rest — O(n) pairs that keep the segment connected for the
+    connected-components step without the O(n^2) blowup (skew guard)."""
+    # n*(n-1)/2 <= max_pairs  =>  full triangle allowed up to this n
+    full_n = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
+    out_a, out_b = [], []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        seg = np.unique(ids_sorted[lo:hi])
+        n = len(seg)
+        if n < 2:
+            continue
+        head = min(n, full_n)
+        ii, jj = np.triu_indices(head, k=1)
+        out_a.append(seg[ii])
+        out_b.append(seg[jj])
+        if n > head:
+            # STAR to the segment min, not a chain: keeps the component
+            # diameter at 2 so label propagation converges in O(1) rounds
+            # (a chain over an n-member bucket needs O(n) rounds).
+            out_a.append(np.full(n - head, seg[0]))
+            out_b.append(seg[head:n])
+    if not out_a:
+        z = np.array([], np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
 
-    return bucket_pairs
+
+def _minhash_partition_pairs(id_col: str, max_pairs_per_bucket: int):
+    """Vectorized pair-gen over ONE bounded partition that contains many
+    (band, band_hash) buckets: sort once, boundary-detect buckets, generate
+    pairs per segment. Dispatch count = partitions, not buckets (a
+    per-bucket map_groups costs one Python call per distinct band hash —
+    millions at corpus scale)."""
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        band = group.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = group.column("band_hash").to_numpy(zero_copy_only=False)
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids = band[order], bh[order], ids[order]
+        change = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
+        bounds = np.concatenate([[0], change, [len(ids)]])
+        a, b = _segment_pairs(ids, bounds, max_pairs_per_bucket)
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
+
+    pairs_in_partition.__name__ = "lsh_bucket_pairs"
+    return pairs_in_partition
 
 
 def minhash_lsh_pairs(
@@ -156,8 +287,14 @@ def minhash_lsh_pairs(
     shingle_k: int = 5,
     concurrency=(1, 4),
     max_pairs_per_bucket: int = 1000,
+    num_partitions: int | None = None,
 ):
     """Candidate near-dup pairs (a < b) via MinHash LSH banding."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
     sig = docs.map_batches(
         MinHasher,
         fn_constructor_kwargs=dict(
@@ -168,8 +305,21 @@ def minhash_lsh_pairs(
         batch_size=512,  # small batches spread the pool; state amortized anyway
         concurrency=concurrency,
     )
-    pairs = sig.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_fn(id_col, max_pairs_per_bucket), batch_format="pyarrow"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        band = t.column("band").to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        part = (((band * np.int64(1_000_003)) ^ bh) % P).astype(np.int32)
+        return t.append_column("_bp", pa.array(np.abs(part)))
+
+    add_part.__name__ = "bucket_partition"
+    pairs = (
+        sig.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_bp")
+        .map_groups(
+            _minhash_partition_pairs(id_col, max_pairs_per_bucket),
+            batch_format="pyarrow",
+        )
     )
     # Same pair can surface from several bands — dedup the edge list
     # (the groupby-count IS the distinct; drop the count).
@@ -230,32 +380,97 @@ def verify_pairs_jaccard(
     return joined.map_batches(verify, batch_format="pyarrow", batch_size=1024)
 
 
-def connected_components(pairs, max_edges: int = 2_000_000) -> dict[int, int]:
-    """Union-find over the (a, b) edge list on the driver.
+def connected_components(
+    pairs, max_rounds: int = 50, num_partitions: int | None = None
+) -> dict[int, int]:
+    """Distributed connected components over the (a, b) edge list via
+    min-label propagation on LABEL-ANNOTATED symmetric edges — one groupby
+    per round, no joins, edges never collected on the driver (the round-1
+    version union-found a driver-side ``take_all`` of the edge list).
 
-    Assumption (documented): the *candidate-pair* set is tiny relative to
-    the corpus (LSH prunes aggressively), so collecting edges is safe; the
-    cap guards the assumption. At extreme scale replace with iterative
-    min-label propagation via groupby rounds."""
-    edges = pairs.select_columns(["a", "b"]).take_all()
-    if len(edges) > max_edges:
-        raise RuntimeError(
-            f"{len(edges)} candidate edges exceed max_edges={max_edges}; "
-            "raise the threshold/bands or switch to label propagation"
+    State per round is the symmetric edge set (src, dst, src_label). The
+    round groups edges by ``dst % P`` (bounded dispatch: P groups, each
+    reduced vectorized); within a partition every dst computes
+    ``new = min(dst, min incoming src_label)`` by a segmented reduce and
+    re-emits its own outgoing (dst, src) edges annotated with the new
+    label — by symmetry that regenerates the full edge set for the next
+    round. Labels are monotone non-increasing; convergence = the per-edge
+    label sum going stationary (one cheap aggregate per round). Rounds =
+    graph diameter (near-dup clusters are dense, 2-4 in practice).
+
+    The driver holds only per-round scalars and the final node->label map,
+    O(nodes touched by an edge) — tiny relative to the corpus.
+    """
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus)
+    P = num_partitions
+
+    def init_sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").cast(pa.int64()).combine_chunks()
+        b = t.column("b").cast(pa.int64()).combine_chunks()
+        src = pa.concat_arrays([a, b])
+        dst = pa.concat_arrays([b, a])
+        part = (dst.to_numpy(zero_copy_only=False) % P).astype(np.int32)
+        return pa.table(
+            {"src": src, "dst": dst, "src_label": src, "_part": pa.array(part)}
         )
-    parent: dict[int, int] = {}
 
-    def find(x: int) -> int:
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+    init_sym.__name__ = "symmetrize_edges"
+    edges = (
+        pairs.select_columns(["a", "b"])
+        .map_batches(init_sym, batch_format="pyarrow", batch_size=None)
+        .materialize()
+    )
+    if edges.count() == 0:
+        return {}
 
-    for e in edges:
-        ra, rb = find(int(e["a"])), find(int(e["b"]))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {x: find(x) for x in list(parent)}
+    def propagate(group: pa.Table) -> pa.Table:
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        lbl = group.column("src_label").to_numpy(zero_copy_only=False)
+        order = np.argsort(dst, kind="stable")
+        dst_s, src_s, lbl_s = dst[order], src[order], lbl[order]
+        starts = np.flatnonzero(
+            np.diff(dst_s, prepend=dst_s[0] - 1) != 0
+        )
+        new_per_dst = np.minimum(
+            np.minimum.reduceat(lbl_s, starts), dst_s[starts]
+        )
+        seg = np.repeat(np.arange(len(starts)), np.diff(np.append(starts, len(dst_s))))
+        new_lbl = new_per_dst[seg]
+        # Re-emit this dst's outgoing edges (dst -> src) with its new label.
+        part = (src_s % P).astype(np.int32)
+        return pa.table(
+            {
+                "src": pa.array(dst_s),
+                "dst": pa.array(src_s),
+                "src_label": pa.array(new_lbl),
+                "_part": pa.array(part),
+            }
+        )
+
+    propagate.__name__ = "label_propagate"
+    prev_sum = None
+    for _ in range(max_rounds):
+        edges = (
+            edges.groupby("_part")
+            .map_groups(propagate, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = edges.aggregate(Sum("src_label"))["sum(src_label)"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    labels = (
+        edges.groupby("src")
+        .aggregate(Min("src_label", alias_name="label"))
+        .take_all()
+    )
+    return {int(r["src"]): int(r["label"]) for r in labels}
 
 
 def dedup_minhash(
@@ -282,6 +497,10 @@ def dedup_minhash(
 
 
 # ---------------------------------------------------------------- simhash
+
+_SIMHASH_FULL_BUCKET = 256  # full O(n^2) pair-gen only below this size
+_SIMHASH_WINDOW = 8  # neighbors compared per doc in the sorted-window path
+_COSINE_FULL_BUCKET = 2048  # full m x m cosine only below this bucket size
 
 class SimHasher:
     """Actor-pool stage: 64-bit SimHash fingerprint per document plus its
@@ -322,11 +541,38 @@ class SimHasher:
         )
 
 
+def _popcount(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int32)
+    return np.array([bin(v).count("1") for v in x], np.int32)
+
+
 def simhash_candidates(
-    docs, text_col: str = "text", id_col: str = "doc_id", concurrency=(1, 4)
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+    num_partitions: int | None = None,
 ):
     """Near-dup candidate pairs with Hamming distance <= 3 (pigeonhole over
-    the 4 chunk bands); verify with true Hamming distance on the signature."""
+    the 4 chunk bands); verified with true Hamming distance on the
+    signature.
+
+    ONE exchange: each doc explodes to 4 (chunk_id, chunk_val) rows keyed
+    by a bounded partition of the chunk value, so dispatch is P vectorized
+    group calls (a per-chunk-value map_groups costs one Python call per
+    distinct 16-bit value; the round-1 version also unioned 4 separate
+    groupbys). Inside a partition, buckets are boundary-detected on the
+    sorted (chunk_id, chunk_val) key; a degenerate bucket (e.g. every empty
+    text -> fingerprint 0) switches from full O(n^2) pair-gen to a sorted
+    window of ``_SIMHASH_WINDOW`` neighbors — identical fingerprints stay
+    adjacent, so dup chains survive for connected components at O(n*W)."""
+    import ray
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
     sigs = docs.map_batches(
         SimHasher,
         fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
@@ -334,39 +580,101 @@ def simhash_candidates(
         batch_size=4096,
         concurrency=concurrency,
     )
-    # The signature table is tiny (id + 5 ints per doc). Pin it: the four
-    # band groupbys below would otherwise EACH re-execute the actor-pool
-    # stage concurrently and starve small clusters of CPUs.
-    sigs = sigs.materialize()
-    parts = []
-    for c in range(4):
-        def pair_fn(group: pa.Table, _c=c):
-            ids = group.column(id_col).to_numpy(zero_copy_only=False)
-            fps = group.column("simhash").to_numpy(zero_copy_only=False)
-            order = np.argsort(ids)
-            ids, fps = ids[order], fps[order]
-            uniq = np.unique(ids, return_index=True)[1]
-            ids, fps = ids[uniq], fps[uniq]
-            if len(ids) < 2:
-                return pa.table(
-                    {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                     "hamming": pa.array([], pa.int32())}
-                )
-            ii, jj = np.triu_indices(len(ids), k=1)
-            x = fps[ii].astype(np.uint64) ^ fps[jj].astype(np.uint64)
-            ham = np.bitwise_count(x).astype(np.int32) if hasattr(np, "bitwise_count") else np.array(
-                [bin(v).count("1") for v in x], np.int32
-            )
-            keep = ham <= 3
-            return pa.table(
-                {"a": pa.array(ids[ii][keep]), "b": pa.array(ids[jj][keep]),
-                 "hamming": pa.array(ham[keep])}
-            )
 
-        pair_fn.__name__ = f"simhash_pairs_c{c}"
-        parts.append(sigs.groupby(f"chunk{c}").map_groups(pair_fn, batch_format="pyarrow"))
-    allpairs = parts[0].union(*parts[1:])
-    return dedup_exact(allpairs, ["a", "b"], "hamming")
+    def explode(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), 4)
+        fps = np.repeat(t.column("simhash").to_numpy(zero_copy_only=False), 4)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk_val = np.stack(
+            [t.column(f"chunk{c}").to_numpy(zero_copy_only=False) for c in range(4)],
+            axis=1,
+        ).reshape(-1)
+        part = (
+            (chunk_id.astype(np.int64) * np.int64(65_537) + chunk_val) % P
+        ).astype(np.int32)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "simhash": pa.array(fps),
+                "chunk_id": pa.array(chunk_id),
+                "chunk_val": pa.array(chunk_val),
+                "_bp": pa.array(part),
+            }
+        )
+
+    explode.__name__ = "explode_chunks"
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        fps = group.column("simhash").to_numpy(zero_copy_only=False)
+        cid = group.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cval = group.column("chunk_val").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = cid * np.int64(65_537) + cval
+        order = np.lexsort((ids, key))
+        ids, fps, key = ids[order], fps[order], key[order]
+        change = np.flatnonzero(np.diff(key) != 0) + 1
+        bounds = np.concatenate([[0], change, [len(ids)]])
+        out_a, out_b, out_h = [], [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            seg_ids, seg_fps = ids[lo:hi], fps[lo:hi]
+            uniq = np.unique(seg_ids, return_index=True)[1]
+            seg_ids, seg_fps = seg_ids[uniq], seg_fps[uniq]
+            m = len(seg_ids)
+            if m < 2:
+                continue
+            if m <= _SIMHASH_FULL_BUCKET:
+                ii, jj = np.triu_indices(m, k=1)
+            else:
+                fp_order = np.argsort(seg_fps, kind="stable")
+                parts_ii = [fp_order[:-w] for w in range(1, _SIMHASH_WINDOW + 1)]
+                parts_jj = [fp_order[w:] for w in range(1, _SIMHASH_WINDOW + 1)]
+                # Runs of IDENTICAL fingerprints additionally pair as a STAR
+                # to the run head: dup clusters get diameter 2 instead of a
+                # window chain whose label propagation needs O(run) rounds.
+                sorted_fps = seg_fps[fp_order]
+                run_id = np.concatenate(
+                    [[0], np.cumsum(np.diff(sorted_fps) != 0)]
+                )
+                run_start = fp_order[
+                    np.concatenate([[0], np.flatnonzero(np.diff(run_id)) + 1])
+                ]
+                heads = run_start[run_id]
+                not_head = heads != fp_order
+                parts_ii.append(heads[not_head])
+                parts_jj.append(fp_order[not_head])
+                ii = np.concatenate(parts_ii)
+                jj = np.concatenate(parts_jj)
+            x = seg_fps[ii].astype(np.uint64) ^ seg_fps[jj].astype(np.uint64)
+            ham = _popcount(x)
+            keep = ham <= 3
+            out_a.append(np.minimum(seg_ids[ii][keep], seg_ids[jj][keep]))
+            out_b.append(np.maximum(seg_ids[ii][keep], seg_ids[jj][keep]))
+            out_h.append(ham[keep])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "hamming": pa.array([], pa.int32())}
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a)),
+                "b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    pairs_in_partition.__name__ = "simhash_pairs"
+    allpairs = (
+        sigs.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby("_bp")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+    )
+    # Distinct pairs via a vectorized hash aggregate (NOT per-pair
+    # map_groups — one Python call per pair is the dispatch trap again).
+    return allpairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
 
 
 # ---------------------------------------------------------------- embeddings
@@ -398,7 +706,16 @@ def embedding_dup_pairs(
     n_planes: int = 10,
     concurrency=(1, 4),
 ):
-    """Near-dup pairs by cosine >= threshold within hyperplane-LSH buckets."""
+    """Near-dup pairs by cosine >= threshold within hyperplane-LSH buckets.
+
+    Skew guard: a bucket larger than ``_COSINE_FULL_BUCKET`` switches from
+    the full m x m similarity matrix to projection-sorted BLOCKS (sort the
+    bucket by its projection on a fixed random direction; compare each
+    block with itself and its successor). Near-identical vectors have
+    near-identical projections, so true dup pairs stay within a block or
+    straddle adjacent ones — O(m * B) work instead of O(m^2)."""
+    from ray.data.aggregate import Max
+
     bucketed = embeddings.map_batches(
         HyperplaneLSH,
         fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, vec_col=vec_col),
@@ -406,6 +723,22 @@ def embedding_dup_pairs(
         batch_size=4096,
         concurrency=concurrency,
     )
+    proj_dir = np.random.default_rng(1234).standard_normal(dim)
+
+    def _pairs_block(ids, mat, out):
+        sim = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = sim[ii, jj] >= threshold
+        out.append((np.minimum(ids[ii][keep], ids[jj][keep]),
+                    np.maximum(ids[ii][keep], ids[jj][keep]),
+                    sim[ii, jj][keep]))
+
+    def _pairs_cross(ids_a, mat_a, ids_b, mat_b, out):
+        sim = mat_a @ mat_b.T
+        ii, jj = np.nonzero(sim >= threshold)
+        out.append((np.minimum(ids_a[ii], ids_b[jj]),
+                    np.maximum(ids_a[ii], ids_b[jj]),
+                    sim[ii, jj]))
 
     def bucket_cosine(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
@@ -415,14 +748,31 @@ def embedding_dup_pairs(
         norms = np.linalg.norm(mat, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         mat = mat / norms
-        sim = mat @ mat.T
-        ii, jj = np.triu_indices(len(ids), k=1)
-        keep = sim[ii, jj] >= threshold
+        out: list = []
+        if len(ids) <= _COSINE_FULL_BUCKET:
+            _pairs_block(ids, mat, out)
+        else:
+            order = np.argsort(mat @ proj_dir, kind="stable")
+            ids, mat = ids[order], mat[order]
+            B = _COSINE_FULL_BUCKET
+            for lo in range(0, len(ids), B):
+                a_ids, a_mat = ids[lo : lo + B], mat[lo : lo + B]
+                _pairs_block(a_ids, a_mat, out)
+                if lo + B < len(ids):
+                    _pairs_cross(
+                        a_ids, a_mat,
+                        ids[lo + B : lo + 2 * B], mat[lo + B : lo + 2 * B], out,
+                    )
+        if not out:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
         return pa.table(
             {
-                "a": pa.array(np.minimum(ids[ii][keep], ids[jj][keep])),
-                "b": pa.array(np.maximum(ids[ii][keep], ids[jj][keep])),
-                "cosine": pa.array(sim[ii, jj][keep]),
+                "a": pa.array(np.concatenate([o[0] for o in out])),
+                "b": pa.array(np.concatenate([o[1] for o in out])),
+                "cosine": pa.array(np.concatenate([o[2] for o in out])),
             }
         )
 
@@ -430,4 +780,5 @@ def embedding_dup_pairs(
     pairs = bucketed.groupby("lsh_bucket").map_groups(
         bucket_cosine, batch_format="pyarrow"
     )
-    return dedup_exact(pairs, ["a", "b"], "cosine")
+    # Distinct pairs via vectorized hash aggregate (not per-pair dispatch).
+    return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))

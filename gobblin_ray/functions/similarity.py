@@ -32,7 +32,10 @@ class _BatchTopK:
     def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
         import ray
 
-        self.q = _normalize(ray.get(queries_ref).astype(np.float64))  # (Q, D)
+        q = queries_ref
+        if isinstance(q, ray.ObjectRef):  # fetched from the LOCAL store
+            q = ray.get(q)
+        self.q = _normalize(np.asarray(q, dtype=np.float64))  # (Q, D)
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -77,13 +80,22 @@ def knn_brute_force(
     import ray
 
     qref = ray.put(np.ascontiguousarray(query_matrix))
-    scorer = _BatchTopK(qref, k + (1 if exclude_ids else 0), id_col, vec_col)
-
-    def score_batch(t: pa.Table) -> pa.Table:
-        return scorer(t)
-
+    # Actor-pool form: _BatchTopK.__init__ runs IN the worker, so ray.get of
+    # the query matrix happens against the local object store — the matrix
+    # is broadcast once, never serialized into the task closure (the round-1
+    # version built the scorer on the driver and shipped the materialized
+    # matrix with every task).
     candidates = embeddings.map_batches(
-        score_batch, batch_format="pyarrow", batch_size=8192
+        _BatchTopK,
+        fn_constructor_kwargs=dict(
+            queries_ref=qref,
+            k=k + (1 if exclude_ids else 0),
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 8),
     )
     excl = exclude_ids or {}
 

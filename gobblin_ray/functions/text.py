@@ -124,27 +124,47 @@ class LangId:
 
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
-        self.tables = {k: v for k, v in STOPWORDS.items() if v}
+        # Arrow value_set per language, built once per actor.
+        self.langs = [k for k, v in STOPWORDS.items() if v]
+        self.value_sets = {k: pa.array(sorted(STOPWORDS[k])) for k in self.langs}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        texts = pd.Series(batch.column(self.text_col).to_pylist(), dtype=object).fillna("")
-        toks = texts.str.lower().str.split()
-        preds, confs = [], []
-        for tk, raw in zip(toks, texts):
-            n = max(1, len(tk))
-            scores = {
-                lang: sum(w in sw for w in tk) / n for lang, sw in self.tables.items()
-            }
-            cjk = sum("一" <= ch <= "鿿" for ch in raw) / max(1, len(raw))
-            scores["zh"] = cjk
-            best = max(scores, key=scores.get)
-            preds.append(best if scores[best] > 0 else "und")
-            confs.append(float(scores[best]))
-        return batch.append_column("lang_pred", pa.array(preds, pa.string())).append_column(
-            "lang_conf", pa.array(confs, pa.float64())
+        # Fully vectorized (round-1 flag was a per-row per-token loop):
+        # explode tokens once, one pc.is_in per language, per-doc hit sums
+        # via bincount over the tokens' parent-row indices.
+        text = pc.fill_null(
+            pc.utf8_lower(batch.column(self.text_col).cast(pa.string())), ""
         )
+        n_docs = len(text)
+        tokens = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(tokens).combine_chunks()
+        parents = pc.list_parent_indices(tokens).to_numpy(zero_copy_only=False)
+        n_tok = np.maximum(
+            pc.list_value_length(tokens).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        scores = np.zeros((len(self.langs) + 1, n_docs), dtype=np.float64)
+        for li, lang in enumerate(self.langs):
+            hits = pc.is_in(flat, value_set=self.value_sets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            scores[li] = (
+                np.bincount(parents, weights=hits, minlength=n_docs) / n_tok
+            )
+        # zh: CJK char ratio (no-space script), vectorized regex count.
+        cjk = pc.count_substring_regex(text, "[一-鿿]").to_numpy(
+            zero_copy_only=False
+        )
+        n_chars = np.maximum(
+            pc.utf8_length(text).to_numpy(zero_copy_only=False), 1
+        ).astype(np.float64)
+        scores[len(self.langs)] = cjk / n_chars
+        best = np.argmax(scores, axis=0)  # first max wins, same order as dict
+        conf = scores[best, np.arange(n_docs)]
+        all_langs = np.array(self.langs + ["zh"], dtype=object)
+        preds = np.where(conf > 0, all_langs[best], "und")
+        return batch.append_column(
+            "lang_pred", pa.array(preds, pa.string())
+        ).append_column("lang_conf", pa.array(conf, pa.float64()))
 
 
 class Fingerprinter:

@@ -119,7 +119,11 @@ def sort_topk_revenue(sf_dir: str):
     agg = agg.map_batches(
         _round_cols({"revenue": 2}), batch_format="pyarrow", batch_size=None
     )
-    return agg.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    # Per-block partial top-k + tiny final reduce — no global sort of the
+    # aggregated table for a 10-row answer (round-1 scale flag).
+    from ..stages.sorts import top_k
+
+    return top_k(agg, 10, ["revenue", "l_orderkey"], descending=[True, False])
 
 
 def join_orders_customer(sf_dir: str):
@@ -163,17 +167,44 @@ def join_nation_region(sf_dir: str):
 
 # ---------------------------------------------------------------- CDC-shaped
 
-def cdc_lww_upsert_events(sf_dir: str):
+def cdc_lww_upsert_events(sf_dir: str, num_parts: int = 32):
     """The dedup-reducer semantics on the driver's events table: latest
     state per user_id, LWW on (ts, event_id) — AvroKeyDedupReducer analog
-    (gobblin-compaction/.../AvroKeyDedupReducer.java:35-93)."""
+    (gobblin-compaction/.../AvroKeyDedupReducer.java:35-93).
+
+    Scale shape (round-1 flag): NOT groupby(user_id).map_groups — at 10^9
+    users the per-group Python dispatch dominates. Instead the engine's own
+    sort+boundary-detect kernel runs vectorized over BOUNDED partition
+    groups: a within-batch combiner collapses each batch to one row per
+    user, the shuffle keys on ``hash(user) % num_parts``, and each of the
+    ``num_parts`` groups reduces thousands of users in one Arrow pass.
+    """
     ds = read_table(
         sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type", "value"]
     )
+    sort_keys = [
+        ("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")
+    ]
 
-    def last_per_user(group: pa.Table) -> pa.Table:
-        g = group.sort_by([("ts", "ascending"), ("event_id", "ascending")])
-        last = g.slice(g.num_rows - 1, 1)
+    def _last_per_user(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by(sort_keys)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        take = np.flatnonzero(np.diff(u, append=u[-1] + 1) != 0)
+        return t.take(pa.array(take))
+
+    def combine_and_bucket(t: pa.Table) -> pa.Table:
+        t = _last_per_user(t)
+        part = (
+            t.column("user_id").to_numpy(zero_copy_only=False) % num_parts
+        ).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    combine_and_bucket.__name__ = "lww_combine"
+
+    def reduce_partition(g: pa.Table) -> pa.Table:
+        last = _last_per_user(g)
         return pa.table(
             {
                 "user_id": last.column("user_id"),
@@ -184,7 +215,11 @@ def cdc_lww_upsert_events(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(last_per_user, batch_format="pyarrow")
+    return (
+        ds.map_batches(combine_and_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_part")
+        .map_groups(reduce_partition, batch_format="pyarrow")
+    )
 
 
 def watermark_incremental(sf_dir: str):
@@ -417,6 +452,122 @@ def asof_join_purchase_click(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
+def grok_parse_props(sf_dir: str):
+    """Grok log-line parsing (GrokToJsonConverter analog): extract the
+    numeric k from the props payload via a %{INT:...} grok pattern, then
+    aggregate — one vectorized extract_regex pass."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+    parsed = ds.map_batches(
+        cv.chain(
+            cv.grok_parse("props", '"k": %{INT:kval}', types={"kval": pa.int64()}),
+            cv.project(["event_type", "kval"]),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    return parsed.groupby("event_type").aggregate(Sum("kval", alias_name="sum_kval"))
+
+
+def pipeline_config_demo(sf_dir: str):
+    """SURVEY §2.11 extension surface: the pipeline assembled FROM CONFIG
+    (alias-resolved converter factories + aggregate spec), not hand-wired
+    code — EmbeddedGobblin / ClassAliasResolver analog."""
+    from ..pipeline import Pipeline
+
+    spec = {
+        "source": {"table": "events", "columns": ["event_id", "event_type", "value"]},
+        "transforms": [
+            {"op": "sample_mod", "args": ["event_id", 10, 5]},
+            {"op": "project", "args": [["event_type", "value"]]},
+        ],
+        "groupby": {
+            "keys": ["event_type"],
+            "aggs": [
+                {"fn": "count", "alias": "n"},
+                {"fn": "sum", "col": "value", "alias": "sum_value"},
+            ],
+        },
+    }
+    ds = Pipeline.from_config(spec).run(sf_dir)
+    return ds.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def _sidecar_path(name: str, sf_dir: str) -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), "gobblin_ray_sidecar")
+    os.makedirs(d, exist_ok=True)
+    stem, ext = os.path.splitext(name)
+    return os.path.join(d, f"{stem}-{tag}{ext}")
+
+
+def csv_source_region(sf_dir: str):
+    """CSV source parity (CsvToJsonConverter analog): region exported to
+    CSV deterministically, re-read via ray.data.read_csv, dtypes conformed
+    back to the parquet schema (CSV inference widens int32->int64)."""
+    import os
+
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_csv_source
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    path = _sidecar_path("region.csv", sf_dir)
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        pacsv.write_csv(src, tmp)
+        os.replace(tmp, path)
+    schema = src.schema
+
+    def conform_types(t: pa.Table) -> pa.Table:
+        return t.cast(pa.schema([schema.field(c) for c in t.column_names]))
+
+    conform_types.__name__ = "csv_conform"
+    return read_csv_source(path).map_batches(
+        conform_types, batch_format="pyarrow", batch_size=None
+    )
+
+
+def json_source_nation(sf_dir: str):
+    """JSON source parity (JsonStringToJsonIntermediateConverter analog):
+    nation exported as JSONL, re-read via ray.data.read_json, aggregated."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count
+
+    from ..sources.readers import read_json_source
+
+    src = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    path = _sidecar_path("nation.json", sf_dir)
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        src.to_pandas().to_json(tmp, orient="records", lines=True)
+        os.replace(tmp, path)
+
+    ds = read_json_source(path)
+    out = ds.groupby("n_regionkey").aggregate(Count(alias_name="n"))
+
+    def conform_types(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n_regionkey"),
+            "n_regionkey",
+            t.column("n_regionkey").cast(pa.int32()),
+        )
+
+    conform_types.__name__ = "json_conform"
+    return out.map_batches(conform_types, batch_format="pyarrow", batch_size=None)
+
+
 # ---------------------------------------------------------------- text / dedup
 
 def split_tokens_topk(sf_dir: str):
@@ -434,9 +585,11 @@ def split_tokens_topk(sf_dir: str):
 
 
 def dedup_exact_documents(sf_dir: str):
-    """Exact dedup: first (min doc_id) row per distinct text."""
+    """Exact dedup: first (min doc_id) row per distinct text. Shuffle key is
+    a 64-bit content hash (collision-safe within-group split) so the
+    exchange never carries the corpus text as its sort key."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    out = dd.dedup_exact(ds, ["text"], "doc_id")
+    out = dd.dedup_exact_by_hash(ds, "text", "doc_id")
     return out.select_columns(["doc_id", "text"])
 
 
@@ -506,6 +659,73 @@ def embedding_dup_pairs(sf_dir: str):
     return dd.embedding_dup_pairs(ds, dim=64, threshold=0.95, concurrency=2)
 
 
+# ------------------------------------------------- planted-oracle variants
+
+def langid_planted(sf_dir: str):
+    """Language-ID on the planted fixture: expected_lang is ground truth
+    stored in the fixture, so the DuckDB oracle checks predictions
+    value-for-value (the documents-table variant stays rows-only since its
+    texts carry no known language)."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_langid()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    out = ds.map_batches(
+        tx.LangId,
+        fn_constructor_kwargs=dict(text_col="text"),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=2,
+    )
+    return out.select_columns(["doc_id", "lang_pred"])
+
+
+def dedup_minhash_planted(sf_dir: str):
+    """MinHash near-dup removal on planted clusters: kept set must equal
+    min(doc_id) per cluster (fixture stores cluster_id ground truth)."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_neardup()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    kept = dd.dedup_minhash(
+        ds, threshold=0.7, num_perm=64, bands=16, concurrency=(1, 4)
+    )
+    return kept.select_columns(["doc_id"])
+
+
+def simhash_planted_pairs(sf_dir: str):
+    """SimHash candidates on a fixture of identical-text groups among very
+    different paragraphs: the pair set is exactly the identical-text pairs
+    (hamming 0), which SQL reproduces with a self-join on text."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_simdup()
+    ds = rd.read_parquet(path)
+    return dd.simhash_candidates(ds, concurrency=2)
+
+
+def embedding_dup_planted(sf_dir: str):
+    """Embedding near-dup pairs on planted near-identical vectors: every
+    >=0.95-cosine pair in the fixture is planted, so exact all-pairs SQL
+    equals the LSH-bucketed pipeline output."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_embdup()
+    ds = rd.read_parquet(path)
+    out = dd.embedding_dup_pairs(ds, dim=16, threshold=0.95, n_planes=6, concurrency=2)
+    return out.map_batches(
+        _round_cols({"cosine": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------- similarity
 
 def _query_matrix(sf_dir: str, n: int = 3) -> np.ndarray:
@@ -533,10 +753,19 @@ def knn_brute_force(sf_dir: str):
 
 
 def knn_lsh(sf_dir: str):
-    """LSH-bucketed approximate top-10 — rows-only check (recall < 1)."""
+    """LSH-bucketed approximate top-10. Oracled via the bucket SIDECAR: the
+    query writes (vec_id, lsh_bucket) computed with its own hyperplanes to
+    a fixed parquet path, and the DuckDB oracle independently reproduces
+    probe-the-query-buckets + exact top-k over the probed subset."""
+    from ..fixtures import knn_bucket_sidecar
+
+    knn_bucket_sidecar(sf_dir, dim=64, n_planes=6, seed=42)
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     q = _query_matrix(sf_dir, 3)
-    return sim.knn_lsh(ds, q, dim=64, k=10, n_planes=6, concurrency=2)
+    out = sim.knn_lsh(ds, q, dim=64, k=10, n_planes=6, concurrency=2)
+    return out.map_batches(
+        _round_cols({"score": 4}), batch_format="pyarrow", batch_size=None
+    )
 
 
 def embedding_dims(sf_dir: str):

@@ -71,6 +71,7 @@ def load_log_meta(events_dir: str) -> dict:
                 "min_seq": int(lo),
                 "max_seq": int(hi),
                 "rows": md.num_rows,
+                "bytes": os.path.getsize(path),
                 "schema_version": version,
             }
         )
@@ -92,6 +93,77 @@ def plan_epochs(
         low = high
         idx += 1
     return epochs
+
+
+def plan_epochs_sized(
+    log_meta: dict,
+    committed_high: int,
+    target_bytes: int,
+    start_index: int,
+    max_width: int | None = None,
+) -> list[Epoch]:
+    """Size-based epoch planning (KafkaWorkUnitPacker size-estimator analog,
+    gobblin-modules/gobblin-kafka-common/.../packer/KafkaWorkUnitPacker.java
+    :313-331; CopySource maxSizePerBin CopySource.java:183-185): epoch
+    widths adapt so each epoch carries ~``target_bytes`` of log payload —
+    wide-html segments get NARROW epochs and skinny segments get wide ones,
+    instead of a fixed event count that can swing 100x in bytes.
+
+    Uses per-shard ``bytes`` from the log metadata (file size; falls back
+    to an 800 B/event estimate when absent); estimation is per shard, so a
+    log whose record width changes over time re-paces automatically.
+    """
+    head = log_meta["max_seq"]
+    shards = sorted(log_meta["shards"], key=lambda s: s["min_seq"])
+    epochs: list[Epoch] = []
+    low = committed_high
+    idx = start_index
+    while low < head:
+        budget = float(target_bytes)
+        high = low
+        for s in shards:
+            if s["max_seq"] <= high or s["min_seq"] > head:
+                continue
+            per_event = s.get("bytes", s["rows"] * 800) / max(1, s["rows"])
+            span_lo = max(high, low)
+            remaining_in_shard = s["max_seq"] - span_lo
+            if remaining_in_shard <= 0:
+                continue
+            affordable = int(budget / per_event)
+            if affordable <= 0:
+                break
+            take = min(remaining_in_shard, affordable)
+            high = span_lo + take
+            budget -= take * per_event
+            if budget < per_event:
+                break
+        high = max(high, low + 1)  # always make progress
+        if max_width is not None:
+            high = min(high, low + max_width)
+        high = min(high, head)
+        epochs.append(Epoch(index=idx, low_seq=low, high_seq=high))
+        low = high
+        idx += 1
+    return epochs
+
+
+def pack_bins(sizes: dict, n_bins: int) -> list[list]:
+    """Worst-fit-decreasing bin packing of work items by estimated size
+    (KafkaWorkUnitPacker.worstFitDecreasingBinPacking:313-331;
+    MultiWorkUnitWeightedQueue keep-N-smallest-load analog,
+    gobblin-core/.../source/workunit/MultiWorkUnitWeightedQueue.java).
+    Returns ``n_bins`` lists of keys; each item lands in the currently
+    lightest bin, items visited heaviest-first."""
+    import heapq
+
+    heap = [(0.0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    bins: list[list] = [[] for _ in range(n_bins)]
+    for key in sorted(sizes, key=lambda k: -sizes[k]):
+        load, i = heapq.heappop(heap)
+        bins[i].append(key)
+        heapq.heappush(heap, (load + float(sizes[key]), i))
+    return bins
 
 
 def prune_shards(log_meta: dict, low: int, high: int) -> list[dict]:

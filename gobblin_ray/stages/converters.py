@@ -177,6 +177,58 @@ def split_to_rows(field: str, pattern: str, out: str | None = None) -> BatchFn:
     return _named(f"split[{field}]", run)
 
 
+# Minimal grok pattern library (the usual suspects from public grok dists).
+GROK_PATTERNS = {
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "GREEDYDATA": r".*",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "LOGLEVEL": r"(?:TRACE|DEBUG|INFO|WARN|ERROR|FATAL)",
+}
+
+_GROK_REF = re.compile(r"%\{(\w+):(\w+)\}")
+
+
+def grok_expand(pattern: str) -> tuple[str, list[str]]:
+    """Expand ``%{SYNTAX:name}`` references into a named-group regex.
+    Returns (regex, captured field names)."""
+    fields: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        syntax, name = m.group(1), m.group(2)
+        fields.append(name)
+        return f"(?P<{name}>{GROK_PATTERNS[syntax]})"
+
+    return _GROK_REF.sub(sub, pattern), fields
+
+
+def grok_parse(
+    field: str, pattern: str, types: dict[str, pa.DataType] | None = None
+) -> BatchFn:
+    """Grok log-line parser (GrokToJsonConverter analog,
+    gobblin-modules/gobblin-grok/.../converter/GrokToJsonConverter.java):
+    one vectorized ``pc.extract_regex`` pass pulls every named capture into
+    its own column; non-matching rows get nulls. ``types`` optionally casts
+    captures (default string)."""
+    regex, names = grok_expand(pattern)
+    types = types or {}
+
+    def run(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(t.column(field), regex)
+        for name in names:
+            col = pc.struct_field(ex, name)
+            typ = types.get(name)
+            if typ is not None:
+                col = col.cast(typ)
+            t = t.append_column(name, col)
+        return t
+
+    return _named(f"grok[{field}]", run)
+
+
 def flatten_struct(field: str, prefix: str = "") -> BatchFn:
     """Lift a struct column's children to top-level columns
     (FlattenNestedKeyConverter analog)."""

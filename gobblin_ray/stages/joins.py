@@ -91,19 +91,24 @@ def merge_asof_by_key(
     right_on: str,
     right_cols: list[str] | None = None,
     direction: str = "backward",
+    num_partitions: int = 32,
 ):
     """As-of join: for each left row, the closest right row (by the
     ``direction`` rule on the *_on columns) within the same ``key`` group.
 
     Ray Data has no as-of join; the composition (ray_guide pattern) is:
-    co-partition both sides by key (one union + groupby shuffle), then
-    ``pd.merge_asof`` per key group on the sorted timestamps. Assumes one
-    key group fits in a worker (same partitioning assumption as the CDC
-    bucket merge)."""
+    co-partition both sides through ONE union + groupby shuffle, then ONE
+    vectorized ``pd.merge_asof(..., by=key)`` per BOUNDED partition group
+    (``hash(key) % num_partitions``) — not per key: at 10^9 keys the
+    per-group Python dispatch would dominate, while merge_asof's ``by=``
+    handles all of a partition's keys in one C pass. Assumes one partition
+    fits in a worker (raise ``num_partitions`` at scale)."""
+    import numpy as np
     import pandas as pd
 
     from ..schema import conform, unify_additive
 
+    P = num_partitions
     lcols = left.schema().names
     rcols = [key, right_on] + [c for c in (right_cols or []) if c not in (key, right_on)]
     l_schema = pa.schema(zip(left.schema().names, left.schema().types))
@@ -116,7 +121,16 @@ def merge_asof_by_key(
     def tag(side: str):
         def f(t: pa.Table) -> pa.Table:
             t = t.append_column("_side", pa.array([side] * t.num_rows))
-            return conform(t, union_schema)
+            t = conform(t, union_schema)
+            kcol = t.column(key)
+            if pa.types.is_integer(kcol.type):
+                kp = (
+                    kcol.to_numpy(zero_copy_only=False).astype(np.int64) % P
+                ).astype(np.int32)
+            else:
+                arr = kcol.to_pandas().to_numpy(dtype=object, na_value=None)
+                kp = (pd.util.hash_array(arr, categorize=False) % P).astype(np.int32)
+            return t.append_column("_kp", pa.array(kp))
 
         f.__name__ = f"tag_{side}"
         return f
@@ -124,17 +138,17 @@ def merge_asof_by_key(
     l_tag = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
     r_tag = r_full.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
 
-    def asof_group(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][[c for c in g.columns if c in lcols]]
         rg = g[g["_side"] == "r"][[c for c in rcols if c in g.columns]]
         lg = lg.sort_values(left_on)
-        rg = rg.sort_values(right_on).dropna(subset=[right_on])
+        rg = rg.sort_values(right_on).dropna(subset=[right_on, key])
         out = pd.merge_asof(
-            lg, rg.drop(columns=[key]), left_on=left_on, right_on=right_on,
+            lg, rg, left_on=left_on, right_on=right_on, by=key,
             direction=direction,
         )
         return out
 
-    # union carries both sides through ONE shuffle on the key
+    # union carries both sides through ONE shuffle on the partition key
     both = l_tag.union(r_tag)
-    return both.groupby(key).map_groups(asof_group, batch_format="pandas")
+    return both.groupby("_kp").map_groups(asof_partition, batch_format="pandas")

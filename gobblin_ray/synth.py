@@ -265,6 +265,7 @@ def write_corpus(
                     "min_seq": int(seqs[0].as_py()),
                     "max_seq": int(seqs[-1].as_py()),
                     "rows": chunk.num_rows,
+                    "bytes": os.path.getsize(os.path.join(out_dir, "events", name)),
                     "schema_version": version,
                 }
             )

@@ -185,6 +185,141 @@ def test_commit_gate_fails_on_dropped_rows(ray_session, tmp_path_factory, monkey
         eng.run()
 
 
+def test_sized_epochs_and_ratio_compaction(ray_session, corpus, oracle_df, tmp_path_factory):
+    """Size-based epoch planning (epoch_bytes) + ratio-triggered
+    recompaction: same final state, and the ratio condition actually fires
+    (some bucket compacted despite compact_every being unreachable)."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_sized"))
+    cfg = EngineConfig(
+        num_buckets=8, epoch_width=2_000, epoch_bytes=60_000,
+        compact_every=10**6, compact_ratio=0.5,
+    )
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    reports = eng.run(vacuum=False)
+    assert len(reports) >= 2  # byte budget actually split the log
+    assert_matches_oracle(engine_df(eng), oracle_df)
+    m = eng.store.latest()
+    compacted = [s for s in m.buckets.values() if s.base_epoch > 0]
+    assert compacted, "ratio-based recompaction never fired"
+
+
+def test_continuous_tailing_appends_midrun(ray_session, corpus, oracle_df, tmp_path_factory):
+    """InfiniteSource/FlushingExtractor analog: run_forever keeps applying
+    as the log grows (shards + _meta.json appended between polls) and the
+    final state still byte-matches the sequential oracle."""
+    import json
+    import os
+    import shutil
+
+    d, meta = corpus
+    live = str(tmp_path_factory.mktemp("live_log"))
+    os.makedirs(f"{live}/events", exist_ok=True)
+    shards = meta["shards"]
+    split = len(shards) // 2
+
+    def write_meta(n):
+        sub = shards[:n]
+        m = {"shards": sub, "max_seq": max(s["max_seq"] for s in sub)}
+        tmp = f"{live}/events/_meta.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, f"{live}/events/_meta.json")
+
+    for s in shards[:split]:
+        shutil.copy(f"{d}/events/{s['file']}", f"{live}/events/{s['file']}")
+    write_meta(split)
+
+    lake = str(tmp_path_factory.mktemp("lake_tail"))
+    eng = CdcEngine(lake, f"{live}/events", EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    state = {"next": split}
+
+    def appender():  # one new shard per idle poll; then clean shutdown
+        n = state["next"]
+        if n < len(shards):
+            s = shards[n]
+            shutil.copy(f"{d}/events/{s['file']}", f"{live}/events/{s['file']}")
+            write_meta(n + 1)
+            state["next"] = n + 1
+        else:
+            open(f"{lake}/_STOP", "w").close()
+
+    reports = eng.run_forever(poll_interval=0.05, idle_callback=appender)
+    # Epoch widths vary with observed head position; the applied ranges must
+    # tile the full log contiguously with no gap/overlap.
+    assert [r.epoch for r in reports] == list(range(1, len(reports) + 1))
+    assert reports[0].low_seq == -1 and reports[-1].high_seq == N_EVENTS - 1
+    for prev, nxt in zip(reports, reports[1:]):
+        assert nxt.low_seq == prev.high_seq
+    assert sum(r.events for r in reports) == N_EVENTS
+    assert_matches_oracle(engine_df(eng), oracle_df)
+
+
+def test_multi_table_independent_commits(ray_session, tmp_path_factory):
+    """SafeDatasetCommit analog: two tables with independent schemas and
+    watermarks replay in one job; a failing table doesn't block the other."""
+    from gobblin_ray.engine import MultiTableCdcEngine
+
+    da = str(tmp_path_factory.mktemp("tbl_a"))
+    db = str(tmp_path_factory.mktemp("tbl_b"))
+    synth.write_corpus(da, n_pages=60, n_events=600, shard_rows=300)
+    synth.write_corpus(db, n_pages=40, n_events=300, shard_rows=300, seed=7)
+    root = str(tmp_path_factory.mktemp("multi_root"))
+    multi = MultiTableCdcEngine(
+        root,
+        {"a": f"{da}/events", "b": f"{db}/events"},
+        EngineConfig(num_buckets=4, epoch_width=300),
+    )
+    multi.bootstrap({"a": f"{da}/pages.parquet", "b": f"{db}/pages.parquet"})
+    results = multi.run()
+    assert multi.failed_tables(results) == []
+    st = multi.status()
+    assert st["a"]["high_seq"] == 599 and st["b"]["high_seq"] == 299
+    # Each table matches ITS OWN oracle (independent schema/watermark lines).
+    for name, d in (("a", da), ("b", db)):
+        meta = synth.write_corpus(
+            d, **{"a": dict(n_pages=60, n_events=600, shard_rows=300),
+                  "b": dict(n_pages=40, n_events=300, shard_rows=300, seed=7)}[name]
+        )
+        pages = pq.read_table(f"{d}/pages.parquet")
+        events = [pq.read_table(f"{d}/events/{s['file']}") for s in meta["shards"]]
+        oracle = oracle_final_state(pages, events)
+        df = (
+            multi.engines[name]
+            .read_table_arrow()
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        assert list(df["url"]) == list(oracle["url"])
+        assert (df["text"].to_numpy() == oracle["text"].to_numpy()).all()
+
+
+def test_multi_table_failure_isolation(ray_session, tmp_path_factory):
+    from gobblin_ray.engine import MultiTableCdcEngine
+
+    da = str(tmp_path_factory.mktemp("iso_a"))
+    db = str(tmp_path_factory.mktemp("iso_b"))
+    synth.write_corpus(da, n_pages=30, n_events=200, shard_rows=200)
+    synth.write_corpus(db, n_pages=30, n_events=200, shard_rows=200, seed=9)
+    # Break table b's log: truncate a shard AFTER meta was written so the
+    # commit gate sees missing rows.
+    t = pq.read_table(f"{db}/events/part-00000.parquet")
+    pq.write_table(t.slice(0, t.num_rows - 5), f"{db}/events/part-00000.parquet")
+    root = str(tmp_path_factory.mktemp("iso_root"))
+    multi = MultiTableCdcEngine(
+        root,
+        {"a": f"{da}/events", "b": f"{db}/events"},
+        EngineConfig(num_buckets=4, epoch_width=200),
+    )
+    multi.bootstrap({"a": f"{da}/pages.parquet", "b": f"{db}/pages.parquet"})
+    results = multi.run()
+    assert multi.failed_tables(results) == ["b"]
+    assert multi.status()["a"]["high_seq"] == 199  # a committed despite b
+
+
 def test_error_rows_diverted_not_applied(ray_session, tmp_path_factory):
     """RowLevelPolicy ERR_FILE semantics: invalid rows land in _errors/."""
     import os

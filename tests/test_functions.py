@@ -81,13 +81,55 @@ def test_simhash_hamming_near_dups(ray_session):
         assert a < b
 
 
-def test_connected_components_union_find():
+def test_connected_components_label_propagation(ray_session):
     import ray.data as rd
 
     pairs = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 7, "b": 9}])
     comp = dd.connected_components(pairs)
     assert comp[1] == comp[2] == comp[3] == 1
-    assert comp[9] == 7
+    assert comp[9] == 7 and comp[7] == 7
+
+
+def test_connected_components_chain(ray_session):
+    """A path graph needs label flow across multiple propagation rounds."""
+    import ray.data as rd
+
+    pairs = rd.from_items([{"a": i, "b": i + 1} for i in range(10, 18)])
+    comp = dd.connected_components(pairs)
+    assert all(comp[i] == 10 for i in range(10, 19))
+
+
+def test_simhash_skewed_bucket_bounded(ray_session):
+    """Regression (round-1 gap): 1000 identical texts collapse into one
+    chunk bucket; pair-gen must stay O(n*W), not O(n^2), and the dup chain
+    must still connect (adjacent identical fingerprints pair up)."""
+    import ray.data as rd
+
+    n = 1000
+    texts = [""] * n + [BASE]
+    t = pa.table({"doc_id": pa.array(range(n + 1), pa.int64()),
+                  "text": pa.array(texts)})
+    pairs = dd.simhash_candidates(rd.from_arrow(t), concurrency=2).take_all()
+    # Window pair-gen emits <= 4 chunks * W * n pairs, far below n^2/2.
+    assert 0 < len(pairs) <= 4 * dd._SIMHASH_WINDOW * (n + 1)
+    comp = dd.connected_components(
+        rd.from_items([{"a": r["a"], "b": r["b"]} for r in pairs])
+    )
+    assert all(comp.get(i, i) == 0 for i in range(n))  # one dup cluster
+
+
+def test_dedup_exact_by_hash_min_id(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, 3, 9, 1, 7], pa.int64()),
+            "text": pa.array(["x", "y", "x", "x", "y"]),
+        }
+    )
+    kept = dd.dedup_exact_by_hash(rd.from_arrow(t), "text", "doc_id").take_all()
+    got = sorted((r["text"], r["doc_id"]) for r in kept)
+    assert got == [("x", 1), ("y", 3)]
 
 
 def test_embedding_dup_pairs_finds_planted_dup(ray_session):

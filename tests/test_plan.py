@@ -1,0 +1,64 @@
+"""Planner unit tests: sized epochs, bin packing, salting (Ray-free)."""
+
+import numpy as np
+
+from gobblin_ray import plan as pl
+
+
+def _meta(widths_bytes):
+    """Build shard metadata: each (rows, bytes) shard covers a dense
+    contiguous seq range."""
+    shards, lo = [], 0
+    for rows, nbytes in widths_bytes:
+        shards.append(
+            {"file": f"p{lo}.parquet", "min_seq": lo, "max_seq": lo + rows - 1,
+             "rows": rows, "bytes": nbytes, "schema_version": 0}
+        )
+        lo += rows
+    return {"shards": shards, "max_seq": lo - 1}
+
+
+def test_plan_epochs_sized_adapts_width():
+    # 1000 skinny events (100 B each) then 1000 fat events (10 kB each).
+    meta = _meta([(1000, 100_000), (1000, 10_000_000)])
+    epochs = pl.plan_epochs_sized(meta, committed_high=-1, target_bytes=500_000,
+                                  start_index=1)
+    # Tiling invariants: contiguous, no gaps, ends at head.
+    assert epochs[0].low_seq == -1 and epochs[-1].high_seq == meta["max_seq"]
+    for a, b in zip(epochs, epochs[1:]):
+        assert b.low_seq == a.high_seq
+    # Epochs starting in the skinny segment are ~10x wider than epochs in
+    # the fat segment (epoch widths adapt to bytes, not event count).
+    skinny = [e.width for e in epochs if e.low_seq < 1000]
+    fat = [e.width for e in epochs if e.low_seq >= 1000]
+    assert skinny and fat
+    assert min(skinny) > 5 * max(fat), (skinny, fat)
+
+
+def test_plan_epochs_sized_respects_max_width():
+    meta = _meta([(10_000, 1_000)])  # absurdly skinny -> huge epochs
+    epochs = pl.plan_epochs_sized(meta, -1, 10**9, 1, max_width=500)
+    assert all(e.width <= 500 for e in epochs)
+    assert epochs[-1].high_seq == meta["max_seq"]
+
+
+def test_pack_bins_worst_fit_decreasing():
+    sizes = {f"w{i}": s for i, s in enumerate([100, 90, 50, 40, 30, 20, 10, 10])}
+    bins = pl.pack_bins(sizes, 2)
+    loads = [sum(sizes[k] for k in b) for b in bins]
+    assert sorted(sum(bins, [])) == sorted(sizes)  # every item placed once
+    assert max(loads) - min(loads) <= 30  # balanced (170 vs 180)
+
+
+def test_expected_event_count_full_and_boundary(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = _meta([(100, 1), (100, 1)])
+    for s in meta["shards"]:
+        t = pa.table({"event_seq": pa.array(
+            range(s["min_seq"], s["max_seq"] + 1), pa.int64())})
+        pq.write_table(t, str(tmp_path / s["file"]))
+    # Full shards: (−1, 199] = 200 rows; boundary: (49, 149] = 100 rows.
+    assert pl.expected_event_count(meta, str(tmp_path), -1, 199) == 200
+    assert pl.expected_event_count(meta, str(tmp_path), 49, 149) == 100

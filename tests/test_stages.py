@@ -186,3 +186,68 @@ def test_write_time_partitioned(ray_session, tmp_path):
     out = str(tmp_path / "by_day")
     write_time_partitioned(rd.from_arrow(t_events()), out, "ts", "day")
     assert len([d for d in os.listdir(out) if d.startswith("date_part=")]) == 3
+
+
+# ---------------------------------------------------------------- §2.11 surface
+
+def test_grok_expand_and_parse():
+    from gobblin_ray.stages import converters as cv
+    import pyarrow as pa
+
+    regex, names = cv.grok_expand("%{WORD:lvl} took %{NUMBER:ms}ms")
+    assert names == ["lvl", "ms"]
+    fn = cv.grok_parse("line", "%{LOGLEVEL:lvl} req took %{NUMBER:ms}ms",
+                       types={"ms": pa.float64()})
+    t = fn(pa.table({"line": ["INFO req took 12.5ms", "garbage"]}))
+    assert t.column("lvl").to_pylist() == ["INFO", None]
+    assert t.column("ms").to_pylist() == [12.5, None]
+
+
+def test_alias_registry_rejects_unknown_and_dup():
+    import pytest as _pytest
+
+    from gobblin_ray.pipeline import AliasRegistry
+
+    reg = AliasRegistry()
+    reg.register("x", lambda: None)
+    with _pytest.raises(ValueError):
+        reg.register("x", lambda: None)
+    with _pytest.raises(KeyError):
+        reg.resolve("nope")
+
+
+def test_embedded_pipeline_fluent_matches_config(ray_session):
+    """Fluent builder and raw config produce identical results; actor stages
+    slot into the chain (Fingerprinter via alias)."""
+    import pandas as pd
+
+    from gobblin_ray.pipeline import EmbeddedPipeline, Pipeline
+
+    sf = "/root/testdata/sf0.001"
+    fluent = (
+        EmbeddedPipeline("documents", columns=["doc_id", "text"])
+        .actor("Fingerprinter", concurrency=2, batch_size=1024,
+               text_col="text", out="fp", normalize=True)
+        .transform("project", ["doc_id", "fp"])
+        .limit(5)
+    )
+    got = fluent.run(sf).to_pandas()
+    again = Pipeline.from_config(fluent.to_config()).run(sf).to_pandas()
+    assert got.shape == (5, 2) and list(got.columns) == ["doc_id", "fp"]
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_top_k_matches_global_sort(ray_session):
+    import ray.data as rd
+    import numpy as np
+    import pyarrow as pa
+
+    from gobblin_ray.stages.sorts import top_k
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"k": pa.array(rng.permutation(5000)),
+                  "v": pa.array(rng.standard_normal(5000))})
+    ds = rd.from_arrow(t).repartition(8)
+    got = top_k(ds, 7, ["v", "k"], [True, False]).to_pandas()
+    want = t.to_pandas().sort_values(["v", "k"], ascending=[False, True]).head(7)
+    assert list(got["k"]) == list(want["k"])
