@@ -169,10 +169,14 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("SCALING_LO", "2"))
     hi = int(os.environ.get("SCALING_HI", "8"))
-    rounds = int(os.environ.get("SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
     width = max(EPOCH_WIDTH, N_EVENTS // 8)  # enough work per epoch to scale
+    # compact_every=8: one compaction drain near the end instead of two —
+    # each drain stalls the rolling pipeline for ~one epoch of overlap,
+    # which is pure serial fraction at the measured scale (same config at
+    # BOTH levels, so the comparison stays fair).
     cfg = lambda: EngineConfig(  # noqa: E731
-        num_buckets=NUM_BUCKETS, epoch_width=width, compact_every=4,
+        num_buckets=NUM_BUCKETS, epoch_width=width, compact_every=8,
         pipeline_epochs=4,
     )
     ensure_corpus()

@@ -37,37 +37,47 @@ _M61 = (1 << 61) - 1  # Mersenne prime for universal hashing
 
 
 def _mulmod_m61(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Exact ``(x * y) mod 2^61-1`` for uint64 operands — the 128-bit product
-    via 32-bit split-multiply, so the MinHash permutations really are the
-    universal family ((a*x+b) mod p), not a wrap-around mixing hash."""
-    M61 = np.uint64(_M61)
-    mask32 = np.uint64(0xFFFFFFFF)
-    # Reduce x into [0, 2^61) first so every partial product fits uint64.
-    x = (x >> np.uint64(61)) + (x & M61)
-    x_hi, x_lo = x >> np.uint64(32), x & mask32  # x_hi < 2^29
-    y_hi, y_lo = y >> np.uint64(32), y & mask32  # y < 2^61 -> y_hi < 2^29
+    """Exact ``(x * y) mod 2^61-1`` — the 128-bit product via 32-bit
+    split-multiply, so the MinHash permutations really are the universal
+    family ((a*x+b) mod p), not a wrap-around mixing hash.
+
+    Computed in the INT64 domain: this numpy build's uint64 array*array
+    loops miss the fast path (measured ~200x slower than int64; scalar ops
+    are fine). Wraparound multiplication is bit-identical in two's
+    complement; the two logical right-shifts of possibly-negative values
+    are emulated with a 3-bit mask. ``x`` is an arbitrary 64-bit pattern;
+    ``y`` must be in [0, 2^61)."""
+    M61 = np.int64(_M61)
+    mask32 = np.int64(0xFFFFFFFF)
+    if x.dtype == np.uint64:
+        x = x.view(np.int64)
+    # Reduce x into [0, 2^61): top 3 bits folded in (logical shr via mask).
+    x = ((x >> np.int64(61)) & np.int64(7)) + (x & M61)
+    x_hi, x_lo = x >> np.int64(32), x & mask32  # x >= 0 -> arith == logical
+    y_hi, y_lo = y >> np.int64(32), y & mask32  # y < 2^61
     hh = x_hi * y_hi  # < 2^58
     mid = x_hi * y_lo + x_lo * y_hi  # < 2^62
-    ll = x_lo * y_lo  # < 2^64, exact
+    ll = x_lo * y_lo  # < 2^64: may wrap negative in int64 (bits exact)
     # x*y = hh*2^64 + mid*2^32 + ll; mod M61: 2^61 = 1 so 2^64 = 8 and
     # mid*2^32 = (mid>>29)*2^61 + (mid&(2^29-1))*2^32 = (mid>>29) + low<<32.
     v = (
-        (hh << np.uint64(3))
-        + (mid >> np.uint64(29))
-        + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
-        + (ll >> np.uint64(61))
+        (hh << np.int64(3))
+        + (mid >> np.int64(29))
+        + ((mid & np.int64((1 << 29) - 1)) << np.int64(32))
+        + ((ll >> np.int64(61)) & np.int64(7))  # logical shr of top 3 bits
         + (ll & M61)
     )
-    v = (v >> np.uint64(61)) + (v & M61)
-    v = (v >> np.uint64(61)) + (v & M61)
+    # v < 3 * 2^61 < 2^63: non-negative, plain arithmetic from here.
+    v = (v >> np.int64(61)) + (v & M61)
+    v = (v >> np.int64(61)) + (v & M61)
     return np.where(v >= M61, v - M61, v)
 
 
 def _fold61(v: np.ndarray) -> np.ndarray:
-    """Reduce values < 2^62 into [0, 2^61-1) — the post-``+b`` step of the
-    universal hash."""
-    M61 = np.uint64(_M61)
-    v = (v >> np.uint64(61)) + (v & M61)
+    """Reduce non-negative int64 values < 2^62 into [0, 2^61-1) — the
+    post-``+b`` step of the universal hash."""
+    M61 = np.int64(_M61)
+    v = (v >> np.int64(61)) + (v & M61)
     return np.where(v >= M61, v - M61, v)
 
 
@@ -85,28 +95,44 @@ def dedup_exact(ds, keys: list[str], order_col: str):
     )
 
 
-def dedup_exact_by_hash(ds, text_col: str, order_col: str):
-    """Exact dedup whose SHUFFLE KEY is a 64-bit content hash, not the wide
-    text column (at webtext scale a text-keyed groupby ships the corpus as
-    both key and payload; hash-keying halves the exchange and makes the
-    shuffle sort compare 8-byte ints). Exactness is preserved by splitting
-    each hash group per distinct text (hash collisions land in one group and
-    are separated there), keeping the min-``order_col`` row per text."""
+def dedup_exact_by_hash(ds, text_col: str, order_col: str,
+                        num_partitions: int | None = None):
+    """Exact dedup whose SHUFFLE KEY is a bounded partition of a 64-bit
+    content hash, not the wide text column (at webtext scale a text-keyed
+    groupby ships the corpus as both key and payload, and a per-hash
+    groupby dispatches one Python call per distinct text). Each of the P
+    partition groups splits its texts vectorized — sort by (hash, text,
+    order), boundary-detect, keep the min-``order_col`` row per distinct
+    text (hash collisions separate on the text sort key)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
+    add_hash = content_hash_column(text_col, out="_chash")
+
+    def hash_and_bucket(t: pa.Table) -> pa.Table:
+        t = add_hash(t)
+        bp = (
+            t.column("_chash").to_numpy(zero_copy_only=False) % P
+        ).astype(np.int32)
+        return t.append_column("_bp", pa.array(bp))
+
+    hash_and_bucket.__name__ = f"content_hash_bucket[{text_col}]"
 
     def first_per_text(group: pa.Table) -> pa.Table:
-        g = group.sort_by([(text_col, "ascending"), (order_col, "ascending")])
+        g = group.sort_by(
+            [("_chash", "ascending"), (text_col, "ascending"),
+             (order_col, "ascending")]
+        )
         codes = pc.dictionary_encode(
             g.column(text_col).combine_chunks()
         ).indices.to_numpy(zero_copy_only=False)
         take = np.flatnonzero(np.diff(codes, prepend=codes[0] - 1) != 0)
-        return g.take(pa.array(take)).drop_columns(["_chash"])
+        return g.take(pa.array(take)).drop_columns(["_chash", "_bp"])
 
-    hashed = ds.map_batches(
-        content_hash_column(text_col, out="_chash"),
-        batch_format="pyarrow",
-        batch_size=None,
-    )
-    return hashed.groupby("_chash").map_groups(first_per_text, batch_format="pyarrow")
+    hashed = ds.map_batches(hash_and_bucket, batch_format="pyarrow", batch_size=None)
+    return hashed.groupby("_bp").map_groups(first_per_text, batch_format="pyarrow")
 
 
 def content_hash_column(text_col: str, out: str = "content_hash"):
@@ -161,14 +187,15 @@ class MinHasher:
     ):
         assert num_perm % bands == 0
         rng = np.random.default_rng(seed)
-        self.a = rng.integers(1, _M61, num_perm, dtype=np.uint64)
-        self.b = rng.integers(0, _M61, num_perm, dtype=np.uint64)
+        # int64 domain throughout (see _mulmod_m61): values are < 2^61.
+        self.a = rng.integers(1, _M61, num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _M61, num_perm, dtype=np.int64)
         self.text_col, self.id_col = text_col, id_col
         self.num_perm, self.bands, self.k = num_perm, bands, shingle_k
         self.r = num_perm // bands
-        # band hash combine coefficients
+        # band hash combine coefficients (wraparound mixing; int64 fast path)
         self.band_pow = np.power(
-            np.uint64(1_000_003), np.arange(self.r, dtype=np.uint64), dtype=np.uint64
+            np.int64(1_000_003), np.arange(self.r, dtype=np.int64), dtype=np.int64
         )
 
     def signature(self, text: str) -> np.ndarray:
@@ -185,9 +212,12 @@ class MinHasher:
         """
         sh = [_char_shingle_hashes(t or "", self.k) for t in texts]
         lens = np.array([len(s) for s in sh], dtype=np.int64)  # all >= 1
-        sigs = np.empty((len(texts), self.num_perm), dtype=np.uint64)
-        # Chunk so (shingles x perms) stays ~<=100 MB of uint64.
-        max_rows = max(1, 12_000_000 // self.num_perm)
+        sigs = np.empty((len(texts), self.num_perm), dtype=np.int64)
+        # Chunk so (shingles x perms) stays ~1 MB: the split mulmod makes
+        # ~10 temporaries of this size, and keeping them cache/arena-sized
+        # beats big-matrix batching (measured: 1 MB chunks 0.92 s/2k docs
+        # vs 64 MB chunks 5.6 s — allocator churn dominates, not FLOPs).
+        max_rows = max(1, 120_000 // self.num_perm)
         lo = 0
         while lo < len(texts):
             hi = lo
@@ -210,7 +240,7 @@ class MinHasher:
         texts = batch.column(self.text_col).to_pylist()
         n = len(ids)
         sigs = self._signatures(texts)
-        # band hashes: combine r rows per band into one uint64
+        # band hashes: combine r rows per band into one int64 (wraparound)
         bands = sigs.reshape(n, self.bands, self.r)
         band_hash = (bands * self.band_pow).sum(axis=2)  # (n, bands)
         out_ids = np.repeat(np.asarray(ids, dtype=np.int64), self.bands)
@@ -219,7 +249,7 @@ class MinHasher:
             {
                 self.id_col: pa.array(out_ids),
                 "band": pa.array(out_band),
-                "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),
+                "band_hash": pa.array(band_hash.reshape(-1)),
             }
         )
 
@@ -361,14 +391,20 @@ def verify_pairs_jaccard(
     def verify(t: pa.Table) -> pa.Table:
         ta = t.column("_text_a").to_pylist()
         tb = t.column("_text_b").to_pylist()
+        # Shingle each DISTINCT text once per batch: near-dup clusters put
+        # the same text in many candidate pairs, and shingling is the
+        # verify stage's dominant compute.
+        memo: dict[str, np.ndarray] = {}
+
+        def sh(x: str) -> np.ndarray:
+            x = x or ""
+            got = memo.get(x)
+            if got is None:
+                got = memo[x] = _char_shingle_hashes(x, shingle_k)
+            return got
+
         js = np.array(
-            [
-                jaccard(
-                    _char_shingle_hashes(x or "", shingle_k),
-                    _char_shingle_hashes(y or "", shingle_k),
-                )
-                for x, y in zip(ta, tb)
-            ],
+            [jaccard(sh(x), sh(y)) for x, y in zip(ta, tb)],
             dtype=np.float64,
         )
         out = t.drop_columns(["_text_a", "_text_b"]).append_column(
@@ -522,12 +558,51 @@ class SimHasher:
         votes = bits.sum(axis=0) * 2 - len(toks)  # majority vote per bit
         return np.uint64((self.bit_weights * (votes > 0)).sum())
 
+    def _fingerprints(self, texts: list) -> np.ndarray:
+        """Batched fingerprints: ONE hash pass over every doc's tokens
+        concatenated, per-doc bit votes via segmented ``np.add.reduceat``
+        (the per-doc loop hashed tiny arrays one doc at a time)."""
+        toks_per_doc = [(t or "").lower().split() for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
+        fps = np.zeros(len(texts), dtype=np.uint64)
+        nonempty = np.flatnonzero(lens > 0)
+        if len(nonempty) == 0:
+            return fps
+        # Chunk so the (tokens x 64) vote matrix stays ~2 MB (cache/arena
+        # sized — see _signatures for the measured rationale).
+        max_toks = 30_000
+        lo = 0
+        while lo < len(nonempty):
+            hi = lo
+            total = 0
+            while hi < len(nonempty) and (
+                hi == lo or total + lens[nonempty[hi]] <= max_toks
+            ):
+                total += lens[nonempty[hi]]
+                hi += 1
+            idx = nonempty[lo:hi]
+            flat = np.array(
+                [w for i in idx for w in toks_per_doc[i]], dtype=object
+            )
+            h = self.hash_array(flat, categorize=False)  # (total_toks,)
+            bits = (h[:, None] & self.bit_weights[None, :]) != 0
+            starts = np.zeros(len(idx), dtype=np.int64)
+            np.cumsum(lens[idx][:-1], out=starts[1:])
+            # int32 accumulators: int8 would overflow past 127 same-bit
+            # tokens in one doc; 30k x 64 x 4 B stays ~7 MB.
+            votes = (
+                np.add.reduceat(bits.astype(np.int32), starts, axis=0).astype(
+                    np.int64
+                ) * 2
+                - lens[idx][:, None]
+            )
+            fps[idx] = ((votes > 0) * self.bit_weights[None, :]).sum(axis=1)
+            lo = hi
+        return fps
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
-        fps = np.array(
-            [self.fingerprint(t) for t in batch.column(self.text_col).to_pylist()],
-            dtype=np.uint64,
-        )
+        fps = self._fingerprints(batch.column(self.text_col).to_pylist())
         chunks = [
             ((fps >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
             for c in range(4)

@@ -66,6 +66,48 @@ def list_new_files(
     return out
 
 
+def read_date_partitioned(
+    root_dir: str,
+    low: str | None = None,
+    high: str | None = None,
+    partition_key: str = "date",
+    columns: list[str] | None = None,
+    **kw,
+):
+    """Date-partition-aware incremental read (PartitionedFileSourceBase /
+    DatePartitionedAvroFileSource analog, gobblin-core/.../source/): the
+    lake is laid out as ``<root>/<key>=<value>/*.parquet`` and the
+    lexicographic partition value IS the watermark — partitions at or below
+    ``low`` (the previous high watermark) are pruned from the LISTING, so
+    their bytes are never touched. ``high`` bounds the upper side
+    (inclusive). Returns (dataset, partitions_read)."""
+    import ray.data as rd
+
+    prefix = f"{partition_key}="
+    selected = []
+    for name in sorted(os.listdir(root_dir)):
+        full = os.path.join(root_dir, name)
+        if not (name.startswith(prefix) and os.path.isdir(full)):
+            continue
+        value = name[len(prefix):]
+        if low is not None and value <= low:
+            continue
+        if high is not None and value > high:
+            continue
+        selected.append(full)
+    if not selected:
+        return None, []
+    files = [
+        os.path.join(d, f)
+        for d in selected
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+    return rd.read_parquet(files, columns=columns, **kw), [
+        os.path.basename(p)[len(prefix):] for p in selected
+    ]
+
+
 def read_csv_source(paths, **kw):
     import ray.data as rd
 
