@@ -193,6 +193,7 @@ def run_scaling() -> dict:
         ray.shutdown()
 
     times: dict[int, list[float]] = {lo: [], hi: []}
+    commit_secs: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(rounds):
         for n in (lo, hi):
             lake = f"/tmp/gobblin_scaling_lake_{n}"
@@ -205,6 +206,7 @@ def run_scaling() -> dict:
             t0 = time.time()
             reports = eng.run(vacuum=False)
             times[n].append(time.time() - t0)
+            commit_secs[n].append(sum(r.commit_sec for r in reports))
             events = sum(r.events for r in reports)
             ray.shutdown()
             shutil.rmtree(lake, ignore_errors=True)
@@ -220,6 +222,13 @@ def run_scaling() -> dict:
         f"events_per_sec_{lo}": round(events / t_lo, 1),
         f"events_per_sec_{hi}": round(events / t_hi, 1),
         "scaling_efficiency": round(eff, 3),
+        # Measured driver-serial work (promote + manifest commit) per run:
+        # the Amdahl-relevant serial fraction — everything else executes in
+        # Ray workers. If this is ~0.1 s of a 20-50 s run, an efficiency
+        # below ~0.99 is environment (shared page-backing/memory bandwidth),
+        # not engine serialization.
+        f"driver_commit_sec_{lo}": round(min(commit_secs[lo]), 3),
+        f"driver_commit_sec_{hi}": round(min(commit_secs[hi]), 3),
         "events": events,
         "epoch_width": width,
     }

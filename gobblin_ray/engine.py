@@ -74,6 +74,8 @@ class EngineConfig:
     epoch_bytes: int | None = None  # size-based epoch planning: target log
     # bytes per epoch (overrides fixed epoch_width; Kafka size-estimator
     # packing analog) — epoch_width then only caps the max width
+    blocks_per_cpu: float = 1.0  # epoch read parallelism = min(buckets,
+    # cpus * this); >1 trades scheduling overhead for straggler hiding
 
 
 @dataclass
@@ -85,6 +87,8 @@ class EpochReport:
     errors: int = 0
     buckets_touched: int = 0
     salted_buckets: int = 0
+    exec_sec: float = 0.0  # Ray pipeline wall (overlaps other epochs)
+    commit_sec: float = 0.0  # driver-serial promote + manifest time
 
 
 def _normalize_batch(batch: pa.Table) -> pa.Table:
@@ -135,8 +139,10 @@ class _BucketAndReduce:
     def __call__(self, batch: pa.Table) -> pa.Table:
         err_mask = pc.is_valid(batch.column(_ERR_COL)).to_numpy(zero_copy_only=False)
         h = stable_hash_u64(batch.column("url"))
+        # Error rows ride to the merge task of their url's bucket (null
+        # urls hash to one constant bucket) — no single-bucket error
+        # hotspot when error rates spike (round-1 review note).
         bucket = (h % self.num_buckets).astype(np.int32)
-        bucket[err_mask] = 0  # error rows ride to bucket 0's merge task
         salt = np.zeros(len(bucket), dtype=np.int32)
         if self.hot_buckets:
             sub = (h // self.num_buckets).astype(np.uint64)
@@ -345,7 +351,12 @@ class CdcEngine:
         # objects — measured 5s of sort wall at 0.7s of compute.
         import ray
 
-        blocks = int(min(self.cfg.num_buckets, ray.cluster_resources().get("CPU", 8)))
+        blocks = int(
+            min(
+                self.cfg.num_buckets,
+                max(1, ray.cluster_resources().get("CPU", 8) * self.cfg.blocks_per_cpu),
+            )
+        )
         return rd.read_parquet(
             paths, schema=events_schema, filter=flt, override_num_blocks=blocks
         )
@@ -375,7 +386,9 @@ class CdcEngine:
         """
         if self.store.is_applied(epoch.index):
             return None
+        import time as _time
 
+        _t0 = _time.time()
         shards = planmod.prune_shards(log_meta, epoch.low_seq, epoch.high_seq)
         events_schema = self._event_schemas(log_meta, shards)
         base_schema = unify_additive(
@@ -438,6 +451,7 @@ class CdcEngine:
             "base_schema": base_schema,
             "salted": len(splan.hot_buckets),
             "expected_events": expected,
+            "exec_sec": _time.time() - _t0,
         }
 
     def _commit_epoch(
@@ -450,6 +464,9 @@ class CdcEngine:
             return self.store.load(epoch.index), EpochReport(
                 epoch.index, epoch.low_seq, epoch.high_seq
             )
+        import time as _time
+
+        _c0 = _time.time()
         lineage = execution["lineage"]
         # Schema only ever widens across epochs, even if this epoch's
         # shards predate a column introduced by an earlier window member.
@@ -527,6 +544,8 @@ class CdcEngine:
         new.event_count = report.events
         new.error_count = report.errors
         self.store.commit(new)
+        report.exec_sec = round(execution.get("exec_sec", 0.0), 3)
+        report.commit_sec = round(_time.time() - _c0, 3)
         return new, report
 
     def apply_epoch(
