@@ -137,3 +137,73 @@ def test_empty_everything():
     base = merge_base_with_events(None, ev([]))
     assert base.num_rows == 0
     assert live_rows(base).num_rows == 0
+
+
+# ---------------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def event_stream(draw):
+    """Random event stream: small url pool (forces collisions), random ts
+    (forces late data + equal-ts tiebreaks), ~15% deletes, dense seqs."""
+    n = draw(st.integers(1, 60))
+    urls = [f"u{i}" for i in range(draw(st.integers(1, 8)))]
+    rows = []
+    for seq in range(n):
+        url = draw(st.sampled_from(urls))
+        ts = draw(st.integers(0, 20))  # tiny range -> many exact ties
+        op = draw(
+            st.sampled_from(["insert", "update", "update", "update", "delete"])
+        )
+        text = None if op == "delete" else f"{url}@{seq}"
+        rows.append((seq, op, url, ts, text))
+    return rows
+
+
+def sequential_oracle(rows) -> dict:
+    """Apply one at a time: event wins iff (ts, seq) strictly greater."""
+    state: dict = {}
+    for seq, op, url, ts, text in rows:
+        cur = state.get(url)
+        if cur is not None and (ts, seq) <= (cur[0], cur[1]):
+            continue
+        state[url] = (ts, seq, None if op == "delete" else text)
+    return {u: v[2] for u, v in state.items() if v[2] is not None}
+
+
+@settings(max_examples=120, deadline=None)
+@given(event_stream())
+def test_lww_matches_sequential_oracle(rows):
+    base = merge_base_with_events(None, ev(rows))
+    assert final_text(base) == sequential_oracle(rows)
+
+
+@settings(max_examples=60, deadline=None)
+@given(event_stream(), st.integers(1, 58))
+def test_lww_split_point_invariance(rows, cut_raw):
+    """Any split of the stream into two merges gives the same final base as
+    one merge (the associativity the combiner/salting/delta design needs)."""
+    cut = min(cut_raw, len(rows))
+    one = merge_base_with_events(None, ev(rows))
+    two = merge_base_with_events(
+        merge_base_with_events(None, ev(rows[:cut])), ev(rows[cut:])
+    )
+    assert one.sort_by("url").equals(two.sort_by("url"))
+
+
+@settings(max_examples=40, deadline=None)
+@given(event_stream(), st.integers(2, 5))
+def test_lww_shard_order_invariance(rows, k):
+    """Events dealt round-robin into k deltas, merged in ANY order via
+    merge_bases == one-shot merge (commutativity for compaction)."""
+    from gobblin_ray.merge import merge_bases
+
+    one = merge_base_with_events(None, ev(rows))
+    deltas = [
+        merge_base_with_events(None, ev(rows[i::k])) for i in range(k)
+    ]
+    merged = merge_bases(list(reversed(deltas)), one.schema)
+    assert one.sort_by("url").equals(merged.sort_by("url"))
