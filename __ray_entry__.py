@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so the near-dup/langid family is value-checked, not rows-only —
         # the driver-table scale variants run in bench.py)
         "text_quality_features": demo.text_quality_features,
+        "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
@@ -230,6 +231,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "bpe_token_totals": """
+            SELECT lang,
+                   CAST(sum(array_length(regexp_extract_all(
+                        text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                       AS total_bpe
+            FROM documents GROUP BY lang
         """,
         "knn_brute_force": """
             SELECT q.vec_id AS query_id, e.vec_id AS vec_id,

@@ -615,6 +615,19 @@ def token_count_totals(sf_dir: str):
     return out.groupby("lang").aggregate(Sum("n_tokens", alias_name="total_tokens"))
 
 
+def bpe_token_totals(sf_dir: str):
+    """BPE-ish token counting (GPT-2-style pre-tokenizer regex: word /
+    number / punctuation runs), aggregated per lang — one vectorized
+    count_substring_regex pass."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    out = ds.map_batches(
+        tx.bpe_ish_token_count("text"), batch_format="pyarrow", batch_size=None
+    )
+    return out.groupby("lang").aggregate(Sum("n_bpe_tokens", alias_name="total_bpe"))
+
+
 def fingerprint_md5(sf_dir: str):
     """Document fingerprinting (md5 of normalized text; actor-pool stage)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
