@@ -101,7 +101,8 @@ def _one_replay(lake: str) -> tuple[float, float, int, int, int]:
     replay_sec = time.time() - t0
     events = sum(r.events for r in reports)
     rows = sum(s.rows for s in eng.store.latest().buckets.values())
-    return replay_sec, bootstrap_sec, events, len(reports), rows
+    commit_sec = sum(r.commit_sec for r in reports)
+    return replay_sec, bootstrap_sec, events, len(reports), rows, commit_sec
 
 
 def run_headline() -> dict:
@@ -120,7 +121,7 @@ def run_headline() -> dict:
     # Host throughput here swings ~5x between minutes (slow lazy page
     # backing); best-of-2 is the steady-state figure, both are reported.
     best = min(r1, r2, key=lambda r: r[0])
-    replay_sec, bootstrap_sec, events, n_epochs, rows = best
+    replay_sec, bootstrap_sec, events, n_epochs, rows, commit_sec = best
     return {
         "replay_sec": round(replay_sec, 3),
         "bootstrap_sec": round(bootstrap_sec, 3),
@@ -129,6 +130,9 @@ def run_headline() -> dict:
         "epochs": n_epochs,
         "events_per_sec": round(events / replay_sec, 1),
         "final_rows": rows,
+        # driver-serial promote+manifest time inside replay_sec — the
+        # Amdahl-relevant serial fraction (everything else is Ray workers)
+        "driver_commit_sec": round(commit_sec, 3),
     }
 
 

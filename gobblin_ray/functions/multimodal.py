@@ -127,8 +127,104 @@ class ByteHistogram:
 
 
 def frame_sample_stub(*_a, **_k):
-    """Video frame sampling needs a real demuxer."""
+    """Video frame sampling with a REAL demuxer (libav/ffmpeg) — strict
+    boundary marker; the plumbing itself is FrameSampler below."""
     raise NotImplementedError("video demuxer unavailable; stub per SURVEY plan")
+
+
+_VMAGIC = b"FAKEVID1"
+
+
+def synth_video(n: int, seed: int = 43) -> pa.Table:
+    """Deterministic fake video corpus: payload = magic + frame count +
+    concatenated fake-image frames (each with its own header)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        n_frames = int(rng.integers(4, 24))
+        frames = []
+        for _ in range(n_frames):
+            w, h = int(rng.integers(8, 32)), int(rng.integers(8, 32))
+            px = rng.integers(0, 256, w * h, dtype=np.uint8)
+            frames.append(
+                _MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big") + px.tobytes()
+            )
+        body = b"".join(
+            len(f).to_bytes(4, "big") + f for f in frames
+        )
+        rows.append(_VMAGIC + n_frames.to_bytes(4, "big") + body)
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(rows, pa.binary()),
+            "mime": pa.array(["video/x-fake"] * n),
+        }
+    )
+
+
+class FrameSampler:
+    """Actor-pool 1:N stage: demux each video payload, keep every
+    ``stride``-th frame up to ``max_frames``, emit ONE ROW PER SAMPLED
+    FRAME with per-frame features — the fan-out shape a real
+    libav-backed sampler plugs into (swap the demux/decode internals,
+    keep the signature). Heavy payload bytes never leave this stage.
+
+    strict=True raises where the real demuxer would be required."""
+
+    def __init__(self, stride: int = 4, max_frames: int = 8, strict: bool = False):
+        if strict:
+            frame_sample_stub()
+        self.stride = stride
+        self.max_frames = max_frames
+        self.codec = DeterministicFakeCodec()  # once per actor
+
+    def _demux(self, payload: bytes) -> list[bytes]:
+        if payload[:8] != _VMAGIC:
+            raise ValueError("bad video magic")
+        n_frames = int.from_bytes(payload[8:12], "big")
+        frames, off = [], 12
+        for _ in range(n_frames):
+            ln = int.from_bytes(payload[off : off + 4], "big")
+            off += 4
+            frames.append(payload[off : off + ln])
+            off += ln
+        return frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, fidx, ws, hs, lum = [], [], [], [], []
+        ids = batch.column("media_id").to_pylist()
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            frames = self._demux(payload)
+            picked = frames[:: self.stride][: self.max_frames]
+            for j, fb in enumerate(picked):
+                img = self.codec.decode(fb)
+                mids.append(mid)
+                fidx.append(j * self.stride)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                lum.append(float(img.mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "frame_width": pa.array(ws, pa.int32()),
+                "frame_height": pa.array(hs, pa.int32()),
+                "mean_luma": pa.array(lum, pa.float64()),
+            }
+        )
+
+
+def frame_sample_pipeline(video_ds, stride: int = 4, max_frames: int = 8,
+                          concurrency: int = 2, avg_payload_bytes: int = 16_384):
+    """Video → sampled-frame rows: byte-aware batches, actor pool, payload
+    dropped inside the stage (the 1:N explode multiplies ROWS, not bytes)."""
+    return video_ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs=dict(stride=stride, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=suggest_batch_size(avg_payload_bytes),
+        concurrency=concurrency,
+    )
 
 
 def suggest_batch_size(avg_payload_bytes: int, budget_bytes: int = 64 * 2**20) -> int:

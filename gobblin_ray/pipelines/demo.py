@@ -820,6 +820,18 @@ def multimodal_decode(sf_dir: str):
     return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
 
 
+def multimodal_frames(sf_dir: str):
+    """Video frame-sampling plumbing: fake container -> actor-pool demux ->
+    one row per sampled frame with per-frame features. Deterministic;
+    rows-only check (codec layer is the documented stub boundary)."""
+    import ray.data as rd
+
+    from ..functions import multimodal as mm
+
+    videos = rd.from_arrow(mm.synth_video(128))
+    return mm.frame_sample_pipeline(videos, stride=4, max_frames=8, concurrency=2)
+
+
 def cdc_replay_mini(sf_dir: str):
     """Flagship: full CDC engine replay (bootstrap -> epochs -> merge-on-read
     read-back) on a small deterministic corpus. Rows-only check (the corpus

@@ -252,3 +252,30 @@ def test_media_decode_pipeline(ray_session):
     out = mm.decode_pipeline(rd.from_arrow(mm.synth_media(64)), concurrency=2)
     df = out.to_pandas()
     assert len(df) == 64 and df["decode_ok"].all()
+
+
+def test_frame_sampler_stride_and_rows(ray_session):
+    """1:N frame sampling: per-video row fan-out matches the stride/cap
+    policy; frame features come from the decoded frames."""
+    import ray.data as rd
+
+    vids = mm.synth_video(24)
+    out = mm.frame_sample_pipeline(
+        rd.from_arrow(vids), stride=4, max_frames=8, concurrency=2
+    ).to_pandas()
+    # Recompute expected per-video sample counts from the container header.
+    import numpy as np
+
+    for mid, payload in zip(vids.column("media_id").to_pylist(),
+                            vids.column("payload").to_pylist()):
+        n_frames = int.from_bytes(payload[8:12], "big")
+        want = min(len(range(0, n_frames, 4)), 8)
+        got = out[out["media_id"] == mid]
+        assert len(got) == want
+        assert list(got["frame_index"]) == [4 * j for j in range(want)]
+    assert (out["frame_width"] > 0).all() and (out["mean_luma"] >= 0).all()
+
+
+def test_frame_sampler_strict_documents_stub():
+    with pytest.raises(NotImplementedError):
+        mm.FrameSampler(strict=True)

@@ -89,7 +89,7 @@ ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
 def test_rows_only_queries_run(ray_session, name):
     got = to_pandas(QUERIES[name](SF_DIR))
     assert got.shape[1] > 0 or len(got) == 0
-    if name in ("cdc_replay_mini", "multimodal_decode"):
+    if name in ("cdc_replay_mini", "multimodal_decode", "multimodal_frames"):
         assert len(got) > 0
 
 
