@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
         "dedup_minhash_planted": demo.dedup_minhash_planted,
+        "dedup_ngram_planted": demo.dedup_ngram_planted,
         "simhash_planted_pairs": demo.simhash_planted_pairs,
         "embedding_dup_planted": demo.embedding_dup_planted,
         # similarity search (extension set)
@@ -261,6 +262,11 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_langid.parquet')
         """,
         "dedup_minhash_planted": """
+            SELECT min(doc_id) AS doc_id
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
+            GROUP BY cluster_id
+        """,
+        "dedup_ngram_planted": """
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
             GROUP BY cluster_id

@@ -509,6 +509,23 @@ def connected_components(
     return {int(r["src"]): int(r["label"]) for r in labels}
 
 
+def _drop_non_representatives(docs, confirmed_pairs, id_col: str):
+    """Shared near-dup tail: connected components over the confirmed edge
+    list, then drop every member whose component label isn't itself (keep
+    min id per cluster). The driver holds only the node->label map of
+    CONFIRMED dups — tiny relative to the corpus."""
+    comp = connected_components(confirmed_pairs)
+    drop = {k for k, v in comp.items() if v != k}
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, np.fromiter(drop, np.int64, len(drop)))
+        return t.filter(pa.array(mask))
+
+    keep.__name__ = "drop_near_dups"
+    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def dedup_minhash(
     docs,
     text_col: str = "text",
@@ -520,16 +537,132 @@ def dedup_minhash(
     components -> drop every non-representative member (keep min id)."""
     pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kw)
     confirmed = verify_pairs_jaccard(pairs, docs, threshold, text_col, id_col)
-    comp = connected_components(confirmed)
-    drop = {k for k, v in comp.items() if v != k}
+    return _drop_non_representatives(docs, confirmed, id_col)
 
-    def keep(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
-        mask = ~np.isin(ids, np.fromiter(drop, np.int64, len(drop)))
-        return t.filter(pa.array(mask))
 
-    keep.__name__ = "drop_near_dups"
-    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+# ------------------------------------------- n-gram Jaccard (bottom-k blocking)
+
+class BottomKShingler:
+    """Actor-pool stage: text -> (band=0, band_hash=anchor, doc_id) rows,
+    one per bottom-k smallest k-char shingle hash of the document.
+
+    Exact bottom-k sketch blocking for n-gram Jaccard dedup: two docs with
+    true shingle Jaccard J share a given min-anchor with probability ~J,
+    and ANY shared anchor makes them a candidate pair, so pair recall is
+    ~1 - (1-J)^k_anchors — >0.99 for J >= 0.7 at k=4. Unlike MinHash this
+    uses the raw shingle hashes (no permutations), so the candidate stage
+    costs one shingle pass per doc and k rows of shuffle, and the verify
+    stage computes the EXACT n-gram Jaccard. Output columns match the
+    MinHash band rows so the bounded-partition pair-gen is shared."""
+
+    def __init__(
+        self,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+        k_anchors: int = 4,
+        shingle_k: int = 5,
+    ):
+        self.text_col, self.id_col = text_col, id_col
+        self.k_anchors, self.shingle_k = k_anchors, shingle_k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = t.column(self.text_col).to_pylist()
+        out_ids, out_anchor = [], []
+        for i, txt in zip(ids, texts):
+            # _char_shingle_hashes returns np.unique output => sorted
+            # ascending, so the bottom-k anchors are just the head.
+            sh = _char_shingle_hashes(txt or "", self.shingle_k)
+            k = min(self.k_anchors, len(sh))
+            if k == 0:
+                continue
+            out_ids.append(np.full(k, i, dtype=np.int64))
+            out_anchor.append(sh[:k].view(np.int64))
+        if not out_ids:
+            empty = pa.array([], pa.int64())
+            return pa.table(
+                {"band": empty, "band_hash": empty, self.id_col: empty}
+            )
+        anchors = np.concatenate(out_anchor)
+        ids_out = np.concatenate(out_ids)
+        return pa.table(
+            {
+                "band": pa.array(np.zeros(len(ids_out), dtype=np.int64)),
+                "band_hash": pa.array(anchors),
+                self.id_col: pa.array(ids_out),
+            }
+        )
+
+
+def bottomk_shingle_pairs(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_anchors: int = 4,
+    shingle_k: int = 5,
+    concurrency=(1, 4),
+    max_pairs_per_bucket: int = 1000,
+    num_partitions: int | None = None,
+):
+    """Candidate near-dup pairs (a < b) via exact bottom-k min-shingle
+    blocking — same bounded-partition vectorized pair-gen as MinHash LSH
+    (dispatch count = partitions, pairs capped per anchor bucket)."""
+    import ray
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
+    anchors = docs.map_batches(
+        BottomKShingler,
+        fn_constructor_kwargs=dict(
+            text_col=text_col, id_col=id_col,
+            k_anchors=k_anchors, shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        bh = t.column("band_hash").to_numpy(zero_copy_only=False)
+        part = np.abs(bh % P).astype(np.int32)
+        return t.append_column("_bp", pa.array(part))
+
+    add_part.__name__ = "anchor_partition"
+    pairs = (
+        anchors.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("_bp")
+        .map_groups(
+            _minhash_partition_pairs(id_col, max_pairs_per_bucket),
+            batch_format="pyarrow",
+        )
+    )
+    return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
+
+
+def dedup_ngram_jaccard(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    shingle_k: int = 5,
+    k_anchors: int = 4,
+    **kw,
+):
+    """n-gram Jaccard near-dup removal: bottom-k min-shingle blocking ->
+    EXACT character-shingle Jaccard verify -> components -> keep min id.
+
+    Differs from dedup_minhash only in candidate generation (exact anchors
+    instead of banded signatures): cheaper per doc, slightly lower recall
+    at low thresholds, and the kept set is defined purely by the exact
+    Jaccard — no signature approximation in the confirm step."""
+    pairs = bottomk_shingle_pairs(
+        docs, text_col, id_col, k_anchors=k_anchors, shingle_k=shingle_k, **kw
+    )
+    confirmed = verify_pairs_jaccard(
+        pairs, docs, threshold, text_col, id_col, shingle_k=shingle_k
+    )
+    return _drop_non_representatives(docs, confirmed, id_col)
 
 
 # ---------------------------------------------------------------- simhash

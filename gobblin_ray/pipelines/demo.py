@@ -714,6 +714,24 @@ def dedup_minhash_planted(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def dedup_ngram_planted(sf_dir: str):
+    """n-gram Jaccard near-dup removal (bottom-k min-shingle blocking +
+    exact shingle-Jaccard confirm) on the planted clusters: kept set must
+    equal min(doc_id) per cluster — same ground truth as the MinHash
+    variant, but here the confirm IS the exact Jaccard, so the oracle
+    checks the blocking recall too."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_neardup()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    kept = dd.dedup_ngram_jaccard(
+        ds, threshold=0.7, k_anchors=4, shingle_k=5, concurrency=(1, 4)
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def simhash_planted_pairs(sf_dir: str):
     """SimHash candidates on a fixture of identical-text groups among very
     different paragraphs: the pair set is exactly the identical-text pairs

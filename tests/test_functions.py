@@ -70,6 +70,32 @@ def test_dedup_minhash_removes_near_dups(ray_session):
     assert ids == [0, 3, 4]
 
 
+def test_dedup_ngram_jaccard_removes_near_dups(ray_session):
+    import ray.data as rd
+
+    docs = rd.from_arrow(near_dup_corpus())
+    kept = dd.dedup_ngram_jaccard(
+        docs, threshold=0.7, k_anchors=4, shingle_k=5, concurrency=2
+    )
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    # same ground truth as MinHash: cluster {0,1,2,5} -> keep 0; 3,4 kept
+    assert ids == [0, 3, 4]
+
+
+def test_bottomk_anchor_recall_on_planted(ray_session):
+    """Blocking recall: every within-cluster pair of the planted fixture
+    must surface as a candidate (anchors shared)."""
+    import ray.data as rd
+
+    from gobblin_ray import fixtures as fx
+
+    ds = rd.read_parquet(fx.planted_neardup())
+    pairs = {(r["a"], r["b"]) for r in dd.bottomk_shingle_pairs(
+        ds, k_anchors=4, concurrency=2
+    ).take_all()}
+    assert {(0, 1), (0, 2), (3, 4)} <= pairs
+
+
 def test_simhash_hamming_near_dups(ray_session):
     import ray.data as rd
 
