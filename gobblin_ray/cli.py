@@ -55,6 +55,13 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--epoch-bytes", type=int, default=None,
                            help="size-based epoch planning target (bytes)")
         if name == "run":
+            s.add_argument("--compact-every", type=int, default=8,
+                           help="compact a bucket after this many delta files")
+            s.add_argument("--compact-ratio", type=float, default=None,
+                           help="also compact when delta rows >= ratio x base rows")
+            s.add_argument("--compact-age", type=int, default=None,
+                           help="also compact when the oldest outstanding "
+                                "delta is this many epochs old")
             s.add_argument("--max-epochs", type=int, default=None)
             s.add_argument("--no-vacuum", action="store_true")
             s.add_argument("--follow", action="store_true",
@@ -117,7 +124,10 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"epoch": m.epoch, "rows": sum(s.rows for s in m.buckets.values())}))
         elif args.cmd == "run":
             cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
-                               epoch_bytes=args.epoch_bytes)
+                               epoch_bytes=args.epoch_bytes,
+                               compact_every=args.compact_every,
+                               compact_ratio=args.compact_ratio,
+                               compact_age=args.compact_age)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             t0 = time.time()
             if args.follow:

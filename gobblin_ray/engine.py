@@ -68,6 +68,10 @@ class EngineConfig:
     compact_ratio: float | None = None  # ALSO compact when a bucket's
     # outstanding delta rows exceed ratio x base rows (RecompactionCondition
     # file-ratio analog, gobblin-compaction/.../conditions/)
+    compact_age: int | None = None  # ALSO compact when the bucket's OLDEST
+    # outstanding delta is >= this many epochs old (duration-condition
+    # analog, RecompactionConditionBasedOnDuration — epoch age is the
+    # deterministic replay-side stand-in for wall-clock age)
     pipeline_epochs: int = 2  # overlapped epoch executions (ordered commits)
     commit_gate: bool = True  # TaskLevelPolicy/RowCountPolicy analog: assert
     # extracted == applied + diverted before promoting an epoch
@@ -423,10 +427,17 @@ class CdcEngine:
             for b, s in manifest.buckets.items():
                 if len(s.delta_epochs) + 1 >= self.cfg.compact_every:
                     compact_buckets.add(b)
-                elif self.cfg.compact_ratio is not None:
-                    base_rows = max(1, s.rows - s.delta_rows)
-                    if s.delta_rows / base_rows >= self.cfg.compact_ratio:
-                        compact_buckets.add(b)
+                elif self.cfg.compact_ratio is not None and (
+                    s.delta_rows / max(1, s.rows - s.delta_rows)
+                    >= self.cfg.compact_ratio
+                ):
+                    compact_buckets.add(b)
+                elif (
+                    self.cfg.compact_age is not None
+                    and s.delta_epochs
+                    and epoch.index - min(s.delta_epochs) >= self.cfg.compact_age
+                ):
+                    compact_buckets.add(b)
         merge = _MergeBucket(
             self.lake_dir, epoch.index, bucket_files, compact_buckets, base_schema,
         )
@@ -628,6 +639,12 @@ class CdcEngine:
                 for s in mf.buckets.values():
                     base = max(1, s.rows - s.delta_rows)
                     if s.delta_rows / base >= self.cfg.compact_ratio:
+                        return True
+            if self.cfg.compact_age is not None:
+                for s in mf.buckets.values():
+                    if s.delta_epochs and (
+                        ep_index - min(s.delta_epochs) >= self.cfg.compact_age
+                    ):
                         return True
             return False
 

@@ -83,6 +83,12 @@ def _default_registry() -> AliasRegistry:
                  "quality_features", "quality_score"):
         reg.register(name, getattr(tx, name))
     # Stateful actor-pool stages (callable classes; init once per actor).
+    from .stages.limiter import CountLimiter, RateLimiter, TimeLimiter
+
+    reg.register("RateLimiter", RateLimiter)
+    reg.register("CountLimiter", CountLimiter)
+    reg.register("TimeLimiter", TimeLimiter)
+    reg.register("BottomKShingler", dd.BottomKShingler)
     reg.register("Fingerprinter", tx.Fingerprinter)
     reg.register("LangId", tx.LangId)
     reg.register("MinHasher", dd.MinHasher)

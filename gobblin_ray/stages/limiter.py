@@ -1,0 +1,102 @@
+"""Throughput limiters — Gobblin's Limiter API re-expressed as actor-pool
+map_batches stages.
+
+Reference semantics (cited for parity, no code reuse):
+- ``Limiter.acquirePermits`` contract:
+  gobblin-utility/.../util/limiter/Limiter.java
+- ``RateBasedLimiter`` (qps token bucket):
+  gobblin-utility/.../util/limiter/RateBasedLimiter.java:45-76
+- ``CountBasedLimiter`` (finite permit pool; extraction stops when
+  exhausted): gobblin-utility/.../util/limiter/CountBasedLimiter.java
+- ``TimeBasedLimiter`` (deadline):
+  gobblin-utility/.../util/limiter/TimeBasedLimiter.java
+
+Ray-Data shape: a limiter is PER-ACTOR state (a callable class passed to
+``map_batches(Cls, concurrency=N)``), so a global budget must be divided
+by the pool size up front — exactly how Gobblin splits a job-level limit
+across task-level limiters. The rate limiter SLEEPS (backpressure: the
+streaming executor stops scheduling upstream blocks into a stalled pool);
+the count/time limiters TRUNCATE (rows past the budget are dropped, and
+the stage reports how many via its lineage counter column, mirroring
+``NotEnoughPermitsException`` ending extraction early rather than erroring
+the job). At 100 TB the typical use is protecting a rate-limited external
+sink; put the limiter stage immediately before the write so upstream
+stages still run at full parallelism and the object store absorbs the
+buffering.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pyarrow as pa
+
+
+class RateLimiter:
+    """Token-bucket rows/sec limiter (RateBasedLimiter analog).
+
+    ``rows_per_sec`` is the budget of THIS actor — for a pool of N actors
+    pass ``global_qps / N``. Sleeps just enough before returning each
+    batch; burst capacity is one batch, matching Guava RateLimiter's
+    smooth-bursty default closely enough for sink protection.
+    """
+
+    def __init__(self, rows_per_sec: float):
+        assert rows_per_sec > 0
+        self.rows_per_sec = float(rows_per_sec)
+        self._next_free = time.monotonic()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        now = time.monotonic()
+        wait = self._next_free - now
+        if wait > 0:
+            time.sleep(wait)
+            now = self._next_free
+        self._next_free = now + len(batch) / self.rows_per_sec
+        return batch
+
+
+class CountLimiter:
+    """Finite permit pool (CountBasedLimiter analog): passes rows until
+    the per-actor budget is spent, truncates the boundary batch, then
+    emits empty batches. Deterministic only per-actor (Ray's block order
+    across actors isn't), so use it as a safety valve, not a sampler —
+    for deterministic row caps use ``Dataset.limit``."""
+
+    def __init__(self, max_rows: int):
+        assert max_rows >= 0
+        self.remaining = int(max_rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.remaining <= 0:
+            return batch.slice(0, 0)
+        take = min(len(batch), self.remaining)
+        self.remaining -= take
+        return batch.slice(0, take)
+
+
+class TimeLimiter:
+    """Deadline limiter (TimeBasedLimiter analog): passes batches until
+    ``max_seconds`` after the actor started, then emits empty batches —
+    extraction windows ("pull for at most an hour") without killing the
+    job."""
+
+    def __init__(self, max_seconds: float):
+        self.deadline = time.monotonic() + float(max_seconds)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if time.monotonic() >= self.deadline:
+            return batch.slice(0, 0)
+        return batch
+
+
+def limited(ds, rows_per_sec: float, concurrency: int = 2, batch_size: int = 4096):
+    """Apply a global rows/sec cap: the budget is split evenly across the
+    actor pool (Gobblin job-level -> task-level limiter split)."""
+    return ds.map_batches(
+        RateLimiter,
+        fn_constructor_kwargs=dict(rows_per_sec=rows_per_sec / concurrency),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -205,6 +205,34 @@ def test_sized_epochs_and_ratio_compaction(ray_session, corpus, oracle_df, tmp_p
     assert compacted, "ratio-based recompaction never fired"
 
 
+def test_age_based_recompaction(ray_session, corpus, oracle_df, tmp_path_factory):
+    """Duration-condition analog (epoch age): with count/ratio conditions
+    unreachable, a bucket whose oldest outstanding delta is >= compact_age
+    epochs old still gets compacted, and the final state is unchanged."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_aged"))
+    cfg = EngineConfig(
+        num_buckets=8, epoch_width=EPOCH_W,  # 4 epochs over the corpus
+        compact_every=10**6, compact_age=2,
+    )
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    reports = eng.run(vacuum=False)
+    assert len(reports) >= 3  # enough epochs for the age condition to fire
+    assert_matches_oracle(engine_df(eng), oracle_df)
+    m = eng.store.latest()
+    compacted = [s for s in m.buckets.values() if s.base_epoch > 0]
+    assert compacted, "age-based recompaction never fired"
+    # age bound holds for every bucket in the final manifest (with window
+    # slack: only a pipeline window's first epoch may compact)
+    for s in m.buckets.values():
+        if s.delta_epochs:
+            assert (
+                m.epoch - min(s.delta_epochs)
+                <= cfg.compact_age + cfg.pipeline_epochs
+            )
+
+
 def test_continuous_tailing_appends_midrun(ray_session, corpus, oracle_df, tmp_path_factory):
     """InfiniteSource/FlushingExtractor analog: run_forever keeps applying
     as the log grows (shards + _meta.json appended between polls) and the

@@ -321,3 +321,41 @@ def test_read_date_partitioned_prunes(ray_session, tmp_path):
     assert parts2 == ["2024-01-02"] and ds2.count() == 1
     none_ds, none_parts = read_date_partitioned(root, low="2024-01-03")
     assert none_ds is None and none_parts == []
+
+
+# ---------------------------------------------------------------- limiters
+
+def test_rate_limiter_paces_batches():
+    import time as _t
+
+    from gobblin_ray.stages.limiter import RateLimiter
+
+    lim = RateLimiter(rows_per_sec=1000)
+    batch = pa.table({"x": pa.array(range(100))})
+    t0 = _t.monotonic()
+    for _ in range(5):  # 500 rows at 1000 rows/s -> >= ~0.4 s
+        out = lim(batch)
+        assert out.num_rows == 100
+    elapsed = _t.monotonic() - t0
+    assert elapsed >= 0.35
+
+
+def test_count_limiter_truncates_and_stops():
+    from gobblin_ray.stages.limiter import CountLimiter
+
+    lim = CountLimiter(max_rows=250)
+    batch = pa.table({"x": pa.array(range(100))})
+    sizes = [lim(batch).num_rows for _ in range(4)]
+    assert sizes == [100, 100, 50, 0]
+
+
+def test_time_limiter_deadline():
+    import time as _t
+
+    from gobblin_ray.stages.limiter import TimeLimiter
+
+    lim = TimeLimiter(max_seconds=0.2)
+    batch = pa.table({"x": pa.array(range(10))})
+    assert lim(batch).num_rows == 10
+    _t.sleep(0.25)
+    assert lim(batch).num_rows == 0
