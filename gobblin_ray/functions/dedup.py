@@ -356,6 +356,78 @@ def minhash_lsh_pairs(
     return pairs.groupby(["a", "b"]).count().drop_columns(["count()"])
 
 
+class _BroadcastJaccardVerify:
+    """Actor-pool verify stage: fetches the broadcast id->text map ONCE
+    per actor (``__init__`` runs in the worker, so ``ray.get`` reads the
+    object store there — the map is never captured in the task closure)."""
+
+    def __init__(self, texts_ref, threshold: float, shingle_k: int):
+        import ray
+
+        self.texts = ray.get(texts_ref)
+        self.threshold, self.k = threshold, shingle_k
+        self._memo: dict = {}
+
+    def _sh(self, x: str) -> np.ndarray:
+        got = self._memo.get(x)
+        if got is None:
+            got = self._memo[x] = _char_shingle_hashes(x or "", self.k)
+        return got
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        js = np.empty(len(a), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a, b)):
+            ta, tb = self.texts.get(int(x)), self.texts.get(int(y))
+            if ta is None or tb is None:  # id absent from corpus: drop
+                js[i] = -1.0  # (matches the inner-join path's behavior)
+            else:
+                js[i] = jaccard(self._sh(ta), self._sh(tb))
+        out = t.append_column("jaccard", pa.array(js))
+        return out.filter(
+            pc.greater_equal(out.column("jaccard"), pa.scalar(self.threshold))
+        )
+
+
+def _verify_jaccard_broadcast(
+    pairs, docs, threshold: float, text_col: str, id_col: str, shingle_k: int
+):
+    """Small-edge-list verify: needed ids -> one filtered corpus pass ->
+    ray.put broadcast -> actor-pool Jaccard. Driver transiently holds the
+    needed texts (bounded: <= 2 x broadcast_pairs_limit docs)."""
+    import ray
+    import ray.data as rd
+
+    rows = pairs.take_all()
+    if not rows:
+        return pairs.map_batches(
+            lambda t: t.append_column("jaccard", pa.array([], pa.float64())),
+            batch_format="pyarrow", batch_size=None,
+        )
+    a = np.array([r["a"] for r in rows], dtype=np.int64)
+    b = np.array([r["b"] for r in rows], dtype=np.int64)
+    need = pa.array(np.unique(np.concatenate([a, b])))
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t.column(id_col), value_set=need)
+        return t.filter(m).select([id_col, text_col])
+
+    pick.__name__ = "pick_needed_texts"
+    sel = docs.map_batches(pick, batch_format="pyarrow", batch_size=None)
+    texts = {int(r[id_col]): r[text_col] for r in sel.take_all()}
+    texts_ref = ray.put(texts)
+    return rd.from_arrow(pa.table({"a": a, "b": b})).map_batches(
+        _BroadcastJaccardVerify,
+        fn_constructor_kwargs=dict(
+            texts_ref=texts_ref, threshold=threshold, shingle_k=shingle_k
+        ),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=(1, 4),
+    )
+
+
 def verify_pairs_jaccard(
     pairs,
     docs,
@@ -364,23 +436,38 @@ def verify_pairs_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     num_partitions: int | None = None,
+    broadcast_pairs_limit: int = 100_000,
 ):
-    """Attach both texts to each candidate pair (two hash joins) and compute
-    the true character-shingle Jaccard; keep pairs >= threshold.
+    """Attach both texts to each candidate pair and compute the true
+    character-shingle Jaccard; keep pairs >= threshold.
 
-    The joins hash-partition on doc id — no broadcast of the corpus.
-    ``num_partitions`` defaults to a fraction of cluster CPUs: each join
-    operator holds one actor per partition, and two chained joins plus the
-    upstream pool must coexist without starving the scheduler."""
+    Adaptive attach: an edge list at or under ``broadcast_pairs_limit``
+    resolves texts via a broadcast lookup (one filtered corpus pass +
+    ray.put, no shuffle); a larger one goes through two hash joins that
+    partition on doc id — no broadcast of the corpus. ``num_partitions``
+    defaults to a fraction of cluster CPUs: each join operator holds one
+    actor per partition, and two chained joins plus the upstream pool must
+    coexist without starving the scheduler."""
     import ray
 
     if num_partitions is None:
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, cpus // 4)
     # The candidate edge list is tiny by construction (LSH pruned); pin it
-    # so the two joins don't re-execute the MinHash + shuffle chain and the
-    # join actor pools start against a settled input.
+    # so the attach stage doesn't re-execute the MinHash + shuffle chain.
     pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    if n_pairs <= broadcast_pairs_limit:
+        # Small-side path: the two hash joins cost seconds of actor-pool
+        # spin-up each even for a few thousand pairs. Collect the NEEDED
+        # doc ids (bounded by 2 x pairs), pull just those texts with one
+        # filtered pass over the corpus, broadcast the id->text map via
+        # ray.put, and verify inside an actor pool that fetches the ref
+        # once per actor. Above the cap (edge lists that might not fit a
+        # worker's heap) the join path below is the scale route.
+        return _verify_jaccard_broadcast(
+            pairs, docs, threshold, text_col, id_col, shingle_k
+        )
     texts = docs.select_columns([id_col, text_col])
     a_side = texts.rename_columns({id_col: "a", text_col: "_text_a"})
     b_side = texts.rename_columns({id_col: "b", text_col: "_text_b"})
