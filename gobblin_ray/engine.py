@@ -699,11 +699,22 @@ class CdcEngine:
         import time
 
         stop_file = stop_file or os.path.join(self.lake_dir, "_STOP")
+        # A stop file from a PREVIOUS run is stale — consume it so a
+        # restarted tailer resumes (a stop request targets the run that was
+        # alive when it was made, matching a restarted Gobblin streaming
+        # job picking up from its state store).
+        if os.path.exists(stop_file):
+            os.remove(stop_file)
         reports: list[EpochReport] = []
         empty_polls = 0
-        while not os.path.exists(stop_file):
+        while True:
+            # Drain-to-head FIRST, check stop after: a stop request always
+            # gets one final replay, so everything observed in the log when
+            # the stop landed is committed (graceful drain, not abort).
             got = self.run(vacuum=False)
             reports.extend(got)
+            if os.path.exists(stop_file):
+                break
             if got:
                 empty_polls = 0
                 continue  # head may have advanced while we replayed
