@@ -71,7 +71,71 @@ def main(argv: list[str] | None = None) -> int:
         if name == "read":
             s.add_argument("--limit", type=int, default=5)
 
+    sp = sub.add_parser(
+        "clean", help="retention: delete/trash old dataset versions "
+        "(DatasetCleaner analog; driver-side metadata work, no Ray session)"
+    )
+    sp.add_argument("root", help="dataset root containing version dirs")
+    sp.add_argument("--glob", default="*", help="version dir glob, e.g. 'dt=*'")
+    sp.add_argument("--ts-format", default=None,
+                    help="strptime format for the dir name, e.g. 'dt=%%Y-%%m-%%d'; "
+                         "default uses mtime")
+    sp.add_argument("--retain-days", type=float, default=None,
+                    help="delete versions older than this many days")
+    sp.add_argument("--newest-k", type=int, default=None,
+                    help="retain only the newest K versions")
+    sp.add_argument("--combine-op", choices=["union", "intersect"],
+                    default="intersect",
+                    help="how to combine --retain-days and --newest-k")
+    sp.add_argument("--trash", action="store_true",
+                    help="move to <root>/_trash snapshot instead of deleting")
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser(
+        "vacuum", help="manifest-aware vacuum: keep the last K committed "
+        "manifests (time travel window) and drop unreferenced data files"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--keep-manifests", type=int, default=1)
+
     args = p.parse_args(argv)
+
+    if args.cmd == "clean":
+        from datetime import timedelta
+
+        from . import retention as ret
+
+        policies = []
+        if args.retain_days is not None:
+            policies.append(
+                ret.TimeBasedRetentionPolicy(timedelta(days=args.retain_days))
+            )
+        if args.newest_k is not None:
+            policies.append(ret.NewestKRetentionPolicy(args.newest_k))
+        if not policies:
+            print("need --retain-days and/or --newest-k", file=sys.stderr)
+            return 2
+        policy = (
+            policies[0] if len(policies) == 1
+            else ret.CombineRetentionPolicy(policies, op=args.combine_op)
+        )
+        cleaner = ret.DatasetCleaner(
+            ret.GlobVersionFinder(args.root, args.glob, args.ts_format),
+            policy,
+            trash=ret.Trash(args.root) if args.trash else None,
+        )
+        rep = cleaner.clean(dry_run=args.dry_run)
+        print(json.dumps({
+            "deleted": rep.deleted, "trashed": rep.trashed,
+            "retained": rep.retained, "dry_run": args.dry_run,
+        }))
+        return 0
+
+    if args.cmd == "vacuum":
+        from .retention import vacuum_keep
+
+        print(json.dumps(vacuum_keep(args.lake_dir, args.keep_manifests)))
+        return 0
 
     if args.cmd == "synth":
         from .synth import write_corpus

@@ -1,0 +1,148 @@
+"""Retention subsystem: version finders, policies, trash, cleaner, and
+manifest-aware vacuum (reference analogs cited in gobblin_ray/retention.py).
+
+Pure filesystem tests — no Ray session needed except for the lake fixture
+in the vacuum_keep test, which reuses the shared session fixture."""
+
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from gobblin_ray import retention as ret
+
+
+def _mkver(root, name, ts=None):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        f.write("x")
+    if ts is not None:
+        os.utime(d, (ts.timestamp(), ts.timestamp()))
+    return d
+
+
+NOW = datetime(2026, 8, 17, 12, 0, 0)
+
+
+@pytest.fixture
+def dated_root(tmp_path):
+    root = str(tmp_path / "ds")
+    for i in range(6):
+        day = NOW - timedelta(days=i)
+        _mkver(root, f"dt={day:%Y-%m-%d}")
+    return root
+
+
+def test_glob_finder_parses_dirname_timestamps(dated_root):
+    vers = ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d").find()
+    assert len(vers) == 6
+    assert all(v.key.startswith("dt=") for v in vers)
+    assert max(v.ts for v in vers) == NOW.replace(hour=0, minute=0, second=0)
+
+
+def test_glob_finder_skips_unparseable_and_trash(dated_root):
+    _mkver(dated_root, "dt=not-a-date")
+    os.makedirs(os.path.join(dated_root, ret.TRASH_DIR), exist_ok=True)
+    vers = ret.GlobVersionFinder(dated_root, "*", "dt=%Y-%m-%d").find()
+    assert len(vers) == 6  # bad dir and _trash both skipped
+
+
+def test_time_based_policy_cutoff(dated_root):
+    vers = ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d").find()
+    pol = ret.TimeBasedRetentionPolicy(timedelta(days=3), now=NOW)
+    doomed = {v.key for v in pol.deletable(vers)}
+    # versions at midnight 3,4,5 days ago are < NOW(12:00) - 3d
+    assert doomed == {
+        f"dt={NOW - timedelta(days=i):%Y-%m-%d}" for i in (3, 4, 5)
+    }
+
+
+def test_newest_k_policy(dated_root):
+    vers = ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d").find()
+    doomed = {v.key for v in ret.NewestKRetentionPolicy(2).deletable(vers)}
+    assert doomed == {
+        f"dt={NOW - timedelta(days=i):%Y-%m-%d}" for i in (2, 3, 4, 5)
+    }
+    assert ret.NewestKRetentionPolicy(10).deletable(vers) == []
+
+
+def test_combine_policy_union_vs_intersect(dated_root):
+    vers = ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d").find()
+    time3 = ret.TimeBasedRetentionPolicy(timedelta(days=3), now=NOW)  # 3 doomed
+    newest5 = ret.NewestKRetentionPolicy(5)  # 1 doomed (the oldest)
+    union = ret.CombineRetentionPolicy([time3, newest5], op="union")
+    inter = ret.CombineRetentionPolicy([time3, newest5], op="intersect")
+    assert len(union.deletable(vers)) == 3
+    assert len(inter.deletable(vers)) == 1  # only the oldest is in both
+
+
+def test_cleaner_deletes_and_retains(dated_root):
+    cleaner = ret.DatasetCleaner(
+        ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d"),
+        ret.NewestKRetentionPolicy(4),
+    )
+    rep = cleaner.clean()
+    assert len(rep.deleted) == 2 and len(rep.retained) == 4
+    assert len(os.listdir(dated_root)) == 4
+
+
+def test_cleaner_dry_run_touches_nothing(dated_root):
+    cleaner = ret.DatasetCleaner(
+        ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d"),
+        ret.DeleteAllRetentionPolicy(),
+    )
+    rep = cleaner.clean(dry_run=True)
+    assert len(rep.deleted) == 6
+    assert len(os.listdir(dated_root)) == 6
+
+
+def test_trash_moves_and_purges(dated_root):
+    trash = ret.Trash(dated_root, now=NOW)
+    cleaner = ret.DatasetCleaner(
+        ret.GlobVersionFinder(dated_root, "dt=*", "dt=%Y-%m-%d"),
+        ret.NewestKRetentionPolicy(5),
+        trash=trash,
+    )
+    rep = cleaner.clean()
+    assert len(rep.trashed) == 1
+    snaps = trash.snapshots()
+    assert len(snaps) == 1
+    # the trashed version's data file survived the move
+    moved = os.listdir(snaps[0])
+    assert len(moved) == 1
+    assert os.path.exists(os.path.join(snaps[0], moved[0], "part-0.parquet"))
+    # purge with a cutoff before the snapshot stamp keeps it...
+    assert trash.purge(older_than=NOW - timedelta(days=1)) == 0
+    # ...and a cutoff after it deletes it permanently
+    assert trash.purge(older_than=NOW + timedelta(days=1)) == 1
+    assert trash.snapshots() == []
+
+
+def test_vacuum_keep_preserves_time_travel(tmp_path, ray_session):
+    """keep_manifests=K: reads AS OF any kept epoch still work; older
+    manifests and their exclusive files are gone."""
+    from gobblin_ray import checkpoint as ckpt
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    lake = str(tmp_path / "lake")
+    write_corpus(corpus, n_pages=60, n_events=600, shard_rows=200, seed=11)
+    cfg = EngineConfig(num_buckets=4, epoch_width=200, compact_every=2)
+    eng = CdcEngine(lake, f"{corpus}/events", cfg)
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(vacuum=False)
+    store = ckpt.CheckpointStore(lake)
+    all_epochs = store.committed_epochs()
+    assert len(all_epochs) >= 3
+
+    before = {e: eng.read_table_arrow(store.load(e)) for e in all_epochs[-2:]}
+
+    out = ret.vacuum_keep(lake, keep_manifests=2)
+    assert out["kept_epochs"] == all_epochs[-2:]
+    assert store.committed_epochs() == all_epochs[-2:]
+    # both kept manifests still resolve to byte-identical tables (time
+    # travel inside the retention window survives the vacuum)
+    for e in all_epochs[-2:]:
+        assert eng.read_table_arrow(store.load(e)).equals(before[e])
