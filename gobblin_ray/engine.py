@@ -80,6 +80,9 @@ class EngineConfig:
     # packing analog) — epoch_width then only caps the max width
     blocks_per_cpu: float = 1.0  # epoch read parallelism = min(buckets,
     # cpus * this); >1 trades scheduling overhead for straggler hiding
+    job_lock: bool = True  # FileBasedJobLock analog: refuse to run while
+    # another live driver holds <lake>/_locks/job.lock (two concurrent
+    # replays would race staged promotes); stale locks are taken over
 
 
 @dataclass
@@ -572,6 +575,17 @@ class CdcEngine:
     def run(
         self, max_epochs: int | None = None, vacuum: bool = True
     ) -> list[EpochReport]:
+        """Replay under the job lock (see ``_run_impl`` for semantics)."""
+        if not self.cfg.job_lock:
+            return self._run_impl(max_epochs, vacuum)
+        from .locks import FileJobLock
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            return self._run_impl(max_epochs, vacuum)
+
+    def _run_impl(
+        self, max_epochs: int | None = None, vacuum: bool = True
+    ) -> list[EpochReport]:
         """Resume from the latest manifest and replay the log to its head.
 
         Epoch executions are PIPELINED in windows of
@@ -705,28 +719,42 @@ class CdcEngine:
         # job picking up from its state store).
         if os.path.exists(stop_file):
             os.remove(stop_file)
-        reports: list[EpochReport] = []
-        empty_polls = 0
-        while True:
-            # Drain-to-head FIRST, check stop after: a stop request always
-            # gets one final replay, so everything observed in the log when
-            # the stop landed is committed (graceful drain, not abort).
-            got = self.run(vacuum=False)
-            reports.extend(got)
-            if os.path.exists(stop_file):
-                break
-            if got:
-                empty_polls = 0
-                continue  # head may have advanced while we replayed
-            empty_polls += 1
-            if idle_callback is not None:
-                idle_callback()
-            if max_polls is not None and empty_polls >= max_polls:
-                break
-            time.sleep(poll_interval)
-        if reports:
-            ckpt.vacuum(self.lake_dir, self.store.latest())
-        return reports
+        # The tailer holds the job lock for its WHOLE lifetime, not per
+        # drain — a competing batch driver must not interleave with an
+        # active tailer between polls.
+        lock = None
+        if self.cfg.job_lock:
+            from .locks import FileJobLock
+
+            lock = FileJobLock(os.path.join(self.lake_dir, "_locks"))
+            lock.acquire()
+        try:
+            reports: list[EpochReport] = []
+            empty_polls = 0
+            while True:
+                # Drain-to-head FIRST, check stop after: a stop request
+                # always gets one final replay, so everything observed in
+                # the log when the stop landed is committed (graceful
+                # drain, not abort).
+                got = self._run_impl(vacuum=False)
+                reports.extend(got)
+                if os.path.exists(stop_file):
+                    break
+                if got:
+                    empty_polls = 0
+                    continue  # head may have advanced while we replayed
+                empty_polls += 1
+                if idle_callback is not None:
+                    idle_callback()
+                if max_polls is not None and empty_polls >= max_polls:
+                    break
+                time.sleep(poll_interval)
+            if reports:
+                ckpt.vacuum(self.lake_dir, self.store.latest())
+            return reports
+        finally:
+            if lock is not None:
+                lock.release()
 
     # ---------------- readers ----------------
 

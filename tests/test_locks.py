@@ -1,0 +1,69 @@
+"""Job lock: FileBasedJobLock analog (see gobblin_ray/locks.py cites)."""
+
+import os
+
+import pytest
+
+from gobblin_ray.locks import FileJobLock, JobLockError
+
+
+def test_acquire_release_roundtrip(tmp_path):
+    lock = FileJobLock(str(tmp_path))
+    with lock:
+        assert os.path.exists(lock.path)
+    assert not os.path.exists(lock.path)
+
+
+def test_held_by_live_process_blocks(tmp_path):
+    lock = FileJobLock(str(tmp_path))
+    # pid 1 is always alive (init) — a foreign live holder
+    os.makedirs(tmp_path, exist_ok=True)
+    with open(lock.path, "w") as f:
+        f.write("1:0")
+    assert not lock.try_acquire()
+    with pytest.raises(JobLockError):
+        lock.acquire()
+
+
+def test_stale_lock_taken_over(tmp_path):
+    lock = FileJobLock(str(tmp_path))
+    with open(os.path.join(str(tmp_path), "job.lock"), "w") as f:
+        f.write("999999999:0")  # beyond pid_max — definitely dead
+    assert lock.try_acquire()
+    # and it now records US as the holder
+    assert lock._holder() == os.getpid()
+    lock.release()
+
+
+def test_reentrant_same_pid(tmp_path):
+    a = FileJobLock(str(tmp_path))
+    b = FileJobLock(str(tmp_path))
+    a.acquire()
+    assert b.try_acquire()  # same pid: takeover, not deadlock
+    b.release()
+
+
+def test_engine_run_refuses_foreign_lock(tmp_path, ray_session):
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    lake = str(tmp_path / "lake")
+    write_corpus(corpus, n_pages=20, n_events=100, shard_rows=100, seed=3)
+    cfg = EngineConfig(num_buckets=2, epoch_width=100)
+    eng = CdcEngine(lake, f"{corpus}/events", cfg)
+    eng.bootstrap(f"{corpus}/pages.parquet")
+
+    lockdir = os.path.join(lake, "_locks")
+    os.makedirs(lockdir, exist_ok=True)
+    with open(os.path.join(lockdir, "job.lock"), "w") as f:
+        f.write("1:0")  # live foreign holder
+    with pytest.raises(JobLockError):
+        eng.run()
+    # job_lock=False opts out (and a finished run leaves no lock behind)
+    cfg2 = EngineConfig(num_buckets=2, epoch_width=100, job_lock=False)
+    reports = CdcEngine(lake, f"{corpus}/events", cfg2).run()
+    assert sum(r.events for r in reports) == 100
+    os.remove(os.path.join(lockdir, "job.lock"))
+    assert CdcEngine(lake, f"{corpus}/events", cfg).run() == []
+    assert not os.path.exists(os.path.join(lockdir, "job.lock"))
