@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
         "time_partition_counts": demo.time_partition_counts,
+        "partitioned_sink_counts": demo.partitioned_sink_counts,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
         # grok parsing (§2.3) / config-driven assembly (§2.11)
@@ -197,6 +198,10 @@ def oracle_sql() -> dict[str, str]:
         "time_partition_counts": """
             SELECT strftime(ts, '%Y-%m-%d') AS date_part, count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "partitioned_sink_counts": """
+            SELECT event_type, count(*) AS n_rows
+            FROM events GROUP BY event_type
         """,
         "quality_policy_pass": """
             SELECT lang, count(*) AS n_pass

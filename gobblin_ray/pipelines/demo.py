@@ -301,6 +301,49 @@ def time_partition_counts(sf_dir: str):
     return parts.groupby("date_part").aggregate(Count(alias_name="n"))
 
 
+def partitioned_sink_counts(sf_dir: str):
+    """AsyncWriterManager / PartitionedDataWriter analog (SURVEY §2.2):
+    stream events through the actor-pool Parquet sink partitioned by
+    event_type, then read the published files back and count per
+    partition. The lineage the writers report (DataWriter
+    recordsWritten accounting, DataWriter.java:41-125) must agree with
+    what a reader sees — asserted here, then the read-back counts are
+    hash-compared against the oracle."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.sink import PartitionedParquetSink
+
+    out_dir = os.path.join(
+        "/tmp", f"gobblin_sink_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    lineage = ds.map_batches(
+        PartitionedParquetSink,
+        fn_constructor_kwargs=dict(out_dir=out_dir, partition_col="event_type"),
+        batch_format="pyarrow",
+        batch_size=32 * 1024,
+        concurrency=(1, 4),
+    )
+    # Lineage is tiny (one row per batch x partition): the writers' own
+    # accounting, rolled up per partition.
+    reported = {
+        r["partition"]: r["sum(rows)"]
+        for r in lineage.groupby("partition").sum("rows").take_all()
+    }
+    written = rd.read_parquet(out_dir)
+    out = written.groupby("event_type").aggregate(Count(alias_name="n_rows"))
+    seen = {
+        f"event_type={r['event_type']}": r["n_rows"] for r in out.take_all()
+    }
+    assert reported == seen, f"writer lineage {reported} != read-back {seen}"
+    return out
+
+
 def quality_policy_pass(sf_dir: str):
     """RowLevelPolicy analog: pass rows only, counted per lang."""
     from ray.data.aggregate import Count
