@@ -176,9 +176,11 @@ def prune_shards(log_meta: dict, low: int, high: int) -> list[dict]:
 def expected_event_count(log_meta: dict, events_dir: str, low: int, high: int) -> int:
     """Independent count of log rows in ``(low, high]`` for the commit gate
     (RowCountPolicy analog, gobblin-core/.../policies/count/). Fully-covered
-    shards contribute their metadata row count for free; only the <=2
-    boundary shards need their event_seq column read (driver-side,
-    O(boundary-shard rows), never O(epoch events))."""
+    shards contribute their metadata row count for free; boundary shards
+    resolve at ROW-GROUP granularity — fully-covered groups count via their
+    stats, and only the <=2 groups actually straddling an epoch edge decode
+    their event_seq column (driver-side, O(row-group rows), never O(epoch
+    events) and never a whole shard)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -187,10 +189,18 @@ def expected_event_count(log_meta: dict, events_dir: str, low: int, high: int) -
     for s in prune_shards(log_meta, low, high):
         if s["min_seq"] > low and s["max_seq"] <= high:
             total += s["rows"]
-        else:
-            col = pq.read_table(
-                os.path.join(events_dir, s["file"]), columns=["event_seq"]
-            ).column("event_seq")
+            continue
+        pf = pq.ParquetFile(os.path.join(events_dir, s["file"]))
+        idx = pf.schema_arrow.get_field_index("event_seq")
+        for g in range(pf.metadata.num_row_groups):
+            rg = pf.metadata.row_group(g)
+            st = rg.column(idx).statistics
+            if st is not None and (st.max <= low or st.min > high):
+                continue
+            if st is not None and st.min > low and st.max <= high:
+                total += rg.num_rows
+                continue
+            col = pf.read_row_group(g, columns=["event_seq"]).column("event_seq")
             in_range = pc.and_(pc.greater(col, low), pc.less_equal(col, high))
             total += int(pc.sum(pc.cast(in_range, pa.int64())).as_py() or 0)
     return total

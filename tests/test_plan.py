@@ -62,3 +62,29 @@ def test_expected_event_count_full_and_boundary(tmp_path):
     # Full shards: (−1, 199] = 200 rows; boundary: (49, 149] = 100 rows.
     assert pl.expected_event_count(meta, str(tmp_path), -1, 199) == 200
     assert pl.expected_event_count(meta, str(tmp_path), 49, 149) == 100
+
+
+def test_expected_event_count_row_group_granular(tmp_path):
+    """Boundary shards resolve at row-group granularity: fully-covered
+    groups count from stats, only straddling groups decode. Epoch edges
+    here are deliberately unaligned with the 25-row groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    meta = _meta([(100, 1), (100, 1)])
+    for s in meta["shards"]:
+        t = pa.table({"event_seq": pa.array(
+            range(s["min_seq"], s["max_seq"] + 1), pa.int64())})
+        pq.write_table(t, str(tmp_path / s["file"]), row_group_size=25)
+    # (30, 160]: shard 0 contributes 70 (boundary in RG 1), shard 1
+    # contributes 61 (RGs 0-1 full, RG 2 straddles at 160).
+    assert pl.expected_event_count(meta, str(tmp_path), 30, 160) == 130
+    # Edges exactly on group boundaries and a sub-group span.
+    assert pl.expected_event_count(meta, str(tmp_path), 24, 74) == 50
+    assert pl.expected_event_count(meta, str(tmp_path), 101, 107) == 6
+    # Tiling property: any partition of (−1, 199] sums to 200.
+    cuts = [-1, 13, 48, 99, 150, 199]
+    assert sum(
+        pl.expected_event_count(meta, str(tmp_path), a, b)
+        for a, b in zip(cuts, cuts[1:])
+    ) == 200
