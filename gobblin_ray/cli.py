@@ -63,6 +63,11 @@ def main(argv: list[str] | None = None) -> int:
                            help="also compact when the oldest outstanding "
                                 "delta is this many epochs old")
             s.add_argument("--max-epochs", type=int, default=None)
+            s.add_argument("--max-run-seconds", type=float, default=None,
+                           help="early stop (Source.isEarlyStopped analog): "
+                                "stop planning new epochs after this budget; "
+                                "in-flight epochs still commit, next run "
+                                "resumes from the clean watermark")
             s.add_argument("--no-vacuum", action="store_true")
             s.add_argument("--follow", action="store_true",
                            help="continuous tailing: poll for log growth "
@@ -191,7 +196,8 @@ def main(argv: list[str] | None = None) -> int:
                                epoch_bytes=args.epoch_bytes,
                                compact_every=args.compact_every,
                                compact_ratio=args.compact_ratio,
-                               compact_age=args.compact_age)
+                               compact_age=args.compact_age,
+                               max_run_seconds=args.max_run_seconds)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             t0 = time.time()
             if args.follow:

@@ -83,6 +83,11 @@ class EngineConfig:
     job_lock: bool = True  # FileBasedJobLock analog: refuse to run while
     # another live driver holds <lake>/_locks/job.lock (two concurrent
     # replays would race staged promotes); stale locks are taken over
+    max_run_seconds: float | None = None  # early stop (Source.isEarlyStopped,
+    # gobblin-api/.../source/Source.java:103 + Kafka max pull duration,
+    # KafkaExtractor maxPullTime): once the budget elapses, stop SUBMITTING
+    # new epochs; in-flight epochs still commit in order, so the run ends
+    # at a clean watermark and the next run resumes exactly-once from it
 
 
 @dataclass
@@ -662,11 +667,22 @@ class CdcEngine:
                         return True
             return False
 
+        import time as _time
+
+        _deadline = (
+            _time.monotonic() + self.cfg.max_run_seconds
+            if self.cfg.max_run_seconds is not None
+            else None
+        )
         with ThreadPoolExecutor(max_workers=w) as pool:
             inflight: deque = deque()
             i = 0
             last_compact = manifest.epoch
             while i < len(epochs) or inflight:
+                if _deadline is not None and _time.monotonic() >= _deadline:
+                    i = len(epochs)  # early stop: drain, commit, return
+                    if not inflight:
+                        break
                 while i < len(epochs) and len(inflight) < w:
                     ep = epochs[i]
                     due = compaction_due(manifest, ep.index, last_compact)

@@ -127,6 +127,36 @@ def test_kill_and_resume_exactly_once(ray_session, corpus, oracle_df, tmp_path_f
     assert_matches_oracle(engine_df(eng2), oracle_df)
 
 
+def test_early_stop_commits_clean_prefix_and_resumes(
+    ray_session, corpus, oracle_df, tmp_path_factory
+):
+    """max_run_seconds (Source.isEarlyStopped / Kafka max-pull-time analog):
+    an exhausted budget stops planning new epochs but in-flight epochs still
+    commit in ORDER, so the run ends at a clean watermark; a later
+    unbudgeted run resumes exactly-once and matches the oracle."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_earlystop"))
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W, max_run_seconds=0.0)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    # Budget already exhausted at entry: nothing submits, nothing commits.
+    assert eng.run(vacuum=False) == []
+    assert eng.store.latest().epoch == 0
+    # A tiny-but-nonzero budget admits at least the first submission wave;
+    # whatever was in flight commits as a contiguous prefix.
+    cfg2 = EngineConfig(num_buckets=8, epoch_width=EPOCH_W, max_run_seconds=0.05)
+    got = CdcEngine(lake, f"{d}/events", cfg2).run(vacuum=False)
+    epochs = [r.epoch for r in got]
+    assert epochs == list(range(1, 1 + len(epochs))) and len(epochs) < 4
+    # Unbudgeted resume drains to head and byte-matches the oracle.
+    eng3 = CdcEngine(
+        lake, f"{d}/events", EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    )
+    reports = eng3.run()
+    assert [r.epoch for r in reports] == list(range(1 + len(epochs), 5))
+    assert_matches_oracle(engine_df(eng3), oracle_df)
+
+
 def test_reapply_committed_epoch_is_noop(ray_session, corpus, tmp_path_factory):
     """Re-running over a fully-committed lake applies nothing (idempotent)."""
     d, _ = corpus
