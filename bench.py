@@ -59,6 +59,24 @@ QUERY_NAMES = [
 ]
 
 
+def host_canary_mb_s(mb: int = 64) -> float:
+    """First-touch write throughput of fresh anonymous memory (MB/s).
+
+    This sandbox's cold-page backing swings ~5x between minutes (measured
+    5-8 MB/s cold vs >5 GB/s warm) and every figure in this file moves
+    with it — the canary stamps each bench run with the host phase it was
+    taken in, so cross-round comparisons can tell engine changes from
+    host weather."""
+    import numpy as np
+
+    t0 = time.time()
+    a = np.empty(mb * 1024 * 1024, dtype=np.uint8)
+    a[::4096] = 1  # touch every page
+    dt = time.time() - t0
+    del a
+    return round(mb / dt, 1)
+
+
 def ray_up():
     import ray
 
@@ -284,6 +302,7 @@ def main() -> int:
         print(json.dumps(run_scaling()))
         return 0
 
+    canary = host_canary_mb_s()
     ray_up()
     try:
         headline = run_headline()
@@ -297,6 +316,7 @@ def main() -> int:
                     "events_per_sec": headline["events_per_sec"],
                     "headline": headline,
                     "queries": queries,
+                    "host_canary_mb_s": [canary, host_canary_mb_s()],
                     "sf": SF_DIR,
                     "num_cpus": NUM_CPUS,
                 }
