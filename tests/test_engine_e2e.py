@@ -166,6 +166,47 @@ def test_reapply_committed_epoch_is_noop(ray_session, corpus, tmp_path_factory):
     assert reports == []
 
 
+def test_crash_between_promote_and_manifest(
+    ray_session, corpus, oracle_df, tmp_path_factory
+):
+    """The narrowest exactly-once window: epoch k's files are PROMOTED but
+    the driver dies before writing manifest k. On resume the manifest still
+    says k-1, so the engine re-executes epoch k; its staged writes target
+    the same deterministic paths and the re-promote overwrites the orphaned
+    files idempotently (FsRenameCommitStep semantics) — no duplicate applies,
+    no loss, oracle-identical final state."""
+    from gobblin_ray import checkpoint as ckpt
+
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_crashwin"))
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W, pipeline_epochs=1)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+    m2 = eng.store.latest()
+    assert m2.epoch == 2
+    # Simulate the crash: execute + stage + PROMOTE epoch 3 by hand, then
+    # "die" without committing its manifest.
+    import gobblin_ray.plan as planmod
+
+    log_meta = planmod.load_log_meta(f"{d}/events")
+    [ep3] = planmod.plan_epochs(log_meta, m2.high_seq, EPOCH_W, 3)[:1]
+    execution = eng._execute_epoch(ep3, m2, log_meta)
+    promoted = [(int(r["bucket"]), r["kind"]) for r in execution["lineage"]]
+    promoted += [
+        (int(r["bucket"]), "errors")
+        for r in execution["lineage"]
+        if int(r["errors"]) > 0
+    ]
+    ckpt.promote(lake, 3, sorted(promoted))
+    assert eng.store.latest().epoch == 2  # manifest never advanced
+    # Fresh driver resumes: must replay 3 (idempotent re-promote) then 4.
+    eng2 = CdcEngine(lake, f"{d}/events", cfg)
+    reports = eng2.run()
+    assert [r.epoch for r in reports] == [3, 4]
+    assert_matches_oracle(engine_df(eng2), oracle_df)
+
+
 def test_salted_hot_buckets_match_oracle(ray_session, corpus, oracle_df, tmp_path_factory):
     """Force the salted partial-merge path and re-verify byte identity."""
     d, _ = corpus
