@@ -50,6 +50,43 @@ def test_pack_bins_worst_fit_decreasing():
     assert max(loads) - min(loads) <= 30  # balanced (170 vs 180)
 
 
+def test_plan_epochs_sized_tiling_property():
+    """Property: for ANY shard layout (random widths/byte-densities) and any
+    resume point, sized epochs tile (committed_high, head] exactly —
+    contiguous, gapless, monotone indices, every epoch non-empty, max_width
+    respected. (Hypothesis over the planner's whole input space.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    shard = st.tuples(st.integers(1, 5_000), st.integers(1, 2_000_000))
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        shards=st.lists(shard, min_size=1, max_size=12),
+        target=st.integers(1, 3_000_000),
+        resume_frac=st.floats(0, 1),
+        max_width=st.one_of(st.none(), st.integers(1, 10_000)),
+    )
+    def run(shards, target, resume_frac, max_width):
+        meta = _meta(shards)
+        head = meta["max_seq"]
+        committed = int(-1 + resume_frac * (head + 1)) - 1
+        committed = max(-1, min(committed, head - 1))
+        epochs = pl.plan_epochs_sized(meta, committed, target, 7, max_width)
+        assert epochs, "span is non-empty, planner must emit epochs"
+        assert epochs[0].low_seq == committed
+        assert epochs[-1].high_seq == head
+        assert [e.index for e in epochs] == list(range(7, 7 + len(epochs)))
+        for a, b in zip(epochs, epochs[1:]):
+            assert b.low_seq == a.high_seq
+        for e in epochs:
+            assert e.high_seq > e.low_seq
+            if max_width is not None:
+                assert e.high_seq - e.low_seq <= max_width
+
+    run()
+
+
 def test_expected_event_count_full_and_boundary(tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
