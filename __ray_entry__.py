@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dims": demo.embedding_dims,
         # multimodal plumbing (extension set)
         "multimodal_decode": demo.multimodal_decode,
+        "multimodal_resize": demo.multimodal_resize,
         "multimodal_frames": demo.multimodal_frames,
     }
 

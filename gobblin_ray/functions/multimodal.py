@@ -107,6 +107,53 @@ class MediaDecoder:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: decode -> nearest-neighbor resize to a fixed
+    (out_w, out_h) thumbnail -> emit the resized pixels as a fixed-size
+    binary column plus its mean luminance.
+
+    The resize itself is REAL array math (index-gather; what PIL's
+    NEAREST does) — only the decode behind it is the documented codec
+    stub. Output rows are fixed-size, so downstream batch sizing is
+    byte-predictable regardless of source image dims (the reason
+    pipelines resize early at scale)."""
+
+    def __init__(self, out_w: int = 8, out_h: int = 8, strict: bool = False):
+        if strict:
+            raise NotImplementedError(
+                "real image codec unavailable; swap DeterministicFakeCodec"
+            )
+        self.codec = DeterministicFakeCodec()
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        h, w = img.shape
+        rows = (np.arange(self.out_h) * h) // self.out_h
+        cols = (np.arange(self.out_w) * w) // self.out_w
+        return img[rows][:, cols]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        thumbs, lum, ok = [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                small = self._resize(self.codec.decode(payload))
+                thumbs.append(small.tobytes())
+                lum.append(float(small.mean()))
+                ok.append(True)
+            except Exception:
+                thumbs.append(b"\x00" * (self.out_w * self.out_h))
+                lum.append(0.0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])  # resized stage drops source bytes
+            .append_column("thumb", pa.array(thumbs, pa.binary()))
+            .append_column("thumb_w", pa.array([self.out_w] * len(ok), pa.int32()))
+            .append_column("thumb_h", pa.array([self.out_h] * len(ok), pa.int32()))
+            .append_column("thumb_luma", pa.array(lum, pa.float64()))
+            .append_column("resize_ok", pa.array(ok, pa.bool_()))
+        )
+
+
 class ByteHistogram:
     """Actor-pool feature extractor over raw payload bytes (real compute,
     codec-free): 16-bin byte histogram as a fixed-size list column."""
@@ -237,6 +284,24 @@ def decode_pipeline(media_ds, concurrency: int = 4, avg_payload_bytes: int = 409
     actor pool + heavy column dropped at the earliest stage."""
     return media_ds.map_batches(
         MediaDecoder,
+        batch_format="pyarrow",
+        batch_size=suggest_batch_size(avg_payload_bytes),
+        concurrency=concurrency,
+    )
+
+
+def resize_pipeline(
+    media_ds,
+    out_w: int = 8,
+    out_h: int = 8,
+    concurrency: int = 4,
+    avg_payload_bytes: int = 4096,
+):
+    """Decode + thumbnail in one actor pass: variable-size payloads in,
+    fixed-size rows out — downstream batches become byte-predictable."""
+    return media_ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
         batch_format="pyarrow",
         batch_size=suggest_batch_size(avg_payload_bytes),
         concurrency=concurrency,

@@ -881,6 +881,19 @@ def multimodal_decode(sf_dir: str):
     return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
 
 
+def multimodal_resize(sf_dir: str):
+    """Multimodal resize stage: decode + nearest-neighbor thumbnail in one
+    actor pass — variable-size payloads in, fixed-size rows out.
+    Deterministic; rows-only check."""
+    import ray.data as rd
+
+    from ..functions import multimodal as mm
+
+    media = rd.from_arrow(mm.synth_media(512))
+    return mm.resize_pipeline(media, out_w=8, out_h=8, concurrency=2,
+                              avg_payload_bytes=2048)
+
+
 def multimodal_frames(sf_dir: str):
     """Video frame-sampling plumbing: fake container -> actor-pool demux ->
     one row per sampled frame with per-frame features. Deterministic;

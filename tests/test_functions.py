@@ -260,6 +260,35 @@ def test_media_strict_mode_documents_stub():
         mm.frame_sample_stub()
 
 
+def test_image_resizer_fixed_output():
+    import numpy as np
+
+    t = mm.synth_media(16)
+    rs = mm.ImageResizer(out_w=8, out_h=8)
+    out = rs(t)
+    assert out.column("resize_ok").to_pylist() == [True] * 16
+    assert "payload" not in out.column_names
+    for thumb in out.column("thumb").to_pylist():
+        assert len(thumb) == 64  # fixed-size rows regardless of source dims
+    # Nearest-neighbor from a known image: resize of a constant image is
+    # constant; resize preserves a row gradient's endpoints.
+    img = np.tile(np.arange(16, dtype=np.uint8)[:, None], (1, 10))  # 16x10
+    small = rs._resize(img)
+    assert small.shape == (8, 8)
+    assert small[0, 0] == 0 and small[-1, 0] == 14  # rows 0, 2, ..., 14
+    with pytest.raises(NotImplementedError):
+        mm.ImageResizer(strict=True)
+
+
+def test_resize_pipeline(ray_session):
+    import ray.data as rd
+
+    out = mm.resize_pipeline(rd.from_arrow(mm.synth_media(64)), concurrency=2)
+    df = out.to_pandas()
+    assert len(df) == 64 and df["resize_ok"].all()
+    assert (df["thumb_luma"] > 0).all()
+
+
 def test_byte_histogram_normalized():
     t = mm.synth_media(4)
     out = mm.ByteHistogram()(t)
