@@ -103,7 +103,52 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("lake_dir")
     sp.add_argument("--keep-manifests", type=int, default=1)
 
+    sp = sub.add_parser(
+        "query", help="run one operator pipeline from the demo library "
+        "(EmbeddedGobblin one-shot job analog)"
+    )
+    sp.add_argument("name", nargs="?", default=None,
+                    help="pipeline name (omit to list available names)")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--limit", type=int, default=5,
+                    help="rows of the result to print")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "query":
+        from .pipelines import demo as demomod
+
+        names = sorted(
+            n for n in dir(demomod)
+            if not n.startswith("_") and callable(getattr(demomod, n))
+            and getattr(getattr(demomod, n), "__module__", "") == demomod.__name__
+            and n not in ("read_table", "read_incremental")
+        )
+        if args.name is None:
+            print(json.dumps({"queries": names}))
+            return 0
+        if args.name not in names:
+            print(json.dumps({"error": f"unknown query {args.name!r}",
+                              "queries": names}), file=sys.stderr)
+            return 2
+        _ray_up(args.num_cpus)
+        try:
+            t0 = time.time()
+            import pandas as pd
+
+            res = getattr(demomod, args.name)(args.sf_dir)
+            df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            print(json.dumps({
+                "query": args.name, "rows": int(len(df)),
+                "sec": round(time.time() - t0, 3),
+                "head": json.loads(df.head(args.limit).to_json(
+                    orient="records", date_format="iso")),
+            }))
+        finally:
+            import ray
+
+            ray.shutdown()
+        return 0
 
     if args.cmd == "clean":
         from datetime import timedelta
