@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # aggregations (§2.6)
         "agg_pricing_summary": demo.agg_pricing_summary,
         "token_count_totals": demo.token_count_totals,
+        "llm_prep_summary": demo.llm_prep_summary,
         # sorts / limits / top-k (§2.7)
         "sort_topk_revenue": demo.sort_topk_revenue,
         # joins / lookups (§2.5)
@@ -239,6 +240,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "llm_prep_summary": """
+            WITH good AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND n_chars >= 100
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM good GROUP BY text
+            )
+            SELECT g.lang, count(*) AS n_docs,
+                   CAST(sum(array_length(string_split(g.text, ' ')))
+                        AS BIGINT) AS total_tokens
+            FROM good g JOIN keep k USING (doc_id)
+            GROUP BY g.lang
         """,
         "bpe_token_totals": """
             SELECT lang,

@@ -881,6 +881,33 @@ def multimodal_decode(sf_dir: str):
     return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
 
 
+def llm_prep_summary(sf_dir: str):
+    """Composed LLM-data-prep flagship over ``documents``: quality gate
+    (non-empty text, n_chars >= 100) -> exact dedup (min doc_id per
+    distinct text, hash-keyed shuffle) -> whitespace token count ->
+    per-lang rollup (docs kept + total tokens). Every stage is an existing
+    library operator — this query checks their COMPOSITION end-to-end
+    against one SQL oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"])
+    checker = PolicyChecker([non_empty_string("text")])
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        good, _bad = PolicyChecker.split(checker(t))
+        return good.filter(pc.greater_equal(good.column("n_chars"), pa.scalar(100)))
+
+    quality_gate.__name__ = "quality_gate"
+    good = ds.map_batches(quality_gate, batch_format="pyarrow", batch_size=None)
+    kept = dd.dedup_exact_by_hash(good, "text", "doc_id")
+    counted = kept.map_batches(
+        tx.token_count("text"), batch_format="pyarrow", batch_size=None
+    )
+    return counted.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
+
+
 def multimodal_resize(sf_dir: str):
     """Multimodal resize stage: decode + nearest-neighbor thumbnail in one
     actor pass — variable-size payloads in, fixed-size rows out.
