@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": demo.agg_pricing_summary,
         "token_count_totals": demo.token_count_totals,
         "llm_prep_summary": demo.llm_prep_summary,
+        "dup_spans_documents": demo.dup_spans_documents,
         # sorts / limits / top-k (§2.7)
         "sort_topk_revenue": demo.sort_topk_revenue,
         # joins / lookups (§2.5)
@@ -240,6 +241,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
+        """,
+        "dup_spans_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ), spans AS (
+                SELECT doc_id, array_to_string(t[i:i+4], ' ') AS span
+                FROM toks CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(t)-3)) AS i) s
+            ), per AS (
+                SELECT span, count(*) AS occ, count(DISTINCT doc_id) AS nd
+                FROM spans GROUP BY span
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_dup_spans,
+                   CAST(COALESCE(sum(occ), 0) AS BIGINT) AS n_instances
+            FROM per WHERE nd >= 2
         """,
         "llm_prep_summary": """
             WITH good AS (

@@ -186,6 +186,48 @@ class Fingerprinter:
         return batch.append_column(self.out, pa.array(fps, pa.string()))
 
 
+def token_window_spans(text_col: str = "text", id_col: str = "doc_id",
+                       k: int = 5):
+    """Explode each document into its k-consecutive-whitespace-token spans —
+    the candidate stage of exact-substring dedup (the fixed-k approximation
+    of suffix-array span dedup used in LLM-data pipelines): any span seen in
+    two documents is duplicated training text.
+
+    Fully vectorized across the batch: all docs' tokens are flattened into
+    ONE array, and the k-token join runs as a single Arrow
+    ``binary_join_element_wise`` over k shifted views with a doc-boundary
+    mask (no per-doc Python loop). Emits (id_col, span) rows; at scale the
+    downstream groupby should key on a span HASH, not the span text."""
+
+    def run(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        if n == 0 or n < k:
+            return pa.table({
+                id_col: pa.array([], t.schema.field(id_col).type),
+                "span": pa.array([], pa.string()),
+            })
+        # doc index of every flat token, and a mask of window starts whose
+        # k tokens all belong to the same doc
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        starts = doc_of[: n - k + 1] == doc_of[k - 1 :]
+        parts = [flat.slice(j, n - k + 1) for j in range(k)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        idx = np.flatnonzero(starts)
+        return pa.table({
+            id_col: pa.array(ids[doc_of[idx]]),
+            "span": joined.take(pa.array(idx)),
+        })
+
+    run.__name__ = f"token_window_spans[k={k}]"
+    return run
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

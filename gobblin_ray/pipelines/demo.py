@@ -881,6 +881,68 @@ def multimodal_decode(sf_dir: str):
     return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
 
 
+def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
+    """Exact-substring (span) dedup detection — the fixed-k approximation of
+    suffix-array substring dedup from LLM-data pipelines: count the distinct
+    5-token spans that appear in >= 2 distinct documents, and the total
+    occurrences of those spans.
+
+    Scale shape: spans explode 1:N, the shuffle keys on hash(span) %
+    num_parts (bounded partitions — never a per-span group dispatch, and at
+    scale the span TEXT would be replaced by its hash as the exchanged
+    key), and each partition counts distinct docs per span in one
+    sort + boundary-detect pass; the final reduce sums num_parts partials."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    spans = ds.map_batches(
+        tx.token_window_spans("text", "doc_id", k=k),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+
+    def bucket(t: pa.Table) -> pa.Table:
+        arr = t.column("span").to_pandas().to_numpy(dtype=object, na_value="")
+        h = pd.util.hash_array(arr, categorize=False)
+        return t.append_column(
+            "_sp", pa.array((h % num_parts).astype(np.int32))
+        )
+
+    bucket.__name__ = "span_hash_bucket"
+
+    def count_partition(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("span", "ascending"), ("doc_id", "ascending")])
+        codes = pc.dictionary_encode(
+            g.column("span").combine_chunks()
+        ).indices.to_numpy(zero_copy_only=False)
+        docs = g.column("doc_id").to_numpy(zero_copy_only=False)
+        new_span = np.diff(codes, prepend=codes[0] - 1) != 0
+        new_doc = new_span | (np.diff(docs, prepend=docs[0] - 1) != 0)
+        span_ids = np.cumsum(new_span) - 1
+        n_spans = span_ids[-1] + 1
+        occ = np.bincount(span_ids, minlength=n_spans)
+        nd = np.bincount(span_ids[new_doc], minlength=n_spans)
+        dup = nd >= 2
+        return pa.table({
+            "n_dup_spans": pa.array([int(dup.sum())], pa.int64()),
+            "n_instances": pa.array([int(occ[dup].sum())], pa.int64()),
+        })
+
+    partials = spans.map_batches(
+        bucket, batch_format="pyarrow", batch_size=None
+    ).groupby("_sp").map_groups(count_partition, batch_format="pyarrow")
+    row = partials.aggregate(
+        Sum("n_dup_spans", alias_name="n_dup_spans"),
+        Sum("n_instances", alias_name="n_instances"),
+    )
+    return pd.DataFrame([{
+        "n_dup_spans": int(row["n_dup_spans"] or 0),
+        "n_instances": int(row["n_instances"] or 0),
+    }])
+
+
 def llm_prep_summary(sf_dir: str):
     """Composed LLM-data-prep flagship over ``documents``: quality gate
     (non-empty text, n_chars >= 100) -> exact dedup (min doc_id per
