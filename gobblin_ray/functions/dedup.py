@@ -275,11 +275,21 @@ def _segment_pairs(
         out_a.append(seg[ii])
         out_b.append(seg[jj])
         if n > head:
-            # STAR to the segment min, not a chain: keeps the component
-            # diameter at 2 so label propagation converges in O(1) rounds
-            # (a chain over an n-member bucket needs O(n) rounds).
+            # STAR to the two smallest segment members, not a chain: keeps
+            # the component diameter at 2 so label propagation converges in
+            # O(1) rounds (a chain over an n-member bucket needs O(n)
+            # rounds). Two anchors because star edges only make the
+            # CANDIDATE graph connected — if one anchor fails downstream
+            # Jaccard verification (band-hash collision outlier) a single
+            # star would orphan the whole tail; with two anchors the tail
+            # survives any one anchor dying. Recall past the triangle cap
+            # still depends on at least one anchor verifying — documented
+            # trade-off of the skew guard.
             out_a.append(np.full(n - head, seg[0]))
             out_b.append(seg[head:n])
+            if head >= 2:
+                out_a.append(np.full(n - head, seg[1]))
+                out_b.append(seg[head:n])
     if not out_a:
         z = np.array([], np.int64)
         return z, z

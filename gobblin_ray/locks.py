@@ -64,11 +64,16 @@ class FileJobLock:
             except FileExistsError:
                 pid = self._holder()
                 if pid is not None and (pid == os.getpid() or not self._alive(pid)):
-                    # Stale (holder died) or re-entrant: take over. Remove
-                    #+ retry the exclusive create so two waiters can't both
-                    # slip past the same stale file.
+                    # Stale (holder died) or re-entrant: take over. A bare
+                    # os.remove is a TOCTOU race — two waiters can both read
+                    # the dead pid, and the slower one would remove the
+                    # faster one's FRESH lock. rename() is atomic: exactly
+                    # one renamer moves the stale file aside; the loser gets
+                    # FileNotFoundError and loops back to re-inspect.
+                    stale = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
                     try:
-                        os.remove(self.path)
+                        os.rename(self.path, stale)
+                        os.remove(stale)
                     except FileNotFoundError:
                         pass
                     continue
