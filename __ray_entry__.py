@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_mini": demo.cdc_replay_mini,
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
+        "fork_multicast_counts": demo.fork_multicast_counts,
         "time_partition_counts": demo.time_partition_counts,
         "partitioned_sink_counts": demo.partitioned_sink_counts,
         # quality checkers (§2.9)
@@ -197,6 +198,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'rest' END AS branch,
                    count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "fork_multicast_counts": """
+            SELECT branch, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT 'buy' AS branch, value FROM events
+                WHERE event_type = 'purchase'
+                UNION ALL
+                SELECT 'high' AS branch, value FROM events
+                WHERE value > 50.0
+                UNION ALL
+                SELECT 'rest' AS branch, value FROM events
+                WHERE NOT coalesce(event_type = 'purchase', FALSE)
+                  AND NOT coalesce(value > 50.0, FALSE)
+            ) GROUP BY branch
         """,
         "time_partition_counts": """
             SELECT strftime(ts, '%Y-%m-%d') AS date_part, count(*) AS n

@@ -401,30 +401,16 @@ class _BroadcastJaccardVerify:
 
 
 def _verify_jaccard_broadcast(
-    pairs, docs, threshold: float, text_col: str, id_col: str, shingle_k: int
+    a: np.ndarray, b: np.ndarray, sel, threshold: float, id_col: str,
+    text_col: str, shingle_k: int
 ):
-    """Small-edge-list verify: needed ids -> one filtered corpus pass ->
-    ray.put broadcast -> actor-pool Jaccard. Driver transiently holds the
-    needed texts (bounded: <= 2 x broadcast_pairs_limit docs)."""
+    """Small-edge-list verify: the (pre-filtered, materialized) needed
+    texts -> ray.put broadcast -> actor-pool Jaccard. Callers gate entry on
+    BOTH pair count and total text BYTES, so the transient driver dict is
+    bounded in bytes, not just rows."""
     import ray
     import ray.data as rd
 
-    rows = pairs.take_all()
-    if not rows:
-        return pairs.map_batches(
-            lambda t: t.append_column("jaccard", pa.array([], pa.float64())),
-            batch_format="pyarrow", batch_size=None,
-        )
-    a = np.array([r["a"] for r in rows], dtype=np.int64)
-    b = np.array([r["b"] for r in rows], dtype=np.int64)
-    need = pa.array(np.unique(np.concatenate([a, b])))
-
-    def pick(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t.column(id_col), value_set=need)
-        return t.filter(m).select([id_col, text_col])
-
-    pick.__name__ = "pick_needed_texts"
-    sel = docs.map_batches(pick, batch_format="pyarrow", batch_size=None)
     texts = {int(r[id_col]): r[text_col] for r in sel.take_all()}
     texts_ref = ray.put(texts)
     return rd.from_arrow(pa.table({"a": a, "b": b})).map_batches(
@@ -447,17 +433,23 @@ def verify_pairs_jaccard(
     shingle_k: int = 5,
     num_partitions: int | None = None,
     broadcast_pairs_limit: int = 100_000,
+    broadcast_bytes_limit: int = 256 * 1024 * 1024,
 ):
     """Attach both texts to each candidate pair and compute the true
     character-shingle Jaccard; keep pairs >= threshold.
 
     Adaptive attach: an edge list at or under ``broadcast_pairs_limit``
-    resolves texts via a broadcast lookup (one filtered corpus pass +
-    ray.put, no shuffle); a larger one goes through two hash joins that
-    partition on doc id — no broadcast of the corpus. ``num_partitions``
-    defaults to a fraction of cluster CPUs: each join operator holds one
-    actor per partition, and two chained joins plus the upstream pool must
-    coexist without starving the scheduler."""
+    whose needed texts total at most ``broadcast_bytes_limit`` resolves
+    texts via a broadcast lookup (one filtered corpus pass + ray.put, no
+    shuffle); anything larger goes through two hash joins that partition
+    on doc id — no broadcast of the corpus. The bytes gate matters for
+    long-document corpora: 200k distinct 100 KB webtext docs is ~20 GB —
+    pair COUNT alone would admit that onto the driver heap. The text
+    bytes are measured on the already-filtered needed-texts dataset (a
+    distributed aggregate; nothing is collected before the gate passes).
+    ``num_partitions`` defaults to a fraction of cluster CPUs: each join
+    operator holds one actor per partition, and two chained joins plus the
+    upstream pool must coexist without starving the scheduler."""
     import ray
 
     if num_partitions is None:
@@ -467,17 +459,48 @@ def verify_pairs_jaccard(
     # so the attach stage doesn't re-execute the MinHash + shuffle chain.
     pairs = pairs.materialize()
     n_pairs = pairs.count()
+    if n_pairs == 0:
+        return pairs.map_batches(
+            lambda t: t.append_column("jaccard", pa.array([], pa.float64())),
+            batch_format="pyarrow", batch_size=None,
+        )
     if n_pairs <= broadcast_pairs_limit:
         # Small-side path: the two hash joins cost seconds of actor-pool
         # spin-up each even for a few thousand pairs. Collect the NEEDED
         # doc ids (bounded by 2 x pairs), pull just those texts with one
-        # filtered pass over the corpus, broadcast the id->text map via
-        # ray.put, and verify inside an actor pool that fetches the ref
-        # once per actor. Above the cap (edge lists that might not fit a
-        # worker's heap) the join path below is the scale route.
-        return _verify_jaccard_broadcast(
-            pairs, docs, threshold, text_col, id_col, shingle_k
-        )
+        # filtered pass over the corpus, and — if they also fit the BYTE
+        # budget — broadcast the id->text map via ray.put and verify
+        # inside an actor pool that fetches the ref once per actor.
+        from ray.data.aggregate import Sum
+
+        rows = pairs.take_all()
+        a = np.array([r["a"] for r in rows], dtype=np.int64)
+        b = np.array([r["b"] for r in rows], dtype=np.int64)
+        need = pa.array(np.unique(np.concatenate([a, b])))
+
+        def pick(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column(id_col), value_set=need)
+            return t.filter(m).select([id_col, text_col])
+
+        pick.__name__ = "pick_needed_texts"
+        sel = docs.map_batches(
+            pick, batch_format="pyarrow", batch_size=None
+        ).materialize()
+
+        def measure(t: pa.Table) -> pa.Table:
+            n = pc.sum(pc.binary_length(t.column(text_col))).as_py() or 0
+            return pa.table({"_bytes": pa.array([n], pa.int64())})
+
+        measure.__name__ = "measure_text_bytes"
+        got = sel.map_batches(
+            measure, batch_format="pyarrow", batch_size=None
+        ).aggregate(Sum("_bytes", alias_name="b"))
+        if int(got["b"] or 0) <= broadcast_bytes_limit:
+            return _verify_jaccard_broadcast(
+                a, b, sel, threshold, id_col, text_col, shingle_k
+            )
+        # Needed texts exceed the byte budget: fall through to the join
+        # path (partition-on-id attach; nothing broadcast).
     texts = docs.select_columns([id_col, text_col])
     a_side = texts.rename_columns({id_col: "a", text_col: "_text_a"})
     b_side = texts.rename_columns({id_col: "b", text_col: "_text_b"})
@@ -588,6 +611,7 @@ def connected_components(
 
     propagate.__name__ = "label_propagate"
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         edges = (
             edges.groupby("_part")
@@ -596,8 +620,19 @@ def connected_components(
         )
         cur = edges.aggregate(Sum("src_label"))["sum(src_label)"]
         if cur == prev_sum:
+            converged = True
             break
         prev_sum = cur
+    if not converged:
+        # An unconverged label set is INCONSISTENT (members of one
+        # component carry different labels -> silent under-dedup). Long
+        # chain-shaped components (possible from the sorted-window
+        # fallback) can legitimately need more rounds than the default.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds;"
+            " raise max_rounds (label propagation needs rounds ~ the"
+            " largest component's diameter)"
+        )
     labels = (
         edges.groupby("src")
         .aggregate(Min("src_label", alias_name="label"))
@@ -628,12 +663,18 @@ def dedup_minhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    broadcast_bytes_limit: int | None = None,
     **lsh_kw,
 ):
     """Full near-dup pipeline: LSH candidates -> Jaccard verify ->
     components -> drop every non-representative member (keep min id)."""
     pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kw)
-    confirmed = verify_pairs_jaccard(pairs, docs, threshold, text_col, id_col)
+    verify_kw = {}
+    if broadcast_bytes_limit is not None:
+        verify_kw["broadcast_bytes_limit"] = broadcast_bytes_limit
+    confirmed = verify_pairs_jaccard(
+        pairs, docs, threshold, text_col, id_col, **verify_kw
+    )
     return _drop_non_representatives(docs, confirmed, id_col)
 
 

@@ -261,6 +261,32 @@ def fork_branches(sf_dir: str):
     return routed.groupby("branch").aggregate(Count(alias_name="n"))
 
 
+def fork_multicast_counts(sf_dir: str):
+    """DUPLICATING fork (true ForkOperator contract — a record can flow to
+    several branches in one pass): purchase events AND high-value events
+    overlap; each row is emitted once per matching branch, non-matches go
+    to 'rest'. One input scan regardless of branch count."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.fork import fork_multicast
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    routed = fork_multicast(
+        ds,
+        {
+            "buy": lambda t: pc.equal(t.column("event_type"), pa.scalar("purchase")),
+            "high": lambda t: pc.greater(t.column("value"), pa.scalar(50.0)),
+        },
+        default="rest",
+    )
+    out = routed.groupby("branch").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def json_extract_props(sf_dir: str):
     """JSON-string parsing converter (JsonStringToJsonIntermediateConverter
     analog) — vectorized regex fast path."""
@@ -887,11 +913,15 @@ def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
     5-token spans that appear in >= 2 distinct documents, and the total
     occurrences of those spans.
 
-    Scale shape: spans explode 1:N, the shuffle keys on hash(span) %
-    num_parts (bounded partitions — never a per-span group dispatch, and at
-    scale the span TEXT would be replaced by its hash as the exchanged
-    key), and each partition counts distinct docs per span in one
-    sort + boundary-detect pass; the final reduce sums num_parts partials."""
+    Scale shape: spans explode 1:N; the span TEXT never leaves the explode
+    stage — each span is replaced by a 128-bit hash (two independent
+    64-bit pandas siphashes) so the one exchange moves 16 bytes/span
+    instead of k tokens of text (~5x corpus-byte inflation avoided). At
+    10^10 spans the 128-bit birthday collision odds are ~1e-19 — counting
+    on the hash is exact in practice. The shuffle keys on h1 % num_parts
+    (bounded partitions — never a per-span group dispatch), each partition
+    counts distinct docs per span in one sort + boundary-detect pass, and
+    the final reduce sums num_parts partials."""
     import pandas as pd
 
     from ray.data.aggregate import Sum
@@ -905,20 +935,27 @@ def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
 
     def bucket(t: pa.Table) -> pa.Table:
         arr = t.column("span").to_pandas().to_numpy(dtype=object, na_value="")
-        h = pd.util.hash_array(arr, categorize=False)
-        return t.append_column(
-            "_sp", pa.array((h % num_parts).astype(np.int32))
-        )
+        h1 = pd.util.hash_array(arr, categorize=False)
+        h2 = pd.util.hash_array(arr, categorize=False, hash_key="1b3c5d7f9a0e2c4d")
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "_sp": pa.array((h1 % num_parts).astype(np.int32)),
+        })
 
-    bucket.__name__ = "span_hash_bucket"
+    bucket.__name__ = "span_hash_drop_text"
 
     def count_partition(g: pa.Table) -> pa.Table:
-        g = g.sort_by([("span", "ascending"), ("doc_id", "ascending")])
-        codes = pc.dictionary_encode(
-            g.column("span").combine_chunks()
-        ).indices.to_numpy(zero_copy_only=False)
+        g = g.sort_by(
+            [("h1", "ascending"), ("h2", "ascending"), ("doc_id", "ascending")]
+        )
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
         docs = g.column("doc_id").to_numpy(zero_copy_only=False)
-        new_span = np.diff(codes, prepend=codes[0] - 1) != 0
+        new_span = (np.diff(h1, prepend=h1[0] - 1) != 0) | (
+            np.diff(h2, prepend=h2[0] - 1) != 0
+        )
         new_doc = new_span | (np.diff(docs, prepend=docs[0] - 1) != 0)
         span_ids = np.cumsum(new_span) - 1
         n_spans = span_ids[-1] + 1

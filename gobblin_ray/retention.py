@@ -250,6 +250,17 @@ def vacuum_keep(lake_dir: str, keep_manifests: int) -> dict:
     """
     if keep_manifests < 1:
         raise ValueError("keep_manifests must be >= 1")
+    from .locks import FileJobLock
+
+    # Same job lock the driver holds: vacuum racing a live run could
+    # delete files promoted for an epoch whose manifest isn't committed
+    # yet (the ckpt.promote -> store.commit window), leaving a committed
+    # manifest pointing at missing data.
+    with FileJobLock(os.path.join(lake_dir, "_locks")):
+        return _vacuum_keep_locked(lake_dir, keep_manifests)
+
+
+def _vacuum_keep_locked(lake_dir: str, keep_manifests: int) -> dict:
     store = ckpt.CheckpointStore(lake_dir)
     epochs = store.committed_epochs()
     kept_epochs = epochs[-keep_manifests:]

@@ -70,6 +70,20 @@ def test_dedup_minhash_removes_near_dups(ray_session):
     assert ids == [0, 3, 4]
 
 
+def test_dedup_minhash_byte_gate_joins_same_result(ray_session):
+    """With a 1-byte broadcast budget the verify stage must fall to the
+    partitioned-join attach path and still produce identical survivors."""
+    import ray.data as rd
+
+    docs = rd.from_arrow(near_dup_corpus())
+    kept = dd.dedup_minhash(
+        docs, threshold=0.7, num_perm=64, bands=16, concurrency=2,
+        broadcast_bytes_limit=1,
+    )
+    ids = sorted(r["doc_id"] for r in kept.take_all())
+    assert ids == [0, 3, 4]
+
+
 def test_dedup_ngram_jaccard_removes_near_dups(ray_session):
     import ray.data as rd
 

@@ -148,6 +148,42 @@ def test_route_column_first_match_wins():
     assert out.column("branch").to_pylist() == ["rest", "b_kind", "high", "high"]
 
 
+def test_multicast_duplicates_rows_per_matching_branch():
+    import pyarrow.compute as pc
+
+    from gobblin_ray.stages.fork import multicast_column
+
+    fn = multicast_column(
+        {
+            "b_kind": lambda t: pc.equal(t.column("kind"), pa.scalar("b")),
+            "high": lambda t: pc.greater(t.column("val"), pa.scalar(10.0)),
+        },
+        default="rest",
+    )
+    out = fn(t_events())
+    got = sorted(zip(out.column("val").to_pylist(), out.column("branch").to_pylist()))
+    # row val=20 is kind=b AND >10 -> goes to BOTH branches (duplicating
+    # fork, unlike route_column's first-match-wins)
+    vals = t_events().column("val").to_pylist()
+    kinds = t_events().column("kind").to_pylist()
+    expect = []
+    for v, k in zip(vals, kinds):
+        m = []
+        if k == "b":
+            m.append("b_kind")
+        if v > 10.0:
+            m.append("high")
+        expect.extend((v, b) for b in (m or ["rest"]))
+    assert got == sorted(expect)
+    # drop-when-no-default: non-matching rows vanish
+    fn2 = multicast_column(
+        {"b_kind": lambda t: pc.equal(t.column("kind"), pa.scalar("b"))},
+        default=None,
+    )
+    out2 = fn2(t_events())
+    assert set(out2.column("kind").to_pylist()) == {"b"}
+
+
 def test_time_partition_granularities():
     t = t_events()
     assert time_partition("ts", "day")(t).column("date_part").to_pylist() == [
