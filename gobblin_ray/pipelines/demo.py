@@ -341,26 +341,23 @@ def partitioned_sink_counts(sf_dir: str):
     import ray.data as rd
     from ray.data.aggregate import Count
 
-    from ..stages.sink import PartitionedParquetSink
+    from ..stages.sink import write_partitioned
 
     out_dir = os.path.join(
         "/tmp", f"gobblin_sink_{os.path.basename(os.path.normpath(sf_dir))}"
     )
     shutil.rmtree(out_dir, ignore_errors=True)
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
-    lineage = ds.map_batches(
-        PartitionedParquetSink,
-        fn_constructor_kwargs=dict(out_dir=out_dir, partition_col="event_type"),
-        batch_format="pyarrow",
-        batch_size=32 * 1024,
-        concurrency=(1, 4),
+    # Size-targeted sink: each write task rolls per-partition files at the
+    # byte target instead of one file per batch x partition (small-file
+    # storm). Lineage is the writers' own accounting, rolled up.
+    lineage = write_partitioned(
+        ds, out_dir, partition_col="event_type",
+        target_file_bytes=4 * 1024 * 1024,
     )
-    # Lineage is tiny (one row per batch x partition): the writers' own
-    # accounting, rolled up per partition.
-    reported = {
-        r["partition"]: r["sum(rows)"]
-        for r in lineage.groupby("partition").sum("rows").take_all()
-    }
+    reported: dict[str, int] = {}
+    for r in lineage:
+        reported[r["partition"]] = reported.get(r["partition"], 0) + r["rows"]
     written = rd.read_parquet(out_dir)
     out = written.groupby("event_type").aggregate(Count(alias_name="n_rows"))
     seen = {

@@ -207,3 +207,31 @@ def test_lww_shard_order_invariance(rows, k):
     ]
     merged = merge_bases(list(reversed(deltas)), one.schema)
     assert one.sort_by("url").equals(merged.sort_by("url"))
+
+
+def test_stable_hash_u64_buffer_edges():
+    """Arrow-buffer polynomial hash: trailing/middle empties, nulls,
+    nonzero slice offsets, and chunk boundaries all agree with the
+    whole-array result (regression: a reduceat index clamp used to drop
+    the last byte of the segment before a trailing empty string)."""
+    import numpy as np
+
+    from gobblin_ray.engine import stable_hash_u64
+
+    vals = ["x" * 5000, "", "tail", None, "a", "", "https://e.com/p1"]
+    whole = stable_hash_u64(pa.array(vals, pa.string()))
+    # chunked at every split point -> identical hashes
+    for cut in range(1, len(vals)):
+        ch = pa.chunked_array([
+            pa.array(vals[:cut], pa.string()), pa.array(vals[cut:], pa.string())
+        ])
+        assert np.array_equal(stable_hash_u64(ch), whole), cut
+    # null == empty string
+    assert whole[3] == whole[1] == whole[5]
+    # distinct non-empty values hash apart
+    assert len({int(whole[i]) for i in (0, 2, 4, 6)}) == 4
+    # sliced array (nonzero arr.offset) matches
+    arr = pa.array(vals, pa.string())
+    assert np.array_equal(stable_hash_u64(arr.slice(2, 3)), whole[2:5])
+    # deterministic across calls
+    assert np.array_equal(stable_hash_u64(arr), whole)

@@ -333,6 +333,46 @@ def test_partitioned_parquet_sink_idempotent(ray_session, tmp_path):
     assert back.num_rows == 5
 
 
+def test_sized_sink_rolls_by_bytes_and_flushes_remainder(ray_session, tmp_path):
+    """Datasink path: many input blocks merge into few size-targeted files
+    per partition (no one-file-per-batch storm), the remainder below the
+    byte target still flushes, and lineage matches the read-back."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gobblin_ray.stages.sink import write_partitioned
+
+    out = str(tmp_path / "sized")
+    n = 10_000
+    t = pa.table({
+        "k": pa.array(["a" if i % 2 else "b" for i in range(n)]),
+        "v": pa.array(range(n), pa.int64()),
+    })
+    # 50 tiny blocks; a huge byte target => exactly one file per partition
+    # per write task (here: 1 task), remainder-flushed at stream end.
+    ds = rd.from_arrow(t).repartition(50)
+    lineage = write_partitioned(
+        ds, out, partition_col="k", target_file_bytes=1 << 40
+    )
+    files = sorted(os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs)
+    assert len(files) <= 4  # not 100 (50 blocks x 2 partitions)
+    assert sum(r["rows"] for r in lineage) == n
+    back = pa.concat_tables([pq.read_table(f) for f in files])
+    assert back.num_rows == n
+    # tiny byte target => rolling kicks in, more files, same rows
+    out2 = str(tmp_path / "sized2")
+    lineage2 = write_partitioned(
+        rd.from_arrow(t).repartition(50), out2, partition_col="k",
+        target_file_bytes=4096,
+    )
+    files2 = sorted(os.path.join(r, f) for r, _, fs in os.walk(out2) for f in fs)
+    assert len(files2) > len(files)
+    assert sum(r["rows"] for r in lineage2) == n
+
+
 def test_read_date_partitioned_prunes(ray_session, tmp_path):
     """Lexicographic date-partition watermark pruning: partitions at or
     below the previous high watermark never enter the listing."""
