@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_features": demo.text_quality_features,
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
+        "crypto_roundtrip": demo.crypto_roundtrip,
         "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
         "dedup_minhash_planted": demo.dedup_minhash_planted,
@@ -254,6 +255,9 @@ def oracle_sql() -> dict[str, str]:
                          greatest(length(text), 1), 4) AS alpha_ratio
             FROM documents
         """,
+        "crypto_roundtrip": """
+            SELECT doc_id, text FROM documents
+        """,
         "fingerprint_md5": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents
         """,
@@ -362,7 +366,31 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(c.embedding AS DOUBLE[])) DESC,
                          c.vec_id) <= 10
         """,
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   CAST(8 + doc_id % 56 AS INTEGER) AS dec_width,
+                   CAST(8 + (doc_id // 7) % 56 AS INTEGER) AS dec_height,
+                   CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_luma
+            FROM documents
+        """,
+        "multimodal_resize": """
+            SELECT doc_id AS media_id,
+                   CAST(8 AS INTEGER) AS thumb_w,
+                   CAST(8 AS INTEGER) AS thumb_h,
+                   CAST((doc_id * 37) % 256 AS DOUBLE) AS thumb_luma
+            FROM documents
+        """,
+        "multimodal_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(f AS INTEGER) AS frame_index,
+                   CAST(8 + (doc_id + f) % 24 AS INTEGER) AS frame_width,
+                   CAST(8 + (doc_id * 3 + f) % 24 AS INTEGER) AS frame_height,
+                   CAST((doc_id * 37 + f) % 256 AS DOUBLE) AS mean_luma
+            FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
+                  FROM documents)
+        """,
         # rows-only (non-SQL-expressible by nature): cdc_replay_mini (its
-        # oracle is the sequential-replay pytest suite), multimodal_decode
-        # (decode codecs are documented stubs).
+        # oracle is the sequential-replay pytest suite). The multimodal
+        # family is value-oracled via PLANTED payload synthesis
+        # (planted_media_batch / planted_video_batch).
     }

@@ -67,6 +67,8 @@ class Manifest:
     buckets: dict[int, BucketState] = field(default_factory=dict)
     event_count: int = 0  # events applied in this epoch
     error_count: int = 0  # rows diverted to the error sink this epoch
+    metrics: dict = field(default_factory=dict)  # cumulative named counters
+    # as of this commit (MetricContext rollup; purely observational)
 
     def base_schema(self):
         """Deserialize the committed base schema (Arrow IPC round-trip)."""
@@ -97,6 +99,7 @@ class Manifest:
             ],
             "event_count": self.event_count,
             "error_count": self.error_count,
+            "metrics": self.metrics,
             "buckets": {
                 str(b): vars(s) for b, s in sorted(self.buckets.items())
             },
@@ -113,6 +116,7 @@ class Manifest:
             schema_ipc=d["schema_ipc"],
             event_count=d.get("event_count", 0),
             error_count=d.get("error_count", 0),
+            metrics=d.get("metrics", {}),
         )
         m.buckets = {int(b): BucketState(**s) for b, s in d["buckets"].items()}
         return m

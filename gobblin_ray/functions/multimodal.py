@@ -274,6 +274,66 @@ def frame_sample_pipeline(video_ds, stride: int = 4, max_frames: int = 8,
     )
 
 
+def planted_media_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """PLANTED-TRUTH media synth (batch fn, runs distributed): payload is
+    derived ONLY from the row id with arithmetic an external SQL oracle
+    can mirror — w = 8 + id % 56, h = 8 + (id // 7) % 56, every pixel =
+    (id * 37) % 256. The decode stage must therefore recover exactly
+    those dims and a mean luminance of exactly that pixel value, turning
+    the multimodal family from rows-only checks into value oracles while
+    the decode path (header parse + full pixel-buffer mean) stays real."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    ws = (8 + ids % 56).astype(np.int32)
+    hs = (8 + (ids // 7) % 56).astype(np.int32)
+    vs = ((ids * 37) % 256).astype(np.uint8)
+    payloads = [
+        _MAGIC
+        + int(w).to_bytes(4, "big")
+        + int(h).to_bytes(4, "big")
+        + bytes([int(v)]) * (int(w) * int(h))
+        for w, h, v in zip(ws, hs, vs)
+    ]
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-fake"] * len(ids)),
+            "width": pa.array(ws),
+            "height": pa.array(hs),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def planted_video_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Planted-truth video synth (batch fn): n_frames = 1 + id % 5; frame
+    f has dims (8 + (id+f) % 24, 8 + (id*3+f) % 24) and constant pixel
+    value (id*37 + f) % 256 — all SQL-reproducible, so the demux +
+    per-frame decode emits oracle-checkable rows."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    rows = []
+    for mid in ids.tolist():
+        n_frames = 1 + mid % 5
+        frames = []
+        for f in range(n_frames):
+            w = 8 + (mid + f) % 24
+            h = 8 + (mid * 3 + f) % 24
+            v = (mid * 37 + f) % 256
+            frames.append(
+                _MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([v]) * (w * h)
+            )
+        body = b"".join(len(fb).to_bytes(4, "big") + fb for fb in frames)
+        rows.append(_VMAGIC + n_frames.to_bytes(4, "big") + body)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(rows, pa.binary()),
+            "mime": pa.array(["video/x-fake"] * len(ids)),
+        }
+    )
+
+
 def suggest_batch_size(avg_payload_bytes: int, budget_bytes: int = 64 * 2**20) -> int:
     """Rows per batch so one batch stays under ``budget_bytes`` of payload."""
     return max(16, int(budget_bytes / max(1, avg_payload_bytes)))

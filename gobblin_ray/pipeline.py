@@ -257,3 +257,98 @@ class EmbeddedPipeline:
 
     def run(self, sf_dir: str):
         return Pipeline.from_config(self._spec, self._registry).run(sf_dir)
+
+
+class ConfigStore:
+    """Hierarchical dataset-config management (gobblin-config-management
+    analog: ``gobblin-config-management/gobblin-config-client/.../
+    ConfigClient.java`` — config nodes keyed by dataset URI path, a child
+    inheriting every ancestor's properties, plus explicit cross-tree
+    imports resolved before the node's own overrides).
+
+    Nodes are '/'-separated dataset paths (``/``, ``/tables``,
+    ``/tables/events``, ``/tables/events/bucket=3``). ``resolve(path)``
+    deep-merges configs root -> leaf, so the nearest ancestor wins per
+    key; dict values merge recursively, scalars and LISTS override whole
+    (a child replacing the transform chain replaces it, not appends).
+
+    A node config may name imports under ``"__imports__": [paths...]`` —
+    each imported path is itself resolved (recursively) and merged after
+    the node's ancestors but before the node's own keys, mirroring the
+    reference's include semantics. Import cycles raise.
+
+    >>> store = ConfigStore()
+    >>> store.put("/", {"source": {"columns": None}, "limit": 10})
+    >>> store.put("/events", {"source": {"table": "events"}})
+    >>> store.resolve("/events")["source"]
+    {'columns': None, 'table': 'events'}
+    >>> Pipeline.from_config(store.resolve("/events"))  # doctest: +ELLIPSIS
+    Pipeline(...)
+    """
+
+    def __init__(self):
+        self._nodes: dict[str, dict] = {}
+
+    @staticmethod
+    def _norm(path: str) -> str:
+        parts = [p for p in path.split("/") if p]
+        return "/" + "/".join(parts)
+
+    def put(self, path: str, config: dict) -> None:
+        self._nodes[self._norm(path)] = dict(config)
+
+    def get(self, path: str) -> dict | None:
+        """The node's OWN config (no inheritance), or None."""
+        got = self._nodes.get(self._norm(path))
+        return dict(got) if got is not None else None
+
+    @staticmethod
+    def _deep_merge(base: dict, over: dict) -> dict:
+        out = dict(base)
+        for k, v in over.items():
+            if isinstance(v, dict) and isinstance(out.get(k), dict):
+                out[k] = ConfigStore._deep_merge(out[k], v)
+            else:
+                out[k] = v
+        return out
+
+    def _ancestry(self, path: str) -> list[str]:
+        parts = [p for p in path.split("/") if p]
+        chain = ["/"]
+        for i in range(1, len(parts) + 1):
+            chain.append("/" + "/".join(parts[:i]))
+        return chain
+
+    def resolve(self, path: str, _seen: frozenset = frozenset()) -> dict:
+        """Effective config at ``path``: ancestors root->leaf, each node's
+        imports, then the node's own keys."""
+        merged: dict = {}
+        for node in self._ancestry(self._norm(path)):
+            own = self._nodes.get(node)
+            if own is None:
+                continue
+            if node in _seen:
+                raise ValueError(f"config import cycle through {node!r}")
+            for imp in own.get("__imports__", []):
+                merged = self._deep_merge(
+                    merged, self.resolve(imp, _seen | {node})
+                )
+            merged = self._deep_merge(
+                merged, {k: v for k, v in own.items() if k != "__imports__"}
+            )
+        return merged
+
+    def pipeline(self, path: str, registry: AliasRegistry | None = None) -> Pipeline:
+        """Assemble the dataset's effective Pipeline."""
+        return Pipeline.from_config(self.resolve(path), registry)
+
+    # -- persistence (one JSON per store) ---------------------------------
+    def to_json(self) -> dict:
+        return {k: self._nodes[k] for k in sorted(self._nodes)}
+
+    @classmethod
+    def from_json(cls, d: dict) -> "ConfigStore":
+        s = cls()
+        for k, v in d.items():
+            s.put(k, v)
+        return s

@@ -706,6 +706,46 @@ def fingerprint_md5(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def crypto_roundtrip(sf_dir: str):
+    """Encrypt/decrypt converter pair (gobblin-crypto EncryptConverter /
+    DecryptConverter analog): Fernet-encrypt the text column in one
+    actor-pool stage, decrypt in the next, and return the recovered rows —
+    hash-compared against the plain oracle, proving the codec plumbing is
+    lossless. A mid-pipeline guard asserts ciphertext actually differs
+    from the plaintext bytes (i.e. the stage isn't a no-op)."""
+    from ..stages.crypto import DecryptColumn, EncryptColumn
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # Autoscaling (min 1) pools: two pinned-2 pools would consume all 4
+    # CPUs of a small session and starve the upstream read task — a
+    # chained-actor-stage deadlock (each stage must leave CPU headroom).
+    enc = ds.map_batches(
+        EncryptColumn,
+        fn_constructor_kwargs=dict(column="text", passphrase="graft-demo-key"),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+
+    def guard(t: pa.Table) -> pa.Table:
+        assert pa.types.is_binary(t.schema.field("text").type)
+        return t
+
+    guard.__name__ = "assert_ciphertext"
+    dec = enc.map_batches(
+        guard, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        DecryptColumn,
+        fn_constructor_kwargs=dict(
+            column="text", passphrase="graft-demo-key", as_string=True
+        ),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 2),
+    )
+    return dec.select_columns(["doc_id", "text"])
+
+
 def langid_documents(sf_dir: str):
     """Language-ID heuristic (actor-pool stage) — rows-only check."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
@@ -894,14 +934,22 @@ def embedding_dims(sf_dir: str):
 # ---------------------------------------------------------------- multimodal / CDC
 
 def multimodal_decode(sf_dir: str):
-    """Multimodal plumbing: synth binary media -> actor-pool decode ->
-    features. Deterministic (seed fixed); rows-only check."""
-    import ray.data as rd
-
+    """Multimodal decode with a PLANTED value oracle: payloads are
+    synthesized per-batch from doc_id with SQL-reproducible arithmetic
+    (planted_media_batch), so the actor-pool decode stage's recovered
+    dims + mean luminance hash-compare against DuckDB. The decode work
+    (header parse + full pixel-buffer mean) is real; only the byte
+    format is the documented fake codec."""
     from ..functions import multimodal as mm
 
-    media = rd.from_arrow(mm.synth_media(512))
-    return mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(
+        mm.planted_media_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = mm.decode_pipeline(media, concurrency=2, avg_payload_bytes=2048)
+    return out.select_columns(
+        ["media_id", "dec_width", "dec_height", "mean_luma"]
+    )
 
 
 def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
@@ -1005,28 +1053,34 @@ def llm_prep_summary(sf_dir: str):
 
 
 def multimodal_resize(sf_dir: str):
-    """Multimodal resize stage: decode + nearest-neighbor thumbnail in one
-    actor pass — variable-size payloads in, fixed-size rows out.
-    Deterministic; rows-only check."""
-    import ray.data as rd
-
+    """Multimodal resize with a PLANTED value oracle: planted constant-
+    pixel images resize (real nearest-neighbor index gather) to an 8x8
+    thumb whose mean luminance must equal the planted pixel value —
+    hash-compared against DuckDB."""
     from ..functions import multimodal as mm
 
-    media = rd.from_arrow(mm.synth_media(512))
-    return mm.resize_pipeline(media, out_w=8, out_h=8, concurrency=2,
-                              avg_payload_bytes=2048)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(
+        mm.planted_media_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = mm.resize_pipeline(media, out_w=8, out_h=8, concurrency=2,
+                             avg_payload_bytes=2048)
+    return out.select_columns(["media_id", "thumb_w", "thumb_h", "thumb_luma"])
 
 
 def multimodal_frames(sf_dir: str):
-    """Video frame-sampling plumbing: fake container -> actor-pool demux ->
-    one row per sampled frame with per-frame features. Deterministic;
-    rows-only check (codec layer is the documented stub boundary)."""
-    import ray.data as rd
-
+    """Video frame-sampling with a PLANTED value oracle: planted fake
+    containers (n_frames, per-frame dims and constant luma all derived
+    from doc_id) -> actor-pool demux -> one row per sampled frame; the
+    stride arithmetic, fan-out row count and per-frame features all
+    hash-compare against a DuckDB range()/unnest oracle."""
     from ..functions import multimodal as mm
 
-    videos = rd.from_arrow(mm.synth_video(128))
-    return mm.frame_sample_pipeline(videos, stride=4, max_frames=8, concurrency=2)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    videos = ds.map_batches(
+        mm.planted_video_batch, batch_format="pyarrow", batch_size=None
+    )
+    return mm.frame_sample_pipeline(videos, stride=2, max_frames=8, concurrency=2)
 
 
 def cdc_replay_mini(sf_dir: str):

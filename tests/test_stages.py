@@ -435,3 +435,80 @@ def test_time_limiter_deadline():
     assert lim(batch).num_rows == 10
     _t.sleep(0.25)
     assert lim(batch).num_rows == 0
+
+
+def test_crypto_roundtrip_and_tamper():
+    from gobblin_ray.stages.crypto import (
+        DecryptColumn,
+        EncryptColumn,
+        _KeystreamCodec,
+    )
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["hello", None, "unicode ✓ text"]),
+    })
+    enc = EncryptColumn("text", passphrase="k1")(t)
+    assert pa.types.is_binary(enc.schema.field("text").type)
+    cts = enc.column("text").to_pylist()
+    assert cts[1] is None and cts[0] != b"hello"
+    dec = DecryptColumn("text", passphrase="k1")(enc)
+    assert dec.column("text").to_pylist() == ["hello", None, "unicode ✓ text"]
+    # wrong key must fail loudly, not return garbage
+    with pytest.raises(Exception):
+        DecryptColumn("text", passphrase="WRONG")(enc)
+    # fallback codec: deterministic roundtrip + HMAC tamper detection
+    ks = _KeystreamCodec(b"key")
+    blob = ks.encrypt(b"payload bytes")
+    assert ks.decrypt(blob) == b"payload bytes"
+    bad = blob[:-1] + bytes([blob[-1] ^ 1])
+    with pytest.raises(ValueError):
+        ks.decrypt(bad)
+
+
+def test_config_store_hierarchy_imports_and_cycles(ray_session):
+    """gobblin-config-management analog: global -> table -> bucket
+    inheritance with deep-merge, cross-tree imports, cycle detection, and
+    an effective Pipeline assembled from the resolved node."""
+    import pytest as _pytest
+
+    from gobblin_ray.pipeline import ConfigStore
+
+    store = ConfigStore()
+    store.put("/", {"limit": 10, "source": {"columns": None}})
+    store.put("/shared/proj", {
+        "transforms": [{"op": "project", "args": [["doc_id", "text"]]}],
+    })
+    store.put("/tables/documents", {
+        "__imports__": ["/shared/proj"],
+        "source": {"table": "documents", "columns": ["doc_id", "text", "lang"]},
+    })
+    store.put("/tables/documents/sample", {"limit": 3})
+
+    eff = store.resolve("/tables/documents")
+    # import supplied the transform chain; own keys overrode source; the
+    # global limit survived
+    assert eff["source"] == {
+        "table": "documents", "columns": ["doc_id", "text", "lang"]
+    }
+    assert eff["transforms"][0]["op"] == "project"
+    assert eff["limit"] == 10
+    # child inherits everything and overrides only the limit
+    leaf = store.resolve("/tables/documents/sample")
+    assert leaf["limit"] == 3 and leaf["source"]["table"] == "documents"
+    # unknown path == pure inheritance from ancestors
+    assert store.resolve("/tables/documents/other")["limit"] == 10
+    # round-trips through JSON
+    clone = ConfigStore.from_json(store.to_json())
+    assert clone.resolve("/tables/documents/sample") == leaf
+    # import cycles raise instead of recursing forever
+    bad = ConfigStore()
+    bad.put("/a", {"__imports__": ["/b"]})
+    bad.put("/b", {"__imports__": ["/a"]})
+    with _pytest.raises(ValueError):
+        bad.resolve("/a")
+    # the resolved node assembles and runs as a Pipeline
+    out = store.pipeline("/tables/documents/sample").run(
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    assert out.shape == (3, 2) and list(out.columns) == ["doc_id", "text"]
