@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search (extension set)
         "knn_brute_force": demo.knn_brute_force,
         "knn_lsh": demo.knn_lsh,
+        "knn_ivf": demo.knn_ivf,
         "embedding_dims": demo.embedding_dims,
         # multimodal plumbing (extension set)
         "multimodal_decode": demo.multimodal_decode,
@@ -359,6 +360,45 @@ def oracle_sql() -> dict[str, str]:
                                                 CAST(c.embedding AS DOUBLE[])), 4)
                        AS score
             FROM e q CROSS JOIN probed c
+            WHERE q.vec_id < 3
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) <= 10
+        """,
+        "knn_ivf": """
+            WITH cells AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/gobblin_ray_fixtures/knn_ivf_cells.parquet')
+            ),
+            cents AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/gobblin_ray_fixtures/knn_ivf_centroids.parquet')
+            ),
+            probes AS (
+                SELECT DISTINCT cell FROM (
+                    SELECT q.vec_id, c.cell
+                    FROM embeddings q CROSS JOIN cents c
+                    WHERE q.vec_id < 3
+                    QUALIFY row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(
+                            CAST(q.embedding AS DOUBLE[]),
+                            CAST(c.centroid AS DOUBLE[])) DESC, c.cell
+                    ) <= 4
+                )
+            ),
+            cand AS (
+                SELECT e.vec_id, e.embedding
+                FROM embeddings e JOIN cells b ON e.vec_id = b.vec_id
+                WHERE b.ivf_cell IN (SELECT cell FROM probes)
+            )
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[])), 4)
+                       AS score
+            FROM embeddings q CROSS JOIN cand c
             WHERE q.vec_id < 3
             QUALIFY row_number() OVER (
                 PARTITION BY q.vec_id

@@ -27,6 +27,8 @@ NEARDUP_PATH = os.path.join(FIXTURE_DIR, "planted_neardup.parquet")
 SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
 EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
 KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
+IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
+IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
 
 
 def _write(table: pa.Table, path: str) -> str:
@@ -211,3 +213,38 @@ def knn_bucket_sidecar(
         }
     )
     return _write(out, path)
+
+
+def knn_ivf_sidecar(
+    sf_dir: str, n_cells: int = 16, sample_rows: int = 2048,
+    cells_path: str = IVF_CELLS_PATH, centroids_path: str = IVF_CENTROIDS_PATH,
+) -> np.ndarray:
+    """IVF sidecars for the driver's embeddings table: (vec_id, ivf_cell)
+    assignments and (cell, centroid DOUBLE[]) centroid vectors, computed
+    with the SAME deterministic spherical k-means the knn_ivf query uses
+    (sample = vec_id < sample_rows). DuckDB then independently reproduces
+    probe-nearest-cells + exact top-k over the probed subset. Returns the
+    centroid matrix so the query shares the exact fit."""
+    from .functions.similarity import _normalize, kmeans_fit
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).sort_by("vec_id")
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
+    C = kmeans_fit(mat[ids < sample_rows], n_cells=n_cells)
+    cell = np.argmax(_normalize(mat.astype(np.float64)) @ C.T, axis=1)
+    _write(
+        pa.table({"vec_id": t.column("vec_id"),
+                  "ivf_cell": pa.array(cell.astype(np.int64))}),
+        cells_path,
+    )
+    _write(
+        pa.table({
+            "cell": pa.array(np.arange(len(C), dtype=np.int64)),
+            "centroid": pa.array([row.tolist() for row in C],
+                                 pa.list_(pa.float64())),
+        }),
+        centroids_path,
+    )
+    return C

@@ -158,3 +158,104 @@ def knn_lsh(
     in_wanted.__name__ = "probe_buckets"
     probed = bucketed.map_batches(in_wanted, batch_format="pyarrow", batch_size=None)
     return knn_brute_force(probed, query_matrix, k, id_col, vec_col)
+
+
+def kmeans_fit(sample: np.ndarray, n_cells: int, iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-held SAMPLE: centroids
+    are cosine-assigned means, L2-renormalized each round; init is evenly
+    strided sample rows (no RNG — reproducible across processes).
+
+    The IVF 'small model, broadcast wide' pattern: at 100 TB the sample is
+    a ~1e-5 fraction read once (ds.limit / filter on id), the fit is
+    O(sample x cells x iters) on the driver, and only the (cells x dim)
+    centroid matrix is broadcast to the assignment stage."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    idx = np.unique(np.linspace(0, len(X) - 1, min(n_cells, len(X))).astype(int))
+    C = X[idx].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+class _AssignCell:
+    """Actor-pool stage: append ``ivf_cell`` = argmax-cosine centroid id.
+    Centroids fetched from the local object store once per actor."""
+
+    def __init__(self, centroids_ref, vec_col: str):
+        import ray
+
+        c = centroids_ref
+        if isinstance(c, ray.ObjectRef):
+            c = ray.get(c)
+        self.C = np.asarray(c, dtype=np.float64)
+        self.vec_col = vec_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        mat = _normalize(
+            np.vstack(t.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        cell = np.argmax(mat @ self.C.T, axis=1).astype(np.int64)
+        return t.append_column("ivf_cell", pa.array(cell))
+
+
+def probe_cells(query_matrix: np.ndarray, centroids: np.ndarray,
+                nprobe: int) -> set[int]:
+    """Union of each query's ``nprobe`` nearest cells (ties: lower cell id),
+    the candidate-list restriction IVF trades recall for."""
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    sims = q @ _normalize(centroids).T  # (Q, cells)
+    wanted: set[int] = set()
+    for row in sims:
+        order = np.lexsort((np.arange(len(row)), -row))[:nprobe]
+        wanted.update(int(c) for c in order)
+    return wanted
+
+
+def knn_ivf(
+    embeddings,
+    query_matrix: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 4),
+):
+    """IVF approximate top-k: coarse-quantize the corpus to ``centroids``
+    (one actor-pool pass, broadcast centroid matrix), probe each query's
+    ``nprobe`` nearest cells, exact-score only the probed rows.
+
+    vs ``knn_lsh``: data-adapted cells (k-means) give balanced partitions
+    on clustered embeddings where fixed hyperplanes produce skewed
+    buckets. At 100 TB the cell assignment is written partitioned by
+    ``ivf_cell`` once and re-used across query sets; per-query work is
+    nprobe/cells of the corpus. Fit centroids separately via
+    ``kmeans_fit`` (the caller controls sampling — keep it deterministic)."""
+    import ray
+
+    cref = ray.put(np.ascontiguousarray(_normalize(centroids)))
+    assigned = embeddings.map_batches(
+        _AssignCell,
+        fn_constructor_kwargs=dict(centroids_ref=cref, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=concurrency,
+    )
+    wanted = probe_cells(query_matrix, centroids, nprobe)
+
+    def in_probed(t: pa.Table) -> pa.Table:
+        b = t.column("ivf_cell").to_numpy(zero_copy_only=False)
+        return t.filter(
+            pa.array(np.isin(b, np.fromiter(wanted, np.int64, len(wanted))))
+        )
+
+    in_probed.__name__ = "probe_ivf_cells"
+    probed = assigned.map_batches(in_probed, batch_format="pyarrow", batch_size=None)
+    return knn_brute_force(probed, query_matrix, k, id_col, vec_col)

@@ -909,6 +909,24 @@ def knn_lsh(sf_dir: str):
     )
 
 
+def knn_ivf(sf_dir: str):
+    """IVF approximate top-10: deterministic spherical k-means centroids
+    (fit on the vec_id < 2048 sample), one actor-pool assignment pass,
+    probe each query's 4 nearest cells, exact-score the probed rows.
+    Oracled via SIDECARS: the fixture writes (vec_id, ivf_cell) and the
+    centroid vectors; DuckDB independently re-derives probe-nearest-cells
+    + exact top-k over the probed subset."""
+    from ..fixtures import knn_ivf_sidecar
+
+    centroids = knn_ivf_sidecar(sf_dir, n_cells=16, sample_rows=2048)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = _query_matrix(sf_dir, 3)
+    out = sim.knn_ivf(ds, q, centroids, k=10, nprobe=4, concurrency=2)
+    return out.map_batches(
+        _round_cols({"score": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def embedding_dims(sf_dir: str):
     """List-column handling smoke: per-label count + dim check."""
     from ray.data.aggregate import Count

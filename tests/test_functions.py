@@ -348,3 +348,33 @@ def test_frame_sampler_stride_and_rows(ray_session):
 def test_frame_sampler_strict_documents_stub():
     with pytest.raises(NotImplementedError):
         mm.FrameSampler(strict=True)
+
+
+def test_knn_ivf_probe_all_matches_brute_force(ray_session):
+    """IVF with nprobe == n_cells probes everything, so it must reproduce
+    exact brute-force top-k; with nprobe=1 it returns a (possibly lossy)
+    subset scored identically."""
+    import ray.data as rd
+
+    from gobblin_ray.functions import similarity as sim
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((200, 16))
+    t = pa.table({
+        "vec_id": pa.array(range(200), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+    })
+    q = vecs[:2]
+    C = sim.kmeans_fit(vecs[:64], n_cells=8)
+    ivf_all = sim.knn_ivf(
+        rd.from_arrow(t), q, C, k=5, nprobe=8, concurrency=2
+    ).take_all()
+    brute = sim.knn_brute_force(rd.from_arrow(t), q, k=5).take_all()
+    key = lambda r: (r["query_id"], r["vec_id"], round(r["score"], 9))  # noqa: E731
+    assert sorted(map(key, ivf_all)) == sorted(map(key, brute))
+    # deterministic fit: same sample -> same centroids
+    assert np.array_equal(C, sim.kmeans_fit(vecs[:64], n_cells=8))
+    # nprobe=1 scores form a subset of the full candidate relation
+    ivf_1 = sim.knn_ivf(rd.from_arrow(t), q, C, k=5, nprobe=1,
+                        concurrency=2).take_all()
+    assert 0 < len(ivf_1) <= len(brute)
