@@ -378,3 +378,15 @@ def test_knn_ivf_probe_all_matches_brute_force(ray_session):
     ivf_1 = sim.knn_ivf(rd.from_arrow(t), q, C, k=5, nprobe=1,
                         concurrency=2).take_all()
     assert 0 < len(ivf_1) <= len(brute)
+
+
+def test_connected_components_nonconvergence_raises(ray_session):
+    """Exhausting max_rounds must raise (silent inconsistent labels would
+    mean unobservable under-dedup), and enough rounds must succeed."""
+    import ray.data as rd
+
+    pairs = rd.from_items([{"a": i, "b": i + 1} for i in range(20, 26)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_rounds=1)
+    comp = dd.connected_components(pairs, max_rounds=20)
+    assert all(comp[i] == 20 for i in range(20, 27))
