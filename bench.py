@@ -56,6 +56,9 @@ QUERY_NAMES = [
     "knn_brute_force",
     "dedup_minhash_documents",
     "multimodal_decode",
+    "knn_ivf",
+    "fork_multicast_counts",
+    "crypto_roundtrip",
 ]
 
 
@@ -133,17 +136,17 @@ def run_headline() -> dict:
     long-running 10^10-event tailer is actually in)."""
     ensure_corpus()
     lake = f"/tmp/gobblin_bench_lake_{NUM_CPUS}"
-    r1 = _one_replay(lake)
-    r2 = _one_replay(lake)
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    runs = [_one_replay(lake) for _ in range(passes)]
     shutil.rmtree(lake, ignore_errors=True)
     # Host throughput here swings ~5x between minutes (slow lazy page
-    # backing); best-of-2 is the steady-state figure, both are reported.
-    best = min(r1, r2, key=lambda r: r[0])
+    # backing); best-of-N is the steady-state figure, all are reported.
+    best = min(runs, key=lambda r: r[0])
     replay_sec, bootstrap_sec, events, n_epochs, rows, commit_sec = best
     return {
         "replay_sec": round(replay_sec, 3),
         "bootstrap_sec": round(bootstrap_sec, 3),
-        "pass_replay_secs": [round(r1[0], 3), round(r2[0], 3)],
+        "pass_replay_secs": [round(r[0], 3) for r in runs],
         "events": events,
         "epochs": n_epochs,
         "events_per_sec": round(events / replay_sec, 1),
