@@ -825,6 +825,16 @@ class CdcEngine:
                 reports.append(report)
         if vacuum and reports:
             ckpt.vacuum(self.lake_dir, manifest)
+        if reports:
+            # Job-level tracking event (GobblinTrackingEvent at the
+            # JobContext level): one line per drain with the totals.
+            self.metrics.submit_event(
+                "JobRunCompleted",
+                epochs=len(reports),
+                events=sum(r.events for r in reports),
+                errors=sum(r.errors for r in reports),
+                first_epoch=reports[0].epoch, last_epoch=reports[-1].epoch,
+            )
         return reports
 
     def run_forever(

@@ -85,3 +85,6 @@ def test_engine_emits_metrics(ray_session, tmp_path):
     committed = [e for e in events if e["name"] == "EpochCommitted"]
     assert len(committed) == 3
     assert committed[-1]["metadata"]["events"] == "100"
+    job_done = [e for e in events if e["name"] == "JobRunCompleted"]
+    assert len(job_done) == 2  # one per drain (run call) that applied work
+    assert job_done[-1]["metadata"]["events"] == "100"
