@@ -31,6 +31,15 @@ STAGING_DIR = "_staging"
 DATA_DIR = "data"
 ERRORS_DIR = "_errors"
 
+# Version tag of the url -> bucket routing hash. The hash IS the lake's
+# physical layout: a driver whose hash differs from the manifest's would
+# route updates/deletes for existing urls to the WRONG bucket (silent
+# duplicates / undeletable rows). Manifests written before this field
+# existed used the pandas-siphash router, so from_json defaults to that
+# tag and the engine refuses to resume across a hash change.
+BUCKET_HASH_VERSION = "arrow-poly131-splitmix64-v1"
+_LEGACY_BUCKET_HASH = "pandas-siphash-v0"
+
 
 @dataclass
 class BucketState:
@@ -69,6 +78,7 @@ class Manifest:
     error_count: int = 0  # rows diverted to the error sink this epoch
     metrics: dict = field(default_factory=dict)  # cumulative named counters
     # as of this commit (MetricContext rollup; purely observational)
+    bucket_hash: str = BUCKET_HASH_VERSION  # url->bucket router version
 
     def base_schema(self):
         """Deserialize the committed base schema (Arrow IPC round-trip)."""
@@ -100,6 +110,7 @@ class Manifest:
             "event_count": self.event_count,
             "error_count": self.error_count,
             "metrics": self.metrics,
+            "bucket_hash": self.bucket_hash,
             "buckets": {
                 str(b): vars(s) for b, s in sorted(self.buckets.items())
             },
@@ -117,6 +128,7 @@ class Manifest:
             event_count=d.get("event_count", 0),
             error_count=d.get("error_count", 0),
             metrics=d.get("metrics", {}),
+            bucket_hash=d.get("bucket_hash", _LEGACY_BUCKET_HASH),
         )
         m.buckets = {int(b): BucketState(**s) for b, s in d["buckets"].items()}
         return m

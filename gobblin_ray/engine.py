@@ -92,14 +92,16 @@ def stable_hash_u64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
     per-element Python boxing (the previous pandas-siphash version paid an
     object-array conversion per batch on the hottest per-event path).
     Vectorized segmented polynomial + splitmix64 finalizer; temporaries
-    chunked ~1 MB (measured sweet spot on this host — large numpy
-    temporaries fault cold pages). Nulls hash as empty strings. Python's
-    builtin hash() is salted per process and must never be used here.
+    chunked at ``_HASH_CHUNK_BYTES`` (256 KB — measured fastest on this
+    host; large numpy temporaries fault cold pages). Nulls hash as empty
+    strings. Python's builtin hash() is salted per process and must never
+    be used here.
 
     NOTE: the hash value IS the lake's bucket-routing function — changing
-    it invalidates existing lakes (bucket dirs were assigned under the old
-    function). Versioned implicitly by the manifest schema fingerprint
-    epoch: only rebuilt lakes see a changed hash."""
+    it invalidates existing lakes (bucket dirs were assigned under the
+    old function). Versioned EXPLICITLY: every manifest records
+    ``bucket_hash`` (checkpoint.BUCKET_HASH_VERSION) and the engine
+    refuses to resume a lake built under a different router."""
     if isinstance(values, pa.ChunkedArray):
         arr = values.combine_chunks()
     else:
@@ -750,6 +752,18 @@ class CdcEngine:
         manifest = self.store.latest()
         if manifest is None:
             raise RuntimeError("lake not bootstrapped — call bootstrap(pages) first")
+        if manifest.bucket_hash != ckpt.BUCKET_HASH_VERSION:
+            # The url->bucket hash IS the lake's physical layout. Applying
+            # events with a different router would send updates/deletes for
+            # existing urls to the wrong bucket — silent duplicates and
+            # undeletable rows. Refuse loudly; the lake must be rebuilt
+            # (re-bootstrapped) under the new router.
+            raise RuntimeError(
+                f"lake was built with bucket router {manifest.bucket_hash!r} "
+                f"but this engine uses {ckpt.BUCKET_HASH_VERSION!r}; "
+                "re-bootstrap the lake (bucket assignment is not portable "
+                "across hash versions)"
+            )
         log_meta = planmod.load_log_meta(self.events_dir)
         if self.cfg.epoch_bytes is not None:
             epochs = planmod.plan_epochs_sized(

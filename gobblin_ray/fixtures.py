@@ -233,7 +233,13 @@ def knn_ivf_sidecar(
     ids = t.column("vec_id").to_numpy(zero_copy_only=False)
     mat = np.vstack(t.column("embedding").to_numpy(zero_copy_only=False))
     C = kmeans_fit(mat[ids < sample_rows], n_cells=n_cells)
-    cell = np.argmax(_normalize(mat.astype(np.float64)) @ C.T, axis=1)
+    # Assign with the SAME re-normalized matrix knn_ivf broadcasts
+    # (_AssignCell receives _normalize(C)): kmeans_fit's rows are unit
+    # up to 1 ulp, and a near-equidistant vector could argmax to a
+    # different cell under matrices differing in the last ulp — the
+    # sidecar and the live pass must use bit-identical centroids.
+    C_b = _normalize(C)
+    cell = np.argmax(_normalize(mat.astype(np.float64)) @ C_b.T, axis=1)
     _write(
         pa.table({"vec_id": t.column("vec_id"),
                   "ivf_cell": pa.array(cell.astype(np.int64))}),
@@ -241,8 +247,8 @@ def knn_ivf_sidecar(
     )
     _write(
         pa.table({
-            "cell": pa.array(np.arange(len(C), dtype=np.int64)),
-            "centroid": pa.array([row.tolist() for row in C],
+            "cell": pa.array(np.arange(len(C_b), dtype=np.int64)),
+            "centroid": pa.array([row.tolist() for row in C_b],
                                  pa.list_(pa.float64())),
         }),
         centroids_path,

@@ -259,9 +259,11 @@ def _segment_pairs(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pairs within each [bounds[i], bounds[i+1]) segment of a sorted id
     array. Small segments get the full triangle; a segment larger than the
-    triangle cap contributes a head-triangle plus an adjacency CHAIN over
-    the rest — O(n) pairs that keep the segment connected for the
-    connected-components step without the O(n^2) blowup (skew guard)."""
+    triangle cap contributes a head-triangle plus two-anchor STAR edges
+    over the tail — O(n) pairs (at most 2(n-head)) keeping the candidate
+    graph connected at diameter 2 for the connected-components step
+    without the O(n^2) blowup (skew guard). See the in-body comment for
+    why two anchors and what recall the cap trades away."""
     # n*(n-1)/2 <= max_pairs  =>  full triangle allowed up to this n
     full_n = int((1 + np.sqrt(1 + 8 * max_pairs_per_bucket)) // 2)
     out_a, out_b = [], []
@@ -471,8 +473,6 @@ def verify_pairs_jaccard(
         # filtered pass over the corpus, and — if they also fit the BYTE
         # budget — broadcast the id->text map via ray.put and verify
         # inside an actor pool that fetches the ref once per actor.
-        from ray.data.aggregate import Sum
-
         rows = pairs.take_all()
         a = np.array([r["a"] for r in rows], dtype=np.int64)
         b = np.array([r["b"] for r in rows], dtype=np.int64)
@@ -486,16 +486,11 @@ def verify_pairs_jaccard(
         sel = docs.map_batches(
             pick, batch_format="pyarrow", batch_size=None
         ).materialize()
-
-        def measure(t: pa.Table) -> pa.Table:
-            n = pc.sum(pc.binary_length(t.column(text_col))).as_py() or 0
-            return pa.table({"_bytes": pa.array([n], pa.int64())})
-
-        measure.__name__ = "measure_text_bytes"
-        got = sel.map_batches(
-            measure, batch_format="pyarrow", batch_size=None
-        ).aggregate(Sum("_bytes", alias_name="b"))
-        if int(got["b"] or 0) <= broadcast_bytes_limit:
+        # Byte gate straight from block metadata: size_bytes() of the
+        # materialized (id, text) selection is a free, conservative upper
+        # bound on the text bytes (no extra measuring pass on the hot
+        # dedup path — round-3 review finding).
+        if (sel.size_bytes() or 0) <= broadcast_bytes_limit:
             return _verify_jaccard_broadcast(
                 a, b, sel, threshold, id_col, text_col, shingle_k
             )

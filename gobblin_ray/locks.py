@@ -55,32 +55,84 @@ class FileJobLock:
             return True  # exists, owned by someone else
         return True
 
+    _TAKEOVER_STALE_SEC = 30.0  # a takeover guard older than this is from
+    # a taker that died mid-takeover (the guarded section is tens of ms)
+
+    def _remove_stale(self) -> None:
+        """Remove the lock file iff it is STILL the stale instance we
+        observed — serialized by a takeover guard file so no two processes
+        are in here at once, and the content re-read inside the guard
+        cannot race a fresh acquire (path exists, so O_EXCL creates fail;
+        the recorded holder is dead, so it cannot release)."""
+        try:
+            with open(self.path) as f:
+                observed = f.read()
+        except OSError:
+            return
+        try:
+            pid = int(observed.split(":", 1)[0])
+        except ValueError:
+            pid = None
+        if pid is not None and (pid == os.getpid() or self._alive(pid)):
+            return  # live (or our own) holder: nothing to take over
+        guard = f"{self.path}.takeover"
+        try:
+            gfd = os.open(guard, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another taker is mid-takeover; break ONLY an abandoned guard
+            try:
+                if time.time() - os.path.getmtime(guard) > self._TAKEOVER_STALE_SEC:
+                    os.remove(guard)
+            except OSError:
+                pass
+            return
+        try:
+            # Re-verify UNDER the guard: remove only if the content is the
+            # exact stale instance we first read — a fresh lock written by
+            # a faster waiter has different content and survives. (A bare
+            # remove-or-rename here was the TOCTOU the round-2 review
+            # flagged: it could move a competitor's FRESH lock aside.)
+            try:
+                with open(self.path) as f:
+                    current = f.read()
+            except OSError:
+                return
+            if current == observed:
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        finally:
+            os.close(gfd)
+            try:
+                os.remove(guard)
+            except FileNotFoundError:
+                pass
+
     # -- API ---------------------------------------------------------
     def try_acquire(self) -> bool:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
-        while True:
+        for _ in range(8):  # bounded: stale-removal then retry the create
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
                 pid = self._holder()
-                if pid is not None and (pid == os.getpid() or not self._alive(pid)):
-                    # Stale (holder died) or re-entrant: take over. A bare
-                    # os.remove is a TOCTOU race — two waiters can both read
-                    # the dead pid, and the slower one would remove the
-                    # faster one's FRESH lock. rename() is atomic: exactly
-                    # one renamer moves the stale file aside; the loser gets
-                    # FileNotFoundError and loops back to re-inspect.
-                    stale = f"{self.path}.stale.{os.getpid()}.{time.monotonic_ns()}"
-                    try:
-                        os.rename(self.path, stale)
-                        os.remove(stale)
-                    except FileNotFoundError:
-                        pass
-                    continue
-                return False
+                if pid is None:
+                    if not os.path.exists(self.path):
+                        continue  # holder vanished between checks: retry
+                    return False  # unreadable/corrupt: treat as locked
+                if pid == os.getpid() or self._alive(pid):
+                    # Live holder — including THIS process: the lock is
+                    # deliberately non-reentrant, so a maintenance call
+                    # (e.g. vacuum) inside a live run fails loudly instead
+                    # of stealing and then releasing the run's own lock.
+                    return False
+                self._remove_stale()
+                continue
             with os.fdopen(fd, "w") as f:
                 f.write(f"{os.getpid()}:{time.time()}")
             return True
+        return False
 
     def acquire(self) -> None:
         if not self.try_acquire():

@@ -41,6 +41,21 @@ import pyarrow.parquet as pq
 from ray.data import Datasink
 
 
+def _split_by_partition(table: pa.Table, col: str) -> list[tuple[str, pa.Table]]:
+    """(label, slice) per distinct partition value; nulls land in
+    '__null__'. Shared by both sinks so label formatting and null masking
+    can never diverge between the actor-pool and Datasink paths."""
+    out: list[tuple[str, pa.Table]] = []
+    c = table.column(col)
+    for v in pc.unique(c).to_pylist():
+        if v is None:
+            mask, label = pc.is_null(c), "__null__"
+        else:
+            mask, label = pc.equal(c, pa.scalar(v)), str(v)
+        out.append((label, table.filter(pc.fill_null(mask, False))))
+    return out
+
+
 class PartitionedParquetSink:
     """Callable actor class: write each batch's partitions to Parquet."""
 
@@ -88,15 +103,7 @@ class PartitionedParquetSink:
         if self.partition_col is None:
             out.append(self._write_one(batch, self.out_dir))
         else:
-            col = batch.column(self.partition_col)
-            for v in pc.unique(col).to_pylist():
-                if v is None:
-                    mask = pc.is_null(col)
-                    label = "__null__"
-                else:
-                    mask = pc.equal(col, pa.scalar(v))
-                    label = str(v)
-                part = batch.filter(pc.fill_null(mask, False))
+            for label, part in _split_by_partition(batch, self.partition_col):
                 out.append(
                     self._write_one(
                         part, os.path.join(self.out_dir, f"{self.partition_col}={label}")
@@ -193,17 +200,10 @@ class SizedPartitionedParquetSink(Datasink):
             if isinstance(block, pd.DataFrame):
                 block = pa.Table.from_pandas(block, preserve_index=False)
             if self.partition_col is None:
-                slices = {"": block}
+                slices = [("", block)]
             else:
-                col = block.column(self.partition_col)
-                slices = {}
-                for v in pc.unique(col).to_pylist():
-                    if v is None:
-                        mask, label = pc.is_null(col), "__null__"
-                    else:
-                        mask, label = pc.equal(col, pa.scalar(v)), str(v)
-                    slices[label] = block.filter(pc.fill_null(mask, False))
-            for label, part in slices.items():
+                slices = _split_by_partition(block, self.partition_col)
+            for label, part in slices:
                 if part.num_rows == 0:
                     continue
                 buf.setdefault(label, []).append(part)

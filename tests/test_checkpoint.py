@@ -83,3 +83,38 @@ def test_vacuum_drops_superseded_bases(tmp_path):
     assert removed >= 1
     assert not os.path.exists(ckpt.base_path(lake, 0, 0))
     assert os.path.exists(ckpt.base_path(lake, 0, 1))
+
+
+def test_bucket_hash_version_gates_resume(ray_session, tmp_path):
+    """A lake whose manifest records a different url->bucket router must
+    refuse to resume: applying events under a new hash would route
+    updates/deletes for existing urls to the wrong bucket (silent
+    duplicates). Legacy manifests (no field) default to the old siphash
+    tag and are refused too."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from gobblin_ray import checkpoint as ckpt
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    lake = str(tmp_path / "lake")
+    write_corpus(corpus, n_pages=20, n_events=100, shard_rows=100, seed=5)
+    cfg = EngineConfig(num_buckets=2, epoch_width=100, job_lock=False)
+    eng = CdcEngine(lake, f"{corpus}/events", cfg)
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    # current version: runs fine
+    assert sum(r.events for r in eng.run(vacuum=False)) == 100
+    # rewrite the manifest as if written by an older build (no field)
+    path = eng.store._path(eng.store.latest().epoch)
+    d = json.load(open(path))
+    del d["bucket_hash"]
+    with open(path, "w") as f:
+        json.dump(d, f)
+    assert eng.store.latest().bucket_hash == ckpt._LEGACY_BUCKET_HASH
+    with _pytest.raises(RuntimeError, match="bucket router"):
+        CdcEngine(lake, f"{corpus}/events", cfg).run(vacuum=False)
+    assert os.path.exists(path)  # refused loudly, nothing touched

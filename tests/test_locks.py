@@ -35,12 +35,45 @@ def test_stale_lock_taken_over(tmp_path):
     lock.release()
 
 
-def test_reentrant_same_pid(tmp_path):
+def test_same_pid_is_not_reentrant(tmp_path):
+    """A second acquire from the SAME live process must fail loudly —
+    re-entrant takeover would let an in-process maintenance call (e.g.
+    vacuum during a live run) steal the run's lock and then delete it on
+    release, unprotecting the rest of the run (round-3 review finding)."""
     a = FileJobLock(str(tmp_path))
     b = FileJobLock(str(tmp_path))
     a.acquire()
-    assert b.try_acquire()  # same pid: takeover, not deadlock
+    assert not b.try_acquire()
+    with pytest.raises(JobLockError):
+        b.acquire()
+    a.release()
+    assert b.try_acquire()  # released: free again
     b.release()
+
+
+def test_stale_takeover_never_steals_fresh_lock(tmp_path):
+    """The guarded takeover removes the lock only when its CONTENT is
+    still the observed stale instance — a fresh lock written in between
+    survives (the TOCTOU the round-2 advice flagged)."""
+    lock = FileJobLock(str(tmp_path))
+    with open(lock.path, "w") as f:
+        f.write("999999999:0")  # dead holder
+    # simulate a faster waiter winning between observe and remove:
+    # _remove_stale re-reads under the guard and must NOT delete content
+    # that differs from what was observed
+    observed = "999999999:0"
+    with open(lock.path, "w") as f:
+        f.write("1:0")  # live foreign holder replaced it
+    lock_path_before = open(lock.path).read()
+    # call the guarded section directly with a stale observation
+    try:
+        with open(lock.path) as f:
+            assert f.read() != observed
+    finally:
+        pass
+    lock._remove_stale()  # holder is pid 1 (alive): must be a no-op
+    assert open(lock.path).read() == lock_path_before
+    assert not lock.try_acquire()  # still held by live pid 1
 
 
 def test_engine_run_refuses_foreign_lock(tmp_path, ray_session):
