@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_config_demo": demo.pipeline_config_demo,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
+        "orc_source_region": demo.orc_source_region,
+        "ungzip_roundtrip": demo.ungzip_roundtrip,
         "json_source_nation": demo.json_source_nation,
         # text analysis (extension set; planted fixtures carry ground truth
         # so the near-dup/langid family is value-checked, not rows-only —
@@ -241,6 +243,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "csv_source_region": """
             SELECT r_regionkey, r_name FROM region
+        """,
+        "orc_source_region": """
+            SELECT * FROM region
+        """,
+        "ungzip_roundtrip": """
+            SELECT doc_id, text FROM documents
         """,
         "json_source_nation": """
             SELECT n_regionkey, count(*) AS n FROM nation GROUP BY n_regionkey

@@ -74,7 +74,7 @@ def _default_registry() -> AliasRegistry:
         "identity", "project", "drop_fields", "rename", "filter_equals",
         "regex_filter", "cast_column", "lower", "upper", "concat_fields",
         "parse_json_regex", "split_to_rows", "flatten_struct", "sample_mod",
-        "sample_hash", "grok_parse",
+        "sample_hash", "grok_parse", "compress_column", "decompress_column",
     ):
         reg.register(name, getattr(cv, name))
     reg.register("time_partition", time_partition)

@@ -602,6 +602,46 @@ def csv_source_region(sf_dir: str):
     )
 
 
+def orc_source_region(sf_dir: str):
+    """ORC source parity (gobblin-orc analog): region exported to ORC
+    deterministically, re-read via the per-file pyarrow.orc read tasks
+    (read_orc_source), rows hash-compared against the parquet oracle."""
+    import os
+
+    import pyarrow.orc as orc
+    import pyarrow.parquet as pq
+
+    from ..sources.readers import read_orc_source
+
+    src = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    path = _sidecar_path("region.orc", sf_dir)
+    if not os.path.exists(path):
+        tmp = path + ".tmp"
+        orc.write_table(src, tmp)
+        os.replace(tmp, path)
+    return read_orc_source(path)
+
+
+def ungzip_roundtrip(sf_dir: str):
+    """UnGzipConverter analog: gzip-compress the text column in one fused
+    converter chain, decompress in the next, and return the recovered rows
+    — hash-compared against the plain oracle (lossless codec plumbing).
+    A mid-chain guard asserts the column actually became binary."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def guard(t: pa.Table) -> pa.Table:
+        assert pa.types.is_binary(t.schema.field("text").type)
+        return t
+
+    guard.__name__ = "assert_compressed"
+    fn = cv.chain(
+        cv.compress_column("text", "gzip"),
+        guard,
+        cv.decompress_column("text", "gzip"),
+    )
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None)
+
+
 def json_source_nation(sf_dir: str):
     """JSON source parity (JsonStringToJsonIntermediateConverter analog):
     nation exported as JSONL, re-read via ray.data.read_json, aggregated."""

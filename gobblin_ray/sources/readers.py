@@ -125,3 +125,42 @@ def read_binary_source(paths, include_paths: bool = True, **kw):
     import ray.data as rd
 
     return rd.read_binary_files(paths, include_paths=include_paths, **kw)
+
+
+def read_orc_source(paths, columns=None, files_per_task: int = 1):
+    """ORC source (gobblin-modules/gobblin-orc analog). Ray Data has no
+    built-in ORC reader, so each task decodes whole ORC files via
+    pyarrow.orc — one (or ``files_per_task``) file(s) per read task, the
+    same per-file task granularity the parquet path gets from row groups.
+    Column pruning is pushed into the ORC reader (stripe-level projection),
+    so only selected columns leave storage."""
+    import os
+
+    import ray.data as rd
+
+    if isinstance(paths, str):
+        if os.path.isdir(paths):
+            files = sorted(
+                os.path.join(paths, f) for f in os.listdir(paths)
+                if f.endswith(".orc")
+            )
+        else:
+            files = [paths]
+    else:
+        files = sorted(paths)
+
+    def load(batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        import pyarrow.orc as orc
+
+        tables = [
+            orc.ORCFile(p).read(columns=columns)
+            for p in batch.column("path").to_pylist()
+        ]
+        return pa.concat_tables(tables)
+
+    load.__name__ = "read_orc"
+    items = rd.from_items([{"path": p} for p in files])
+    return items.map_batches(
+        load, batch_format="pyarrow", batch_size=files_per_task
+    )

@@ -272,3 +272,83 @@ def sample_hash(field: str, ratio: float) -> BatchFn:
         return t.filter(pa.array(h < threshold))
 
     return _named(f"sample_hash[{field}@{ratio}]", run)
+
+
+_CODEC_CACHE: dict = {}
+
+
+def _codec(name: str):
+    """Per-process pyarrow Codec cache: Codec objects hold a C++ handle
+    and are NOT picklable, so converter closures must construct them
+    lazily inside the worker, never capture them."""
+    got = _CODEC_CACHE.get(name)
+    if got is None:
+        import pyarrow as pa
+
+        got = _CODEC_CACHE[name] = pa.Codec(name)
+    return got
+
+
+def compress_column(field: str, codec: str = "gzip", out: str | None = None) -> BatchFn:
+    """Compress a string/binary column into binary (writer-side of the
+    UnGzipConverter pair, gobblin-core/.../converter/filter/UnGzipConverter
+    .java — the reference decompresses gzip payloads in the converter
+    chain; this is its inverse for round-tripping). Per-message codec =>
+    per-row loop, but the pyarrow codec is C and the stage parallelizes
+    across batches."""
+    target = out or field
+
+    def _one(v) -> bytes:
+        codec_obj = _codec(codec)
+        raw = v if isinstance(v, bytes) else str(v).encode("utf-8")
+        # 8-byte big-endian decompressed-size frame: pyarrow codecs
+        # (zstd/lz4/snappy, and its gzip wrapper) need the exact size at
+        # decompress time.
+        return len(raw).to_bytes(8, "big") + codec_obj.compress(
+            raw, asbytes=True
+        )
+
+    def run(t: pa.Table) -> pa.Table:
+        vals = [
+            None if v is None else _one(v)
+            for v in t.column(field).to_pylist()
+        ]
+        arr = pa.array(vals, pa.binary())
+        if target == field:
+            return t.set_column(t.schema.get_field_index(field), target, arr)
+        return t.append_column(target, arr)
+
+    return _named(f"compress[{field}:{codec}]", run)
+
+
+def decompress_column(
+    field: str, codec: str = "gzip", out: str | None = None,
+    as_string: bool = True,
+) -> BatchFn:
+    """UnGzipConverter analog: decompress a binary column (gzip/zstd/lz4/
+    snappy via the pyarrow codec registry) back to text or bytes."""
+    target = out or field
+
+    def _one(v: bytes) -> bytes:
+        codec_obj = _codec(codec)
+        b = bytes(v)
+        size = int.from_bytes(b[:8], "big")
+        return codec_obj.decompress(b[8:], decompressed_size=size, asbytes=True)
+
+    def run(t: pa.Table) -> pa.Table:
+        vals = [
+            None if v is None else _one(v)
+            for v in t.column(field).to_pylist()
+        ]
+        if as_string:
+            arr = pa.array(
+                [None if v is None else v.decode("utf-8") for v in vals],
+                pa.string(),
+            )
+        else:
+            arr = pa.array(vals, pa.binary())
+        if target == field:
+            return t.set_column(t.schema.get_field_index(field), target, arr)
+        return t.append_column(target, arr)
+
+    return _named(f"decompress[{field}:{codec}]", run)

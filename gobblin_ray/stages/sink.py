@@ -65,11 +65,15 @@ class PartitionedParquetSink:
         partition_col: str | None = None,
         compression: str = "zstd",
         compression_level: int = 3,
+        file_format: str = "parquet",
     ):
+        if file_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported file_format {file_format!r}")
         self.out_dir = out_dir
         self.partition_col = partition_col
         self.compression = compression
         self.level = compression_level
+        self.file_format = file_format  # orc: gobblin-orc writer analog
         os.makedirs(out_dir, exist_ok=True)
 
     def _fingerprint(self, table: pa.Table) -> str:
@@ -83,13 +87,22 @@ class PartitionedParquetSink:
 
     def _write_one(self, table: pa.Table, part_dir: str) -> dict:
         os.makedirs(part_dir, exist_ok=True)
-        name = f"part-{self._fingerprint(table)}.parquet"
+        name = f"part-{self._fingerprint(table)}.{self.file_format}"
         path = os.path.join(part_dir, name)
         tmp = f"{path}.tmp-{os.getpid()}"
-        pq.write_table(
-            table, tmp, compression=self.compression,
-            compression_level=self.level,
-        )
+        if self.file_format == "orc":
+            import pyarrow.orc as orc
+
+            orc.write_table(
+                table, tmp, compression=(
+                    "zstd" if self.compression == "zstd" else "zlib"
+                ),
+            )
+        else:
+            pq.write_table(
+                table, tmp, compression=self.compression,
+                compression_level=self.level,
+            )
         os.replace(tmp, path)
         return {
             "partition": os.path.basename(part_dir),
@@ -146,13 +159,14 @@ class SizedPartitionedParquetSink(Datasink):
         compression: str = "zstd",
         compression_level: int = 3,
         min_rows_per_write: int | None = 64 * 1024,
+        file_format: str = "parquet",
     ):
         self.out_dir = out_dir
         self.partition_col = partition_col
         self.target = target_file_bytes
         self._writer = PartitionedParquetSink(
             out_dir, partition_col=None, compression=compression,
-            compression_level=compression_level,
+            compression_level=compression_level, file_format=file_format,
         )
         # Ray bundles at least this many input rows into ONE write task —
         # without it each task sees a single block and per-task rolling
