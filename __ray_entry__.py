@@ -318,7 +318,8 @@ def oracle_sql() -> dict[str, str]:
                          e.vec_id) <= 10
         """,
         "embedding_dims": """
-            SELECT label, array_length(embedding) AS dim, count(*) AS n
+            SELECT CAST(label AS BIGINT) AS label,
+                   array_length(embedding) AS dim, count(*) AS n
             FROM embeddings GROUP BY label, array_length(embedding)
         """,
         "langid_planted": """
@@ -336,7 +337,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cluster_id
         """,
         "simhash_planted_pairs": """
-            SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS INTEGER) AS hamming
+            SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS hamming
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_simdup.parquet') x
             JOIN read_parquet('/tmp/gobblin_ray_fixtures/planted_simdup.parquet') y
               ON x.text = y.text AND x.doc_id < y.doc_id
