@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semi_join_orders": demo.semi_join_orders,
         "anti_join_orders": demo.anti_join_orders,
         "asof_join_purchase_click": demo.asof_join_purchase_click,
+        "range_join_value_bands": demo.range_join_value_bands,
+        "session_windows_users": demo.session_windows_users,
         # set ops / windows (§2.8, §2.10)
         "distinct_flag_status": demo.distinct_flag_status,
         "union_counts": demo.union_counts,
@@ -178,6 +180,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS window_day,
                    count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+        """,
+        "range_join_value_bands": """
+            SELECT CAST(r.r_regionkey AS BIGINT) AS band, count(*) AS n,
+                   round(sum(e.value), 2) AS sum_value
+            FROM events e JOIN region r
+              ON e.value >= r.r_regionkey * 25.0
+             AND e.value <  (r.r_regionkey + 1) * 25.0
+            GROUP BY r.r_regionkey
+        """,
+        "session_windows_users": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w > INTERVAL 1800 SECOND
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, value,
+                       sum(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS session_id
+                FROM d
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events,
+                   round(coalesce(sum(value), 0), 2) AS sum_value
+            FROM s GROUP BY user_id, session_id
         """,
         "cdc_lww_upsert_events": """
             SELECT user_id, event_id AS last_event_id,

@@ -472,6 +472,62 @@ def window_user_daily(sf_dir: str):
     )
 
 
+def range_join_value_bands(sf_dir: str):
+    """Range (interval) join — third of the custom-operator trio next to
+    the as-of join and windowed aggregates: each event joined to the
+    region-derived value band containing its value (lo <= v < hi), then a
+    per-band rollup. One coarse-bucket exchange; intervals replicated per
+    covered bucket (stages/joins.py range_join)."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import range_join
+
+    events = read_table(sf_dir, "events", columns=["event_id", "value"])
+    region = read_table(sf_dir, "region", columns=["r_regionkey"])
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        k = t.column("r_regionkey").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "band": t.column("r_regionkey"),
+            "lo": pa.array(k * 25.0),
+            "hi": pa.array((k + 1) * 25.0),
+        })
+
+    to_bands.__name__ = "region_bands"
+    bands = region.map_batches(to_bands, batch_format="pyarrow", batch_size=None)
+    joined = range_join(
+        events, bands, value_col="value", lo_col="lo", hi_col="hi",
+        bucket_width=10.0, interval_cols=["band"],
+    )
+    out = joined.groupby("band").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="sum_value")
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def session_windows_users(sf_dir: str):
+    """Gap-based SESSION windows (streaming window family beyond the
+    tumbling window_user_daily): one bounded-partition exchange, then a
+    vectorized sort + gap-boundary + segmented-reduce rollup per session.
+    30-minute gap; per-user 1-based session ordinals."""
+    from ..stages.windows import session_rollup
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = session_rollup(
+        ds, key="user_id", ts_col="ts", gap_seconds=1800.0,
+        value_col="value",
+    )
+    return out.select_columns(
+        ["user_id", "session_id", "n_events", "sum_value"]
+    ).map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def asof_join_purchase_click(sf_dir: str):
     """As-of join (operator Ray Data lacks; composition per SURVEY §2.5):
     for each purchase, the user's most recent click at-or-before it.

@@ -16,6 +16,7 @@ the general shapes a pipeline author needs:
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def broadcast_join(
@@ -152,3 +153,110 @@ def merge_asof_by_key(
     # union carries both sides through ONE shuffle on the partition key
     both = l_tag.union(r_tag)
     return both.groupby("_kp").map_groups(asof_partition, batch_format="pandas")
+
+
+def range_join(
+    points,
+    intervals,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    interval_cols: list[str] | None = None,
+    num_buckets_hint: int | None = None,
+):
+    """Interval (range) join: every point row paired with every interval
+    row whose half-open range satisfies ``lo <= value < hi``.
+
+    Ray Data has no range join; the scale-sound composition is ONE
+    exchange on a coarse value bucket: points route to
+    ``floor(value / bucket_width)``, intervals are REPLICATED to every
+    coarse bucket they overlap (a 1:N flat-map — replication factor
+    ~ interval span / bucket_width, so pick ``bucket_width`` near the
+    typical span), and each bounded bucket does a vectorized
+    points x intervals containment match. Half-open semantics mean no
+    match is emitted twice despite the replication (a point lives in
+    exactly one bucket). Partitioning assumption: one bucket's points
+    plus its overlapping intervals fit in a worker; the per-bucket match
+    allocates a (points x intervals) mask, so keep intervals-per-bucket
+    modest (narrow buckets) when intervals are dense."""
+    import numpy as np
+
+    from ..schema import conform, unify_additive
+
+    icols = [lo_col, hi_col] + [
+        c for c in (interval_cols or []) if c not in (lo_col, hi_col)
+    ]
+    pcols = points.schema().names
+    p_schema = pa.schema(zip(points.schema().names, points.schema().types))
+    ivals = intervals.select_columns(icols)
+    i_schema = pa.schema(zip(ivals.schema().names, ivals.schema().types))
+    union_schema = unify_additive(p_schema, i_schema).append(
+        pa.field("_side", pa.string())
+    )
+    w = float(bucket_width)
+
+    def tag_points(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(value_col)))
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / w).astype(np.int64)
+        t = t.append_column("_side", pa.array(["p"] * t.num_rows))
+        return conform(t, union_schema).append_column("_rb", pa.array(b))
+
+    tag_points.__name__ = "tag_points"
+
+    def explode_intervals(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column(lo_col)), pc.is_valid(t.column(hi_col)))
+        )
+        lo = t.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = t.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        b0 = np.floor(lo / w).astype(np.int64)
+        # hi is EXCLUSIVE: an interval ending exactly on a bucket edge
+        # does not overlap the next bucket
+        b1 = np.floor(np.nextafter(hi, -np.inf) / w).astype(np.int64)
+        b1 = np.maximum(b1, b0)
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(t.num_rows), reps)
+        out = t.take(pa.array(idx))
+        bucket = np.concatenate(
+            [np.arange(a, a + r) for a, r in zip(b0, reps)]
+        ) if len(b0) else np.array([], np.int64)
+        out = out.append_column("_side", pa.array(["i"] * out.num_rows))
+        return conform(out, union_schema).append_column("_rb", pa.array(bucket))
+
+    explode_intervals.__name__ = "explode_intervals"
+
+    p_tag = points.map_batches(tag_points, batch_format="pyarrow", batch_size=None)
+    i_tag = ivals.map_batches(
+        explode_intervals, batch_format="pyarrow", batch_size=None
+    )
+
+    out_cols = pcols + [c for c in icols if c not in pcols]
+
+    def match(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        pts = g.filter(pa.array(side == "p"))
+        ivs = g.filter(pa.array(side == "i"))
+        empty = pa.table(
+            {c: pa.array([], union_schema.field(c).type) for c in out_cols}
+        )
+        if pts.num_rows == 0 or ivs.num_rows == 0:
+            return empty
+        v = pts.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = ivs.column(lo_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = ivs.column(hi_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = (v[:, None] >= lo[None, :]) & (v[:, None] < hi[None, :])
+        pi, ii = np.nonzero(mask)
+        if len(pi) == 0:
+            return empty
+        left = pts.select(pcols).take(pa.array(pi))
+        right = ivs.select([c for c in icols if c not in pcols]).take(pa.array(ii))
+        out = left
+        for c in right.column_names:
+            out = out.append_column(c, right.column(c))
+        return out
+
+    match.__name__ = "range_match"
+    both = p_tag.union(i_tag)
+    return both.groupby("_rb").map_groups(match, batch_format="pyarrow")

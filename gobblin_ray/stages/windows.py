@@ -1,0 +1,110 @@
+"""Windowed aggregation stages beyond tumbling windows (SURVEY §2.6/2.8;
+tumbling event-time windows live in stages/partition.py `time_partition`).
+
+Session windows are the classic gap-based streaming window (rows of one
+key belong to the same session while successive event times are within
+``gap``): the reference expresses this as per-key stateful reducers in
+its streaming runtime; Ray-native it is ONE bounded-partition exchange
+(`hash(key) % P`, never a per-key dispatch) and a fully vectorized
+sort + gap-boundary-detect + segmented reduce inside each partition.
+
+Partitioning assumption (documented per the custom-operator rule): one
+key's full history fits in a worker — the same assumption the as-of join
+makes; raise ``num_partitions`` at scale."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def session_rollup(
+    ds,
+    key: str,
+    ts_col: str,
+    gap_seconds: float,
+    value_col: str | None = None,
+    num_partitions: int = 32,
+):
+    """Sessionize + per-session rollup in one pass: emits one row per
+    (key, session ordinal) with n_events, first/last timestamps and
+    (optionally) the value sum. Session boundary = key change OR time gap
+    > ``gap_seconds``; ordinals are 1-based per key, deterministic (ties
+    in ts fall in the same session regardless of order, since dt == 0).
+    """
+    import pandas as pd
+
+    P = num_partitions
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
+        )
+        kcol = t.column(key)
+        if pa.types.is_integer(kcol.type):
+            kp = (
+                kcol.to_numpy(zero_copy_only=False).astype(np.int64) % P
+            ).astype(np.int32)
+        else:
+            arr = kcol.to_pandas().to_numpy(dtype=object, na_value=None)
+            kp = (pd.util.hash_array(arr, categorize=False) % P).astype(np.int32)
+        return t.append_column("_kp", pa.array(kp))
+
+    bucket.__name__ = "session_bucket"
+
+    def rollup(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), (ts_col, "ascending")])
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        ts = g.column(ts_col).cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        new_key = np.empty(len(k), bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        dt = np.empty(len(ts), np.int64)
+        dt[0] = 0
+        dt[1:] = ts[1:] - ts[:-1]
+        new_sess = new_key | (dt > gap_us)
+        sess = np.cumsum(new_sess)  # global ordinal within partition
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(starts, len(k)))
+        # per-key 1-based ordinal: subtract the key's first global ordinal
+        key_starts = np.flatnonzero(new_key)
+        key_first_sess = sess[key_starts]
+        key_rep = np.repeat(
+            key_first_sess, np.diff(np.append(key_starts, len(k)))
+        )
+        per_key = sess - key_rep + 1
+        out = {
+            key: pa.array(k[starts]),
+            "session_id": pa.array(per_key[starts].astype(np.int64)),
+            "n_events": pa.array(counts.astype(np.int64)),
+            "session_start": pa.array(
+                ts[starts].astype("datetime64[us]"), pa.timestamp("us")
+            ),
+            "session_end": pa.array(
+                ts[np.append(starts[1:], len(k)) - 1].astype("datetime64[us]"),
+                pa.timestamp("us"),
+            ),
+        }
+        if value_col is not None:
+            # nulls sum as 0 (SQL SUM ignores NULLs; an all-null session
+            # sums to 0.0 here vs SQL NULL — callers coalesce if needed)
+            v = np.nan_to_num(
+                g.column(value_col).to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+            )
+            out["sum_value"] = pa.array(np.add.reduceat(v, starts))
+        return pa.table(out)
+
+    rollup.__name__ = "session_rollup"
+    cols = [key, ts_col] + ([value_col] if value_col else [])
+    return (
+        ds.select_columns(cols)
+        .map_batches(bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_kp")
+        .map_groups(rollup, batch_format="pyarrow")
+    )

@@ -561,3 +561,70 @@ def test_orc_sink_and_source_roundtrip(ray_session, tmp_path):
     pruned = read_orc_source(files, columns=["v"]).take_all()
     assert set(pruned[0].keys()) == {"v"}
     assert sum(r["v"] for r in pruned) == sum(range(1000))
+
+
+def test_range_join_matches_naive(ray_session):
+    """Bucketed interval join == naive O(n*m) containment join, including
+    intervals spanning several coarse buckets, points on bucket edges, and
+    overlapping intervals (a point can match several)."""
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import range_join
+
+    pts = pa.table({
+        "pid": pa.array(range(8), pa.int64()),
+        "v": pa.array([0.0, 5.0, 10.0, 15.0, 25.0, 24.999, 50.0, -3.0]),
+    })
+    ivs = pa.table({
+        "iid": pa.array([0, 1, 2, 3], pa.int64()),
+        "lo": pa.array([0.0, 10.0, 0.0, -5.0]),
+        "hi": pa.array([10.0, 25.0, 100.0, 0.0]),  # 2 spans many buckets
+    })
+    got = range_join(
+        rd.from_arrow(pts), rd.from_arrow(ivs),
+        value_col="v", lo_col="lo", hi_col="hi", bucket_width=7.0,
+        interval_cols=["iid"],
+    ).take_all()
+    got_pairs = sorted((r["pid"], r["iid"]) for r in got)
+    expect = sorted(
+        (p["pid"], i["iid"])
+        for p in pts.to_pylist() for i in ivs.to_pylist()
+        if i["lo"] <= p["v"] < i["hi"]
+    )
+    assert got_pairs == expect
+    # half-open: v=10 not in [0,10); v=-3 only in [-5,0)
+    assert (2, 0) not in got_pairs and (7, 3) in got_pairs
+
+
+def test_session_rollup_gap_boundaries(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import session_rollup
+
+    t0 = dt.datetime(2026, 1, 1)
+    sec = dt.timedelta(seconds=1)
+    rows = [
+        # user 1: two sessions (gap 100s > 60s)
+        ("u1", t0, 1.0), ("u1", t0 + 30 * sec, 2.0),
+        ("u1", t0 + 130 * sec, 4.0),
+        # user 2: one session, tie timestamps share the session
+        ("u2", t0, 10.0), ("u2", t0, 20.0),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows]),
+    })
+    out = session_rollup(
+        rd.from_arrow(t), key="user_id", ts_col="ts", gap_seconds=60.0,
+        value_col="value",
+    ).take_all()
+    got = {(r["user_id"], r["session_id"]): (r["n_events"], r["sum_value"])
+           for r in out}
+    assert got == {
+        ("u1", 1): (2, 3.0),
+        ("u1", 2): (1, 4.0),
+        ("u2", 1): (2, 30.0),
+    }
