@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "crypto_roundtrip": demo.crypto_roundtrip,
+        "redact_pii_documents": demo.redact_pii_documents,
+        "canonicalize_url_documents": demo.canonicalize_url_documents,
         "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
         "dedup_minhash_planted": demo.dedup_minhash_planted,
@@ -299,6 +301,69 @@ def oracle_sql() -> dict[str, str]:
         """,
         "crypto_roundtrip": """
             SELECT doc_id, text FROM documents
+        """,
+        "redact_pii_documents": """
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or 555-123-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '(\\+?[0-9]{1,3}[ .\\-])?\\(?[0-9]{3}\\)?[ .\\-][0-9]{3}[ .\\-][0-9]{4}\\b',
+                         '<PHONE>', 'g'),
+                       '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b',
+                       '<IPV4>', 'g'),
+                     '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<SSN>', 'g'
+                   ) AS text
+            FROM p
+        """,
+        "canonicalize_url_documents": """
+            WITH u AS (
+                SELECT doc_id,
+                       'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR)
+                       || '.Example.COM/p/' || CAST(doc_id AS VARCHAR)
+                       || CASE
+                            WHEN doc_id % 3 = 0 THEN
+                              '/?utm_source=x&utm_id=' || CAST(doc_id AS VARCHAR)
+                              || '&q=' || CAST(doc_id % 7 AS VARCHAR) || '#f'
+                            WHEN doc_id % 3 = 1 THEN '/'
+                            ELSE '' END AS url
+                FROM documents
+            ),
+            s1 AS (SELECT doc_id,
+                          regexp_replace(url, '#.*$', '', 'g') AS url FROM u),
+            s2 AS (SELECT doc_id, regexp_replace(url,
+                          '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '?', 'g') AS url
+                   FROM s1),
+            s3 AS (SELECT doc_id,
+                          regexp_replace(url, '\\?[?&]+', '?', 'g') AS url
+                   FROM s2),
+            s4 AS (SELECT doc_id,
+                          regexp_replace(url, '[?&]+$', '', 'g') AS url
+                   FROM s3),
+            s5 AS (SELECT doc_id,
+                          CASE WHEN regexp_extract(url,
+                               '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) <> ''
+                          THEN lower(regexp_extract(url,
+                                 '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                               || regexp_extract(url,
+                                 '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*(.*)$', 1)
+                          ELSE url END AS url
+                   FROM s4)
+            SELECT doc_id,
+                   regexp_replace(url,
+                     '(//[^/?#]+(?:/[^?#]*[^/?#]))/(\\?|$)', '\\1\\2', 'g') AS url
+            FROM s5
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(lower(text)) AS fingerprint FROM documents

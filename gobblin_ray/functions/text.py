@@ -246,3 +246,77 @@ def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
 
     run.__name__ = "rolling_hash"
     return run
+
+
+_PII_PATTERNS = [
+    # order matters: emails before bare domains; longest-match patterns
+    # first. RE2 syntax (pyarrow and DuckDB both run RE2, so the SQL
+    # oracle can apply the IDENTICAL patterns).
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"),
+    ("phone", r"(\+?[0-9]{1,3}[ .\-])?\(?[0-9]{3}\)?[ .\-][0-9]{3}[ .\-][0-9]{4}\b"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+]
+
+
+def redact_pii(text_col: str = "text", out: str | None = None,
+               kinds: list[str] | None = None):
+    """PII scrubbing for LLM training text: replace emails / phone numbers
+    / IPv4 addresses / SSN-shaped ids with ``<KIND>`` tokens. Fully
+    vectorized: one ``pc.replace_substring_regex`` pass per pattern over
+    the whole batch (RE2, compiled once per call site). The pattern set is
+    the pragmatic fast pass LLM pipelines run at ingest; a recall-critical
+    deployment layers an NER model behind the same stage signature."""
+    target = out or text_col
+    pats = [(k, p) for k, p in _PII_PATTERNS if kinds is None or k in kinds]
+
+    def run(t: pa.Table) -> pa.Table:
+        col = t.column(text_col)
+        for kind, pat in pats:
+            col = pc.replace_substring_regex(
+                col, pattern=pat, replacement=f"<{kind.upper()}>"
+            )
+        if target == text_col:
+            return t.set_column(t.schema.get_field_index(text_col), target, col)
+        return t.append_column(target, col)
+
+    run.__name__ = "redact_pii"
+    return run
+
+
+def canonicalize_url(url_col: str = "url", out: str | None = None):
+    """URL canonicalization (webtext dedup pre-pass): lowercase scheme +
+    host, strip the fragment, strip a trailing slash on the path, drop
+    common tracking query params (utm_*), collapse an empty query. Pure
+    RE2 string surgery — vectorized and SQL-mirrorable; NOT a full RFC
+    3986 normalizer (no percent-decoding or port folding), documented."""
+    target = out or url_col
+
+    def run(t: pa.Table) -> pa.Table:
+        col = pc.cast(t.column(url_col), pa.string())
+        # fragment off first so later patterns see the bare url
+        col = pc.replace_substring_regex(col, pattern=r"#.*$", replacement="")
+        # drop utm_* params (leading '?'/'&' kept in the match, re-added)
+        col = pc.replace_substring_regex(
+            col, pattern=r"[?&]utm_[A-Za-z0-9_]*=[^&#]*", replacement="?"
+        )
+        col = pc.replace_substring_regex(col, pattern=r"\?[?&]+", replacement="?")
+        col = pc.replace_substring_regex(col, pattern=r"[?&]+$", replacement="")
+        # lowercase scheme://host prefix by splitting it off
+        scheme_host = pc.extract_regex(
+            col, pattern=r"^(?P<sh>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>.*)$"
+        )
+        sh = pc.utf8_lower(pc.struct_field(scheme_host, "sh"))
+        rest = pc.struct_field(scheme_host, "rest")
+        rejoined = pc.binary_join_element_wise(sh, rest, "")
+        col = pc.if_else(pc.is_valid(rejoined), rejoined, col)
+        # trailing slash on a non-root path
+        col = pc.replace_substring_regex(
+            col, pattern=r"(//[^/?#]+(?:/[^?#]*[^/?#]))/(\?|$)", replacement=r"\1\2"
+        )
+        if target == url_col:
+            return t.set_column(t.schema.get_field_index(url_col), target, col)
+        return t.append_column(target, col)
+
+    run.__name__ = "canonicalize_url"
+    return run

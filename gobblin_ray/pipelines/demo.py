@@ -802,6 +802,68 @@ def fingerprint_md5(sf_dir: str):
     ).select_columns(["doc_id", "fingerprint"])
 
 
+def redact_pii_documents(sf_dir: str):
+    """PII scrubbing (LLM-ingest fast pass): deterministic PII (email /
+    phone / ipv4 derived from doc_id) is planted into each document's
+    text in-pipeline, then redact_pii replaces it with <KIND> tokens —
+    one vectorized RE2 pass per pattern. The oracle plants the same
+    strings in SQL and applies the IDENTICAL RE2 patterns via DuckDB's
+    regexp_replace (both engines run RE2, so behavior matches on any
+    incidental matches in the base text too)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        frag = pa.array(
+            [
+                f" contact user{i}@example.com or 555-123-{i % 10000:04d}"
+                f" ip 10.0.{i % 256}.7"
+                for i in ids.tolist()
+            ]
+        )
+        txt = pc.binary_join_element_wise(
+            pc.cast(t.column("text"), pa.string()), frag, ""
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    plant.__name__ = "plant_pii"
+    out = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return out.map_batches(
+        tx.redact_pii("text"), batch_format="pyarrow", batch_size=None
+    )
+
+
+def canonicalize_url_documents(sf_dir: str):
+    """URL canonicalization (webtext dedup pre-pass): deterministic messy
+    urls derived from doc_id (mixed-case scheme/host, utm params,
+    fragments, trailing slashes) canonicalized by one vectorized RE2
+    chain; the oracle rebuilds the same urls in SQL and mirrors the chain
+    step-for-step with DuckDB regexp functions."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = []
+        for i in ids.tolist():
+            base = f"HTTPS://Site{i % 50}.Example.COM/p/{i}"
+            if i % 3 == 0:
+                urls.append(f"{base}/?utm_source=x&utm_id={i}&q={i % 7}#f")
+            elif i % 3 == 1:
+                urls.append(base + "/")
+            else:
+                urls.append(base)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "url": pa.array(urls, pa.string()),
+        })
+
+    mk.__name__ = "mk_messy_urls"
+    out = ds.map_batches(mk, batch_format="pyarrow", batch_size=None)
+    return out.map_batches(
+        tx.canonicalize_url("url"), batch_format="pyarrow", batch_size=None
+    )
+
+
 def crypto_roundtrip(sf_dir: str):
     """Encrypt/decrypt converter pair (gobblin-crypto EncryptConverter /
     DecryptConverter analog): Fernet-encrypt the text column in one

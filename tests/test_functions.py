@@ -390,3 +390,36 @@ def test_connected_components_nonconvergence_raises(ray_session):
         dd.connected_components(pairs, max_rounds=1)
     comp = dd.connected_components(pairs, max_rounds=20)
     assert all(comp[i] == 20 for i in range(20, 27))
+
+
+def test_redact_pii_patterns():
+    t = pa.table({"text": [
+        "mail bob@x.co or b.smith+tag@sub.domain.org now",
+        "call 555-123-4567 / +1 555 123 4567 / (555) 123 4567",
+        "host 192.168.0.1 but not v1.2.3.4 (no word boundary)",
+        "ssn 123-45-6789",
+        None,
+    ]})
+    out = tx.redact_pii("text")(t).column("text").to_pylist()
+    assert out[0] == "mail <EMAIL> or <EMAIL> now"
+    assert out[1].count("<PHONE>") == 3
+    assert "<IPV4>" in out[2] and "v1.2.3.4" in out[2]
+    assert out[3] == "ssn <SSN>"
+    assert out[4] is None
+    # kinds filter: only emails touched
+    out2 = tx.redact_pii("text", kinds=["email"])(t).column("text").to_pylist()
+    assert "<EMAIL>" in out2[0] and "555-123-4567" in out2[1]
+
+
+def test_canonicalize_url_rules():
+    cases = {
+        "HTTPS://Site.COM/Path/?utm_source=a&q=1#f": "https://site.com/Path?q=1",
+        "https://a.b/c/d/": "https://a.b/c/d",
+        "http://H.io/?utm_x=1": "http://h.io/",
+        "https://x.y/p?a=1&utm_z=2": "https://x.y/p?a=1",
+        "https://root.io/": "https://root.io/",
+        "not a url": "not a url",
+    }
+    t = pa.table({"url": list(cases)})
+    got = tx.canonicalize_url("url")(t).column("url").to_pylist()
+    assert got == list(cases.values())
