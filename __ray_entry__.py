@@ -343,13 +343,13 @@ def oracle_sql() -> dict[str, str]:
             s1 AS (SELECT doc_id,
                           regexp_replace(url, '#.*$', '', 'g') AS url FROM u),
             s2 AS (SELECT doc_id, regexp_replace(url,
-                          '[?&]utm_[A-Za-z0-9_]*=[^&#]*', '?', 'g') AS url
+                          '&utm_[A-Za-z0-9_]*=[^&#]*', '', 'g') AS url
                    FROM s1),
-            s3 AS (SELECT doc_id,
-                          regexp_replace(url, '\\?[?&]+', '?', 'g') AS url
+            s3 AS (SELECT doc_id, regexp_replace(url,
+                          '\\?utm_[A-Za-z0-9_]*=[^&#]*&', '?', 'g') AS url
                    FROM s2),
-            s4 AS (SELECT doc_id,
-                          regexp_replace(url, '[?&]+$', '', 'g') AS url
+            s4 AS (SELECT doc_id, regexp_replace(url,
+                          '\\?utm_[A-Za-z0-9_]*=[^&#]*$', '', 'g') AS url
                    FROM s3),
             s5 AS (SELECT doc_id,
                           CASE WHEN regexp_extract(url,

@@ -296,12 +296,20 @@ def canonicalize_url(url_col: str = "url", out: str | None = None):
         col = pc.cast(t.column(url_col), pa.string())
         # fragment off first so later patterns see the bare url
         col = pc.replace_substring_regex(col, pattern=r"#.*$", replacement="")
-        # drop utm_* params (leading '?'/'&' kept in the match, re-added)
+        # drop utm_* params, preserving the neighbors' delimiters:
+        # '&utm_x=y' vanishes (interior/trailing &-led), '?utm_x=y&' hands
+        # its '?' to the next param, '?utm_x=y' at end drops the '?'.
+        # (A single '?'-substitution for all three corrupted interior
+        # params: '?a=1&utm_z=2&b=3' became '?a=1?b=3' — round-3 review.)
         col = pc.replace_substring_regex(
-            col, pattern=r"[?&]utm_[A-Za-z0-9_]*=[^&#]*", replacement="?"
+            col, pattern=r"&utm_[A-Za-z0-9_]*=[^&#]*", replacement=""
         )
-        col = pc.replace_substring_regex(col, pattern=r"\?[?&]+", replacement="?")
-        col = pc.replace_substring_regex(col, pattern=r"[?&]+$", replacement="")
+        col = pc.replace_substring_regex(
+            col, pattern=r"\?utm_[A-Za-z0-9_]*=[^&#]*&", replacement="?"
+        )
+        col = pc.replace_substring_regex(
+            col, pattern=r"\?utm_[A-Za-z0-9_]*=[^&#]*$", replacement=""
+        )
         # lowercase scheme://host prefix by splitting it off
         scheme_host = pc.extract_regex(
             col, pattern=r"^(?P<sh>[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)(?P<rest>.*)$"

@@ -478,8 +478,6 @@ def range_join_value_bands(sf_dir: str):
     region-derived value band containing its value (lo <= v < hi), then a
     per-band rollup. One coarse-bucket exchange; intervals replicated per
     covered bucket (stages/joins.py range_join)."""
-    import ray.data as rd
-
     from ray.data.aggregate import Count, Sum
 
     from ..stages.joins import range_join

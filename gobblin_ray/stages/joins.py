@@ -104,7 +104,6 @@ def merge_asof_by_key(
     per-group Python dispatch would dominate, while merge_asof's ``by=``
     handles all of a partition's keys in one C pass. Assumes one partition
     fits in a worker (raise ``num_partitions`` at scale)."""
-    import numpy as np
     import pandas as pd
 
     from ..schema import conform, unify_additive
@@ -121,17 +120,13 @@ def merge_asof_by_key(
 
     def tag(side: str):
         def f(t: pa.Table) -> pa.Table:
+            from .partition import key_partition
+
             t = t.append_column("_side", pa.array([side] * t.num_rows))
             t = conform(t, union_schema)
-            kcol = t.column(key)
-            if pa.types.is_integer(kcol.type):
-                kp = (
-                    kcol.to_numpy(zero_copy_only=False).astype(np.int64) % P
-                ).astype(np.int32)
-            else:
-                arr = kcol.to_pandas().to_numpy(dtype=object, na_value=None)
-                kp = (pd.util.hash_array(arr, categorize=False) % P).astype(np.int32)
-            return t.append_column("_kp", pa.array(kp))
+            return t.append_column(
+                "_kp", pa.array(key_partition(t.column(key), P))
+            )
 
         f.__name__ = f"tag_{side}"
         return f
@@ -163,7 +158,6 @@ def range_join(
     hi_col: str,
     bucket_width: float,
     interval_cols: list[str] | None = None,
-    num_buckets_hint: int | None = None,
 ):
     """Interval (range) join: every point row paired with every interval
     row whose half-open range satisfies ``lo <= value < hi``.

@@ -15,6 +15,27 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def key_partition(kcol: pa.ChunkedArray | pa.Array, num_partitions: int):
+    """Bounded partition id per key value: ``hash(key) % P`` as int32 —
+    the one dispatch-bounding idiom every keyed operator here shares
+    (as-of join, session windows): never group by the raw key (per-key
+    Python dispatch), always by this. Integers partition by value
+    (deterministic, no hashing needed for dispatch bounding); strings by
+    pandas' fixed-key siphash."""
+    import numpy as np
+    import pandas as pd
+
+    if pa.types.is_integer(kcol.type):
+        return (
+            kcol.to_numpy(zero_copy_only=False).astype(np.int64)
+            % num_partitions
+        ).astype(np.int32)
+    arr = kcol.to_pandas().to_numpy(dtype=object, na_value=None)
+    return (
+        pd.util.hash_array(arr, categorize=False) % num_partitions
+    ).astype(np.int32)
+
+
 def time_partition(field: str, granularity: str = "day", out: str = "date_part"):
     """Add a string partition column derived from a timestamp column.
 

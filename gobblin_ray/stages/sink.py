@@ -93,11 +93,17 @@ class PartitionedParquetSink:
         if self.file_format == "orc":
             import pyarrow.orc as orc
 
-            orc.write_table(
-                table, tmp, compression=(
-                    "zstd" if self.compression == "zstd" else "zlib"
-                ),
-            )
+            # pyarrow.orc supports these codecs natively; anything else
+            # must fail loudly, not silently fall back. (gzip callers:
+            # ORC's deflate codec is spelled 'zlib'.) ORC has no per-codec
+            # level knob in pyarrow, so compression_level is parquet-only.
+            supported = {"uncompressed", "snappy", "zlib", "lz4", "zstd"}
+            if self.compression not in supported:
+                raise ValueError(
+                    f"ORC does not support compression {self.compression!r};"
+                    f" pick one of {sorted(supported)}"
+                )
+            orc.write_table(table, tmp, compression=self.compression)
         else:
             pq.write_table(
                 table, tmp, compression=self.compression,

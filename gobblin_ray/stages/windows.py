@@ -33,7 +33,7 @@ def session_rollup(
     > ``gap_seconds``; ordinals are 1-based per key, deterministic (ties
     in ts fall in the same session regardless of order, since dt == 0).
     """
-    import pandas as pd
+    from .partition import key_partition
 
     P = num_partitions
     gap_us = int(gap_seconds * 1_000_000)
@@ -42,15 +42,7 @@ def session_rollup(
         t = t.filter(
             pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col)))
         )
-        kcol = t.column(key)
-        if pa.types.is_integer(kcol.type):
-            kp = (
-                kcol.to_numpy(zero_copy_only=False).astype(np.int64) % P
-            ).astype(np.int32)
-        else:
-            arr = kcol.to_pandas().to_numpy(dtype=object, na_value=None)
-            kp = (pd.util.hash_array(arr, categorize=False) % P).astype(np.int32)
-        return t.append_column("_kp", pa.array(kp))
+        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
 
     bucket.__name__ = "session_bucket"
 

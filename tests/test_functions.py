@@ -417,6 +417,11 @@ def test_canonicalize_url_rules():
         "https://a.b/c/d/": "https://a.b/c/d",
         "http://H.io/?utm_x=1": "http://h.io/",
         "https://x.y/p?a=1&utm_z=2": "https://x.y/p?a=1",
+        # interior utm param: neighbors keep their own delimiters
+        # (regression: a blanket '?' substitution made this '?a=1?b=3')
+        "https://x.y/p?a=1&utm_z=2&b=3": "https://x.y/p?a=1&b=3",
+        "https://x.y/p?utm_a=1&utm_b=2&q=3": "https://x.y/p?q=3",
+        "https://x.y/p?utm_a=1&utm_b=2": "https://x.y/p",
         "https://root.io/": "https://root.io/",
         "not a url": "not a url",
     }
