@@ -628,3 +628,75 @@ def test_session_rollup_gap_boundaries(ray_session):
         ("u1", 2): (1, 4.0),
         ("u2", 1): (2, 30.0),
     }
+
+
+def test_range_join_randomized_parity(ray_session):
+    """Seeded random points/intervals vs a naive O(n*m) containment join —
+    catches bucket-edge and replication bugs the crafted cases miss."""
+    import numpy as np
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import range_join
+
+    rng = np.random.default_rng(123)
+    for trial, width in enumerate([3.0, 10.0, 0.5]):
+        n, m = 200, 25
+        v = np.round(rng.uniform(-20, 120, n), 3)
+        lo = np.round(rng.uniform(-25, 110, m), 3)
+        span = np.round(rng.exponential(8.0, m), 3)
+        pts = pa.table({"pid": pa.array(range(n), pa.int64()), "v": pa.array(v)})
+        ivs = pa.table({
+            "iid": pa.array(range(m), pa.int64()),
+            "lo": pa.array(lo), "hi": pa.array(lo + span),
+        })
+        got = sorted(
+            (r["pid"], r["iid"]) for r in range_join(
+                rd.from_arrow(pts), rd.from_arrow(ivs),
+                value_col="v", lo_col="lo", hi_col="hi",
+                bucket_width=width, interval_cols=["iid"],
+            ).take_all()
+        )
+        expect = sorted(
+            (int(pi), int(ii))
+            for pi in range(n) for ii in range(m)
+            if lo[ii] <= v[pi] < lo[ii] + span[ii]
+        )
+        assert got == expect, f"trial {trial} width {width}"
+
+
+def test_session_rollup_randomized_parity(ray_session):
+    """Seeded random event streams vs a pandas groupby/gap oracle."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import session_rollup
+
+    rng = np.random.default_rng(7)
+    n = 500
+    users = rng.integers(0, 20, n)
+    ts = np.datetime64("2026-01-01", "us") + rng.integers(
+        0, 3600 * 6, n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    vals = np.round(rng.uniform(0, 10, n), 2)
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(vals),
+    })
+    gap = 300.0
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], round(r["sum_value"], 6))
+        for r in session_rollup(
+            rd.from_arrow(t), key="user_id", ts_col="ts",
+            gap_seconds=gap, value_col="value",
+        ).take_all()
+    }
+    df = pd.DataFrame({"u": users, "ts": ts, "v": vals}).sort_values(["u", "ts"])
+    expect = {}
+    for u, g in df.groupby("u"):
+        dt = g["ts"].diff().dt.total_seconds().fillna(np.inf)
+        sess = (dt > gap).cumsum()  # first row's inf gap opens session 1
+        for s, sg in g.groupby(sess):
+            expect[(int(u), int(s))] = (len(sg), round(float(sg["v"].sum()), 6))
+    assert got == expect
