@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_upsert_events": demo.cdc_lww_upsert_events,
         "watermark_incremental": demo.watermark_incremental,
         "dedup_exact_documents": demo.dedup_exact_documents,
+        "dedup_incremental_runs": demo.dedup_incremental_runs,
         "cdc_replay_mini": demo.cdc_replay_mini,
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
@@ -230,6 +231,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_exact_documents": """
             SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "dedup_incremental_runs": """
+            WITH run2 AS (
+                SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+            )
+            SELECT doc_id, text FROM run2
+            WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
         """,
         "fork_branches": """
             SELECT CASE WHEN event_type = 'purchase' THEN 'buy'

@@ -1123,3 +1123,108 @@ def embedding_dup_pairs(
     )
     # Distinct pairs via vectorized hash aggregate (not per-pair dispatch).
     return pairs.groupby(["a", "b"]).aggregate(Max("cosine", alias_name="cosine"))
+
+
+# ------------------------------------------------- cross-run incremental dedup
+
+def dedup_exact_incremental(
+    ds,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+):
+    """Cross-RUN exact dedup: keep only rows whose content was never seen
+    in any PREVIOUS run, and persist the seen-content index for the next
+    run — the shape a 100 TB crawl pipeline actually needs (each snapshot
+    dedups against the union of all prior snapshots, not just itself).
+
+    Index layout: ``index_dir/part=<p>/run-*.parquet`` holding the 128-bit
+    content hashes (two int64 columns) seen so far, hash-partitioned by
+    ``h1 % num_partitions`` — so each partition's membership check reads
+    ONE partition directory, never the whole index (at 10^10 docs the
+    index is ~160 GB total, ~5 GB per partition at P=32; raise P so a
+    partition fits a worker). 128-bit hashing makes false-dedup odds
+    negligible (~1e-19 at 10^10 docs) without shipping text.
+
+    One exchange: new docs bucket by h1 % P; each partition group loads
+    its index slice (once, inside the group task), drops members, dedups
+    WITHIN the run (keep min id_col per hash), and writes its partition's
+    new hashes via tmp + rename with a content-fingerprint name — a
+    retried task rewrites the identical file (idempotent, same contract
+    as the lake's staged writes). Exactly one task owns a partition per
+    run, so there are no concurrent writers per directory."""
+    import hashlib
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    P = num_partitions
+
+    def hash_bucket(t: pa.Table) -> pa.Table:
+        arr = t.column(text_col).to_pandas().to_numpy(dtype=object, na_value="")
+        h1 = pd.util.hash_array(arr, categorize=False)
+        h2 = pd.util.hash_array(arr, categorize=False, hash_key="7a1c9e5d3b0f6482")
+        return (
+            t.append_column("_h1", pa.array(h1.view(np.int64)))
+            .append_column("_h2", pa.array(h2.view(np.int64)))
+            .append_column("_hp", pa.array((h1 % P).astype(np.int32)))
+        )
+
+    hash_bucket.__name__ = "content_hash128_bucket"
+
+    def check_and_update(g: pa.Table) -> pa.Table:
+        part = int(g.column("_hp")[0].as_py())
+        pdir = os.path.join(index_dir, f"part={part}")
+        seen = None
+        if os.path.isdir(pdir):
+            files = sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            if files:
+                seen = pa.concat_tables(pq.read_table(f) for f in files)
+        # within-run dedup first: keep min id per (h1, h2)
+        g = g.sort_by(
+            [("_h1", "ascending"), ("_h2", "ascending"), (id_col, "ascending")]
+        )
+        h1 = g.column("_h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("_h2").to_numpy(zero_copy_only=False)
+        first = (np.diff(h1, prepend=h1[0] - 1) != 0) | (
+            np.diff(h2, prepend=h2[0] - 1) != 0
+        )
+        g = g.filter(pa.array(first))
+        h1 = g.column("_h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("_h2").to_numpy(zero_copy_only=False)
+        if seen is not None and seen.num_rows:
+            s1 = seen.column("h1").to_numpy(zero_copy_only=False)
+            s2 = seen.column("h2").to_numpy(zero_copy_only=False)
+            # membership on the 128-bit pair: sort the index once, then
+            # searchsorted on h1 and compare h2 within the h1 run
+            order = np.lexsort((s2, s1))
+            s1, s2 = s1[order], s2[order]
+            lo = np.searchsorted(s1, h1, side="left")
+            hi = np.searchsorted(s1, h1, side="right")
+            member = np.zeros(len(h1), dtype=bool)
+            for i in np.flatnonzero(hi > lo):  # rare: only h1 hits
+                member[i] = h2[i] in s2[lo[i]:hi[i]]
+            g = g.filter(pa.array(~member))
+            h1, h2 = h1[~member], h2[~member]
+        if len(h1):
+            os.makedirs(pdir, exist_ok=True)
+            new = pa.table({"h1": pa.array(h1), "h2": pa.array(h2)})
+            fp = hashlib.md5(
+                h1.tobytes() + h2.tobytes()
+            ).hexdigest()[:16]
+            path = os.path.join(pdir, f"run-{fp}.parquet")
+            tmp = f"{path}.tmp-{os.getpid()}"
+            pq.write_table(new, tmp)
+            os.replace(tmp, path)
+        return g.drop_columns(["_h1", "_h2", "_hp"])
+
+    check_and_update.__name__ = "index_check_update"
+    hashed = ds.map_batches(hash_bucket, batch_format="pyarrow", batch_size=None)
+    return hashed.groupby("_hp").map_groups(
+        check_and_update, batch_format="pyarrow"
+    )

@@ -1133,6 +1133,37 @@ def multimodal_decode(sf_dir: str):
     )
 
 
+def dedup_incremental_runs(sf_dir: str):
+    """Cross-RUN exact dedup (the 100 TB crawl shape: each snapshot dedups
+    against ALL prior snapshots via a persistent hash-partitioned content
+    index, never a self-join of the full corpus). Two simulated runs:
+    run 1 ingests the even doc_ids; run 2 ingests everything — its
+    survivors are exactly the docs whose text run 1 never saw, first per
+    text within run 2. Both runs are materialized eagerly because the
+    operator's index writes are side effects of execution."""
+    import os
+    import shutil
+
+    index_dir = os.path.join(
+        "/tmp", f"gobblin_dedup_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(index_dir, ignore_errors=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    def even_only(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 2 == 0))
+
+    even_only.__name__ = "run1_even_docs"
+    run1 = docs.map_batches(even_only, batch_format="pyarrow", batch_size=None)
+    dd.dedup_exact_incremental(
+        run1, index_dir, text_col="text", id_col="doc_id", num_partitions=8
+    ).materialize()
+    out = dd.dedup_exact_incremental(
+        docs, index_dir, text_col="text", id_col="doc_id", num_partitions=8
+    ).materialize()
+    return out.select_columns(["doc_id", "text"])
+
+
 def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
     """Exact-substring (span) dedup detection — the fixed-k approximation of
     suffix-array substring dedup from LLM-data pipelines: count the distinct

@@ -428,3 +428,40 @@ def test_canonicalize_url_rules():
     t = pa.table({"url": list(cases)})
     got = tx.canonicalize_url("url")(t).column("url").to_pylist()
     assert got == list(cases.values())
+
+
+def test_dedup_exact_incremental_cross_run(ray_session, tmp_path):
+    """Cross-run dedup against the persistent hash index: run 2 keeps only
+    never-seen texts; an identical run 3 keeps nothing; the index files
+    are content-fingerprinted (a replayed run rewrites identical files,
+    no duplicates)."""
+    import os
+
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    t1 = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["alpha", "beta", "alpha"]),  # within-run dup too
+    })
+    out1 = dd.dedup_exact_incremental(
+        rd.from_arrow(t1), idx, num_partitions=4
+    ).materialize()
+    assert sorted(r["doc_id"] for r in out1.take_all()) == [0, 1]
+    t2 = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array(["alpha", "gamma", "beta"]),
+    })
+    out2 = dd.dedup_exact_incremental(
+        rd.from_arrow(t2), idx, num_partitions=4
+    ).materialize()
+    assert [r["text"] for r in out2.take_all()] == ["gamma"]
+    # replaying run 2 contributes nothing new (index remembers gamma)
+    out3 = dd.dedup_exact_incremental(
+        rd.from_arrow(t2), idx, num_partitions=4
+    ).materialize()
+    assert out3.count() == 0
+    files = sorted(
+        os.path.join(r, f) for r, _, fs in os.walk(idx) for f in fs
+    )
+    assert files and all(f.endswith(".parquet") for f in files)
