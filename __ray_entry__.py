@@ -544,8 +544,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, unnest(range(0, 1 + doc_id % 5, 2)) AS f
                   FROM documents)
         """,
-        # rows-only (non-SQL-expressible by nature): cdc_replay_mini (its
-        # oracle is the sequential-replay pytest suite). The multimodal
-        # family is value-oracled via PLANTED payload synthesis
+        # The CDC flagship is value-oracled via a sidecar: cdc_replay_mini
+        # writes the result of an INDEPENDENT sequential replay
+        # (fixtures.cdc_oracle_sidecar, same LWW contract the pytest e2e
+        # suite pins) to a fixed parquet that DuckDB reads back here. The
+        # multimodal family is value-oracled via PLANTED payload synthesis
         # (planted_media_batch / planted_video_batch).
+        "cdc_replay_mini": """
+            SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_replay_oracle.parquet')
+        """,
     }

@@ -27,6 +27,7 @@ NEARDUP_PATH = os.path.join(FIXTURE_DIR, "planted_neardup.parquet")
 SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
 EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
 KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
+CDC_REPLAY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_replay_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
 
@@ -254,3 +255,69 @@ def knn_ivf_sidecar(
         centroids_path,
     )
     return C
+
+
+# ------------------------------------------------------- CDC replay oracle
+
+def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> str:
+    """Sequential single-process replay oracle for ``cdc_replay_mini``.
+
+    Independent of the engine: applies every change event row-at-a-time
+    under the LWW rule — an event wins against the current row iff its
+    ``(warc_ts, event_seq)`` is strictly greater; a winning delete removes
+    the row — exactly the contract the reference's state-store/watermark
+    tests pin sequentially (gobblin-runtime/.../JobLauncherTestHelper.java:80-131).
+    The result is written to a fixed sidecar parquet so the driver's DuckDB
+    oracle can value-check the distributed merge-on-read replay against it
+    (same pattern as the knn_lsh bucket sidecar). Per-row Python is fine
+    here by design: an oracle must be the dumb obvious implementation, and
+    the mini corpus is a few thousand rows.
+    """
+    import glob
+
+    pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
+    state: dict[str, dict] = {}
+    for row in pages.to_pylist():
+        state[row["url"]] = {
+            "url": row["url"], "warc_ts": row["warc_ts"], "html": row["html"],
+            "text": row["text"], "lang": row["lang"], "event_seq": -1,
+            "fetch_status": None, "deleted": False,
+        }
+    for f in sorted(glob.glob(os.path.join(corpus_dir, "events", "part-*.parquet"))):
+        for row in pq.read_table(f).to_pylist():
+            cur = state.get(row["url"])
+            key = (row["warc_ts"], row["event_seq"])
+            if cur is not None and key <= (cur["warc_ts"], cur["event_seq"]):
+                continue  # loses LWW (late or duplicate data)
+            dele = row["op"] == "delete"
+            state[row["url"]] = {
+                "url": row["url"], "warc_ts": row["warc_ts"],
+                "html": None if dele else row["html"],
+                "text": None if dele else row["text"],
+                "lang": None if dele else row["lang"],
+                "event_seq": row["event_seq"],
+                "fetch_status": row.get("fetch_status"),
+                "deleted": dele,
+            }
+    live = sorted(
+        (v for v in state.values() if not v["deleted"]), key=lambda r: r["url"]
+    )
+    # html travels as an md5 hex digest (binary columns don't survive the
+    # DuckDB->pandas compare path); byte-identity is still what's checked.
+    import hashlib
+
+    for r in live:
+        r["html_md5"] = (
+            None if r["html"] is None else hashlib.md5(r["html"]).hexdigest()
+        )
+    schema = pa.schema([
+        ("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+        ("html_md5", pa.string()), ("text", pa.string()), ("lang", pa.string()),
+        ("event_seq", pa.int64()), ("fetch_status", pa.int32()),
+    ])
+    t = pa.table(
+        {n: pa.array([r[n] for r in live], type=schema.field(n).type)
+         for n in schema.names},
+        schema=schema,
+    )
+    return _write(t, path)

@@ -1297,11 +1297,15 @@ def multimodal_frames(sf_dir: str):
 
 def cdc_replay_mini(sf_dir: str):
     """Flagship: full CDC engine replay (bootstrap -> epochs -> merge-on-read
-    read-back) on a small deterministic corpus. Rows-only check (the corpus
-    lives outside the DuckDB views)."""
+    read-back) on a small deterministic corpus. Value-oracled: a sequential
+    single-process replay of the same corpus is written to a sidecar parquet
+    (fixtures.cdc_oracle_sidecar) that ``oracle_sql`` reads back, so the
+    driver checks the distributed merge byte-for-byte against an independent
+    LWW implementation."""
     import tempfile
 
     from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import cdc_oracle_sidecar
     from ..synth import write_corpus
 
     scale = 1 if "0.001" in sf_dir else 4
@@ -1313,4 +1317,19 @@ def cdc_replay_mini(sf_dir: str):
     )
     eng.bootstrap(f"{corpus}/pages.parquet")
     eng.run()
-    return eng.read_table()
+    cdc_oracle_sidecar(corpus)
+
+    # Binary columns don't survive the DuckDB->pandas compare path
+    # (BLOB comes back as unhashable bytearray), so the byte-identity
+    # check on html travels as an md5 hex digest on BOTH sides.
+    def _digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        vals = [
+            None if v is None else hashlib.md5(v).hexdigest()
+            for v in batch.column("html").to_pylist()
+        ]
+        idx = batch.column_names.index("html")
+        return batch.set_column(idx, "html_md5", pa.array(vals, pa.string()))
+
+    return eng.read_table().map_batches(_digest, batch_format="pyarrow")
