@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # grok parsing (§2.3) / config-driven assembly (§2.11)
         "grok_parse_props": demo.grok_parse_props,
         "pipeline_config_demo": demo.pipeline_config_demo,
+        # distcp-style copy job (gobblin-data-management copy analog)
+        "copy_dataset_files": demo.copy_dataset_files,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -283,6 +285,13 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_config_demo": """
             SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
             FROM events WHERE event_id % 10 < 5 GROUP BY event_type
+        """,
+        # The copy manifest digests the LANDED destination bytes; the
+        # sidecar digests the SOURCE tree sequentially — equality is the
+        # distcp integrity contract.
+        "copy_dataset_files": """
+            SELECT rel_path, bytes, md5
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/copy_oracle.parquet')
         """,
         "csv_source_region": """
             SELECT r_regionkey, r_name FROM region

@@ -104,6 +104,17 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-manifests", type=int, default=1)
 
     sp = sub.add_parser(
+        "copy", help="distcp-style resumable file copy (CopySource analog): "
+        "bin-packed fan-out, landed-byte verify, manifest commit"
+    )
+    sp.add_argument("src_root")
+    sp.add_argument("dest_root")
+    sp.add_argument("--glob", default="*", help="basename glob (default *)")
+    sp.add_argument("--units", type=int, default=None)
+    sp.add_argument("--no-verify", action="store_true",
+                    help="skip re-reading landed bytes for the digest")
+
+    sp = sub.add_parser(
         "query", help="run one operator pipeline from the demo library "
         "(EmbeddedGobblin one-shot job analog)"
     )
@@ -185,6 +196,20 @@ def main(argv: list[str] | None = None) -> int:
         from .retention import vacuum_keep
 
         print(json.dumps(vacuum_keep(args.lake_dir, args.keep_manifests)))
+        return 0
+
+    if args.cmd == "copy":
+        from .copy import run_copy
+
+        _ray_up(args.num_cpus)
+        t0 = time.time()
+        out = run_copy(args.src_root, args.dest_root, glob=args.glob,
+                       num_units=args.units, verify=not args.no_verify)
+        out["sec"] = round(time.time() - t0, 3)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "synth":

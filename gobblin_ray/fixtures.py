@@ -321,3 +321,43 @@ def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> s
         schema=schema,
     )
     return _write(t, path)
+
+
+# ---------------------------------------------------------------- copy oracle
+
+COPY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "copy_oracle.parquet")
+
+
+def copy_oracle_sidecar(src_root: str, glob: str = "*",
+                        path: str = COPY_ORACLE_PATH) -> str:
+    """Independent (rel_path, bytes, md5) listing of the copy job's SOURCE
+    tree, digested sequentially with hashlib — the distributed copy's
+    manifest (digests of the LANDED destination bytes) must match it
+    value-for-value, which is the distcp integrity contract
+    (gobblin-data-management/.../copy/CopyIntegrationTest analog)."""
+    import fnmatch
+    import hashlib
+
+    rows = []
+    for dirpath, dirnames, filenames in os.walk(src_root):
+        dirnames[:] = sorted(d for d in dirnames if not d.startswith("_"))
+        for f in sorted(filenames):
+            if f.startswith("_") or not fnmatch.fnmatch(f, glob):
+                continue
+            p = os.path.join(dirpath, f)
+            h = hashlib.md5()
+            with open(p, "rb") as fin:
+                while True:
+                    chunk = fin.read(1 << 20)
+                    if not chunk:
+                        break
+                    h.update(chunk)
+            rows.append((os.path.relpath(p, src_root), os.path.getsize(p),
+                         h.hexdigest()))
+    rows.sort()
+    t = pa.table({
+        "rel_path": pa.array([r[0] for r in rows], pa.string()),
+        "bytes": pa.array([r[1] for r in rows], pa.int64()),
+        "md5": pa.array([r[2] for r in rows], pa.string()),
+    })
+    return _write(t, path)

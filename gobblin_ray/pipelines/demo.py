@@ -1333,3 +1333,28 @@ def cdc_replay_mini(sf_dir: str):
         return batch.set_column(idx, "html_md5", pa.array(vals, pa.string()))
 
     return eng.read_table().map_batches(_digest, batch_format="pyarrow")
+
+
+def copy_dataset_files(sf_dir: str):
+    """Distcp-style copy job (gobblin-data-management CopySource /
+    CopyDataPublisher analog) over the testdata parquet tables: plan ->
+    bin-packed fan-out copy -> landed-byte verify -> atomic publish +
+    manifest. Returns the committed manifest (rel_path, bytes, md5 of the
+    DESTINATION bytes); the oracle is an independent sequential digest of
+    the SOURCE tree (fixtures.copy_oracle_sidecar), so a mismatch means
+    bytes were lost or corrupted in flight."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .. import copy as copymod
+    from ..fixtures import copy_oracle_sidecar
+
+    dest = tempfile.mkdtemp(prefix="copy_dest_")
+    copymod.run_copy(sf_dir, dest, glob="*.parquet", num_units=4)
+    copy_oracle_sidecar(sf_dir, glob="*.parquet")
+    return pq.read_table(
+        os.path.join(dest, copymod.MANIFEST_NAME),
+        columns=["rel_path", "bytes", "md5"],
+    )
