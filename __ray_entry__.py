@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipeline_config_demo": demo.pipeline_config_demo,
         # distcp-style copy job (gobblin-data-management copy analog)
         "copy_dataset_files": demo.copy_dataset_files,
+        # grouped rank (top-k per key; dedup-reducer generalization, §2.7)
+        "topk_events_per_type": demo.topk_events_per_type,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -292,6 +294,16 @@ def oracle_sql() -> dict[str, str]:
         "copy_dataset_files": """
             SELECT rel_path, bytes, md5
             FROM read_parquet('/tmp/gobblin_ray_fixtures/copy_oracle.parquet')
+        """,
+        "topk_events_per_type": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 3
         """,
         "csv_source_region": """
             SELECT r_regionkey, r_name FROM region

@@ -1358,3 +1358,17 @@ def copy_dataset_files(sf_dir: str):
         os.path.join(dest, copymod.MANIFEST_NAME),
         columns=["rel_path", "bytes", "md5"],
     )
+
+
+def topk_events_per_type(sf_dir: str):
+    """Grouped rank (top-3 events by value per event_type): the compaction
+    dedup reducer's keep-the-winner generalized to k winners
+    (stages.sorts.top_k_per_group — batch-local prune, bounded-partition
+    exchange, vectorized segmented head)."""
+    from ..stages.sorts import top_k_per_group
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    out = top_k_per_group(
+        ds, "event_type", 3, by=["value", "event_id"], descending=[True, False]
+    )
+    return out.select_columns(["event_type", "event_id", "value"])

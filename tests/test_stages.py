@@ -700,3 +700,68 @@ def test_session_rollup_randomized_parity(ray_session):
         for s, sg in g.groupby(sess):
             expect[(int(u), int(s))] = (len(sg), round(float(sg["v"].sum()), 6))
     assert got == expect
+
+
+def test_top_k_per_group_matches_naive(ray_session):
+    """Grouped rank vs a pandas groupby-head oracle: string keys, duplicate
+    sort values (tiebreak), a hot group (skew), and a group smaller than k."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import top_k_per_group
+
+    rng = np.random.default_rng(11)
+    n = 6000
+    groups = np.concatenate([
+        rng.choice([f"g{i}" for i in range(40)], n - 1500),
+        np.repeat("hot", 1498),       # skewed group
+        np.array(["tiny", "tiny"]),   # group smaller than k
+    ])
+    df = pd.DataFrame({
+        "g": rng.permutation(groups),
+        "v": rng.integers(0, 50, n),  # many ties -> tiebreak matters
+        "i": np.arange(n),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(8)
+    got = (
+        top_k_per_group(ds, "g", 5, by=["v", "i"], descending=[True, False])
+        .to_pandas().sort_values(["g", "v", "i"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "i"], ascending=[False, True])
+        .groupby("g", sort=False).head(5)
+        .sort_values(["g", "v", "i"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "i"]], want[["g", "v", "i"]])
+    assert (got.groupby("g").size() <= 5).all()
+    assert (got["g"] == "tiny").sum() == 2
+
+
+def test_top_k_per_group_int_key(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import top_k_per_group
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame({
+        "g": rng.integers(-20, 20, 3000),  # negative int keys must hash fine
+        "v": rng.standard_normal(3000),
+        "i": np.arange(3000),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (
+        top_k_per_group(ds, "g", 2, by=["v", "i"], descending=[False, False])
+        .to_pandas().sort_values(["g", "v"]).reset_index(drop=True)
+    )
+    want = (
+        df.sort_values(["v", "i"]).groupby("g", sort=False).head(2)
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["g", "v", "i"]], want[["g", "v", "i"]])
