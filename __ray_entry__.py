@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copy_dataset_files": demo.copy_dataset_files,
         # grouped rank (top-k per key; dedup-reducer generalization, §2.7)
         "topk_events_per_type": demo.topk_events_per_type,
+        # distinct-count sketch (KMV bottom-k; exact in saturated regime)
+        "approx_distinct_users": demo.approx_distinct_users,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -304,6 +306,11 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn <= 3
+        """,
+        # KMV is exact when saturated (distinct < k=4096 at driver scale);
+        # pytest pins the estimation regime's error bound separately.
+        "approx_distinct_users": """
+            SELECT count(DISTINCT user_id) AS n_distinct FROM events
         """,
         "csv_source_region": """
             SELECT r_regionkey, r_name FROM region

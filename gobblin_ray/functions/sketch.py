@@ -1,0 +1,97 @@
+"""Distinct-count sketch: K-Minimum-Values (bottom-k) over hashed keys.
+
+Public-knowledge basis: the KMV / bottom-k estimator (Bar-Yossef et al.
+2002, "Counting distinct elements in a data stream"): hash every value
+uniformly into [0, 2^64), keep the k smallest distinct hashes, and estimate
+the cardinality from the k-th smallest — E[n] ≈ (k-1) * 2^64 / h_(k),
+relative standard error ~ 1/sqrt(k-2). When fewer than k distinct hashes
+exist the sketch is SATURATED and the count is exact (every distinct hash
+is retained).
+
+Reference analog: the metrics subsystem's histogram/meter sketches
+(gobblin-metrics-libs/gobblin-metrics-base) and the planner's need for
+cheap cardinality estimates (how many distinct urls in an epoch → bucket
+sizing, dedup selectivity) without a distinct-shuffle.
+
+Scale shape — an aggregate TREE, no all-to-all: each block reduces to its
+own bottom-k (vectorized unique + np.partition), the per-block candidate
+sets (≤ k u64 rows each) flow through the existing partial-top-k reduce,
+and the driver sees at most k values. At 10^10 rows the exchange is
+O(k × blocks) hashes — bytes, not row data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 — the same public mixing
+    constant family the engine's string hash uses for its finalizer."""
+    with np.errstate(over="ignore"):
+        z = x + _SPLITMIX_GAMMA
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def hash_column_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic u64 hash of an int or string column (vectorized)."""
+    typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        from ..engine import stable_hash_u64
+
+        return stable_hash_u64(col)
+    v = col.to_numpy(zero_copy_only=False)
+    return _splitmix64(v.astype(np.int64).view(np.uint64))
+
+
+def _bottom_k(h: np.ndarray, k: int) -> np.ndarray:
+    """k smallest DISTINCT hash values of ``h`` (all of them if fewer)."""
+    u = np.unique(h)  # sorted distinct
+    return u[:k]
+
+
+def kmv_estimate(bottom: np.ndarray, k: int) -> float:
+    """Cardinality estimate from the GLOBAL bottom-k distinct hashes.
+
+    Saturated regime (< k distinct hashes survive): exact count — this is
+    what lets the driver value-check the sketch against COUNT(DISTINCT).
+    Estimation regime: (k-1) * 2^64 / h_(k) with h_(k) the k-th smallest.
+    """
+    bottom = np.unique(bottom)
+    if len(bottom) < k:
+        return float(len(bottom))
+    kth = float(bottom[k - 1]) + 1.0  # h uniform on [0, 2^64)
+    return (k - 1) * (2.0**64) / kth
+
+
+def approx_distinct(ds, column: str, k: int = 4096) -> float:
+    """End-to-end distributed distinct count of ``ds[column]``.
+
+    Runs as a Ray Data AggregateFn — a proper aggregation TREE: each block
+    accumulates to its own bottom-k of DISTINCT hashes, merges union two
+    bottom-k sets and re-prune (associative + commutative, so Ray can
+    partial-merge in any order), and only one ≤ k-element array ever
+    reaches the driver. NOTE a plain top-k over the per-block candidate
+    ROWS would be wrong: the same hash appears in many blocks and
+    duplicates would crowd distinct values out of the global k (pinned by
+    test_kmv_saturated_is_exact).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    empty = np.empty(0, dtype=np.uint64)
+    agg = AggregateFn(
+        init=lambda _k: empty,
+        accumulate_block=lambda acc, block: _bottom_k(
+            np.concatenate([acc, hash_column_u64(block.column(column))]), k
+        ),
+        merge=lambda a, b: _bottom_k(np.concatenate([a, b]), k),
+        finalize=lambda acc: kmv_estimate(acc, k),
+        name="kmv_distinct",
+    )
+    out = ds.aggregate(agg)
+    return float(out["kmv_distinct"])

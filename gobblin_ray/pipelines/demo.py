@@ -1372,3 +1372,15 @@ def topk_events_per_type(sf_dir: str):
         ds, "event_type", 3, by=["value", "event_id"], descending=[True, False]
     )
     return out.select_columns(["event_type", "event_id", "value"])
+
+
+def approx_distinct_users(sf_dir: str):
+    """Distributed distinct-count sketch (KMV bottom-k,
+    functions/sketch.py): k=4096 saturates at this scale so the sketch is
+    EXACT and value-checks against COUNT(DISTINCT); the estimation regime's
+    error bound is pinned by pytest (test_kmv_estimation_regime)."""
+    from ..functions.sketch import approx_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", k=4096)
+    return pa.table({"n_distinct": pa.array([int(round(est))], pa.int64())})

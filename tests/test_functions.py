@@ -465,3 +465,55 @@ def test_dedup_exact_incremental_cross_run(ray_session, tmp_path):
         os.path.join(r, f) for r, _, fs in os.walk(idx) for f in fs
     )
     assert files and all(f.endswith(".parquet") for f in files)
+
+
+# ---------------------------------------------------------------- KMV sketch
+
+def test_kmv_saturated_is_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import approx_distinct
+
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 700, 20_000)  # 700 possible < k
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals)})).repartition(8)
+    est = approx_distinct(ds, "x", k=4096)
+    assert est == float(pd.Series(vals).nunique())
+
+
+def test_kmv_estimation_regime(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import approx_distinct
+
+    n = 200_000  # distinct ints >> k -> estimation regime
+    ds = rd.from_arrow(pa.table({"x": pa.array(np.arange(n))})).repartition(8)
+    est = approx_distinct(ds, "x", k=1024)
+    # deterministic hash -> deterministic estimate; rse ~ 1/sqrt(k-2) = 3.1%
+    assert abs(est / n - 1.0) < 0.10, est
+
+
+def test_kmv_string_column_and_merge_parity(ray_session):
+    """The distributed bottom-k must equal a single-pass numpy bottom-k
+    over the same hashes (merge plumbing loses nothing), and string keys
+    hash through the engine's buffer hash."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import (
+        approx_distinct, hash_column_u64, kmv_estimate,
+    )
+
+    vals = [f"user-{i % 5000}" for i in range(30_000)]
+    col = pa.array(vals, pa.string())
+    ds = rd.from_arrow(pa.table({"x": col})).repartition(7)
+    est = approx_distinct(ds, "x", k=512)
+    h = np.unique(hash_column_u64(col))
+    want = kmv_estimate(h[:512], 512)
+    assert est == want
