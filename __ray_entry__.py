@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events_per_type": demo.topk_events_per_type,
         # distinct-count sketch (KMV bottom-k; exact in saturated regime)
         "approx_distinct_users": demo.approx_distinct_users,
+        # hopping (overlapping) event-time windows (§2.6/2.8 window family)
+        "hopping_window_events": demo.hopping_window_events,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -311,6 +313,16 @@ def oracle_sql() -> dict[str, str]:
         # pytest pins the estimation regime's error bound separately.
         "approx_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        # every event belongs to the 4 hour-aligned windows covering it
+        "hopping_window_events": """
+            SELECT make_timestamp((epoch_us(ts) // 3600000000 - i.i)
+                                  * 3600000000) AS window_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events
+            CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+            GROUP BY 1
         """,
         "csv_source_region": """
             SELECT r_regionkey, r_name FROM region

@@ -1384,3 +1384,18 @@ def approx_distinct_users(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", k=4096)
     return pa.table({"n_distinct": pa.array([int(round(est))], pa.int64())})
+
+
+def hopping_window_events(sf_dir: str):
+    """Hopping event-time windows (width 4h, hop 1h — every event lands in
+    4 overlapping windows; stages/windows.hopping_rollup): per-window event
+    count + value sum. The r-fold replication collapses to per-window
+    partials inside each batch before the exchange."""
+    from ..stages.windows import hopping_rollup
+
+    ds = read_table(sf_dir, "events", columns=["ts", "value"])
+    out = hopping_rollup(ds, "ts", width_seconds=4 * 3600, hop_seconds=3600,
+                         value_col="value")
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )

@@ -100,3 +100,79 @@ def session_rollup(
         .groupby("_kp")
         .map_groups(rollup, batch_format="pyarrow")
     )
+
+
+def hopping_rollup(
+    ds,
+    ts_col: str,
+    width_seconds: float,
+    hop_seconds: float,
+    value_col: str | None = None,
+):
+    """Hopping (sliding) event-time windows aligned to the epoch: an event
+    at time e belongs to every window [s, s+width) with s a multiple of
+    ``hop`` — exactly width/hop overlapping windows (width must be a
+    multiple of hop). The tumbling special case is width == hop
+    (stages/partition.time_partition); session windows are above.
+
+    Scale shape (combiner rule): the r-fold replication NEVER reaches the
+    exchange — each batch expands in numpy, immediately collapses to one
+    partial (n, sum) row per window present in the batch, and only those
+    partials shuffle through the final groupby. At 10^10 events with
+    width/hop = 4 the exchange moves O(windows) rows, not 4x the events.
+    Window keys travel as int64 epoch-us and become timestamps only in the
+    final tiny projection.
+    """
+    from ray.data.aggregate import Sum
+
+    width_us = int(width_seconds * 1_000_000)
+    hop_us = int(hop_seconds * 1_000_000)
+    if width_us % hop_us:
+        raise ValueError("width must be a multiple of hop (aligned windows)")
+    r = width_us // hop_us
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(ts_col)))
+        e = (
+            t.column(ts_col).cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False).astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        w0 = (e // hop_us) * hop_us
+        starts = (w0[None, :] - (np.arange(r) * hop_us)[:, None]).ravel()
+        order = np.argsort(starts, kind="stable")
+        s = starts[order]
+        b = np.flatnonzero(np.concatenate(([True], s[1:] != s[:-1])))
+        out = {
+            "_w": pa.array(s[b], pa.int64()),
+            "_n": pa.array(np.diff(np.append(b, len(s))).astype(np.int64)),
+        }
+        if value_col is not None:
+            v = np.nan_to_num(
+                t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+            )
+            out["_sv"] = pa.array(np.add.reduceat(np.tile(v, r)[order], b))
+        return pa.table(out)
+
+    partial.__name__ = f"hop{r}_partial"
+
+    aggs = [Sum("_n", alias_name="n_events")]
+    if value_col is not None:
+        aggs.append(Sum("_sv", alias_name="sum_value"))
+    cols = [ts_col] + ([value_col] if value_col else [])
+    agg = (
+        ds.select_columns(cols)
+        .map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("_w")
+        .aggregate(*aggs)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        w = t.column("_w").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        t = t.drop_columns(["_w"]).append_column(
+            "window_start", pa.array(w, pa.timestamp("us"))
+        )
+        return t
+
+    finish.__name__ = "hop_finish"
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)

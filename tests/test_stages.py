@@ -765,3 +765,40 @@ def test_top_k_per_group_int_key(ray_session):
         .sort_values(["g", "v"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got[["g", "v", "i"]], want[["g", "v", "i"]])
+
+
+def test_hopping_rollup_boundaries_and_tumbling_degenerate(ray_session):
+    """An event exactly on a window edge belongs to the window it STARTS
+    (half-open [s, s+width)); width == hop degenerates to tumbling; every
+    event appears in exactly width/hop windows."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import hopping_rollup
+
+    ts = pd.to_datetime([
+        "2026-01-01 00:00:00",   # exactly on the hour
+        "2026-01-01 00:59:59",
+        "2026-01-01 01:00:00",   # edge again
+        "2026-01-01 03:30:00",
+    ])
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "value": pa.array([1.0, 2.0, 4.0, 8.0])})
+    ds = rd.from_arrow(t).repartition(2)
+
+    hop = hopping_rollup(ds, "ts", 2 * 3600, 3600, value_col="value").to_pandas()
+    assert hop["n_events"].sum() == 4 * 2  # each event in exactly 2 windows
+    row = hop.set_index("window_start").loc[pd.Timestamp("2026-01-01 00:00:00")]
+    # window [00:00, 02:00): events at 00:00, 00:59:59, 01:00 -> sum 7
+    assert row["n_events"] == 3 and row["sum_value"] == 7.0
+    row = hop.set_index("window_start").loc[pd.Timestamp("2026-01-01 01:00:00")]
+    # window [01:00, 03:00): only the 01:00 event
+    assert row["n_events"] == 1 and row["sum_value"] == 4.0
+
+    tumb = hopping_rollup(ds, "ts", 3600, 3600, value_col="value").to_pandas()
+    assert tumb["n_events"].sum() == 4  # degenerate: one window per event
+
+    with pytest.raises(ValueError):
+        hopping_rollup(ds, "ts", 5400, 3600)
