@@ -75,6 +75,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_users": demo.approx_distinct_users,
         # hopping (overlapping) event-time windows (§2.6/2.8 window family)
         "hopping_window_events": demo.hopping_window_events,
+        # left-outer broadcast join (null-preserving §2.5 join family)
+        "left_join_customer_orders": demo.left_join_customer_orders,
+        # ROLLUP multi-level aggregation (metric-context tree shape)
+        "rollup_orders": demo.rollup_orders,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -313,6 +317,24 @@ def oracle_sql() -> dict[str, str]:
         # pytest pins the estimation regime's error bound separately.
         "approx_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        "rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS sum_o_totalprice
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "left_join_customer_orders": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_customers,
+                   CAST(sum(CASE WHEN o.n_orders IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_without_orders
+            FROM customer c
+            LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
+                       FROM orders GROUP BY o_custkey) o
+              ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_mktsegment
         """,
         # every event belongs to the 4 hour-aligned windows covering it
         "hopping_window_events": """

@@ -1399,3 +1399,58 @@ def hopping_window_events(sf_dir: str):
     return out.map_batches(
         _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
     )
+
+
+def left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER broadcast join (null-preserving side of the §2.5 join
+    family): per market segment, how many customers never placed an order.
+    The small side is the per-customer order count (pre-aggregated before
+    the broadcast, so the big table never shuffles)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                           columns=["o_custkey"])
+    counts = (
+        orders.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        .rename_columns(["c_custkey", "n_orders"])
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(cust, counts, keys="c_custkey",
+                            join_type="left outer")
+
+    def flag_no_orders(t: pa.Table) -> pa.Table:
+        no = pc.is_null(t.column("n_orders")).cast(pa.int64())
+        return pa.table({"c_mktsegment": t.column("c_mktsegment"),
+                         "_no": no})
+
+    out = (
+        joined.map_batches(flag_no_orders, batch_format="pyarrow", batch_size=None)
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_customers"),
+                   Sum("_no", alias_name="n_without_orders"))
+    )
+    return out
+
+
+def rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP (metric-context-tree aggregation shape,
+    stages/aggregates.rollup_aggregate): order counts + totalprice sums at
+    (status, priority), (status), and grand-total levels from ONE wide
+    shuffle; coarser levels re-aggregate the finest result."""
+    from ..stages.aggregates import rollup_aggregate
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    out = rollup_aggregate(
+        ds, keys=["o_orderstatus", "o_orderpriority"], sum_cols=["o_totalprice"]
+    )
+    return out.map_batches(
+        _round_cols({"sum_o_totalprice": 2}), batch_format="pyarrow",
+        batch_size=None,
+    )

@@ -802,3 +802,37 @@ def test_hopping_rollup_boundaries_and_tumbling_degenerate(ray_session):
 
     with pytest.raises(ValueError):
         hopping_rollup(ds, "ts", 5400, 3600)
+
+
+def test_rollup_aggregate_three_keys(ray_session):
+    """3-key rollup == DuckDB GROUP BY ROLLUP (4 levels incl. grand total),
+    from one finest-level shuffle."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.aggregates import rollup_aggregate
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 1000),
+        "b": rng.choice(["p", "q", "r"], 1000),
+        "c": rng.integers(0, 4, 1000),
+        "v": rng.integers(0, 100, 1000).astype("int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    got = (
+        rollup_aggregate(ds, ["a", "b", "c"], ["v"]).to_pandas()
+        .sort_values(["a", "b", "c"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = duckdb.sql(
+        "SELECT a, b, c, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v "
+        "FROM df GROUP BY ROLLUP(a, b, c)"
+    ).df().sort_values(["a", "b", "c"], na_position="last").reset_index(drop=True)
+    got["c"] = got["c"].astype("float64")  # nullable int level -> NaN parity
+    pd.testing.assert_frame_equal(
+        got[["a", "b", "c", "n", "sum_v"]], want[["a", "b", "c", "n", "sum_v"]]
+    )
