@@ -332,7 +332,8 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_without_orders
             FROM customer c
             LEFT JOIN (SELECT o_custkey, count(*) AS n_orders
-                       FROM orders GROUP BY o_custkey) o
+                       FROM orders WHERE o_totalprice > 400000
+                       GROUP BY o_custkey) o
               ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
         """,

@@ -1403,9 +1403,11 @@ def hopping_window_events(sf_dir: str):
 
 def left_join_customer_orders(sf_dir: str):
     """LEFT OUTER broadcast join (null-preserving side of the §2.5 join
-    family): per market segment, how many customers never placed an order.
-    The small side is the per-customer order count (pre-aggregated before
-    the broadcast, so the big table never shuffles)."""
+    family): per market segment, how many customers never placed a
+    HIGH-VALUE order (> 400k — the filter guarantees real unmatched rows
+    at every test scale, so the null path is actually exercised). The
+    small side is the per-customer order count, pre-aggregated before the
+    broadcast, so the big table never shuffles."""
     import os
 
     import pyarrow.parquet as pq
@@ -1413,9 +1415,11 @@ def left_join_customer_orders(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                           columns=["o_custkey"])
+                           columns=["o_custkey", "o_totalprice"])
+    orders = orders.filter(pc.greater(orders.column("o_totalprice"), 400_000.0))
     counts = (
-        orders.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        orders.select(["o_custkey"])
+        .group_by("o_custkey").aggregate([("o_custkey", "count")])
         .rename_columns(["c_custkey", "n_orders"])
     )
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
