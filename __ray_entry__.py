@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": demo.left_join_customer_orders,
         # ROLLUP multi-level aggregation (metric-context tree shape)
         "rollup_orders": demo.rollup_orders,
+        # distributed exact quantiles (histogram-refinement order stats)
+        "quantiles_event_value": demo.quantiles_event_value,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -317,6 +319,15 @@ def oracle_sql() -> dict[str, str]:
         # pytest pins the estimation regime's error bound separately.
         "approx_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        "quantiles_event_value": """
+            SELECT 0.25 AS q, round(quantile_cont(value, 0.25), 4) AS qv FROM events
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(value, 0.5), 4) FROM events
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(value, 0.9), 4) FROM events
+            UNION ALL
+            SELECT 0.99, round(quantile_cont(value, 0.99), 4) FROM events
         """,
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,

@@ -59,6 +59,12 @@ QUERY_NAMES = [
     "knn_ivf",
     "fork_multicast_counts",
     "crypto_roundtrip",
+    "topk_events_per_type",
+    "approx_distinct_users",
+    "hopping_window_events",
+    "rollup_orders",
+    "quantiles_event_value",
+    "copy_dataset_files",
 ]
 
 

@@ -1458,3 +1458,18 @@ def rollup_orders(sf_dir: str):
         _round_cols({"sum_o_totalprice": 2}), batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def quantiles_event_value(sf_dir: str):
+    """Distributed EXACT quantiles (functions/quantiles.exact_quantiles —
+    iterative histogram refinement, O(B) bytes per scan to the driver, no
+    row shuffle): quantile_cont parity on events.value."""
+    from ..functions.quantiles import exact_quantiles
+
+    qs = [0.25, 0.5, 0.9, 0.99]
+    ds = read_table(sf_dir, "events", columns=["value"])
+    vals = exact_quantiles(ds, "value", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "qv": pa.array(_duck_round(np.asarray(vals), 4), pa.float64()),
+    })

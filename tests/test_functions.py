@@ -517,3 +517,41 @@ def test_kmv_string_column_and_merge_parity(ray_session):
     h = np.unique(hash_column_u64(col))
     want = kmv_estimate(h[:512], 512)
     assert est == want
+
+
+# ------------------------------------------------------------ exact quantiles
+
+def test_exact_quantiles_matches_numpy(ray_session):
+    """Linear-interpolation parity with np.quantile, including heavy
+    duplicates (degenerate bins) and a tiny collect threshold that forces
+    several refinement rounds."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.quantiles import exact_quantiles
+
+    rng = np.random.default_rng(5)
+    v = np.concatenate([
+        rng.standard_normal(20_000) * 100,
+        np.full(5_000, 42.0),          # heavy duplicate spike
+        rng.uniform(-1e6, 1e6, 5_000),
+    ])
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(8)
+    qs = [0.0, 0.1, 0.5, 0.42, 0.9, 0.999, 1.0]
+    got = exact_quantiles(ds, "value", qs, B=64, collect_threshold=500)
+    want = np.quantile(v, qs)  # default linear == quantile_cont
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
+def test_exact_quantiles_excludes_nans(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.quantiles import exact_quantiles
+
+    v = np.array([1.0, np.nan, 3.0, np.nan, 2.0])
+    ds = rd.from_arrow(pa.table({"value": pa.array(v)}))
+    got = exact_quantiles(ds, "value", [0.5], B=8, collect_threshold=2)
+    assert got == [2.0]
