@@ -106,10 +106,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": demo.knn_lsh,
         "knn_ivf": demo.knn_ivf,
         "embedding_dims": demo.embedding_dims,
-        # multimodal plumbing (extension set)
+        # multimodal (extension set; image decode is REAL Netpbm bytes,
+        # audio decode is REAL PCM WAV via the stdlib wave module)
         "multimodal_decode": demo.multimodal_decode,
         "multimodal_resize": demo.multimodal_resize,
         "multimodal_frames": demo.multimodal_frames,
+        "multimodal_audio": demo.multimodal_audio,
     }
 
 
@@ -607,6 +609,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 AS INTEGER) AS thumb_w,
                    CAST(8 AS INTEGER) AS thumb_h,
                    CAST((doc_id * 37) % 256 AS DOUBLE) AS thumb_luma
+            FROM documents
+        """,
+        "multimodal_audio": """
+            SELECT doc_id AS media_id,
+                   CAST(800 + (doc_id % 32) * 40 AS BIGINT) AS n_samples,
+                   round((800 + (doc_id % 32) * 40) / 8000.0, 6) AS duration_s,
+                   CAST(100 + (doc_id * 13) % 2000 AS DOUBLE) AS rms,
+                   CAST(100 + (doc_id * 13) % 2000 AS DOUBLE) AS peak
             FROM documents
         """,
         "multimodal_frames": """

@@ -1,11 +1,16 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode codecs (PIL / libav / ffmpeg) are NOT in this container, so the
-decode kernels are STUBBED behind ``DeterministicFakeCodec`` (a seeded,
-header-driven fake) or raise NotImplementedError in strict mode — but the
-Ray-side plumbing is real and tested: schema, actor signature (state built
-once in ``__init__``), byte-aware batch sizing, and output layout.
+Codec reality levels (each documented at its boundary):
+- IMAGE: REAL decode for Netpbm P5/P6 (``PnmCodec`` — the standard PGM/PPM
+  byte format, parsed with numpy; no external library needed), plus the
+  legacy ``DeterministicFakeCodec`` header format. ``AutoCodec`` sniffs the
+  magic. Compressed formats (JPEG/PNG) would slot in as another AutoCodec
+  arm backed by PIL — not in this container, still the documented stub.
+- AUDIO: REAL decode for PCM WAV via the stdlib ``wave`` module
+  (``WavCodec``); features (duration/rms/peak) are real DSP over samples.
+- VIDEO: the CONTAINER demux is the documented fake (no libav/ffmpeg
+  here), but each contained frame is a real PGM image decoded by PnmCodec.
 
 Batch-size note (SURVEY.md §4.5): media rows are wide — size batches by
 BYTES, not rows (``suggest_batch_size``); a 100 KB payload means a few
@@ -69,6 +74,69 @@ class DeterministicFakeCodec:
         return np.frombuffer(payload[16 : 16 + w * h], dtype=np.uint8).reshape(h, w)
 
 
+class PnmCodec:
+    """REAL image codec: Netpbm binary PGM (P5, grayscale) and PPM (P6,
+    RGB) — a standard interchange format whose decode is pure header
+    parsing + a zero-copy numpy view over the pixel buffer. P6 decodes to
+    ITU-style luminance via an exact per-pixel channel mean (float64)."""
+
+    @staticmethod
+    def encode_pgm(img: np.ndarray) -> bytes:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w = img.shape
+        return b"P5\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+    @staticmethod
+    def encode_ppm(img: np.ndarray) -> bytes:
+        img = np.ascontiguousarray(img, dtype=np.uint8)
+        h, w, _ = img.shape
+        return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        magic = payload[:2]
+        if magic not in (b"P5", b"P6"):
+            raise ValueError("not a binary PGM/PPM payload")
+        pos, vals = 2, []
+        while len(vals) < 3:
+            while payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace byte after maxval
+        w, h, maxv = vals
+        if maxv != 255:
+            raise ValueError("only 8-bit PNM supported")
+        ch = 1 if magic == b"P5" else 3
+        arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=pos)
+        if ch == 1:
+            return arr.reshape(h, w)
+        return arr.reshape(h, w, 3).mean(axis=2)
+
+
+class AutoCodec:
+    """Magic-sniffing dispatcher: real PNM bytes decode for real; the
+    legacy fake-header format still decodes (compatibility); anything else
+    (JPEG/PNG/...) raises at the documented external-codec boundary."""
+
+    def __init__(self):
+        self.pnm = PnmCodec()
+        self.fake = DeterministicFakeCodec()
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] in (b"P5", b"P6"):
+            return self.pnm.decode(payload)
+        if payload[:8] == _MAGIC:
+            return self.fake.decode(payload)
+        raise NotImplementedError(
+            "compressed image codec (JPEG/PNG) unavailable in this container"
+        )
+
+
 class MediaDecoder:
     """Actor-pool stage: decode payloads, verify claimed metadata, emit
     decoded dims + a mean-luminance feature. Codec loaded ONCE per actor.
@@ -79,10 +147,10 @@ class MediaDecoder:
     def __init__(self, strict: bool = False):
         if strict:
             raise NotImplementedError(
-                "real image codec unavailable in this environment; "
-                "install PIL/libav and swap DeterministicFakeCodec"
+                "compressed image codecs (JPEG/PNG) unavailable in this "
+                "environment; install PIL and add an AutoCodec arm"
             )
-        self.codec = DeterministicFakeCodec()  # once per actor
+        self.codec = AutoCodec()  # once per actor (real PNM + legacy fake)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ws, hs, lum, ok = [], [], [], []
@@ -121,9 +189,9 @@ class ImageResizer:
     def __init__(self, out_w: int = 8, out_h: int = 8, strict: bool = False):
         if strict:
             raise NotImplementedError(
-                "real image codec unavailable; swap DeterministicFakeCodec"
+                "compressed image codecs unavailable; install PIL"
             )
-        self.codec = DeterministicFakeCodec()
+        self.codec = AutoCodec()
         self.out_w, self.out_h = out_w, out_h
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -137,8 +205,10 @@ class ImageResizer:
         for payload in batch.column("payload").to_pylist():
             try:
                 small = self._resize(self.codec.decode(payload))
-                thumbs.append(small.tobytes())
                 lum.append(float(small.mean()))
+                thumbs.append(
+                    np.ascontiguousarray(small, dtype=np.uint8).tobytes()
+                )
                 ok.append(True)
             except Exception:
                 thumbs.append(b"\x00" * (self.out_w * self.out_h))
@@ -146,7 +216,7 @@ class ImageResizer:
                 ok.append(False)
         return (
             batch.drop_columns(["payload"])  # resized stage drops source bytes
-            .append_column("thumb", pa.array(thumbs, pa.binary()))
+            .append_column("thumb", pa.array(thumbs, pa.binary()))  # uint8 px
             .append_column("thumb_w", pa.array([self.out_w] * len(ok), pa.int32()))
             .append_column("thumb_h", pa.array([self.out_h] * len(ok), pa.int32()))
             .append_column("thumb_luma", pa.array(lum, pa.float64()))
@@ -223,7 +293,7 @@ class FrameSampler:
             frame_sample_stub()
         self.stride = stride
         self.max_frames = max_frames
-        self.codec = DeterministicFakeCodec()  # once per actor
+        self.codec = AutoCodec()  # frames are real PGM; container is the stub
 
     def _demux(self, payload: bytes) -> list[bytes]:
         if payload[:8] != _VMAGIC:
@@ -276,28 +346,26 @@ def frame_sample_pipeline(video_ds, stride: int = 4, max_frames: int = 8,
 
 def planted_media_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """PLANTED-TRUTH media synth (batch fn, runs distributed): payload is
-    derived ONLY from the row id with arithmetic an external SQL oracle
-    can mirror — w = 8 + id % 56, h = 8 + (id // 7) % 56, every pixel =
-    (id * 37) % 256. The decode stage must therefore recover exactly
-    those dims and a mean luminance of exactly that pixel value, turning
-    the multimodal family from rows-only checks into value oracles while
-    the decode path (header parse + full pixel-buffer mean) stays real."""
+    a REAL binary PGM image derived ONLY from the row id with arithmetic
+    an external SQL oracle can mirror — w = 8 + id % 56,
+    h = 8 + (id // 7) % 56, every pixel = (id * 37) % 256. The decode
+    stage (real Netpbm parse + full pixel-buffer mean) must recover
+    exactly those dims and a mean luminance of exactly that pixel value,
+    so the multimodal family is value-oracled end to end through a
+    standard byte format."""
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     ws = (8 + ids % 56).astype(np.int32)
     hs = (8 + (ids // 7) % 56).astype(np.int32)
     vs = ((ids * 37) % 256).astype(np.uint8)
     payloads = [
-        _MAGIC
-        + int(w).to_bytes(4, "big")
-        + int(h).to_bytes(4, "big")
-        + bytes([int(v)]) * (int(w) * int(h))
+        PnmCodec.encode_pgm(np.full((int(h), int(w)), v, dtype=np.uint8))
         for w, h, v in zip(ws, hs, vs)
     ]
     return pa.table(
         {
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["image/x-fake"] * len(ids)),
+            "mime": pa.array(["image/x-portable-graymap"] * len(ids)),
             "width": pa.array(ws),
             "height": pa.array(hs),
         },
@@ -309,7 +377,8 @@ def planted_video_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
     """Planted-truth video synth (batch fn): n_frames = 1 + id % 5; frame
     f has dims (8 + (id+f) % 24, 8 + (id*3+f) % 24) and constant pixel
     value (id*37 + f) % 256 — all SQL-reproducible, so the demux +
-    per-frame decode emits oracle-checkable rows."""
+    per-frame decode emits oracle-checkable rows. Frames are REAL binary
+    PGM images; only the surrounding container is the documented fake."""
     ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     rows = []
     for mid in ids.tolist():
@@ -320,8 +389,7 @@ def planted_video_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
             h = 8 + (mid * 3 + f) % 24
             v = (mid * 37 + f) % 256
             frames.append(
-                _MAGIC + w.to_bytes(4, "big") + h.to_bytes(4, "big")
-                + bytes([v]) * (w * h)
+                PnmCodec.encode_pgm(np.full((h, w), v, dtype=np.uint8))
             )
         body = b"".join(len(fb).to_bytes(4, "big") + fb for fb in frames)
         rows.append(_VMAGIC + n_frames.to_bytes(4, "big") + body)
@@ -362,6 +430,109 @@ def resize_pipeline(
     return media_ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs=dict(out_w=out_w, out_h=out_h),
+        batch_format="pyarrow",
+        batch_size=suggest_batch_size(avg_payload_bytes),
+        concurrency=concurrency,
+    )
+
+
+# --------------------------------------------------------------------- audio
+
+class WavCodec:
+    """REAL audio codec: PCM WAV (RIFF) via the stdlib ``wave`` module —
+    decode returns (int16 sample array, sample_rate). Mono 16-bit only
+    (the canonical speech-corpus layout); other layouts raise at the
+    boundary."""
+
+    @staticmethod
+    def encode(samples: np.ndarray, rate: int) -> bytes:
+        import io
+        import wave
+
+        samples = np.ascontiguousarray(samples, dtype=np.int16)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(samples.tobytes())
+        return buf.getvalue()
+
+    def decode(self, payload: bytes) -> tuple[np.ndarray, int]:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                raise NotImplementedError("only mono 16-bit PCM supported")
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+        return np.frombuffer(raw, dtype=np.int16), rate
+
+
+class AudioFeatures:
+    """Actor-pool stage: real WAV decode + real DSP features per clip —
+    sample count, duration, RMS, peak. Codec state built once per actor;
+    the heavy payload column is dropped inside the stage."""
+
+    def __init__(self):
+        self.codec = WavCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, dur, rms, peak, ok = [], [], [], [], []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                x, rate = self.codec.decode(payload)
+                xf = x.astype(np.float64)
+                ns.append(len(x))
+                dur.append(len(x) / rate)
+                rms.append(float(np.sqrt(np.mean(xf * xf))) if len(x) else 0.0)
+                peak.append(float(np.abs(xf).max()) if len(x) else 0.0)
+                ok.append(True)
+            except Exception:
+                ns.append(0)
+                dur.append(0.0)
+                rms.append(0.0)
+                peak.append(0.0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("n_samples", pa.array(ns, pa.int64()))
+            .append_column("duration_s", pa.array(dur, pa.float64()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("peak", pa.array(peak, pa.float64()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+def planted_audio_batch(t: pa.Table, id_col: str = "doc_id",
+                        rate: int = 8000) -> pa.Table:
+    """Planted-truth audio synth (batch fn): REAL mono 16-bit PCM WAV
+    clips with n = 800 + (id % 32)*40 constant-amplitude samples of
+    A = 100 + (id*13) % 2000 — so n_samples, duration (n/rate), RMS (== A
+    exactly: sqrt of a perfect square of an exact float64 integer sum) and
+    peak (== A) are all SQL-reproducible from the id."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for mid in ids.tolist():
+        n = 800 + (mid % 32) * 40
+        amp = 100 + (mid * 13) % 2000
+        payloads.append(WavCodec.encode(np.full(n, amp, dtype=np.int16), rate))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["audio/wav"] * len(ids)),
+        }
+    )
+
+
+def audio_pipeline(audio_ds, concurrency: int = 2,
+                   avg_payload_bytes: int = 8_192):
+    """Audio → per-clip feature rows: byte-aware batches, actor pool,
+    payload dropped inside the stage."""
+    return audio_ds.map_batches(
+        AudioFeatures,
         batch_format="pyarrow",
         batch_size=suggest_batch_size(avg_payload_bytes),
         concurrency=concurrency,

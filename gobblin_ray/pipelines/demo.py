@@ -1473,3 +1473,23 @@ def quantiles_event_value(sf_dir: str):
         "q": pa.array(qs, pa.float64()),
         "qv": pa.array(_duck_round(np.asarray(vals), 4), pa.float64()),
     })
+
+
+def multimodal_audio(sf_dir: str):
+    """Audio features with a PLANTED value oracle over REAL PCM WAV bytes
+    (stdlib wave decode + real DSP): constant-amplitude clips derived from
+    doc_id make n_samples / duration / RMS / peak SQL-reproducible
+    exactly (see functions/multimodal.planted_audio_batch)."""
+    from ..functions import multimodal as mm
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    audio = ds.map_batches(
+        mm.planted_audio_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = mm.audio_pipeline(audio, concurrency=2)
+    out = out.map_batches(
+        _round_cols({"duration_s": 6}), batch_format="pyarrow", batch_size=None
+    )
+    return out.select_columns(
+        ["media_id", "n_samples", "duration_s", "rms", "peak"]
+    )

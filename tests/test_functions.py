@@ -555,3 +555,42 @@ def test_exact_quantiles_excludes_nans(ray_session):
     ds = rd.from_arrow(pa.table({"value": pa.array(v)}))
     got = exact_quantiles(ds, "value", [0.5], B=8, collect_threshold=2)
     assert got == [2.0]
+
+
+# ------------------------------------------------------------- real codecs
+
+def test_pnm_codec_roundtrip_and_comments():
+    import numpy as np
+
+    from gobblin_ray.functions.multimodal import AutoCodec, PnmCodec
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 27), dtype=np.uint8)
+    pgm = PnmCodec.encode_pgm(img)
+    assert pgm.startswith(b"P5\n27 13\n255\n")
+    np.testing.assert_array_equal(PnmCodec().decode(pgm), img)
+    # header comments (valid Netpbm) must parse
+    commented = b"P5\n# made by a test\n27 13\n# sizes above\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(PnmCodec().decode(commented), img)
+    # P6 decodes to exact channel-mean luminance
+    rgb = rng.integers(0, 256, (5, 4, 3), dtype=np.uint8)
+    lum = PnmCodec().decode(PnmCodec.encode_ppm(rgb))
+    np.testing.assert_allclose(lum, rgb.astype(np.float64).mean(axis=2))
+    # AutoCodec sniffs real PNM vs the legacy fake format; unknown raises
+    np.testing.assert_array_equal(AutoCodec().decode(pgm), img)
+    with pytest.raises(NotImplementedError):
+        AutoCodec().decode(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_wav_codec_roundtrip_and_features():
+    import numpy as np
+
+    from gobblin_ray.functions.multimodal import WavCodec
+
+    rng = np.random.default_rng(8)
+    x = rng.integers(-3000, 3000, 4321).astype(np.int16)
+    payload = WavCodec.encode(x, 16_000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"  # real RIFF
+    y, rate = WavCodec().decode(payload)
+    assert rate == 16_000
+    np.testing.assert_array_equal(y, x)
