@@ -449,3 +449,55 @@ def test_error_rows_diverted_not_applied(ray_session, tmp_path_factory):
     )
     assert err.num_rows == 2
     assert set(err.column("_err").to_pylist()) == {"bad_op", "null_url"}
+
+
+def test_read_changes_matches_sequential_diff(ray_session, corpus, tmp_path_factory):
+    """CDC-out snapshot diff between two INTERMEDIATE manifests equals the
+    diff of two sequential-oracle replays sliced at the same high_seq
+    watermarks (insert/update/delete classification + new-row payloads)."""
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("lake_diff"))
+    eng = CdcEngine(lake, f"{d}/events", EngineConfig(num_buckets=8,
+                                                      epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)  # keep superseded files: time travel must work
+
+    e_lo, e_hi = 1, eng.store.latest().epoch
+    s_lo = eng.store.load(e_lo).high_seq
+    s_hi = eng.store.load(e_hi).high_seq
+    assert s_lo < s_hi
+
+    pages = pq.read_table(f"{d}/pages.parquet")
+    events = [pq.read_table(f"{d}/events/{s['file']}") for s in meta["shards"]]
+
+    def state_at(seq):
+        sliced = [t.filter(pa.compute.less_equal(t.column("event_seq"), seq))
+                  for t in events]
+        return oracle_final_state(pages, sliced).set_index("url")
+
+    a, b = state_at(s_lo), state_at(s_hi)
+    ins = sorted(set(b.index) - set(a.index))
+    dele = sorted(set(a.index) - set(b.index))
+    both = set(a.index) & set(b.index)
+    upd = sorted(u for u in both if a.loc[u, "event_seq"] != b.loc[u, "event_seq"])
+
+    got = (eng.read_changes(e_lo, e_hi).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    by_kind = {k: g for k, g in got.groupby("change_type")}
+    assert list(by_kind.get("insert", pd.DataFrame(columns=["url"]))["url"]) == ins
+    assert list(by_kind.get("delete", pd.DataFrame(columns=["url"]))["url"]) == dele
+    assert list(by_kind.get("update", pd.DataFrame(columns=["url"]))["url"]) == upd
+    # new-row payload correctness on updates + inserts
+    for kind in ("insert", "update"):
+        g = by_kind.get(kind)
+        if g is None:
+            continue
+        for _, r in g.iterrows():
+            assert r["event_seq"] == b.loc[r["url"], "event_seq"]
+            assert r["text"] == b.loc[r["url"], "text"]
+    # deletes carry the last OLD watermark and a null payload
+    g = by_kind.get("delete")
+    if g is not None:
+        assert g["text"].isna().all()
+        for _, r in g.iterrows():
+            assert r["event_seq"] == a.loc[r["url"], "event_seq"]
