@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": demo.dedup_exact_documents,
         "dedup_incremental_runs": demo.dedup_incremental_runs,
         "cdc_replay_mini": demo.cdc_replay_mini,
+        "snapshot_diff_changes": demo.snapshot_diff_changes,
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
         "fork_multicast_counts": demo.fork_multicast_counts,
@@ -77,8 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": demo.hopping_window_events,
         # left-outer broadcast join (null-preserving §2.5 join family)
         "left_join_customer_orders": demo.left_join_customer_orders,
-        # ROLLUP multi-level aggregation (metric-context tree shape)
+        # ROLLUP / CUBE multi-level aggregation (metric-context tree shape)
         "rollup_orders": demo.rollup_orders,
+        "cube_lineitem": demo.cube_lineitem,
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         # CSV / JSON source parity (§2.1, §2.3)
@@ -337,6 +339,13 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS sum_o_totalprice
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "cube_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_l_quantity
+            FROM lineitem
+            GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
         "left_join_customer_orders": """
             SELECT c.c_mktsegment,
@@ -637,5 +646,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_replay_oracle.parquet')
+        """,
+        # CDC-out snapshot diff between two committed manifests; the sidecar
+        # diffs two INDEPENDENT sequential replays sliced at the same
+        # high_seq watermarks (fixtures.snapshot_diff_sidecar).
+        "snapshot_diff_changes": """
+            SELECT url, change_type, warc_ts, event_seq, text
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/snapshot_diff_oracle.parquet')
         """,
     }

@@ -259,20 +259,13 @@ def knn_ivf_sidecar(
 
 # ------------------------------------------------------- CDC replay oracle
 
-def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> str:
-    """Sequential single-process replay oracle for ``cdc_replay_mini``.
-
-    Independent of the engine: applies every change event row-at-a-time
-    under the LWW rule — an event wins against the current row iff its
-    ``(warc_ts, event_seq)`` is strictly greater; a winning delete removes
-    the row — exactly the contract the reference's state-store/watermark
-    tests pin sequentially (gobblin-runtime/.../JobLauncherTestHelper.java:80-131).
-    The result is written to a fixed sidecar parquet so the driver's DuckDB
-    oracle can value-check the distributed merge-on-read replay against it
-    (same pattern as the knn_lsh bucket sidecar). Per-row Python is fine
-    here by design: an oracle must be the dumb obvious implementation, and
-    the mini corpus is a few thousand rows.
-    """
+def _sequential_live_state(
+    corpus_dir: str, max_seq: int | None = None
+) -> dict[str, dict]:
+    """Row-at-a-time LWW replay of the synth corpus up to (and including)
+    ``max_seq`` — the dumb obvious oracle implementation, shared by the
+    full-replay sidecar and the snapshot-diff sidecar. Returns only LIVE
+    rows (tombstoned urls are absent)."""
     import glob
 
     pages = pq.read_table(os.path.join(corpus_dir, "pages.parquet"))
@@ -285,6 +278,8 @@ def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> s
         }
     for f in sorted(glob.glob(os.path.join(corpus_dir, "events", "part-*.parquet"))):
         for row in pq.read_table(f).to_pylist():
+            if max_seq is not None and row["event_seq"] > max_seq:
+                continue
             cur = state.get(row["url"])
             key = (row["warc_ts"], row["event_seq"])
             if cur is not None and key <= (cur["warc_ts"], cur["event_seq"]):
@@ -299,8 +294,25 @@ def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> s
                 "fetch_status": row.get("fetch_status"),
                 "deleted": dele,
             }
+    return {u: v for u, v in state.items() if not v["deleted"]}
+
+
+def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> str:
+    """Sequential single-process replay oracle for ``cdc_replay_mini``.
+
+    Independent of the engine: applies every change event row-at-a-time
+    under the LWW rule — an event wins against the current row iff its
+    ``(warc_ts, event_seq)`` is strictly greater; a winning delete removes
+    the row — exactly the contract the reference's state-store/watermark
+    tests pin sequentially (gobblin-runtime/.../JobLauncherTestHelper.java:80-131).
+    The result is written to a fixed sidecar parquet so the driver's DuckDB
+    oracle can value-check the distributed merge-on-read replay against it
+    (same pattern as the knn_lsh bucket sidecar). Per-row Python is fine
+    here by design: an oracle must be the dumb obvious implementation, and
+    the mini corpus is a few thousand rows.
+    """
     live = sorted(
-        (v for v in state.values() if not v["deleted"]), key=lambda r: r["url"]
+        _sequential_live_state(corpus_dir).values(), key=lambda r: r["url"]
     )
     # html travels as an md5 hex digest (binary columns don't survive the
     # DuckDB->pandas compare path); byte-identity is still what's checked.
@@ -360,4 +372,45 @@ def copy_oracle_sidecar(src_root: str, glob: str = "*",
         "bytes": pa.array([r[1] for r in rows], pa.int64()),
         "md5": pa.array([r[2] for r in rows], pa.string()),
     })
+    return _write(t, path)
+
+
+# ------------------------------------------------------- snapshot-diff oracle
+
+SNAPSHOT_DIFF_ORACLE_PATH = os.path.join(FIXTURE_DIR, "snapshot_diff_oracle.parquet")
+
+
+def snapshot_diff_sidecar(
+    corpus_dir: str, seq_lo: int, seq_hi: int,
+    path: str = SNAPSHOT_DIFF_ORACLE_PATH,
+) -> str:
+    """Independent oracle for ``CdcEngine.read_changes``: replay the corpus
+    sequentially to BOTH watermarks (``_sequential_live_state``) and diff
+    the two live states row-by-row — insert/update rows carry the NEW
+    (warc_ts, event_seq, text); deletes carry the last OLD watermark and a
+    null payload, matching the engine's CDC-out contract. Written to a
+    fixed sidecar parquet for the driver's DuckDB oracle."""
+    a = _sequential_live_state(corpus_dir, seq_lo)
+    b = _sequential_live_state(corpus_dir, seq_hi)
+    rows = []
+    for url, nv in b.items():
+        ov = a.get(url)
+        if ov is None:
+            rows.append((url, "insert", nv["warc_ts"], nv["event_seq"], nv["text"]))
+        elif ov["event_seq"] != nv["event_seq"]:
+            rows.append((url, "update", nv["warc_ts"], nv["event_seq"], nv["text"]))
+    for url, ov in a.items():
+        if url not in b:
+            rows.append((url, "delete", ov["warc_ts"], ov["event_seq"], None))
+    rows.sort()
+    schema = pa.schema([
+        ("url", pa.string()), ("change_type", pa.string()),
+        ("warc_ts", pa.timestamp("us")), ("event_seq", pa.int64()),
+        ("text", pa.string()),
+    ])
+    t = pa.table(
+        {n: pa.array([r[i] for r in rows], type=schema.field(n).type)
+         for i, n in enumerate(schema.names)},
+        schema=schema,
+    )
     return _write(t, path)

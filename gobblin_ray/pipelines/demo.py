@@ -1335,6 +1335,39 @@ def cdc_replay_mini(sf_dir: str):
     return eng.read_table().map_batches(_digest, batch_format="pyarrow")
 
 
+def snapshot_diff_changes(sf_dir: str):
+    """CDC-out snapshot diff (engine.read_changes): the row-granular
+    insert/update/delete feed between an INTERMEDIATE committed manifest and
+    the head manifest — the downstream-consumption stream an incremental job
+    would tail (FileBasedSource's prior-vs-current snapshot diff generalized
+    to row granularity). Per-bucket local, NO shuffle: the manifest's
+    bucket_hash pins the router, so one task diffs both versions of one
+    bucket. Value-oracled by diffing two sequential single-process replays
+    sliced at the same high_seq watermarks (fixtures.snapshot_diff_sidecar)."""
+    import tempfile
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import snapshot_diff_sidecar
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_diff_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=8, epoch_width=1_000),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(vacuum=False)  # time travel needs the superseded files
+    e_lo, e_hi = 1, eng.store.latest().epoch
+    snapshot_diff_sidecar(
+        corpus, eng.store.load(e_lo).high_seq, eng.store.load(e_hi).high_seq
+    )
+    return eng.read_changes(e_lo, e_hi)
+
+
 def copy_dataset_files(sf_dir: str):
     """Distcp-style copy job (gobblin-data-management CopySource /
     CopyDataPublisher analog) over the testdata parquet tables: plan ->
@@ -1456,6 +1489,25 @@ def rollup_orders(sf_dir: str):
     )
     return out.map_batches(
         _round_cols({"sum_o_totalprice": 2}), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def cube_lineitem(sf_dir: str):
+    """GROUP BY CUBE (stages/aggregates.cube_aggregate): quantity totals at
+    every subset of (returnflag, linestatus) — 4 grouping sets from ONE
+    wide shuffle; the 3 coarser sets re-aggregate the finest result."""
+    from ..stages.aggregates import cube_aggregate
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    out = cube_aggregate(
+        ds, keys=["l_returnflag", "l_linestatus"], sum_cols=["l_quantity"]
+    )
+    return out.map_batches(
+        _round_cols({"sum_l_quantity": 2}), batch_format="pyarrow",
         batch_size=None,
     )
 

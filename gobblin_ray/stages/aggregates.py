@@ -1,4 +1,4 @@
-"""Multi-level (ROLLUP) aggregation.
+"""Multi-level (ROLLUP / CUBE / GROUPING SETS) aggregation.
 
 Analog: the reference's metric-context TREE — counters registered in a
 child context aggregate up through every ancestor so the same measurement
@@ -6,25 +6,42 @@ is readable at task, job, and instance granularity
 (gobblin-metrics-libs/gobblin-metrics-base/.../MetricContext.java; the
 docs' context-hierarchy examples). ``rollup_aggregate`` is that shape for
 data: one result row set per grouping prefix, plus the grand total,
-mirroring SQL ``GROUP BY ROLLUP``.
+mirroring SQL ``GROUP BY ROLLUP``; ``cube_aggregate`` covers every key
+subset (``GROUP BY CUBE``), and ``grouping_sets_aggregate`` is the general
+form both reduce to.
 
 Scale shape: exactly ONE wide shuffle — the groupby at the FINEST level.
-Every coarser level re-aggregates the finest RESULT (O(distinct groups)
-rows, usually thousands), which is valid because sum/count are algebraic.
-A naive per-level groupby over the input would scan and shuffle the table
-len(keys)+1 times. Rolled-up key columns are NULL, as in SQL.
+Every coarser grouping set re-aggregates the finest RESULT (O(distinct
+groups) rows, usually thousands), which is valid because sum/count are
+algebraic. A naive per-level groupby over the input would scan and shuffle
+the table once per grouping set. Rolled-up key columns are NULL, as in SQL.
+
+CAVEAT (documented partitioning assumption): re-aggregating the finest
+result is only exact when every coarser set is a SUBSET of the finest key
+list and the aggregates are decomposable (count/sum are; count-distinct is
+not). Grouping sets outside the finest key list are rejected.
 """
 
 from __future__ import annotations
 
+from itertools import combinations
+
 import pyarrow as pa
 
 
-def rollup_aggregate(ds, keys: list[str], sum_cols: list[str]):
-    """ROLLUP over ``keys``: one output row per group at every prefix level
-    of ``keys`` (finest -> ... -> grand total), carrying ``n`` (row count)
-    and ``sum_<col>`` for each of ``sum_cols``. Rolled-up keys are NULL."""
+def grouping_sets_aggregate(
+    ds, keys: list[str], sum_cols: list[str], sets: list[list[str]]
+):
+    """GROUPING SETS over subsets of ``keys``: one output row per group per
+    grouping set, carrying ``n`` (row count) and ``sum_<col>`` per
+    ``sum_cols``. Keys absent from a grouping set are NULL in its rows.
+    ``sets`` must not repeat the full key list (the finest level is always
+    emitted first) and every set must be a subset of ``keys``."""
     from ray.data.aggregate import Count, Sum
+
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s} is not a subset of {keys}")
 
     key_types = {f.name: f.type for f in ds.schema().base_schema}
     out_cols = keys + ["n"] + [f"sum_{c}" for c in sum_cols]
@@ -47,24 +64,24 @@ def rollup_aggregate(ds, keys: list[str], sum_cols: list[str]):
         return f
 
     levels = [finest.select_columns(out_cols)]
-    cur = finest
-    for i in range(len(keys) - 1, -1, -1):
-        if i > 0:
-            cur = cur.groupby(keys[:i]).aggregate(*resums)
+    for sub in sets:
+        if sub:
+            cur = finest.groupby(list(sub)).aggregate(*resums)
         else:
 
             def to_one(t: pa.Table) -> pa.Table:
                 return t.append_column("_g", pa.array([0] * t.num_rows, pa.int32()))
 
             cur = (
-                cur.map_batches(to_one, batch_format="pyarrow", batch_size=None)
+                finest.map_batches(to_one, batch_format="pyarrow", batch_size=None)
                 .groupby("_g")
                 .aggregate(*resums)
                 .drop_columns(["_g"])
             )
+        missing = [k for k in keys if k not in sub]
         levels.append(
             cur.map_batches(
-                null_keys(keys[i:]), batch_format="pyarrow", batch_size=None
+                null_keys(missing), batch_format="pyarrow", batch_size=None
             ).select_columns(out_cols)
         )
 
@@ -72,3 +89,23 @@ def rollup_aggregate(ds, keys: list[str], sum_cols: list[str]):
     for lvl in levels[1:]:
         out = out.union(lvl)
     return out
+
+
+def rollup_aggregate(ds, keys: list[str], sum_cols: list[str]):
+    """ROLLUP over ``keys``: one output row per group at every prefix level
+    of ``keys`` (finest -> ... -> grand total), carrying ``n`` (row count)
+    and ``sum_<col>`` for each of ``sum_cols``. Rolled-up keys are NULL."""
+    prefixes = [keys[:i] for i in range(len(keys) - 1, -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sum_cols, prefixes)
+
+
+def cube_aggregate(ds, keys: list[str], sum_cols: list[str]):
+    """CUBE over ``keys``: one output row per group for EVERY subset of
+    ``keys`` (2^k grouping sets) — the finest shuffle happens once; the
+    other 2^k - 1 sets re-aggregate its small result."""
+    subsets = [
+        list(c)
+        for r in range(len(keys) - 1, -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return grouping_sets_aggregate(ds, keys, sum_cols, subsets)

@@ -836,3 +836,54 @@ def test_rollup_aggregate_three_keys(ray_session):
     pd.testing.assert_frame_equal(
         got[["a", "b", "c", "n", "sum_v"]], want[["a", "b", "c", "n", "sum_v"]]
     )
+
+
+def test_cube_and_grouping_sets_three_keys(ray_session):
+    """3-key CUBE == DuckDB GROUP BY CUBE (8 grouping sets); an explicit
+    GROUPING SETS selection matches too; out-of-key sets are rejected."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gobblin_ray.stages.aggregates import (
+        cube_aggregate,
+        grouping_sets_aggregate,
+    )
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 800),
+        "b": rng.choice(["p", "q", "r"], 800),
+        "c": rng.integers(0, 3, 800),
+        "v": rng.integers(0, 100, 800).astype("int64"),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+
+    def norm(d):
+        d = d.copy()
+        d["c"] = d["c"].astype("float64")
+        return (d[["a", "b", "c", "n", "sum_v"]]
+                .sort_values(["a", "b", "c"], na_position="last")
+                .reset_index(drop=True))
+
+    got = norm(cube_aggregate(ds, ["a", "b", "c"], ["v"]).to_pandas())
+    want = norm(duckdb.sql(
+        "SELECT a, b, c, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v "
+        "FROM df GROUP BY CUBE(a, b, c)"
+    ).df())
+    pd.testing.assert_frame_equal(got, want)
+
+    got_gs = norm(grouping_sets_aggregate(
+        ds, ["a", "b", "c"], ["v"], sets=[["b"], ["a", "c"]]
+    ).to_pandas())
+    want_gs = norm(duckdb.sql(
+        "SELECT a, b, c, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v "
+        "FROM df GROUP BY GROUPING SETS ((a, b, c), (b), (a, c))"
+    ).df())
+    pd.testing.assert_frame_equal(got_gs, want_gs)
+
+    with _pytest.raises(ValueError):
+        grouping_sets_aggregate(ds, ["a", "b"], ["v"], sets=[["z"]])
