@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": demo.join_orders_customer,
         "join_nation_region": demo.join_nation_region,
         "semi_join_orders": demo.semi_join_orders,
+        "bloom_semi_lineitem": demo.bloom_semi_lineitem,
         "anti_join_orders": demo.anti_join_orders,
         "asof_join_purchase_click": demo.asof_join_purchase_click,
         "range_join_value_bands": demo.range_join_value_bands,
@@ -74,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_events_per_type": demo.topk_events_per_type,
         # distinct-count sketch (KMV bottom-k; exact in saturated regime)
         "approx_distinct_users": demo.approx_distinct_users,
+        # frequent-items sketch (Misra-Gries; exact in saturated regime)
+        "heavy_hitters_users": demo.heavy_hitters_users,
         # hopping (overlapping) event-time windows (§2.6/2.8 window family)
         "hopping_window_events": demo.hopping_window_events,
         # left-outer broadcast join (null-preserving §2.5 join family)
@@ -174,6 +177,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, count(*) AS n FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
             GROUP BY o_orderstatus
+        """,
+        "bloom_semi_lineitem": """
+            SELECT l_returnflag, count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 1)
+            GROUP BY l_returnflag
         """,
         "anti_join_orders": """
             SELECT o_orderstatus, count(*) AS n FROM orders
@@ -323,6 +333,14 @@ def oracle_sql() -> dict[str, str]:
         # pytest pins the estimation regime's error bound separately.
         "approx_distinct_users": """
             SELECT count(DISTINCT user_id) AS n_distinct FROM events
+        """,
+        # MG heavy hitters saturate (distinct users < k=8192) -> exact
+        # counts, zero undercount; pytest pins the pruned-regime bound.
+        "heavy_hitters_users": """
+            SELECT user_id, n, CAST(0 AS BIGINT) AS err FROM (
+                SELECT user_id, count(*) AS n FROM events
+                WHERE user_id IS NOT NULL GROUP BY user_id
+            ) ORDER BY n DESC, user_id LIMIT 20
         """,
         "quantiles_event_value": """
             SELECT 0.25 AS q, round(quantile_cont(value, 0.25), 4) AS qv FROM events

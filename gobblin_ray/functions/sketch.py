@@ -95,3 +95,74 @@ def approx_distinct(ds, column: str, k: int = 4096) -> float:
     )
     out = ds.aggregate(agg)
     return float(out["kmv_distinct"])
+
+
+# ---------------------------------------------------- frequent items (MG)
+
+def _mg_combine(acc: dict, keys, counts, k: int) -> tuple[dict, int]:
+    """Fold (keys, counts) into a Misra-Gries summary dict capped at k
+    counters. Returns (dict, err_added): pruning subtracts the (k+1)-th
+    largest count from every counter (the classic MG decrement, batched),
+    which adds that much possible undercount to every surviving counter."""
+    for key, c in zip(keys, counts):
+        acc[key] = acc.get(key, 0) + int(c)
+    if len(acc) <= k:
+        return acc, 0
+    vals = np.sort(np.fromiter(acc.values(), dtype=np.int64))
+    cut = int(vals[len(vals) - k - 1])  # (k+1)-th largest
+    return {key: c - cut for key, c in acc.items() if c > cut}, cut
+
+
+def heavy_hitters(ds, column: str, k: int = 8192, top_n: int = 20):
+    """Distributed frequent-items sketch (Misra-Gries / space-saving
+    family; Misra & Gries 1982, Metwally et al. 2005): the top-``top_n``
+    values of ``ds[column]`` by count, with at most ``n_total/k`` undercount.
+
+    Public-knowledge basis: an MG summary with k counters undercounts any
+    item by at most the sum of prune decrements (<= n/k); merging two
+    summaries then re-pruning keeps the bound additive (Agarwal et al.
+    2012, "Mergeable summaries") — so it runs as a Ray AggregateFn TREE:
+    each block folds its exact vectorized value_counts into a k-counter
+    dict, merges are associative-with-bound, and O(k) state reaches the
+    driver. No shuffle; contrast a groupby().count() which exchanges every
+    row.
+
+    SATURATED regime (total distinct <= k): no prune ever fires, counts are
+    EXACT and deterministic — what the driver oracle checks against
+    GROUP BY/ORDER BY/LIMIT. Pruned regime: counts carry ``err`` (max
+    undercount) and may vary with merge order; the error BOUND still holds
+    (pinned by pytest).
+
+    Returns a pyarrow Table (value, n, err) sorted by (n desc, value asc).
+    """
+    from ray.data.aggregate import AggregateFn
+
+    def acc_block(acc, block):
+        d, err = acc
+        vc = block.column(column).drop_null().value_counts()
+        keys = vc.field("values").to_pylist()
+        counts = vc.field("counts").to_numpy(zero_copy_only=False)
+        d2, added = _mg_combine(dict(d), keys, counts, k)
+        return (d2, err + added)
+
+    def merge(a, b):
+        d, err = a
+        d2, added = _mg_combine(
+            dict(d), list(b[0].keys()), list(b[0].values()), k
+        )
+        return (d2, err + b[1] + added)
+
+    agg = AggregateFn(
+        init=lambda _k: ({}, 0),
+        accumulate_block=acc_block,
+        merge=merge,
+        finalize=lambda acc: acc,
+        name="mg_heavy_hitters",
+    )
+    d, err = ds.aggregate(agg)["mg_heavy_hitters"]
+    items = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[:top_n]
+    return pa.table({
+        "value": pa.array([i[0] for i in items]),
+        "n": pa.array([i[1] for i in items], pa.int64()),
+        "err": pa.array([err] * len(items), pa.int64()),
+    })

@@ -419,6 +419,39 @@ def semi_join_orders(sf_dir: str):
     return out.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
 
 
+def bloom_semi_lineitem(sf_dir: str):
+    """Semi join with a BLOOM prefilter (stages/joins.bloom_semi_join): the
+    fact table is pruned by a broadcast bit array (10 bits/key) before the
+    exact membership verify, so the result is exact while the broadcast
+    payload stays O(n/8*10) bytes — the structure that replaces the exact
+    key set when the dimension side has 10^9 keys."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import bloom_semi_join
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    keys = part.filter(
+        pc.equal(part.column("p_size"), pa.scalar(1))
+    ).column("p_partkey").to_pylist()
+    ds = read_table(
+        sf_dir, "lineitem", columns=["l_partkey", "l_returnflag", "l_quantity"]
+    )
+    out = (
+        bloom_semi_join(ds, "l_partkey", keys)
+        .groupby("l_returnflag")
+        .aggregate(Count(alias_name="n"), Sum("l_quantity", alias_name="sum_qty"))
+    )
+    return out.map_batches(
+        _round_cols({"sum_qty": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def anti_join_orders(sf_dir: str):
     """Anti join (broadcast complement of semi_join_orders)."""
     import os
@@ -1417,6 +1450,20 @@ def approx_distinct_users(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["user_id"])
     est = approx_distinct(ds, "user_id", k=4096)
     return pa.table({"n_distinct": pa.array([int(round(est))], pa.int64())})
+
+
+def heavy_hitters_users(sf_dir: str):
+    """Frequent-items sketch (Misra-Gries / space-saving family,
+    functions/sketch.heavy_hitters): top-20 users by event count from an
+    O(k)-state aggregation TREE — no groupby shuffle. k=8192 saturates at
+    driver scale so counts are EXACT (err=0) and value-check against
+    GROUP BY / ORDER BY / LIMIT; the pruned regime's undercount bound is
+    pinned by pytest (test_heavy_hitters_pruned_error_bound)."""
+    from ..functions.sketch import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    t = heavy_hitters(ds, "user_id", k=8192, top_n=20)
+    return t.rename_columns(["user_id", "n", "err"])
 
 
 def hopping_window_events(sf_dir: str):

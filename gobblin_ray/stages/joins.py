@@ -84,6 +84,95 @@ def semi_join(ds, key: str, key_set, anti: bool = False):
                           concurrency=(1, 8))
 
 
+class BloomFilter:
+    """Vectorized Bloom filter over u64-hashed keys (public-knowledge
+    construction: Bloom 1970; double hashing g_i = h1 + i*h2, Kirsch &
+    Mitzenmacher 2006). State is a flat uint8 bit array — O(bits_per_key *
+    n / 8) bytes regardless of key width, which is what makes it the
+    broadcast-side pruning structure when the exact key SET is too big to
+    ship (10^9 64-byte keys = 64 GB of set vs ~1.2 GB of bloom at 10
+    bits/key, fp ~1%)."""
+
+    def __init__(self, bits, n_hashes: int):
+        self.bits = bits
+        self.n_hashes = int(n_hashes)
+        self.m = int(len(bits)) * 8
+
+    @classmethod
+    def build(cls, hashes, bits_per_key: int = 10, n_hashes: int = 4):
+        import numpy as np
+
+        m = max(64, int(len(hashes) * bits_per_key))
+        bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+        bf = cls(bits, n_hashes)
+        for pos in bf._positions(np.asarray(hashes, dtype=np.uint64)):
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return bf
+
+    def _positions(self, h1):
+        import numpy as np
+
+        from ..functions.sketch import _splitmix64
+
+        h2 = _splitmix64(h1) | np.uint64(1)
+        m = np.uint64(self.m)
+        with np.errstate(over="ignore"):
+            for i in range(self.n_hashes):
+                yield ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+
+    def contains(self, hashes):
+        """Vectorized membership mask (no false negatives)."""
+        import numpy as np
+
+        h1 = np.asarray(hashes, dtype=np.uint64)
+        ok = np.ones(len(h1), dtype=bool)
+        for pos in self._positions(h1):
+            ok &= (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        return ok
+
+
+def bloom_semi_join(ds, key: str, key_set, bits_per_key: int = 10):
+    """Semi join with a Bloom prefilter ahead of the exact check: the bloom
+    (O(n/8 * bits_per_key) bytes) is broadcast once and drops ~99% of
+    non-matching rows vectorized at the scan; survivors are verified
+    exactly, so the RESULT is exact — false positives only cost a second
+    look. At demo scale the exact verify is the broadcast ``semi_join``;
+    when the key side outgrows broadcast, keep the same bloom prefilter and
+    swap the verify for a partitioned ``hash_join`` over the (now tiny)
+    survivor stream — the bloom is what keeps that shuffle small."""
+    import numpy as np
+    import ray
+
+    from ..functions.sketch import hash_column_u64
+
+    keys = pa.array(sorted(key_set))
+    bloom = BloomFilter.build(hash_column_u64(keys), bits_per_key=bits_per_key)
+    bloom_ref = ray.put(bloom)
+    keys_ref = ray.put(keys)
+
+    class BloomThenExact:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)   # once per worker process
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.is_valid(batch.column(key)))
+            if batch.num_rows == 0:
+                return batch
+            h = hash_column_u64(batch.column(key))
+            cand = batch.filter(pa.array(self.bloom.contains(h)))
+            if cand.num_rows == 0:
+                return cand
+            hit = pc.fill_null(
+                pc.is_in(cand.column(key), value_set=self.keys), False
+            )
+            return cand.filter(hit)
+
+    return ds.map_batches(
+        BloomThenExact, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )
+
+
 def merge_asof_by_key(
     left,
     right,

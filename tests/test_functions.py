@@ -594,3 +594,53 @@ def test_wav_codec_roundtrip_and_features():
     y, rate = WavCodec().decode(payload)
     assert rate == 16_000
     np.testing.assert_array_equal(y, x)
+
+
+def test_heavy_hitters_saturated_is_exact(ray_session):
+    """Distinct <= k: the MG sketch never prunes — counts are exact, err=0,
+    and the top-n matches a full groupby count."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 200, 20_000)
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())})).repartition(8)
+    got = heavy_hitters(ds, "u", k=1024, top_n=10).to_pandas()
+    want = (
+        pd.Series(vals).value_counts().rename_axis("u").reset_index(name="n")
+        .sort_values(["n", "u"], ascending=[False, True]).head(10)
+        .reset_index(drop=True)
+    )
+    assert (got["err"] == 0).all()
+    assert list(got["value"]) == list(want["u"])
+    assert list(got["n"]) == list(want["n"])
+
+
+def test_heavy_hitters_pruned_error_bound(ray_session):
+    """Pruned regime (distinct >> k): every reported count is within
+    [true - err, true], err <= n_total/k, and a true heavy item
+    (freq > n/k) is never evicted — the MG guarantee."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    n_total = 50_000
+    # one planted heavy hitter (10%) over a long uniform tail
+    tail = rng.integers(1000, 9000, n_total)
+    heavy = np.full(n_total // 10, 7, dtype=np.int64)
+    vals = np.concatenate([tail, heavy])
+    rng.shuffle(vals)
+    k = 64
+    ds = rd.from_arrow(pa.table({"u": pa.array(vals, pa.int64())})).repartition(8)
+    got = heavy_hitters(ds, "u", k=k, top_n=5).to_pandas()
+    true = pd.Series(vals).value_counts()
+    err = int(got["err"].iloc[0])
+    assert 0 < err <= len(vals) // k + 1
+    assert 7 in set(got["value"])  # freq 10% >> n/k: must survive
+    for _, r in got.iterrows():
+        t = int(true.get(r["value"], 0))
+        assert t - err <= r["n"] <= t

@@ -887,3 +887,49 @@ def test_cube_and_grouping_sets_three_keys(ray_session):
 
     with _pytest.raises(ValueError):
         grouping_sets_aggregate(ds, ["a", "b"], ["v"], sets=[["z"]])
+
+
+def test_bloom_filter_properties():
+    """No false negatives ever; false-positive rate near the theoretical
+    ~1% at 10 bits/key, 4 hashes."""
+    import numpy as np
+
+    from gobblin_ray.functions.sketch import _splitmix64
+    from gobblin_ray.stages.joins import BloomFilter
+
+    rng = np.random.default_rng(2)
+    members = _splitmix64(rng.integers(0, 2**63, 5000).astype(np.uint64))
+    others = _splitmix64(
+        rng.integers(2**63, 2**64, 20000, dtype=np.uint64).astype(np.uint64)
+    )
+    others = others[~np.isin(others, members)]
+    bf = BloomFilter.build(members, bits_per_key=10, n_hashes=4)
+    assert bf.contains(members).all()  # no false negatives
+    fp = bf.contains(others).mean()
+    assert fp < 0.05, fp
+
+
+def test_bloom_semi_join_matches_exact(ray_session):
+    """bloom_semi_join == plain broadcast semi_join (the bloom only
+    prefilters; survivors are exactly verified), incl. null keys dropped."""
+    import numpy as np
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import bloom_semi_join, semi_join
+
+    rng = np.random.default_rng(4)
+    keys = rng.integers(0, 10_000, 5000).tolist() + [None] * 17
+    t = pa.table({
+        "k": pa.array(keys, pa.int64()),
+        "v": pa.array(range(len(keys)), pa.int64()),
+    })
+    key_set = set(rng.integers(0, 10_000, 200).tolist())
+    ds = rd.from_arrow(t).repartition(4)
+    import pandas as pd
+
+    got = (bloom_semi_join(ds, "k", key_set).to_pandas()
+           .sort_values("v").reset_index(drop=True))
+    want = (semi_join(ds, "k", key_set).to_pandas()
+            .sort_values("v").reset_index(drop=True))
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
