@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ROLLUP / CUBE multi-level aggregation (metric-context tree shape)
         "rollup_orders": demo.rollup_orders,
         "cube_lineitem": demo.cube_lineitem,
+        "pivot_orders_status": demo.pivot_orders_status,
+        # deterministic stratified sampling (stable holdout splits)
+        "stratified_sample_events": demo.stratified_sample_events,
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         # CSV / JSON source parity (§2.1, §2.3)
@@ -95,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # so the near-dup/langid family is value-checked, not rows-only —
         # the driver-table scale variants run in bench.py)
         "text_quality_features": demo.text_quality_features,
+        "repetition_signals_documents": demo.repetition_signals_documents,
+        "tfidf_top_terms_documents": demo.tfidf_top_terms_documents,
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "crypto_roundtrip": demo.crypto_roundtrip,
@@ -365,6 +370,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY CUBE(l_returnflag, l_linestatus)
         """,
+        "pivot_orders_status": """
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'F'
+                                  THEN o_totalprice ELSE 0 END), 2) AS sum_F,
+                   round(sum(CASE WHEN o_orderstatus = 'O'
+                                  THEN o_totalprice ELSE 0 END), 2) AS sum_O,
+                   round(sum(CASE WHEN o_orderstatus = 'P'
+                                  THEN o_totalprice ELSE 0 END), 2) AS sum_P
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "stratified_sample_events": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 50
+        """,
         "left_join_customer_orders": """
             SELECT c.c_mktsegment,
                    count(*) AS n_customers,
@@ -409,6 +434,75 @@ def oracle_sql() -> dict[str, str]:
                    round(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) * 1.0 /
                          greatest(length(text), 1), 4) AS alpha_ratio
             FROM documents
+        """,
+        # Gopher repetition filters: exact per-(doc, gram) counts in SQL;
+        # t[i:i+1] / t[i:i+2] slices are DuckDB's INCLUSIVE list slicing
+        # (2- and 3-token grams), mirroring the dup_spans oracle.
+        "repetition_signals_documents": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            ),
+            uc AS (
+                SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+                FROM (SELECT doc_id, unnest(t) AS g, len(t) AS total FROM toks)
+                GROUP BY doc_id, g
+            ),
+            u AS (
+                SELECT doc_id, round(max(c) * 1.0 /
+                       greatest(any_value(total), 1), 4) AS top_unigram_frac
+                FROM uc GROUP BY doc_id
+            ),
+            bc AS (
+                SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+                FROM (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g,
+                             len(t) - 1 AS total
+                      FROM toks CROSS JOIN LATERAL
+                          (SELECT unnest(range(1, len(t))) AS i) s)
+                GROUP BY doc_id, g
+            ),
+            b AS (
+                SELECT doc_id, round(max(c) * 1.0 /
+                       greatest(any_value(total), 1), 4) AS top_bigram_frac
+                FROM bc GROUP BY doc_id
+            ),
+            tc AS (
+                SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+                FROM (SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g,
+                             len(t) - 2 AS total
+                      FROM toks CROSS JOIN LATERAL
+                          (SELECT unnest(range(1, len(t) - 1)) AS i) s)
+                GROUP BY doc_id, g
+            ),
+            tr AS (
+                SELECT doc_id,
+                       round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1.0 /
+                             greatest(any_value(total), 1), 4)
+                           AS dup_trigram_frac
+                FROM tc GROUP BY doc_id
+            )
+            SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac
+            FROM u JOIN b USING (doc_id) JOIN tr USING (doc_id)
+        """,
+        # Rank on the ROUNDED score (both sides) so float ULP noise can't
+        # flip the head-k boundary; term asc is the full tiebreak.
+        "tfidf_top_terms_documents": """
+            WITH tf AS (
+                SELECT doc_id, g AS term, count(*) AS tf
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                      FROM documents)
+                GROUP BY doc_id, g
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT tf.doc_id, tf.term,
+                       round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0
+                                        / df.df), 4) AS score
+                FROM tf JOIN df USING (term)
+            )
+            SELECT doc_id, term, score FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term
+            ) <= 3
         """,
         "crypto_roundtrip": """
             SELECT doc_id, text FROM documents

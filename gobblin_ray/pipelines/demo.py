@@ -807,6 +807,35 @@ def text_quality_features(sf_dir: str):
     )
 
 
+def repetition_signals_documents(sf_dir: str):
+    """Gopher-style repetition quality signals (functions/text.
+    repetition_signals): per-doc top-unigram / top-bigram fraction and
+    duplicated-trigram fraction — the boilerplate/spam filters an LLM-data
+    pipeline gates on. One vectorized explode + lexsort run-length pass per
+    batch; value-oracled against DuckDB's exact per-(doc, gram) counts."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        tx.repetition_signals("text"), batch_format="pyarrow", batch_size=None
+    )
+    out = out.map_batches(
+        _round_cols({
+            "top_unigram_frac": 4, "top_bigram_frac": 4, "dup_trigram_frac": 4,
+        }),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return out.select_columns(
+        ["doc_id", "top_unigram_frac", "top_bigram_frac", "dup_trigram_frac"]
+    )
+
+
+def tfidf_top_terms_documents(sf_dir: str):
+    """TF-IDF keyword extraction (functions/text.tfidf_top_terms): top-3
+    terms per document by tf * ln(N/df); DF is a combiner-pre-aggregated
+    one-exchange pass broadcast once; scoring + head-k is batch-local."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tx.tfidf_top_terms(ds, "text", "doc_id", k=3)
+
+
 def token_count_totals(sf_dir: str):
     from ray.data.aggregate import Sum
 
@@ -1557,6 +1586,40 @@ def cube_lineitem(sf_dir: str):
         _round_cols({"sum_l_quantity": 2}), batch_format="pyarrow",
         batch_size=None,
     )
+
+
+def pivot_orders_status(sf_dir: str):
+    """PIVOT (stages/aggregates.pivot_aggregate): totalprice per order
+    priority, one column per order status — batches widen vectorized
+    before ONE groupby, no per-status scan."""
+    from ..stages.aggregates import pivot_aggregate
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    out = pivot_aggregate(
+        ds, "o_orderpriority", "o_orderstatus", "o_totalprice", ["F", "O", "P"]
+    )
+    return out.map_batches(
+        _round_cols({"sum_F": 2, "sum_O": 2, "sum_P": 2}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def stratified_sample_events(sf_dir: str):
+    """Deterministic stratified sampling (stages/sorts.
+    stratified_sample_hash): the 50 smallest-md5(event_id) events per
+    event_type — a reproducible fixed-size per-stratum sample (stable
+    eval/holdout splits), exactly reproducible in SQL via the same md5
+    rank."""
+    from ..stages.sorts import stratified_sample_hash
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_type", "event_id", "value"]
+    )
+    out = stratified_sample_hash(ds, "event_type", 50, "event_id")
+    return out.select_columns(["event_type", "event_id", "value"])
 
 
 def quantiles_event_value(sf_dir: str):

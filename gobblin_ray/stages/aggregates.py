@@ -109,3 +109,36 @@ def cube_aggregate(ds, keys: list[str], sum_cols: list[str]):
         for c in combinations(keys, r)
     ]
     return grouping_sets_aggregate(ds, keys, sum_cols, subsets)
+
+
+def pivot_aggregate(ds, index_col: str, pivot_col: str, value_col: str,
+                    pivot_values: list):
+    """PIVOT: one output row per ``index_col`` value with a ``sum_<v>``
+    column per pivot value (SQL ``sum(CASE WHEN pivot = v THEN value ELSE
+    0 END)``). ``pivot_values`` must be known up front, as in SQL PIVOT.
+
+    Scale shape: the batch is widened FIRST (one vectorized if_else mask
+    per pivot value -> the row already carries its per-column
+    contribution), so ONE groupby over the index key aggregates all pivot
+    columns together — no per-pivot-value scan or shuffle, and the
+    exchange rows are exactly as wide as the result."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def widen(t: pa.Table) -> pa.Table:
+        cols = {index_col: t.column(index_col)}
+        pv = t.column(pivot_col)
+        val = pc.cast(t.column(value_col), pa.float64())
+        zero = pa.scalar(0.0, pa.float64())
+        for v in pivot_values:
+            mask = pc.fill_null(pc.equal(pv, pa.scalar(v)), False)
+            cols[f"sum_{v}"] = pc.if_else(mask, pc.fill_null(val, zero), zero)
+        return pa.table(cols)
+
+    widen.__name__ = "pivot_widen"
+    return (
+        ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
+        .groupby(index_col)
+        .aggregate(*[Sum(f"sum_{v}", alias_name=f"sum_{v}") for v in pivot_values])
+    )

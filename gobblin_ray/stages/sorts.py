@@ -94,3 +94,39 @@ def top_k_per_group(
         .groupby("_part")
         .map_groups(reduce_partition, batch_format="pyarrow")
     )
+
+
+def stratified_sample_hash(
+    ds,
+    group_key: str,
+    n_per_group: int,
+    id_col: str,
+    num_partitions: int = 64,
+):
+    """Deterministic stratified sample: the ``n_per_group`` rows with the
+    SMALLEST md5(id) per group — a fixed-size per-stratum sample that is
+    reproducible across runs, cluster sizes, and input partitioning (the
+    property a training-data pipeline needs for stable eval/holdout
+    splits; random_shuffle/limit is none of those). Hash-ordering is
+    uniform, so this is statistically a uniform without-replacement sample
+    per stratum (Appendix of Broder 1997 min-wise sampling).
+
+    Composition: md5 per row (no Arrow kernel; the Fingerprinter pattern)
+    then the grouped-rank kernel (``top_k_per_group``) — combiner pruning
+    keeps the exchange at <= n_per_group x groups-per-batch rows."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        hs = [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+        return t.append_column("_h", pa.array(hs, pa.string()))
+
+    add_hash.__name__ = "sample_hash"
+    tagged = ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None)
+    out = top_k_per_group(
+        tagged, group_key, n_per_group, by=["_h", id_col],
+        descending=[False, False], num_partitions=num_partitions,
+    )
+    return out.drop_columns(["_h"])

@@ -644,3 +644,74 @@ def test_heavy_hitters_pruned_error_bound(ray_session):
     for _, r in got.iterrows():
         t = int(true.get(r["value"], 0))
         assert t - err <= r["n"] <= t
+
+
+def test_repetition_signals_crafted():
+    """Hand-checkable repetition fractions on crafted docs + parity with a
+    brute-force Python gram counter on random repetitive text."""
+    from collections import Counter
+
+    from gobblin_ray.functions.text import repetition_signals
+
+    docs = [
+        "a a a b",                 # uni 3/4; bigrams [aa,aa,ab] -> 2/3; tri [aaa,aab] dup 0
+        "x y x y x y",             # uni 3/6; bigrams xy,yx,xy,yx,xy -> 3/5; tris all dup: 4/4
+        "all distinct tokens here now",  # 1/5, 1/4, 0
+    ]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+    out = repetition_signals("text")(t)
+    assert out.column("top_unigram_frac").to_pylist() == [3 / 4, 3 / 6, 1 / 5]
+    assert out.column("top_bigram_frac").to_pylist() == [2 / 3, 3 / 5, 1 / 4]
+    assert out.column("dup_trigram_frac").to_pylist() == [0.0, 1.0, 0.0]
+
+    rng = np.random.default_rng(6)
+    texts = [
+        " ".join(rng.choice(["a", "b", "c", "d", "e"], rng.integers(3, 40)))
+        for _ in range(50)
+    ]
+    t = pa.table({"doc_id": pa.array(range(50), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = repetition_signals("text")(t)
+    for i, s in enumerate(texts):
+        w = s.split(" ")
+        uni = Counter(w)
+        bi = Counter(zip(w, w[1:]))
+        tri = Counter(zip(w, w[1:], w[2:]))
+        assert out.column("top_unigram_frac")[i].as_py() == (
+            max(uni.values()) / len(w)
+        )
+        assert out.column("top_bigram_frac")[i].as_py() == (
+            (max(bi.values()) / (len(w) - 1)) if len(w) >= 2 else 0.0
+        )
+        dup = sum(c for c in tri.values() if c >= 2)
+        assert out.column("dup_trigram_frac")[i].as_py() == (
+            (dup / (len(w) - 2)) if len(w) >= 3 else 0.0
+        )
+
+
+def test_tfidf_top_terms_crafted(ray_session):
+    """Known tf*ln(N/df) ranking on a crafted corpus."""
+    import math
+
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import tfidf_top_terms
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "apple apple banana",
+            "banana cherry",
+            "cherry cherry cherry date",
+        ]),
+    })
+    out = (tfidf_top_terms(rd.from_arrow(t).repartition(2), k=2).to_pandas()
+           .sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True]).reset_index(drop=True))
+    # doc0: apple tf=2 df=1 -> 2*ln3; banana tf=1 df=2 -> ln1.5
+    assert list(out[out.doc_id == 0]["term"]) == ["apple", "banana"]
+    assert out[out.doc_id == 0]["score"].iloc[0] == round(2 * math.log(3), 4)
+    # doc2: cherry tf=3 df=2 -> 3*ln1.5 ~ 1.2164 > date ln3 ~ 1.0986
+    assert list(out[out.doc_id == 2]["term"]) == ["cherry", "date"]
+    assert (out.groupby("doc_id").size() == 2).all()

@@ -933,3 +933,34 @@ def test_bloom_semi_join_matches_exact(ray_session):
             .sort_values("v").reset_index(drop=True))
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stratified_sample_deterministic_across_partitioning(ray_session):
+    """The hash-ordered stratified sample is identical regardless of input
+    partitioning, and takes min(n, group_size) rows per group."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import stratified_sample_hash
+
+    rng = np.random.default_rng(8)
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b", "c"], 500)),
+        "id": pa.array(range(500), pa.int64()),
+    })
+
+    def run(parts):
+        return (
+            stratified_sample_hash(
+                rd.from_arrow(t).repartition(parts), "g", 20, "id")
+            .to_pandas().sort_values(["g", "id"]).reset_index(drop=True)
+        )
+
+    a, b = run(2), run(13)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a.groupby("g").size() == 20).all()
+
+    small = pa.table({"g": pa.array(["x"] * 3), "id": pa.array([1, 2, 3], pa.int64())})
+    got = stratified_sample_hash(rd.from_arrow(small), "g", 20, "id").to_pandas()
+    assert len(got) == 3  # group smaller than n: take all
