@@ -81,6 +81,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_window_events": demo.hopping_window_events,
         # left-outer broadcast join (null-preserving §2.5 join family)
         "left_join_customer_orders": demo.left_join_customer_orders,
+        "full_join_orders_customers": demo.full_join_orders_customers,
+        # per-key ordered analytics (lag / running sum window functions)
+        "window_lag_running_sum": demo.window_lag_running_sum,
+        # per-group distinct-count sketch (KMV per group)
+        "distinct_users_per_type": demo.distinct_users_per_type,
         # ROLLUP / CUBE multi-level aggregation (metric-context tree shape)
         "rollup_orders": demo.rollup_orders,
         "cube_lineitem": demo.cube_lineitem,
@@ -401,6 +406,37 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY o_custkey) o
               ON c.c_custkey = o.o_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "full_join_orders_customers": """
+            WITH l AS (
+                SELECT o_custkey, count(*) AS n_orders
+                FROM orders GROUP BY o_custkey
+            ),
+            r AS (
+                SELECT c_custkey, c_acctbal FROM customer
+                WHERE c_acctbal > 8000
+            )
+            SELECT CASE WHEN l.o_custkey IS NULL THEN 'right_only'
+                        WHEN r.c_custkey IS NULL THEN 'left_only'
+                        ELSE 'both' END AS status,
+                   count(*) AS n,
+                   CAST(coalesce(sum(l.n_orders), 0) AS BIGINT) AS total_orders
+            FROM l FULL JOIN r ON l.o_custkey = r.c_custkey
+            GROUP BY 1
+        """,
+        "window_lag_running_sum": """
+            SELECT event_id, user_id,
+                   round(lag(value) OVER w, 2) AS prev_value,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS running_sum
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct
+            FROM events GROUP BY event_type
         """,
         # every event belongs to the 4 hour-aligned windows covering it
         "hopping_window_events": """

@@ -77,6 +77,17 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--limit", type=int, default=5)
 
     sp = sub.add_parser(
+        "changes", help="CDC-out snapshot diff between two committed "
+        "manifests: insert/update/delete feed (needs the older manifest's "
+        "files — run within the vacuum window)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--from-epoch", type=int, required=True)
+    sp.add_argument("--to-epoch", type=int, default=None,
+                    help="default: the head manifest")
+    sp.add_argument("--limit", type=int, default=5)
+
+    sp = sub.add_parser(
         "clean", help="retention: delete/trash old dataset versions "
         "(DatasetCleaner analog; driver-side metadata work, no Ray session)"
     )
@@ -287,6 +298,27 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "changes":
+            from ray.data.aggregate import Count
+
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            # materialize once (the diff is churn-sized, not table-sized),
+            # then sample + count from the cached blocks
+            ds = eng.read_changes(args.from_epoch, args.to_epoch).materialize()
+            for r in ds.take(args.limit):
+                r["text"] = (r.get("text") or "")[:60]
+                print(json.dumps(r, default=str))
+            by_type = {
+                r["change_type"]: int(r["n"])
+                for r in ds.groupby("change_type")
+                .aggregate(Count(alias_name="n")).take_all()
+            }
+            print(json.dumps({
+                "from_epoch": args.from_epoch,
+                "to_epoch": args.to_epoch,
+                "changes": sum(by_type.values()),
+                "by_type": dict(sorted(by_type.items())),
+            }))
         elif args.cmd == "read":
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
             ds = eng.read_table()

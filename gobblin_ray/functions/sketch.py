@@ -166,3 +166,32 @@ def heavy_hitters(ds, column: str, k: int = 8192, top_n: int = 20):
         "n": pa.array([i[1] for i in items], pa.int64()),
         "err": pa.array([err] * len(items), pa.int64()),
     })
+
+
+def approx_distinct_by(ds, group_col: str, column: str, k: int = 4096):
+    """PER-GROUP distinct count via the same KMV bottom-k sketch: one
+    groupby exchange whose per-group payload is <= k hashes (each group's
+    blocks fold to their own bottom-k before merging), not the group's
+    rows — the grouped-cardinality primitive (distinct users per segment,
+    distinct urls per host) that a naive ``groupby(g, col).distinct`` would
+    pay a full-width shuffle for. Saturated groups (< k distinct) are
+    exact, which is what the driver oracle checks against
+    ``count(DISTINCT ...) GROUP BY``; the estimation-regime error bound is
+    the same as ``approx_distinct`` (pinned by pytest)."""
+    from ray.data.aggregate import AggregateFn
+
+    empty = np.empty(0, dtype=np.uint64)
+    agg = AggregateFn(
+        init=lambda _g: empty,
+        # drop_null: SQL count(DISTINCT) ignores nulls
+        accumulate_block=lambda acc, block: _bottom_k(
+            np.concatenate(
+                [acc, hash_column_u64(block.column(column).drop_null())]
+            ),
+            k,
+        ),
+        merge=lambda a, b: _bottom_k(np.concatenate([a, b]), k),
+        finalize=lambda acc: int(round(kmv_estimate(acc, k))),
+        name="n_distinct",
+    )
+    return ds.groupby(group_col).aggregate(agg)

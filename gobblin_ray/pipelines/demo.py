@@ -419,6 +419,52 @@ def semi_join_orders(sf_dir: str):
     return out.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
 
 
+def full_join_orders_customers(sf_dir: str):
+    """FULL OUTER join (stages/joins.outer_join_by_key — bounded-partition
+    union exchange + one vectorized pandas merge per partition; Ray's
+    native hash-join outer path currently breaks on one-side-empty
+    partitions, see the operator docstring): per-custkey order counts x
+    high-balance customers — both unmatched sides are real (customers
+    with orders but low balance; rich customers with no orders) and
+    classified after the join by null side."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import outer_join_by_key
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    lhs = orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    rhs = cust.map_batches(
+        cv.filter_expr(
+            lambda t: pc.greater(t.column("c_acctbal"), pa.scalar(8000.0))
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = outer_join_by_key(lhs, rhs, "o_custkey", "c_custkey", how="full")
+
+    def classify(t: pa.Table) -> pa.Table:
+        # unmatched sides arrive as float NaN from the pandas merge
+        l_null = pc.is_null(t.column("n_orders"), nan_is_null=True)
+        r_null = pc.is_null(t.column("c_acctbal"), nan_is_null=True)
+        status = pc.if_else(
+            l_null, pa.scalar("right_only"),
+            pc.if_else(r_null, pa.scalar("left_only"), pa.scalar("both")),
+        )
+        n_orders = pc.cast(
+            pc.if_else(l_null, pa.scalar(0.0),
+                       pc.cast(t.column("n_orders"), pa.float64())),
+            pa.int64(),
+        )
+        return pa.table({"status": status, "n_orders": n_orders})
+
+    classify.__name__ = "classify_match"
+    return (
+        joined.map_batches(classify, batch_format="pyarrow", batch_size=None)
+        .groupby("status")
+        .aggregate(Count(alias_name="n"), Sum("n_orders", alias_name="total_orders"))
+    )
+
+
 def bloom_semi_lineitem(sf_dir: str):
     """Semi join with a BLOOM prefilter (stages/joins.bloom_semi_join): the
     fact table is pruned by a broadcast bit array (10 bits/key) before the
@@ -1620,6 +1666,42 @@ def stratified_sample_events(sf_dir: str):
     )
     out = stratified_sample_hash(ds, "event_type", 50, "event_id")
     return out.select_columns(["event_type", "event_id", "value"])
+
+
+def window_lag_running_sum(sf_dir: str):
+    """Per-key ordered analytic functions (stages/windows.
+    analytic_lag_cumsum): lag(value) and running sum per user ordered by
+    (ts, event_id) — one bounded-partition exchange, per-partition pandas
+    C kernels; additions run in SQL-window order so sums are
+    bit-identical."""
+    from ..stages.windows import analytic_lag_cumsum
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    ds = ds.map_batches(
+        cv.filter_expr(lambda t: pc.is_valid(t.column("ts"))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = analytic_lag_cumsum(ds, "user_id", ["ts", "event_id"], "value")
+    out = out.map_batches(
+        _round_cols({"prev_value": 2, "running_sum": 2}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "prev_value", "running_sum"]
+    )
+
+
+def distinct_users_per_type(sf_dir: str):
+    """Per-group distinct-count sketch (functions/sketch.
+    approx_distinct_by): distinct users per event_type with <= k hashes
+    per group crossing the exchange; saturated at driver scale so exact
+    against count(DISTINCT) GROUP BY."""
+    from ..functions.sketch import approx_distinct_by
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return approx_distinct_by(ds, "event_type", "user_id", k=8192)
 
 
 def quantiles_event_value(sf_dir: str):

@@ -173,6 +173,77 @@ def bloom_semi_join(ds, key: str, key_set, bits_per_key: int = 10):
     )
 
 
+def outer_join_by_key(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+    how: str = "full",
+    num_partitions: int = 64,
+):
+    """FULL / LEFT / RIGHT OUTER join of two Datasets as a bounded-partition
+    composition (how in {"full", "left", "right"}).
+
+    Ray's native ``Dataset.join`` covers INNER at scale, but its
+    hash-shuffle outer path currently joins a COLUMN-LESS empty table when
+    a partition receives no blocks from one side (pyarrow acero KeyError on
+    the key column — observed on ray 2.49 with a filtered right side), so
+    outer shapes use the merge_asof/session-window pattern instead: both
+    sides ride ONE union exchange on ``hash(key) % num_partitions``
+    (bounded partitions, never per-key dispatch), and each partition runs
+    one vectorized ``pd.merge(how=...)`` over all of its keys.
+
+    Column names of the two sides must be disjoint (rename upstream).
+    Null-key rows follow pandas merge semantics (they match each other);
+    filter them upstream for SQL parity. Unmatched rows surface as
+    NaN/None in the other side's columns. Partitioning assumption: one
+    partition's rows from both sides fit in a worker."""
+    import pandas as pd
+
+    from ..schema import conform, unify_additive
+    from .partition import key_partition
+
+    hows = {"full": "outer", "left": "left", "right": "right"}
+    if how not in hows:
+        raise ValueError(f"how must be one of {sorted(hows)}, got {how!r}")
+    P = num_partitions
+    lcols = left.schema().names
+    rcols = right.schema().names
+    if set(lcols) & set(rcols):
+        raise ValueError(
+            f"side column names must be disjoint, both have {set(lcols) & set(rcols)}"
+        )
+    l_schema = pa.schema(zip(left.schema().names, left.schema().types))
+    r_schema = pa.schema(zip(right.schema().names, right.schema().types))
+    union_schema = unify_additive(l_schema, r_schema).append(
+        pa.field("_side", pa.string())
+    )
+
+    def tag(side: str, key: str):
+        def f(t: pa.Table) -> pa.Table:
+            kp = key_partition(t.column(key), P)
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            return conform(t, union_schema).append_column("_kp", pa.array(kp))
+
+        f.__name__ = f"tag_{side}"
+        return f
+
+    l_tag = left.map_batches(tag("l", left_key), batch_format="pyarrow",
+                             batch_size=None)
+    r_tag = right.map_batches(tag("r", right_key), batch_format="pyarrow",
+                              batch_size=None)
+
+    def join_partition(g: "pd.DataFrame") -> "pd.DataFrame":
+        lg = g[g["_side"] == "l"][lcols]
+        rg = g[g["_side"] == "r"][rcols]
+        return pd.merge(lg, rg, left_on=left_key, right_on=right_key,
+                        how=hows[how])
+
+    return l_tag.union(r_tag).groupby("_kp").map_groups(
+        join_partition, batch_format="pandas"
+    )
+
+
 def merge_asof_by_key(
     left,
     right,

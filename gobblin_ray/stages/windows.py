@@ -176,3 +176,48 @@ def hopping_rollup(
 
     finish.__name__ = "hop_finish"
     return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def analytic_lag_cumsum(
+    ds,
+    key: str,
+    order_by: list[str],
+    value_col: str,
+    num_partitions: int = 64,
+):
+    """Per-key ordered analytic functions: ``prev_value`` (SQL ``lag``)
+    and ``running_sum`` (SQL ``sum() OVER (... ROWS UNBOUNDED
+    PRECEDING)``) of ``value_col``, ordered by ``order_by`` within each
+    ``key`` — the row-window analytics family the reference's streaming
+    reducers cover with per-key state.
+
+    Scale shape (same contract as session_rollup / merge_asof_by_key):
+    ONE exchange on ``hash(key) % num_partitions`` — bounded partitions,
+    never per-key dispatch — then per partition one pandas sort +
+    ``groupby(key).shift()/cumsum()`` (all-C kernels over every key in
+    the partition at once). Rows with a null key are dropped (SQL users
+    filter them before windowing anyway; a null PARTITION BY group is
+    rarely meaningful). Additions happen in the same sorted order as the
+    SQL window, so running sums are bit-identical to the oracle.
+    Partitioning assumption: one partition's rows fit in a worker."""
+    import pandas as pd
+
+    from .partition import key_partition
+
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key)))
+        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
+
+    tag.__name__ = "tag_kp"
+
+    def analytics(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        grp = g.groupby(key, sort=False)[value_col]
+        g["prev_value"] = grp.shift(1)
+        g["running_sum"] = grp.cumsum()
+        return g.drop(columns=["_kp"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_kp").map_groups(analytics, batch_format="pandas")

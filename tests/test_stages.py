@@ -964,3 +964,85 @@ def test_stratified_sample_deterministic_across_partitioning(ray_session):
     small = pa.table({"g": pa.array(["x"] * 3), "id": pa.array([1, 2, 3], pa.int64())})
     got = stratified_sample_hash(rd.from_arrow(small), "g", 20, "id").to_pandas()
     assert len(got) == 3  # group smaller than n: take all
+
+
+def test_outer_join_by_key_all_hows(ray_session):
+    """full/left/right outer join == pandas merge on the whole input, with
+    real unmatched rows on both sides; disjoint-columns contract raised."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import outer_join_by_key
+
+    rng = np.random.default_rng(12)
+    ldf = pd.DataFrame({"lk": rng.integers(0, 60, 80), "a": np.arange(80)})
+    rdf = pd.DataFrame({"rk": rng.integers(30, 90, 70), "b": np.arange(70)})
+    l = rd.from_arrow(pa.Table.from_pandas(ldf)).repartition(5)
+    r = rd.from_arrow(pa.Table.from_pandas(rdf)).repartition(3)
+    for how, phow in [("full", "outer"), ("left", "left"), ("right", "right")]:
+        got = (outer_join_by_key(l, r, "lk", "rk", how=how, num_partitions=8)
+               .to_pandas().sort_values(["lk", "a", "rk", "b"])
+               .reset_index(drop=True))
+        want = (pd.merge(ldf, rdf, left_on="lk", right_on="rk", how=phow)
+                .sort_values(["lk", "a", "rk", "b"]).reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[want.columns].astype("float64"), want.astype("float64"),
+            check_like=True,
+        )
+    with _pytest.raises(ValueError):
+        outer_join_by_key(l, l, "lk", "lk")
+
+
+def test_analytic_lag_cumsum_matches_duckdb(ray_session):
+    """lag + running sum per key == DuckDB window functions, bit-identical
+    (same addition order)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import analytic_lag_cumsum
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, 400),
+        "o": rng.permutation(400),
+        "id": np.arange(400),
+        "v": rng.standard_normal(400),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (analytic_lag_cumsum(ds, "k", ["o", "id"], "v", num_partitions=8)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT id, lag(v) OVER w AS prev_value, "
+        "sum(v) OVER (PARTITION BY k ORDER BY o, id ROWS UNBOUNDED PRECEDING)"
+        " AS running_sum FROM df WINDOW w AS (PARTITION BY k ORDER BY o, id)"
+        " ORDER BY id"
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["id", "prev_value", "running_sum"]], want
+    )
+
+
+def test_approx_distinct_by_saturated_exact(ray_session):
+    """Per-group KMV: saturated groups give exact count(DISTINCT) per key."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import approx_distinct_by
+
+    rng = np.random.default_rng(14)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 3000),
+        "u": rng.integers(0, 500, 3000),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = (approx_distinct_by(ds, "g", "u", k=2048).to_pandas()
+           .sort_values("g").reset_index(drop=True))
+    want = (df.groupby("g")["u"].nunique().reset_index(name="n_distinct")
+            .sort_values("g").reset_index(drop=True))
+    assert list(got["g"]) == list(want["g"])
+    assert list(got["n_distinct"]) == list(want["u"] if "u" in want else want["n_distinct"])
