@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": demo.stratified_sample_events,
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
+        "quantiles_by_event_type": demo.quantiles_by_event_type,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -360,6 +361,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, round(quantile_cont(value, 0.9), 4) FROM events
             UNION ALL
             SELECT 0.99, round(quantile_cont(value, 0.99), 4) FROM events
+        """,
+        "quantiles_by_event_type": """
+            SELECT event_type, 0.5 AS q,
+                   round(quantile_cont(value, 0.5), 4) AS qv
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9,
+                   round(quantile_cont(value, 0.9), 4)
+            FROM events GROUP BY event_type
         """,
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,

@@ -65,6 +65,11 @@ QUERY_NAMES = [
     "rollup_orders",
     "quantiles_event_value",
     "copy_dataset_files",
+    "repetition_signals_documents",
+    "tfidf_top_terms_documents",
+    "heavy_hitters_users",
+    "window_lag_running_sum",
+    "bloom_semi_lineitem",
 ]
 
 

@@ -414,3 +414,39 @@ def snapshot_diff_sidecar(
         schema=schema,
     )
     return _write(t, path)
+
+
+# --------------------------------------------------------- multi-line corpus
+
+MULTILINE_PATH = os.path.join(FIXTURE_DIR, "planted_multiline.parquet")
+
+
+def planted_multiline(path: str = MULTILINE_PATH) -> str:
+    """Multi-line docs sharing boilerplate lines (newsletter/footer spam)
+    between and within docs — ground truth for corpus-wide line dedup is
+    fully SQL-replayable from the fixture itself (keep the first
+    (doc_id, line_idx) instance of every distinct line)."""
+    boiler = [
+        "subscribe to our newsletter for weekly updates",
+        "all rights reserved by the site operator",
+        "click here to accept cookies and continue",
+    ]
+    docs = []
+    for i in range(24):
+        lines = [f"unique opening line of document {i}"]
+        if i % 2 == 0:
+            lines.append(boiler[0])
+        lines.append(f"body paragraph {i} with its own distinct content")
+        if i % 3 == 0:
+            lines.append(boiler[1])
+        if i % 4 == 0:
+            lines.append(boiler[0])  # repeated boilerplate WITHIN a doc too
+        lines.append(boiler[2] if i % 5 == 0 else f"closing remark {i}")
+        docs.append((i, "\n".join(lines)))
+    # one doc that is pure boilerplate: every line loses to an earlier doc
+    docs.append((24, "\n".join([boiler[0], boiler[1], boiler[2]])))
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    return _write(t, path)

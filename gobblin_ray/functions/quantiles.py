@@ -153,3 +153,44 @@ def exact_quantiles(
         frac = h - np.floor(h)
         out.append(a + (b - a) * frac)
     return out
+
+
+def exact_quantiles_by(ds, group_col: str, value_col: str, qs: list[float],
+                       num_partitions: int = 64):
+    """PER-GROUP exact quantiles (long format: one row per (group, q) with
+    the ``quantile_cont``-interpolated value).
+
+    Scale shape: groups are small relative to workers in the common case
+    (per-segment / per-host percentiles), so this uses ONE bounded
+    exchange on ``hash(group) % num_partitions`` and a vectorized
+    ``pandas.groupby().quantile()`` per partition (linear interpolation ==
+    SQL ``quantile_cont``) — every group in a partition resolves in one C
+    pass. Partitioning assumption: one partition's rows fit in a worker;
+    a group too big for that should run the global histogram-refinement
+    kernel (``exact_quantiles``, O(B)-byte scans) on its own filter
+    instead."""
+    import pandas as pd
+
+    from ..stages.partition import key_partition
+
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(group_col)))
+        return t.append_column(
+            "_kp", pa.array(key_partition(t.column(group_col), P))
+        )
+
+    tag.__name__ = "tag_kp"
+
+    def qpart(g: "pd.DataFrame") -> "pd.DataFrame":
+        r = (
+            g.groupby(group_col, sort=False)[value_col]
+            .quantile(qs, interpolation="linear")
+            .reset_index()
+        )
+        r.columns = [group_col, "q", "qv"]
+        return r
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_kp").map_groups(qpart, batch_format="pandas")

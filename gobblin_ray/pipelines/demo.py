@@ -1719,6 +1719,19 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def quantiles_by_event_type(sf_dir: str):
+    """Per-group exact quantiles (functions/quantiles.exact_quantiles_by):
+    p50/p90 of value per event_type — one bounded exchange, vectorized
+    pandas groupby().quantile (== quantile_cont) per partition."""
+    from ..functions.quantiles import exact_quantiles_by
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = exact_quantiles_by(ds, "event_type", "value", [0.5, 0.9])
+    return out.map_batches(
+        _round_cols({"qv": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def multimodal_audio(sf_dir: str):
     """Audio features with a PLANTED value oracle over REAL PCM WAV bytes
     (stdlib wave decode + real DSP): constant-amplitude clips derived from

@@ -715,3 +715,32 @@ def test_tfidf_top_terms_crafted(ray_session):
     # doc2: cherry tf=3 df=2 -> 3*ln1.5 ~ 1.2164 > date ln3 ~ 1.0986
     assert list(out[out.doc_id == 2]["term"]) == ["cherry", "date"]
     assert (out.groupby("doc_id").size() == 2).all()
+
+
+def test_exact_quantiles_by_matches_duckdb(ray_session):
+    """Per-group quantiles == quantile_cont per group (linear
+    interpolation), incl. a single-row group."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.functions.quantiles import exact_quantiles_by
+
+    rng = np.random.default_rng(15)
+    df = pd.DataFrame({
+        "g": list(rng.choice(["a", "b", "c"], 999)) + ["solo"],
+        "v": rng.standard_normal(1000),
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = (exact_quantiles_by(ds, "g", "v", [0.25, 0.5, 0.99]).to_pandas()
+           .sort_values(["g", "q"]).reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT * FROM ("
+        "SELECT g, 0.25 AS q, quantile_cont(v, 0.25) AS qv FROM df GROUP BY g"
+        " UNION ALL "
+        "SELECT g, 0.5, quantile_cont(v, 0.5) FROM df GROUP BY g"
+        " UNION ALL "
+        "SELECT g, 0.99, quantile_cont(v, 0.99) FROM df GROUP BY g"
+        ") ORDER BY g, q"
+    ).df()
+    pd.testing.assert_frame_equal(got, want)
