@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize_url_documents": demo.canonicalize_url_documents,
         "langid_planted": demo.langid_planted,
         # dedup: near-dup family (extension set)
+        "dedup_lines_planted": demo.dedup_lines_planted,
         "dedup_minhash_planted": demo.dedup_minhash_planted,
         "dedup_ngram_planted": demo.dedup_ngram_planted,
         "simhash_planted_pairs": demo.simhash_planted_pairs,
@@ -674,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
         "langid_planted": """
             SELECT doc_id, expected_lang AS lang_pred
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_langid.parquet')
+        """,
+        # line dedup: keep the first (doc, idx) instance of each line
+        "dedup_lines_planted": """
+            WITH src AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/gobblin_ray_fixtures/planted_multiline.parquet')
+            ),
+            lines AS (
+                SELECT doc_id, i AS idx, l[i] AS line
+                FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM src)
+                CROSS JOIN LATERAL
+                    (SELECT unnest(range(1, len(l) + 1)) AS i) s
+            ),
+            w AS (
+                SELECT doc_id, idx, line,
+                       row_number() OVER (
+                           PARTITION BY line ORDER BY doc_id, idx) AS rn
+                FROM lines
+            )
+            SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+            FROM w WHERE rn = 1 GROUP BY doc_id
         """,
         "dedup_minhash_planted": """
             SELECT min(doc_id) AS doc_id

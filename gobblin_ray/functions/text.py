@@ -405,6 +405,145 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
+                num_partitions: int = 64):
+    """Corpus-wide LINE-level dedup (public knowledge: CCNet, Wenzek et al.
+    2020 — paragraph/line dedup removes boilerplate like cookie banners and
+    footers before model training): keep the FIRST instance (lexicographic
+    min (doc_id, line_idx)) of every distinct line across the corpus,
+    rebuild each document from its surviving lines, and drop documents that
+    lose every line. Duplicate lines WITHIN a doc dedup under the same rule.
+
+    Two bounded exchanges; line TEXT never rides a shuffle (the span-dedup
+    lesson):
+    1. loser detection — explode each doc into (hash64(line), doc_id,
+       line_idx) triples, partition on ``hash % P``, and inside each
+       partition one lexsort marks the first (doc, idx) per hash as winner;
+       everything else becomes a LOSER triple (3 ints/row).
+    2. rebuild — docs and loser triples ride ONE union exchange on
+       ``hash(doc_id) % P``; each partition re-splits its docs, drops loser
+       indices with a vectorized pandas anti-merge, rebuilds the list
+       offsets and re-joins lines with ``pc.binary_join`` — no per-doc
+       Python.
+
+    Line identity is the engine's 64-bit content hash: collision odds are
+    ~(distinct lines)^2 / 2^65 (negligible below ~10^8 lines; swap a
+    128-bit hash at full web scale). Partitioning assumption: one doc
+    partition's texts fit in a worker."""
+    import pandas as pd
+
+    from ..engine import stable_hash_u64
+    from ..stages.partition import key_partition
+
+    P = num_partitions
+
+    def _explode_lines(t: pa.Table):
+        lines = pc.split_pattern(t.column(text_col).fill_null(""), pattern="\n")
+        flat = pc.list_flatten(lines).combine_chunks()
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        parents = np.repeat(np.arange(len(lens)), lens)
+        offs = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else (
+            np.empty(0, np.int64)
+        )
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(offs, lens)
+        return flat, lens, parents, idx
+
+    def triples(t: pa.Table) -> pa.Table:
+        flat, _, parents, idx = _explode_lines(t)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        h = stable_hash_u64(flat) if len(flat) else np.empty(0, np.uint64)
+        return pa.table({
+            "_lh": pa.array(h.view(np.int64)),
+            id_col: pa.array(ids[parents]),
+            "_li": pa.array(idx),
+            "_lp": pa.array((h % np.uint64(P)).astype(np.int64)),
+        })
+
+    triples.__name__ = "line_triples"
+
+    def losers(g: pa.Table) -> pa.Table:
+        lh = g.column("_lh").to_numpy(zero_copy_only=False)
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        li = g.column("_li").to_numpy(zero_copy_only=False)
+        order = np.lexsort((li, doc, lh))
+        first = np.ones(len(order), bool)
+        first[1:] = lh[order][1:] != lh[order][:-1]
+        lose = order[~first]
+        return pa.table({
+            id_col: pa.array(doc[lose]),
+            "_li": pa.array(li[lose]),
+        })
+
+    losers.__name__ = "line_losers"
+    loser_ds = (
+        ds.map_batches(triples, batch_format="pyarrow", batch_size=None)
+        .groupby("_lp").map_groups(losers, batch_format="pyarrow")
+    )
+
+    id_type = ds.schema().base_schema.field(id_col).type
+    union_schema = pa.schema([
+        (id_col, id_type), (text_col, pa.string()),
+        ("_li", pa.int64()), ("_side", pa.string()),
+    ])
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            from ..schema import conform
+
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            t = conform(t, union_schema)
+            return t.append_column(
+                "_dp", pa.array(key_partition(t.column(id_col), P))
+            )
+
+        f.__name__ = f"tag_{side}"
+        return f
+
+    d_tag = ds.select_columns([id_col, text_col]).map_batches(
+        tag("d"), batch_format="pyarrow", batch_size=None
+    )
+    x_tag = loser_ds.map_batches(tag("x"), batch_format="pyarrow",
+                                 batch_size=None)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        side = g.column("_side").to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == "d"))
+        lose = g.filter(pa.array(side == "x"))
+        empty = pa.table({
+            id_col: pa.array([], id_type), text_col: pa.array([], pa.string()),
+        })
+        if docs.num_rows == 0:
+            return empty
+        flat, _, parents, idx = _explode_lines(docs)
+        ids = docs.column(id_col).to_numpy(zero_copy_only=False)
+        fk = pd.DataFrame({"d": ids[parents], "i": idx})
+        lk = pd.DataFrame({
+            "d": lose.column(id_col).to_numpy(zero_copy_only=False),
+            "i": lose.column("_li").to_numpy(zero_copy_only=False),
+        })
+        keep = (
+            fk.merge(lk, on=["d", "i"], how="left", indicator=True)["_merge"]
+            == "left_only"
+        ).to_numpy()
+        kept_counts = np.bincount(parents[keep], minlength=docs.num_rows)
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        kept_lines = flat.filter(pa.array(keep))
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept_lines
+        )
+        joined = pc.binary_join(la, "\n")
+        out = pa.table({
+            id_col: docs.column(id_col), text_col: joined,
+        })
+        return out.filter(pa.array(kept_counts > 0))
+
+    rebuild.__name__ = "rebuild_docs"
+    return d_tag.union(x_tag).groupby("_dp").map_groups(
+        rebuild, batch_format="pyarrow"
+    )
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

@@ -1719,6 +1719,21 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def dedup_lines_planted(sf_dir: str):
+    """Corpus-wide line-level dedup (CCNet-style boilerplate removal,
+    functions/text.dedup_lines): keep the first (doc_id, line_idx) instance
+    of every distinct line, rebuild docs, drop all-boilerplate docs. The
+    planted multi-line fixture makes the rule SQL-replayable (row_number
+    over (line) ordered by (doc, idx)); line text never rides a shuffle."""
+    import ray.data as rd
+
+    from ..fixtures import planted_multiline
+
+    path = planted_multiline()
+    ds = rd.read_parquet(path)
+    return tx.dedup_lines(ds, "text", "doc_id", num_partitions=8)
+
+
 def quantiles_by_event_type(sf_dir: str):
     """Per-group exact quantiles (functions/quantiles.exact_quantiles_by):
     p50/p90 of value per event_type — one bounded exchange, vectorized

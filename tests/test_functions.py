@@ -744,3 +744,39 @@ def test_exact_quantiles_by_matches_duckdb(ray_session):
         ") ORDER BY g, q"
     ).df()
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_lines_matches_bruteforce(ray_session):
+    """Random multi-line corpus: distributed line dedup == a sequential
+    keep-first-instance replay (incl. within-doc dups and all-dup docs)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import dedup_lines
+
+    rng = np.random.default_rng(21)
+    pool = [f"line {i}" for i in range(30)]  # small pool -> many collisions
+    docs = []
+    for d in range(60):
+        k = rng.integers(1, 8)
+        docs.append((d, "\n".join(rng.choice(pool, k))))
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+
+    seen, want = set(), {}
+    for d, text in docs:
+        kept = []
+        for line in text.split("\n"):
+            if line not in seen:
+                seen.add(line)
+                kept.append(line)
+        if kept:
+            want[d] = "\n".join(kept)
+
+    got = (
+        dedup_lines(rd.from_arrow(t).repartition(7), num_partitions=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert dict(zip(got["doc_id"], got["text"])) == want
