@@ -106,6 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_features": demo.text_quality_features,
         "repetition_signals_documents": demo.repetition_signals_documents,
         "tfidf_top_terms_documents": demo.tfidf_top_terms_documents,
+        "lm_score_documents": demo.lm_score_documents,
+        # one-pass per-column dataset profiler (counts/nulls/distinct/range)
+        "profile_events_columns": demo.profile_events_columns,
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "crypto_roundtrip": demo.crypto_roundtrip,
@@ -550,6 +553,49 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
                 PARTITION BY doc_id ORDER BY score DESC, term
             ) <= 3
+        """,
+        "lm_score_documents": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents
+            ),
+            cnt AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+            tot AS (SELECT count(*) AS total FROM toks)
+            SELECT doc_id,
+                   round(avg(-ln(n * 1.0 / (SELECT total FROM tot))), 4)
+                       AS lm_score
+            FROM toks JOIN cnt USING (term)
+            GROUP BY doc_id
+        """,
+        "profile_events_columns": """
+            SELECT 'event_id' AS col, count(*) AS n,
+                   CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null,
+                   count(DISTINCT event_id) AS n_distinct,
+                   CAST(min(event_id) AS DOUBLE) AS min_v,
+                   CAST(max(event_id) AS DOUBLE) AS max_v
+            FROM events
+            UNION ALL
+            SELECT 'user_id', count(*),
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT user_id),
+                   CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'event_type', count(*),
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT event_type),
+                   CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+            FROM events
+            UNION ALL
+            SELECT 'value', count(*),
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT),
+                   count(DISTINCT value),
+                   CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
+            FROM events
         """,
         "crypto_roundtrip": """
             SELECT doc_id, text FROM documents

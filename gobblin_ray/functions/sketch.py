@@ -39,13 +39,20 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 
 def hash_column_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Deterministic u64 hash of an int or string column (vectorized)."""
+    """Deterministic u64 hash of an int, float, or string column
+    (vectorized). Floats hash their IEEE bit pattern (with -0.0 folded to
+    +0.0 so SQL equality semantics hold) — truncating to int would
+    collapse distinct values."""
     typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
     if pa.types.is_string(typ) or pa.types.is_large_string(typ):
         from ..engine import stable_hash_u64
 
         return stable_hash_u64(col)
     v = col.to_numpy(zero_copy_only=False)
+    if pa.types.is_floating(typ):
+        f = v.astype(np.float64)
+        f = f + 0.0  # folds -0.0 to +0.0
+        return _splitmix64(f.view(np.uint64))
     return _splitmix64(v.astype(np.int64).view(np.uint64))
 
 

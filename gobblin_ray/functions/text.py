@@ -338,7 +338,10 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     import ray
     from ray.data.aggregate import Sum
 
-    n_docs = ds.count()
+    # sentinel term carries the batch's doc count through the same DF pass,
+    # so N never needs a separate ds.count() execution ("\x00" cannot
+    # appear in a space-split token stream read from parquet text)
+    _DOCS = "\x00__n_docs__"
 
     def _explode(t: pa.Table) -> pd.DataFrame:
         toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
@@ -354,16 +357,23 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         g = _explode(t).drop_duplicates()  # a term counts once per doc
         vc = g["term"].value_counts(sort=False)
         return pa.table({
-            "term": pa.array(vc.index.to_numpy(), pa.string()),
-            "partial_df": pa.array(vc.to_numpy(), pa.int64()),
+            "term": pa.array(
+                list(vc.index.to_numpy()) + [_DOCS], pa.string()
+            ),
+            "partial_df": pa.array(
+                list(vc.to_numpy()) + [t.num_rows], pa.int64()
+            ),
         })
 
     partial_df.__name__ = "partial_df"
-    df_table = pa.Table.from_pandas(
+    df_pd = (
         ds.map_batches(partial_df, batch_format="pyarrow", batch_size=None)
         .groupby("term").aggregate(Sum("partial_df", alias_name="df"))
         .to_pandas()
-    ).select(["term", "df"])
+    )
+    n_docs = int(df_pd.loc[df_pd["term"] == _DOCS, "df"].iloc[0])
+    df_pd = df_pd[df_pd["term"] != _DOCS]
+    df_table = pa.Table.from_pandas(df_pd).select(["term", "df"])
     df_ref = ray.put(df_table)
 
     id_type = ds.schema().base_schema.field(id_col).type
@@ -541,6 +551,80 @@ def dedup_lines(ds, text_col: str = "text", id_col: str = "doc_id",
     rebuild.__name__ = "rebuild_docs"
     return d_tag.union(x_tag).groupby("_dp").map_groups(
         rebuild, batch_format="pyarrow"
+    )
+
+
+def unigram_logprob_score(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Unigram language-model quality score: per document, the mean
+    negative log-probability of its tokens under the CORPUS unigram
+    distribution (the cheap stand-in for the KenLM perplexity filter CCNet
+    runs — Wenzek et al. 2020 §4.3; low scores = common/boilerplate text,
+    high scores = rare-token noise, both ends get filtered).
+
+    Same two-pass shape as TF-IDF: (1) corpus token counts via a per-batch
+    combiner + ONE small groupby(term) exchange, broadcast once (vocab-
+    sized; partitioned join at 10^9-token vocab); (2) per batch, explode
+    tokens, Arrow hash-join against the broadcast counts, and a bincount
+    over parent rows averages -ln(count/total) per doc — no per-row
+    Python. Every corpus token has count >= 1, so no smoothing term is
+    needed for self-scoring."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        vc = flat.value_counts()
+        return pa.table({
+            "term": vc.field("values"),
+            "partial_n": vc.field("counts").cast(pa.int64()),
+        })
+
+    partial_counts.__name__ = "partial_counts"
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+        .groupby("term").aggregate(Sum("partial_n", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(counts["n"].sum())
+    counts_ref = ray.put(pa.Table.from_pandas(counts).select(["term", "n"]))
+
+    class Score:
+        def __init__(self):
+            self.counts = ray.get(counts_ref)  # once per worker process
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                batch.column(text_col).fill_null(""), pattern=" "
+            )
+            flat = pc.list_flatten(toks).combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            n_tok = np.maximum(
+                pc.list_value_length(toks).to_numpy(zero_copy_only=False), 1
+            ).astype(np.float64)
+            joined = pa.table({
+                "term": flat,
+                "_pos": pa.array(np.arange(len(flat), dtype=np.int64)),
+            }).join(self.counts, keys=["term"])
+            # join reorders rows: scatter -ln p back to token positions
+            pos = joined.column("_pos").to_numpy(zero_copy_only=False)
+            neglogp = np.empty(len(flat), np.float64)
+            neglogp[pos] = -np.log(
+                joined.column("n").to_numpy(zero_copy_only=False) / total
+            )
+            score = (
+                np.bincount(parents, weights=neglogp, minlength=batch.num_rows)
+                / n_tok
+            )
+            return pa.table({
+                id_col: batch.column(id_col),
+                "lm_score": pa.array(score, pa.float64()),
+            })
+
+    return ds.map_batches(
+        Score, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
     )
 
 

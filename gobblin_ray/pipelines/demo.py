@@ -1719,6 +1719,35 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def profile_events_columns(sf_dir: str):
+    """One-pass dataset profiler (functions/profile.profile_columns):
+    per-column row/null/distinct counts + numeric ranges from a single
+    mergeable aggregation tree (no shuffle, no per-column scan). Distinct
+    counts saturate at driver scale -> exact vs count(DISTINCT)."""
+    from ..functions.profile import profile_columns
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "value"]
+    )
+    return profile_columns(
+        ds, ["event_id", "user_id", "event_type", "value"],
+        numeric=["event_id", "user_id", "value"], k=200_000,
+    )
+
+
+def lm_score_documents(sf_dir: str):
+    """Unigram-LM quality scoring (functions/text.unigram_logprob_score):
+    per-doc mean -ln p(token) under the corpus unigram distribution — the
+    cheap stand-in for CCNet's KenLM perplexity filter. Counts pass is
+    combiner + one small exchange, broadcast once; scoring is one
+    vectorized join + bincount per batch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = tx.unigram_logprob_score(ds, "text", "doc_id")
+    return out.map_batches(
+        _round_cols({"lm_score": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def dedup_lines_planted(sf_dir: str):
     """Corpus-wide line-level dedup (CCNet-style boilerplate removal,
     functions/text.dedup_lines): keep the first (doc_id, line_idx) instance

@@ -780,3 +780,28 @@ def test_dedup_lines_matches_bruteforce(ray_session):
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     )
     assert dict(zip(got["doc_id"], got["text"])) == want
+
+
+def test_profile_columns_with_nulls(ray_session):
+    """Profiler counts nulls, exact distinct when saturated, min/max over
+    non-null values only; string columns get null ranges."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.profile import profile_columns
+
+    t = pa.table({
+        "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+        "s": pa.array(["x", None, "y", "x", None], pa.string()),
+        "f": pa.array([1.5, -2.0, None, 1.5, 0.0], pa.float64()),
+    })
+    got = profile_columns(
+        rd.from_arrow(t).repartition(3), ["a", "s", "f"], numeric=["a", "f"],
+        k=64,
+    ).to_pandas().set_index("col")
+    assert got.loc["a", "n"] == 5 and got.loc["a", "n_null"] == 1
+    assert got.loc["a", "n_distinct"] == 3
+    assert (got.loc["a", "min_v"], got.loc["a", "max_v"]) == (1.0, 5.0)
+    assert got.loc["s", "n_null"] == 2 and got.loc["s", "n_distinct"] == 2
+    assert np.isnan(got.loc["s", "min_v"]) and np.isnan(got.loc["s", "max_v"])
+    assert got.loc["f", "n_distinct"] == 3
+    assert (got.loc["f", "min_v"], got.loc["f", "max_v"]) == (-2.0, 1.5)
