@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_documents": demo.lm_score_documents,
         # one-pass per-column dataset profiler (counts/nulls/distinct/range)
         "profile_events_columns": demo.profile_events_columns,
+        # sequence packing (fixed-token-budget training bins; prefix scan)
+        "pack_sequences_documents": demo.pack_sequences_documents,
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "crypto_roundtrip": demo.crypto_roundtrip,
@@ -596,6 +598,26 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT value),
                    CAST(min(value) AS DOUBLE), CAST(max(value) AS DOUBLE)
             FROM events
+        """,
+        "pack_sequences_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(array_length(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS excl
+                FROM t
+            )
+            SELECT CAST(excl // 4096 AS BIGINT) AS bin_id,
+                   count(*) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+            FROM c GROUP BY 1
         """,
         "crypto_roundtrip": """
             SELECT doc_id, text FROM documents

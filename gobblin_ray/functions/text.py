@@ -628,6 +628,54 @@ def unigram_logprob_score(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
+                   budget: int = 4096):
+    """Sequence packing for LLM training: assign documents (in ``id_col``
+    order) to contiguous fixed-token-budget bins — bin boundary wherever
+    the running token count crosses ``budget`` (the standard contiguous
+    packing that concatenates docs into training sequences; Raffel et al.
+    2020 T5 "packing"). Returns one row per doc: (id, n_tokens, bin_id).
+
+    Distributed-scan shape: a PREFIX SUM over an ordered key. Pass 1
+    projects each doc to (id, n_tokens) — 16 bytes/doc — and the driver
+    computes the exclusive cumulative sum vectorized (numpy) in id order;
+    ``bin_id = exclusive_cum // budget``. Pass 2 joins the doc->bin map
+    back per batch via ONE broadcast Arrow hash join. The driver-resident
+    projection is the documented scale bound: at 10^10 docs swap the
+    driver cumsum for a hierarchical scan (per-shard partials -> prefix of
+    shard totals -> per-shard rescan), same two-pass shape."""
+    import ray
+
+    def doc_tokens(t: pa.Table) -> pa.Table:
+        n = pc.list_value_length(
+            pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        ).cast(pa.int64())
+        return pa.table({id_col: t.column(id_col), "n_tokens": n})
+
+    doc_tokens.__name__ = "doc_tokens"
+    proj = (
+        ds.map_batches(doc_tokens, batch_format="pyarrow", batch_size=None)
+        .to_pandas().sort_values(id_col).reset_index(drop=True)
+    )
+    toks = proj["n_tokens"].to_numpy(dtype=np.int64)
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    proj["bin_id"] = excl // int(budget)
+    bins_ref = ray.put(pa.Table.from_pandas(
+        proj[[id_col, "bin_id"]], preserve_index=False
+    ))
+
+    class AttachBin:
+        def __init__(self):
+            self.bins = ray.get(bins_ref)  # once per worker process
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return doc_tokens(batch).join(self.bins, keys=[id_col])
+
+    return ds.map_batches(
+        AttachBin, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
+    )
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

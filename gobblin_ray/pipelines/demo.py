@@ -1719,6 +1719,22 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def pack_sequences_documents(sf_dir: str):
+    """Sequence packing (functions/text.pack_sequences): contiguous
+    4096-token training bins over documents in doc_id order — per-bin doc
+    count and token totals. The bin rule (exclusive running token count //
+    budget) is exactly a SQL window cumsum, so the oracle replays it."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    packed = tx.pack_sequences(ds, "text", "doc_id", budget=4096)
+    return (
+        packed.groupby("bin_id")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_tokens", alias_name="total_tokens"))
+    )
+
+
 def profile_events_columns(sf_dir: str):
     """One-pass dataset profiler (functions/profile.profile_columns):
     per-column row/null/distinct counts + numeric ranges from a single

@@ -805,3 +805,28 @@ def test_profile_columns_with_nulls(ray_session):
     assert np.isnan(got.loc["s", "min_v"]) and np.isnan(got.loc["s", "max_v"])
     assert got.loc["f", "n_distinct"] == 3
     assert (got.loc["f", "min_v"], got.loc["f", "max_v"]) == (-2.0, 1.5)
+
+
+def test_pack_sequences_bin_invariants(ray_session):
+    """Contiguous packing invariants: bins are contiguous doc-id ranges in
+    order; every bin except possibly the last STARTS below the budget
+    boundary it fills; per-doc assignment matches a sequential replay."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import pack_sequences
+
+    rng = np.random.default_rng(17)
+    texts = [" ".join(["w"] * int(n)) for n in rng.integers(5, 120, 200)]
+    t = pa.table({
+        "doc_id": pa.array(range(200), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    budget = 500
+    got = (pack_sequences(rd.from_arrow(t).repartition(6), budget=budget)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    cum = 0
+    for _, r in got.iterrows():
+        assert r["bin_id"] == cum // budget
+        cum += r["n_tokens"]
+    # contiguity: bin ids are non-decreasing in doc order
+    assert (np.diff(got["bin_id"].to_numpy()) >= 0).all()
