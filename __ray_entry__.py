@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events_columns": demo.profile_events_columns,
         # sequence packing (fixed-token-budget training bins; prefix scan)
         "pack_sequences_documents": demo.pack_sequences_documents,
+        # inverted index (term -> df + sorted posting list)
+        "inverted_index_documents": demo.inverted_index_documents,
+        # funnel conversion (first click before first purchase)
+        "funnel_click_purchase": demo.funnel_click_purchase,
         "bpe_token_totals": demo.bpe_token_totals,
         "fingerprint_md5": demo.fingerprint_md5,
         "crypto_roundtrip": demo.crypto_roundtrip,
@@ -618,6 +622,33 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs,
                    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
             FROM c GROUP BY 1
+        """,
+        "inverted_index_documents": """
+            WITH pairs AS (
+                SELECT DISTINCT g AS term, doc_id
+                FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                      FROM documents)
+            )
+            SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM pairs GROUP BY term
+        """,
+        "funnel_click_purchase": """
+            WITH f AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END)
+                           AS first_click,
+                       min(CASE WHEN event_type = 'purchase' THEN ts END)
+                           AS first_purchase
+                FROM events GROUP BY user_id
+            )
+            SELECT count(*) AS n_users,
+                   CAST(sum(CASE WHEN first_click IS NOT NULL
+                                  AND first_purchase IS NOT NULL
+                                  AND first_click < first_purchase
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+            FROM f
         """,
         "crypto_roundtrip": """
             SELECT doc_id, text FROM documents

@@ -134,6 +134,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     sp.add_argument("--limit", type=int, default=5,
                     help="rows of the result to print")
+    sp.add_argument("--stats", action="store_true",
+                    help="print ds.stats() (per-stage wall/cpu/rows) to stderr "
+                         "after execution — the per-operator tuning loop")
 
     args = p.parse_args(argv)
 
@@ -160,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
 
             res = getattr(demomod, args.name)(args.sf_dir)
             df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+            if args.stats and hasattr(res, "stats"):
+                print(res.stats(), file=sys.stderr)
             print(json.dumps({
                 "query": args.name, "rows": int(len(df)),
                 "sec": round(time.time() - t0, 3),

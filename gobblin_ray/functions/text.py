@@ -676,6 +676,80 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
+                         num_partitions: int = 64,
+                         max_postings: int | None = None):
+    """Inverted index: one row per term with its document frequency and the
+    sorted posting list (comma-joined doc ids) — the search-side artifact a
+    webtext pipeline materializes next to the corpus.
+
+    Scale shape: (term, doc) pairs dedup WITHIN each batch before the one
+    bounded exchange on ``hash(term) % num_partitions``; inside a partition
+    one lexsort + run-length pass builds every posting list vectorized
+    (ListArray offsets + ``pc.binary_join`` — no per-term Python). The skew
+    hazard is stopword-grade terms (posting list ~ corpus size):
+    ``max_postings`` caps each list to the first K doc ids while ``df``
+    stays exact — the standard head-truncation; hash-split hot terms if
+    full lists are required."""
+    import pandas as pd
+
+    from .sketch import hash_column_u64
+
+    P = num_partitions
+
+    def pairs(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        g = pd.DataFrame({
+            "term": flat.to_pandas(),
+            "doc": ids[parents] if len(parents) else np.empty(0, ids.dtype),
+        }).drop_duplicates()
+        term_arr = pa.array(g["term"].to_numpy(), pa.string())
+        return pa.table({
+            "term": term_arr,
+            "doc": pa.array(g["doc"].to_numpy(), pa.int64()),
+            "_tp": pa.array(
+                (hash_column_u64(term_arr) % np.uint64(P)).astype(np.int64)
+            ),
+        })
+
+    pairs.__name__ = "term_doc_pairs"
+
+    def assemble(g: pa.Table) -> pa.Table:
+        term = g.column("term").to_numpy(zero_copy_only=False)
+        doc = g.column("doc").to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, term))
+        term, doc = term[order], doc[order]
+        new_run = np.ones(len(term), bool)
+        new_run[1:] = term[1:] != term[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(term)))
+        keep = np.ones(len(term), bool)
+        if max_postings is not None:
+            rank = np.arange(len(term)) - np.repeat(starts, counts)
+            keep = rank < max_postings
+        kept_counts = (
+            np.minimum(counts, max_postings) if max_postings is not None
+            else counts
+        )
+        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+        docs_s = pc.cast(pa.array(doc[keep]), pa.string())
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), docs_s)
+        return pa.table({
+            "term": pa.array(term[starts], pa.string()),
+            "df": pa.array(counts, pa.int64()),
+            "postings": pc.binary_join(la, ","),
+        })
+
+    assemble.__name__ = "assemble_postings"
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+        .groupby("_tp").map_groups(assemble, batch_format="pyarrow")
+    )
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

@@ -1719,6 +1719,64 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def inverted_index_documents(sf_dir: str):
+    """Inverted index (functions/text.build_inverted_index): term ->
+    (document frequency, sorted comma-joined posting list). Pairs dedup per
+    batch before ONE bounded term-hash exchange; posting lists assemble
+    vectorized (ListArray offsets + binary_join)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tx.build_inverted_index(ds, "text", "doc_id", num_partitions=16)
+
+
+def funnel_click_purchase(sf_dir: str):
+    """Funnel analysis composition (§2.6 aggregation family): of all users,
+    how many CONVERTED (first click strictly before first purchase) —
+    per-user min-timestamp widening inside the batch, ONE keyed groupby,
+    one scalar rollup."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def widen(t: pa.Table) -> pa.Table:
+        is_click = pc.equal(t.column("event_type"), pa.scalar("click"))
+        is_purch = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        null_ts = pa.nulls(t.num_rows, pa.timestamp("us"))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "click_ts": pc.if_else(pc.fill_null(is_click, False),
+                                   t.column("ts"), null_ts),
+            "purchase_ts": pc.if_else(pc.fill_null(is_purch, False),
+                                      t.column("ts"), null_ts),
+        })
+
+    widen.__name__ = "funnel_widen"
+    per_user = (
+        ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
+        .groupby("user_id")
+        .aggregate(Min("click_ts", alias_name="first_click"),
+                   Min("purchase_ts", alias_name="first_purchase"))
+    )
+
+    def converted(t: pa.Table) -> pa.Table:
+        ok = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("first_click")),
+                          pc.is_valid(t.column("first_purchase"))),
+            pc.less(t.column("first_click"), t.column("first_purchase")),
+        )
+        return pa.table({
+            "_g": pa.array([0] * t.num_rows, pa.int32()),
+            "_c": pc.fill_null(ok, False).cast(pa.int64()),
+        })
+
+    converted.__name__ = "funnel_converted"
+    return (
+        per_user.map_batches(converted, batch_format="pyarrow", batch_size=None)
+        .groupby("_g")
+        .aggregate(Count(alias_name="n_users"), Sum("_c", alias_name="n_converted"))
+        .drop_columns(["_g"])
+    )
+
+
 def pack_sequences_documents(sf_dir: str):
     """Sequence packing (functions/text.pack_sequences): contiguous
     4096-token training bins over documents in doc_id order — per-bin doc

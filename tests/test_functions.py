@@ -830,3 +830,29 @@ def test_pack_sequences_bin_invariants(ray_session):
         cum += r["n_tokens"]
     # contiguity: bin ids are non-decreasing in doc order
     assert (np.diff(got["bin_id"].to_numpy()) >= 0).all()
+
+
+def test_inverted_index_cap_and_exact_df(ray_session):
+    """max_postings truncates posting lists to the first K doc ids while df
+    stays exact; uncapped lists are complete and sorted."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import build_inverted_index
+
+    docs = [(i, "hot " + f"uniq{i}") for i in range(10)]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    full = {r["term"]: r for r in
+            build_inverted_index(ds, num_partitions=4).take_all()}
+    assert full["hot"]["df"] == 10
+    assert full["hot"]["postings"] == ",".join(map(str, range(10)))
+    assert full["uniq3"]["postings"] == "3"
+
+    capped = {r["term"]: r for r in
+              build_inverted_index(ds, num_partitions=4,
+                                   max_postings=3).take_all()}
+    assert capped["hot"]["df"] == 10  # df exact despite truncation
+    assert capped["hot"]["postings"] == "0,1,2"
