@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": demo.rollup_orders,
         "cube_lineitem": demo.cube_lineitem,
         "pivot_orders_status": demo.pivot_orders_status,
+        "unpivot_lineitem_measures": demo.unpivot_lineitem_measures,
+        # NTILE quartile bucketing (window-function family)
+        "ntile_events_value": demo.ntile_events_value,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
         # distributed exact quantiles (histogram-refinement order stats)
@@ -404,6 +407,24 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN o_orderstatus = 'P'
                                   THEN o_totalprice ELSE 0 END), 2) AS sum_P
             FROM orders GROUP BY o_orderpriority
+        """,
+        "unpivot_lineitem_measures": """
+            SELECT name, count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM (
+                SELECT 'l_quantity' AS name, l_quantity AS value FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+                UNION ALL
+                SELECT 'l_discount', l_discount FROM lineitem
+            ) GROUP BY name
+        """,
+        "ntile_events_value": """
+            SELECT event_id, event_type,
+                   CAST(ntile(4) OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id
+                   ) AS BIGINT) AS tile
+            FROM events
         """,
         "stratified_sample_events": """
             SELECT event_type, event_id, value FROM (

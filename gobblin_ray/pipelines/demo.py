@@ -1615,6 +1615,44 @@ def rollup_orders(sf_dir: str):
     )
 
 
+def unpivot_lineitem_measures(sf_dir: str):
+    """UNPIVOT / melt (stages/converters.unpivot): three lineitem measures
+    reshaped long, then one groupby over the measure name — the
+    wide-to-long converter the reference's flatten/field-pick family
+    implies but never names."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    out = (
+        ds.map_batches(
+            cv.unpivot([], ["l_quantity", "l_extendedprice", "l_discount"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .groupby("name")
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def ntile_events_value(sf_dir: str):
+    """NTILE(4) per event_type ordered by (value desc, event_id)
+    (stages/windows.ntile_by): the quartile-bucketing window function,
+    SQL-rule-exact including the ragged first buckets."""
+    from ..stages.windows import ntile_by
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+    out = ntile_by(ds, "event_type", ["value", "event_id"], 4,
+                   ascending=[False, True])
+    return out.select_columns(["event_id", "event_type", "tile"])
+
+
 def cube_lineitem(sf_dir: str):
     """GROUP BY CUBE (stages/aggregates.cube_aggregate): quantity totals at
     every subset of (returnflag, linestatus) — 4 grouping sets from ONE

@@ -352,3 +352,26 @@ def decompress_column(
         return t.append_column(target, arr)
 
     return _named(f"decompress[{field}:{codec}]", run)
+
+
+def unpivot(id_cols: list[str], value_cols: list[str],
+            name_col: str = "name", value_col: str = "value"):
+    """UNPIVOT / melt: widen-to-long reshape — one output row per (input
+    row, value column), carrying the column name and its value (cast to
+    float64 so heterogeneous numeric measures share one column, as SQL
+    UNPIVOT requires a common type). Pure per-batch reshape: no shuffle,
+    output bytes = len(value_cols) x the projected input."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(t: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: t.column(k) for k in id_cols}
+            cols[name_col] = pa.array([c] * t.num_rows, pa.string())
+            cols[value_col] = pc.cast(t.column(c), pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    run.__name__ = f"unpivot[{len(value_cols)}]"
+    return run

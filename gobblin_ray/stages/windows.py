@@ -221,3 +221,47 @@ def analytic_lag_cumsum(
 
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
     return tagged.groupby("_kp").map_groups(analytics, batch_format="pandas")
+
+
+def ntile_by(ds, key: str, order_by: list[str], n: int,
+             ascending: list[bool] | None = None,
+             num_partitions: int = 64, out: str = "tile"):
+    """SQL NTILE(n) per key: rows of each key, ordered by ``order_by``,
+    split into n buckets — first (count % n) buckets one row larger,
+    exactly the SQL rule. Same bounded-partition shape as the other window
+    analytics: ONE exchange on ``hash(key) % P``, then a vectorized pandas
+    sort + cumcount + closed-form bucket assignment per partition (no
+    per-key dispatch). Null keys are dropped (filter upstream for parity).
+    """
+    import pandas as pd
+
+    from .partition import key_partition
+
+    P = num_partitions
+    asc = ascending if ascending is not None else [True] * len(order_by)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column(key)))
+        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
+
+    tag.__name__ = "tag_kp"
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by],
+                          ascending=[True, *asc], kind="mergesort")
+        grp = g.groupby(key, sort=False)
+        r0 = grp.cumcount().to_numpy()
+        cnt = grp[key].transform("size").to_numpy()
+        q, rem = cnt // n, cnt % n
+        big = (q + 1) * rem  # rows covered by the size-(q+1) buckets
+        in_big = r0 < big
+        tile = np.where(
+            in_big,
+            r0 // np.maximum(q + 1, 1),
+            rem + (r0 - big) // np.maximum(q, 1),
+        ) + 1
+        g[out] = tile.astype(np.int64)
+        return g.drop(columns=["_kp"])
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_kp").map_groups(assign, batch_format="pandas")

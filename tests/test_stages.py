@@ -1046,3 +1046,26 @@ def test_approx_distinct_by_saturated_exact(ray_session):
             .sort_values("g").reset_index(drop=True))
     assert list(got["g"]) == list(want["g"])
     assert list(got["n_distinct"]) == list(want["u"] if "u" in want else want["n_distinct"])
+
+
+def test_ntile_edges_match_duckdb(ray_session):
+    """NTILE raggedness: group sizes below, equal to, and not divisible by
+    n all match DuckDB's rule."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import ntile_by
+
+    sizes = {"tiny": 2, "exact": 4, "ragged": 10}
+    rows = [(k, i) for k, sz in sizes.items() for i in range(sz)]
+    df = pd.DataFrame(rows, columns=["k", "o"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(3)
+    got = (ntile_by(ds, "k", ["o"], 4, num_partitions=4).to_pandas()
+           .sort_values(["k", "o"]).reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT k, o, CAST(ntile(4) OVER (PARTITION BY k ORDER BY o) "
+        "AS BIGINT) AS tile FROM df ORDER BY k, o"
+    ).df()
+    pd.testing.assert_frame_equal(got[["k", "o", "tile"]], want)
