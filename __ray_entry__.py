@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_pricing_summary": demo.agg_pricing_summary,
         "token_count_totals": demo.token_count_totals,
         "llm_prep_summary": demo.llm_prep_summary,
+        "llm_prep_v2_summary": demo.llm_prep_v2_summary,
         "dup_spans_documents": demo.dup_spans_documents,
         # sorts / limits / top-k (§2.7)
         "sort_topk_revenue": demo.sort_topk_revenue,
@@ -767,6 +768,36 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS total_tokens
             FROM good g JOIN keep k USING (doc_id)
             GROUP BY g.lang
+        """,
+        # the full prep chain replayed in SQL: quality -> repetition gate
+        # (exact per-(doc,gram) counts, unrounded ratio, same <= compare)
+        # -> exact dedup -> token rollup
+        "llm_prep_v2_summary": """
+            WITH good AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0 AND n_chars >= 100
+            ),
+            rep AS (
+                SELECT doc_id,
+                       max(c) * 1.0 / greatest(any_value(total), 1) AS tuf
+                FROM (
+                    SELECT doc_id, g, count(*) AS c, any_value(total) AS total
+                    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g,
+                                 array_length(string_split(text, ' ')) AS total
+                          FROM good)
+                    GROUP BY doc_id, g
+                ) GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT g.* FROM good g JOIN rep r USING (doc_id)
+                WHERE r.tuf <= 0.14
+            ),
+            dedup AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text)
+            SELECT k.lang, count(*) AS n_docs,
+                   CAST(sum(array_length(string_split(k.text, ' ')))
+                        AS BIGINT) AS total_tokens
+            FROM kept k JOIN dedup d USING (doc_id)
+            GROUP BY k.lang
         """,
         "bpe_token_totals": """
             SELECT lang,

@@ -1345,6 +1345,45 @@ def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
     }])
 
 
+def llm_prep_v2_summary(sf_dir: str):
+    """Deeper LLM-data-prep flagship composing the round-3 operators:
+    quality gate (non-empty, n_chars >= 100) -> Gopher repetition gate
+    (top_unigram_frac <= 0.14, drops ~10% spammy docs at this scale) ->
+    exact dedup (min doc_id per distinct text, hash-keyed) -> token count
+    -> per-lang rollup. One SQL oracle replays the whole chain, checking
+    the operators COMPOSE, not just pass individually."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
+    )
+    checker = PolicyChecker([non_empty_string("text")])
+    rep = tx.repetition_signals("text")
+
+    def gates(t: pa.Table) -> pa.Table:
+        good, _bad = PolicyChecker.split(checker(t))
+        good = good.filter(
+            pc.greater_equal(good.column("n_chars"), pa.scalar(100))
+        )
+        good = rep(good)
+        good = good.filter(
+            pc.less_equal(good.column("top_unigram_frac"), pa.scalar(0.14))
+        )
+        return good.select(["doc_id", "lang", "text"])
+
+    gates.__name__ = "quality_and_repetition_gate"
+    kept = dd.dedup_exact_by_hash(
+        ds.map_batches(gates, batch_format="pyarrow", batch_size=None),
+        "text", "doc_id",
+    )
+    counted = kept.map_batches(
+        tx.token_count("text"), batch_format="pyarrow", batch_size=None
+    )
+    return counted.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )
+
+
 def llm_prep_summary(sf_dir: str):
     """Composed LLM-data-prep flagship over ``documents``: quality gate
     (non-empty text, n_chars >= 100) -> exact dedup (min doc_id per
