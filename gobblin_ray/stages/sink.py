@@ -67,7 +67,7 @@ class PartitionedParquetSink:
         compression_level: int = 3,
         file_format: str = "parquet",
     ):
-        if file_format not in ("parquet", "orc"):
+        if file_format not in ("parquet", "orc", "csv", "jsonl"):
             raise ValueError(f"unsupported file_format {file_format!r}")
         self.out_dir = out_dir
         self.partition_col = partition_col
@@ -104,6 +104,19 @@ class PartitionedParquetSink:
                     f" pick one of {sorted(supported)}"
                 )
             orc.write_table(table, tmp, compression=self.compression)
+        elif self.file_format == "csv":
+            import pyarrow.csv as pacsv
+
+            # CsvDataWriter analog; compression applies at the parquet/orc
+            # formats only (gzip-wrapping CSV is the compress_column
+            # converter's job)
+            pacsv.write_csv(table, tmp)
+        elif self.file_format == "jsonl":
+            # newline-delimited JSON (JsonWriter analog) — pyarrow has no
+            # JSON writer; pandas to_json(lines=True) is the vectorized path
+            with open(tmp, "w") as f:
+                table.to_pandas().to_json(f, orient="records", lines=True,
+                                          date_format="iso")
         else:
             pq.write_table(
                 table, tmp, compression=self.compression,

@@ -1069,3 +1069,35 @@ def test_ntile_edges_match_duckdb(ray_session):
         "AS BIGINT) AS tile FROM df ORDER BY k, o"
     ).df()
     pd.testing.assert_frame_equal(got[["k", "o", "tile"]], want)
+
+
+def test_sink_csv_and_jsonl_roundtrip(ray_session, tmp_path):
+    """CSV and JSONL sink formats round-trip through their native readers."""
+    import json as _json
+
+    import pyarrow.csv as pacsv
+
+    from gobblin_ray.stages.sink import PartitionedParquetSink
+
+    t = pa.table({
+        "k": pa.array(["a", "b", "a"], pa.string()),
+        "v": pa.array([1, 2, 3], pa.int64()),
+    })
+    for fmt in ("csv", "jsonl"):
+        d = str(tmp_path / fmt)
+        sink = PartitionedParquetSink(d, partition_col="k", file_format=fmt)
+        manifest = sink(t)
+        assert manifest.num_rows == 2  # two partitions
+        total = []
+        for p in manifest.column("path").to_pylist():
+            if fmt == "csv":
+                rt = pacsv.read_csv(p)
+                total += rt.column("v").to_pylist()
+            else:
+                with open(p) as f:
+                    total += [_json.loads(line)["v"] for line in f]
+        assert sorted(total) == [1, 2, 3]
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        PartitionedParquetSink(str(tmp_path / "x"), file_format="avro")
