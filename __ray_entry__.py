@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem_measures": demo.unpivot_lineitem_measures,
         # NTILE quartile bucketing (window-function family)
         "ntile_events_value": demo.ntile_events_value,
+        # algebraic statistics (corr / stddev) + collect-list shape
+        "corr_quantity_price": demo.corr_quantity_price,
+        "stddev_value_by_type": demo.stddev_value_by_type,
+        "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
         # distributed exact quantiles (histogram-refinement order stats)
@@ -426,6 +430,19 @@ def oracle_sql() -> dict[str, str]:
                        ORDER BY value DESC, event_id
                    ) AS BIGINT) AS tile
             FROM events
+        """,
+        "corr_quantity_price": """
+            SELECT round(corr(l_quantity, l_extendedprice), 4) AS r
+            FROM lineitem
+        """,
+        "stddev_value_by_type": """
+            SELECT event_type, round(stddev_samp(value), 4) AS sd
+            FROM events GROUP BY event_type
+        """,
+        "string_agg_nations": """
+            SELECT n_regionkey,
+                   string_agg(n_name, ',' ORDER BY n_name) AS nations
+            FROM nation GROUP BY n_regionkey
         """,
         "stratified_sample_events": """
             SELECT event_type, event_id, value FROM (

@@ -206,7 +206,16 @@ def run_scaling() -> dict:
     lo = int(os.environ.get("SCALING_LO", "2"))
     hi = int(os.environ.get("SCALING_HI", "8"))
     rounds = int(os.environ.get("SCALING_ROUNDS", "3"))
-    width = max(EPOCH_WIDTH, N_EVENTS // 8)  # enough work per epoch to scale
+    # The scaling corpus is pinned at the 2M-event protocol scale
+    # (override SCALING_EVENTS/SCALING_PAGES), independent of the smaller
+    # BENCH_EVENTS default: at 500k events a 2-CPU replay finishes in ~7 s
+    # of mostly fixed cost and the ratio measures framework constants, not
+    # engine scaling (measured 0.28 "efficiency" at 500k vs 0.84 at 2M on
+    # the same code — BASELINE.md protocol notes).
+    ev = int(os.environ.get("SCALING_EVENTS", "2000000"))
+    pg = int(os.environ.get("SCALING_PAGES", "200000"))
+    scaling_corpus = f"/tmp/gobblin_bench_corpus_p{pg}_e{ev}"
+    width = max(EPOCH_WIDTH, ev // 8)  # enough work per epoch to scale
     # compact_every=8: one compaction drain near the end instead of two —
     # each drain stalls the rolling pipeline for ~one epoch of overlap,
     # which is pure serial fraction at the measured scale (same config at
@@ -226,16 +235,19 @@ def run_scaling() -> dict:
         with open("/proc/stat") as f:
             v = list(map(int, f.readline().split()[1:]))
         return v[0] + v[1], v[2] + v[5] + v[6]
-    ensure_corpus()
 
-    template = "/tmp/gobblin_scaling_template"
+    from gobblin_ray.synth import write_corpus
+
+    write_corpus(scaling_corpus, n_pages=pg, n_events=ev, shard_rows=width)
+
+    template = f"/tmp/gobblin_scaling_template_p{pg}_e{ev}"
     if not os.path.exists(os.path.join(template, "_checkpoints", "epoch=000000.json")):
         shutil.rmtree(template, ignore_errors=True)
         ray.init(address="local", num_cpus=hi, include_dashboard=False,
                  logging_level="ERROR")
         DataContext.get_current().enable_progress_bars = False
-        CdcEngine(template, f"{CORPUS_DIR}/events", cfg()).bootstrap(
-            f"{CORPUS_DIR}/pages.parquet"
+        CdcEngine(template, f"{scaling_corpus}/events", cfg()).bootstrap(
+            f"{scaling_corpus}/pages.parquet"
         )
         ray.shutdown()
 
@@ -261,10 +273,10 @@ def run_scaling() -> dict:
             if warmup:
                 shutil.rmtree(lake, ignore_errors=True)
                 subprocess.run(["cp", "-al", template, lake], check=True)
-                CdcEngine(lake, f"{CORPUS_DIR}/events", cfg()).run(vacuum=False)
+                CdcEngine(lake, f"{scaling_corpus}/events", cfg()).run(vacuum=False)
             shutil.rmtree(lake, ignore_errors=True)
             subprocess.run(["cp", "-al", template, lake], check=True)
-            eng = CdcEngine(lake, f"{CORPUS_DIR}/events", cfg())
+            eng = CdcEngine(lake, f"{scaling_corpus}/events", cfg())
             u0, s0 = cpu_split()
             t0 = time.time()
             reports = eng.run(vacuum=False)

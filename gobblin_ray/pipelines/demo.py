@@ -1692,6 +1692,41 @@ def ntile_events_value(sf_dir: str):
     return out.select_columns(["event_id", "event_type", "tile"])
 
 
+def corr_quantity_price(sf_dir: str):
+    """Pearson correlation as an algebraic aggregate (stages/aggregates.
+    pearson_corr): five sufficient statistics fold per block, O(1) state
+    to the driver, no shuffle — corr(l_quantity, l_extendedprice)."""
+    from ..stages.aggregates import pearson_corr
+
+    ds = read_table(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+    r = pearson_corr(ds, "l_quantity", "l_extendedprice")
+    return pa.table({"r": pa.array(_duck_round(np.array([r]), 4), pa.float64())})
+
+
+def stddev_value_by_type(sf_dir: str):
+    """Sample standard deviation per group (Ray's mergeable Std aggregate
+    == SQL stddev_samp)."""
+    from ray.data.aggregate import Std
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(Std("value", alias_name="sd"))
+    return out.map_batches(
+        _round_cols({"sd": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def string_agg_nations(sf_dir: str):
+    """Per-key sorted string aggregation (stages/aggregates.string_agg_by):
+    nation names per region, comma-joined in name order — the collect-list
+    shape, assembled vectorized."""
+    from ..stages.aggregates import string_agg_by
+
+    ds = read_table(sf_dir, "nation", columns=["n_regionkey", "n_name"])
+    out = string_agg_by(ds, "n_regionkey", "n_name", num_partitions=4,
+                        out="nations")
+    return out.select_columns(["n_regionkey", "nations"])
+
+
 def cube_lineitem(sf_dir: str):
     """GROUP BY CUBE (stages/aggregates.cube_aggregate): quantity totals at
     every subset of (returnflag, linestatus) — 4 grouping sets from ONE

@@ -142,3 +142,88 @@ def pivot_aggregate(ds, index_col: str, pivot_col: str, value_col: str,
         .groupby(index_col)
         .aggregate(*[Sum(f"sum_{v}", alias_name=f"sum_{v}") for v in pivot_values])
     )
+
+
+def pearson_corr(ds, x_col: str, y_col: str) -> float:
+    """Pearson correlation of two columns as a single ALGEBRAIC aggregate
+    pass: the five sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) fold
+    per block and merge associatively — O(1) state to the driver, no
+    shuffle (the textbook decomposable-aggregate shape the metric system's
+    meters use for rates). Rows where either side is null are skipped,
+    matching SQL corr()."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc(s, block):
+        ok = pc.and_(pc.is_valid(block.column(x_col)),
+                     pc.is_valid(block.column(y_col)))
+        t = block.filter(ok)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return (
+            s[0] + len(x), s[1] + x.sum(), s[2] + y.sum(),
+            s[3] + (x * y).sum(), s[4] + (x * x).sum(), s[5] + (y * y).sum(),
+        )
+
+    agg = AggregateFn(
+        init=lambda _k: (0, 0.0, 0.0, 0.0, 0.0, 0.0),
+        accumulate_block=acc,
+        merge=lambda a, b: tuple(u + v for u, v in zip(a, b)),
+        finalize=lambda s: s,
+        name="corr_stats",
+    )
+    n, sx, sy, sxy, sxx, syy = ds.aggregate(agg)["corr_stats"]
+    if n == 0:
+        return float("nan")
+    cov = sxy - sx * sy / n
+    vx, vy = sxx - sx * sx / n, syy - sy * sy / n
+    return float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
+
+
+def string_agg_by(ds, key: str, val: str, sep: str = ",",
+                  num_partitions: int = 64, out: str = "agg"):
+    """Per-key sorted string aggregation (SQL ``string_agg(val, sep ORDER
+    BY val)``): same bounded-exchange + vectorized run-length ListArray /
+    binary_join assembly as the inverted index — one exchange on
+    ``hash(key) % P``, no per-key Python. The skew note there applies:
+    a hot key's concatenation is O(its rows); cap upstream if keys can be
+    stopword-grade."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .partition import key_partition
+
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(val))))
+        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
+
+    tag.__name__ = "tag_kp"
+
+    def assemble(g: pa.Table) -> pa.Table:
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        v = pc.cast(g.column(val), pa.string()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v = k[order], v[order]
+        new_run = np.ones(len(k), bool)
+        new_run[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_run)
+        counts = np.diff(np.append(starts, len(k)))
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        la = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(v, pa.string())
+        )
+        return pa.table({
+            key: pa.array(k[starts]),
+            out: pc.binary_join(la, sep),
+        })
+
+    assemble.__name__ = "string_agg_assemble"
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("_kp").map_groups(assemble, batch_format="pyarrow")
+    )
