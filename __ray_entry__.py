@@ -52,6 +52,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # set ops / windows (§2.8, §2.10)
         "distinct_flag_status": demo.distinct_flag_status,
         "union_counts": demo.union_counts,
+        "intersect_user_types": demo.intersect_user_types,
+        "except_user_types": demo.except_user_types,
         "window_user_daily": demo.window_user_daily,
         # CDC / dedup / set ops (§2.8, §2.10)
         "cdc_lww_upsert_events": demo.cdc_lww_upsert_events,
@@ -235,6 +237,16 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT event_type FROM events WHERE value > 90.0
             ) GROUP BY event_type
+        """,
+        "intersect_user_types": """
+            SELECT user_id, event_type FROM events WHERE value > 90.0
+            INTERSECT
+            SELECT user_id, event_type FROM events WHERE value < 10.0
+        """,
+        "except_user_types": """
+            SELECT user_id, event_type FROM events WHERE value > 90.0
+            EXCEPT
+            SELECT user_id, event_type FROM events WHERE value < 10.0
         """,
         "window_user_daily": """
             SELECT user_id, strftime(ts, '%Y-%m-%d') AS window_day,

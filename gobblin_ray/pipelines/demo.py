@@ -517,6 +517,42 @@ def anti_join_orders(sf_dir: str):
     return out.groupby("o_orderstatus").aggregate(Count(alias_name="n"))
 
 
+def intersect_user_types(sf_dir: str):
+    """SQL INTERSECT (stages/converters.intersect_distinct): (user, type)
+    pairs appearing among BOTH high-value (>90) and low-value (<10)
+    events — one union + one groupby with min/max side markers, no second
+    exchange."""
+    from ..stages.converters import intersect_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    hi = ds.map_batches(
+        cv.filter_expr(lambda t: pc.greater(t.column("value"), pa.scalar(90.0))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    lo = ds.map_batches(
+        cv.filter_expr(lambda t: pc.less(t.column("value"), pa.scalar(10.0))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return intersect_distinct(hi, lo, ["user_id", "event_type"])
+
+
+def except_user_types(sf_dir: str):
+    """SQL EXCEPT (stages/converters.except_distinct): high-value (user,
+    type) pairs with NO low-value counterpart."""
+    from ..stages.converters import except_distinct
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    hi = ds.map_batches(
+        cv.filter_expr(lambda t: pc.greater(t.column("value"), pa.scalar(90.0))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    lo = ds.map_batches(
+        cv.filter_expr(lambda t: pc.less(t.column("value"), pa.scalar(10.0))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return except_distinct(hi, lo, ["user_id", "event_type"])
+
+
 def distinct_flag_status(sf_dir: str):
     """Distinct pairs (set op; the groupby IS the distinct)."""
     ds = read_table(sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus"])

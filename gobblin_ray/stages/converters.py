@@ -375,3 +375,59 @@ def unpivot(id_cols: list[str], value_cols: list[str],
 
     run.__name__ = f"unpivot[{len(value_cols)}]"
     return run
+
+
+def _tag_side(side: int, cols: list[str]):
+    import pyarrow as pa
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        return t.append_column(
+            "_side", pa.array([side] * t.num_rows, pa.int32())
+        )
+
+    f.__name__ = f"tag_{side}"
+    return f
+
+
+def intersect_distinct(a, b, cols: list[str]):
+    """SQL INTERSECT: distinct rows of ``a[cols]`` also present in ``b``.
+    One exchange: both sides union through a single groupby on the key
+    columns; a group survives iff both side-markers appear. (DISTINCT
+    semantics, like SQL set operators.)"""
+    return _set_op(a, b, cols, keep="both")
+
+
+def except_distinct(a, b, cols: list[str]):
+    """SQL EXCEPT: distinct rows of ``a[cols]`` absent from ``b``."""
+    return _set_op(a, b, cols, keep="left_only")
+
+
+def _set_op(a, b, cols: list[str], keep: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Max, Min
+
+    tagged = a.map_batches(
+        _tag_side(0, cols), batch_format="pyarrow", batch_size=None
+    ).union(b.map_batches(
+        _tag_side(1, cols), batch_format="pyarrow", batch_size=None
+    ))
+    # min/max of the side marker (a=0, b=1): 0,0 = a-only; 1,1 = b-only;
+    # 0,1 = both — one groupby, no second pass
+    g = tagged.groupby(cols).aggregate(
+        Min("_side", alias_name="_lo"), Max("_side", alias_name="_hi")
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        lo, hi = t.column("_lo"), t.column("_hi")
+        zero, one = pa.scalar(0), pa.scalar(1)
+        if keep == "both":
+            mask = pc.and_(pc.equal(lo, zero), pc.equal(hi, one))
+        else:  # left_only
+            mask = pc.and_(pc.equal(lo, zero), pc.equal(hi, zero))
+        return t.filter(mask).select(cols)
+
+    pick.__name__ = f"set_op_{keep}"
+    return g.map_batches(pick, batch_format="pyarrow", batch_size=None)
