@@ -441,7 +441,7 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY event_type
                        ORDER BY value DESC, event_id
                    ) AS BIGINT) AS tile
-            FROM events
+            FROM events WHERE event_type IS NOT NULL
         """,
         "corr_quantity_price": """
             SELECT round(corr(l_quantity, l_extendedprice), 4) AS r
@@ -587,8 +587,10 @@ def oracle_sql() -> dict[str, str]:
                            AS dup_trigram_frac
                 FROM tc GROUP BY doc_id
             )
-            SELECT doc_id, top_unigram_frac, top_bigram_frac, dup_trigram_frac
-            FROM u JOIN b USING (doc_id) JOIN tr USING (doc_id)
+            SELECT u.doc_id, u.top_unigram_frac,
+                   coalesce(b.top_bigram_frac, 0.0) AS top_bigram_frac,
+                   coalesce(tr.dup_trigram_frac, 0.0) AS dup_trigram_frac
+            FROM u LEFT JOIN b USING (doc_id) LEFT JOIN tr USING (doc_id)
         """,
         # Rank on the ROUNDED score (both sides) so float ULP noise can't
         # flip the head-k boundary; term asc is the full tiebreak.

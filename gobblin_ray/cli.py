@@ -307,9 +307,11 @@ def main(argv: list[str] | None = None) -> int:
             from ray.data.aggregate import Count
 
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            to_epoch = (args.to_epoch if args.to_epoch is not None
+                        else eng.store.latest().epoch)
             # materialize once (the diff is churn-sized, not table-sized),
             # then sample + count from the cached blocks
-            ds = eng.read_changes(args.from_epoch, args.to_epoch).materialize()
+            ds = eng.read_changes(args.from_epoch, to_epoch).materialize()
             for r in ds.take(args.limit):
                 r["text"] = (r.get("text") or "")[:60]
                 print(json.dumps(r, default=str))
@@ -320,7 +322,7 @@ def main(argv: list[str] | None = None) -> int:
             }
             print(json.dumps({
                 "from_epoch": args.from_epoch,
-                "to_epoch": args.to_epoch,
+                "to_epoch": to_epoch,
                 "changes": sum(by_type.values()),
                 "by_type": dict(sorted(by_type.items())),
             }))

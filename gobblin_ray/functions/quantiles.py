@@ -171,17 +171,7 @@ def exact_quantiles_by(ds, group_col: str, value_col: str, qs: list[float],
     instead."""
     import pandas as pd
 
-    from ..stages.partition import key_partition
-
-    P = num_partitions
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(group_col)))
-        return t.append_column(
-            "_kp", pa.array(key_partition(t.column(group_col), P))
-        )
-
-    tag.__name__ = "tag_kp"
+    from ..stages.partition import keyed_map_groups
 
     def qpart(g: "pd.DataFrame") -> "pd.DataFrame":
         r = (
@@ -192,5 +182,6 @@ def exact_quantiles_by(ds, group_col: str, value_col: str, qs: list[float],
         r.columns = [group_col, "q", "qv"]
         return r
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-    return tagged.groupby("_kp").map_groups(qpart, batch_format="pandas")
+    qpart.__name__ = "group_quantiles"
+    return keyed_map_groups(ds, group_col, qpart,
+                            num_partitions=num_partitions)

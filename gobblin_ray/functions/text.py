@@ -228,7 +228,8 @@ def token_window_spans(text_col: str = "text", id_col: str = "doc_id",
     return run
 
 
-def repetition_signals(text_col: str = "text"):
+def repetition_signals(text_col: str = "text",
+                       grams: tuple[int, ...] = (1, 2, 3)):
     """Gopher-style repetition quality signals (public knowledge: Rae et
     al. 2021, "Scaling Language Models: ... Gopher", App. A1.1 repetition
     filters): per document, the fraction of tokens taken by the most
@@ -245,7 +246,11 @@ def repetition_signals(text_col: str = "text"):
     ``np.maximum.reduceat`` / ``np.add.reduceat`` on the run boundaries.
     Gram identity by 64-bit hash: within-doc collision probability is
     ~g^2/2^65 per doc (g = grams per doc) — negligible, and only ever
-    UNDER-reports distinctness."""
+    UNDER-reports distinctness.
+
+    ``grams`` selects which signals to compute (1 -> top_unigram_frac,
+    2 -> top_bigram_frac, 3 -> dup_trigram_frac) — a gate that thresholds
+    only one signal should not pay the other grams' lexsort passes."""
     from ..engine import stable_hash_u64
 
     _GAMMA = np.uint64(0x9E3779B97F4A7C15)
@@ -294,22 +299,26 @@ def repetition_signals(text_col: str = "text"):
             )
             return max_per, dup_per, slots
 
-        u_max, _, u_slots = gram_stats(1)
-        b_max, _, b_slots = gram_stats(2)
-        _, t_dup, t_slots = gram_stats(3)
-
         def frac(num, den):
             return np.where(den > 0, num / np.maximum(den, 1), 0.0)
 
-        t2 = t.append_column(
-            "top_unigram_frac", pa.array(frac(u_max, u_slots), pa.float64())
-        )
-        t2 = t2.append_column(
-            "top_bigram_frac", pa.array(frac(b_max, b_slots), pa.float64())
-        )
-        return t2.append_column(
-            "dup_trigram_frac", pa.array(frac(t_dup, t_slots), pa.float64())
-        )
+        t2 = t
+        if 1 in grams:
+            u_max, _, u_slots = gram_stats(1)
+            t2 = t2.append_column(
+                "top_unigram_frac", pa.array(frac(u_max, u_slots), pa.float64())
+            )
+        if 2 in grams:
+            b_max, _, b_slots = gram_stats(2)
+            t2 = t2.append_column(
+                "top_bigram_frac", pa.array(frac(b_max, b_slots), pa.float64())
+            )
+        if 3 in grams:
+            _, t_dup, t_slots = gram_stats(3)
+            t2 = t2.append_column(
+                "dup_trigram_frac", pa.array(frac(t_dup, t_slots), pa.float64())
+            )
+        return t2
 
     run.__name__ = "repetition_signals"
     return run
@@ -696,6 +705,7 @@ def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     from .sketch import hash_column_u64
 
     P = num_partitions
+    id_type = ds.schema().base_schema.field(id_col).type
 
     def pairs(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
@@ -709,7 +719,7 @@ def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
         term_arr = pa.array(g["term"].to_numpy(), pa.string())
         return pa.table({
             "term": term_arr,
-            "doc": pa.array(g["doc"].to_numpy(), pa.int64()),
+            "doc": pa.array(g["doc"].to_numpy()).cast(id_type),
             "_tp": pa.array(
                 (hash_column_u64(term_arr) % np.uint64(P)).astype(np.int64)
             ),
@@ -718,29 +728,17 @@ def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     pairs.__name__ = "term_doc_pairs"
 
     def assemble(g: pa.Table) -> pa.Table:
+        from ..kernels import runlength_join
+
         term = g.column("term").to_numpy(zero_copy_only=False)
         doc = g.column("doc").to_numpy(zero_copy_only=False)
-        order = np.lexsort((doc, term))
-        term, doc = term[order], doc[order]
-        new_run = np.ones(len(term), bool)
-        new_run[1:] = term[1:] != term[:-1]
-        starts = np.flatnonzero(new_run)
-        counts = np.diff(np.append(starts, len(term)))
-        keep = np.ones(len(term), bool)
-        if max_postings is not None:
-            rank = np.arange(len(term)) - np.repeat(starts, counts)
-            keep = rank < max_postings
-        kept_counts = (
-            np.minimum(counts, max_postings) if max_postings is not None
-            else counts
+        firsts, counts, joined = runlength_join(
+            term, doc, ",", cap=max_postings
         )
-        offsets = np.concatenate([[0], np.cumsum(kept_counts)])
-        docs_s = pc.cast(pa.array(doc[keep]), pa.string())
-        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), docs_s)
         return pa.table({
-            "term": pa.array(term[starts], pa.string()),
+            "term": pa.array(firsts, pa.string()),
             "df": pa.array(counts, pa.int64()),
-            "postings": pc.binary_join(la, ","),
+            "postings": joined,
         })
 
     assemble.__name__ = "assemble_postings"

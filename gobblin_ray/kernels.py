@@ -1,0 +1,41 @@
+"""Shared vectorized kernels used by several operators.
+
+``runlength_join`` is the sorted-group string-assembly kernel under the
+inverted index and the string-agg aggregate (and the same run-length idiom
+the repetition signals use for counting): ONE lexsort + run-boundary pass
+builds every group's joined value list with no per-group Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def runlength_join(group: np.ndarray, values: np.ndarray, sep: str,
+                   cap: int | None = None):
+    """Sort (group, value) pairs by their RAW types (numeric values sort
+    numerically), then join each group's sorted values into one string.
+
+    Returns ``(group_firsts, exact_counts, joined)`` — ``cap`` truncates
+    each joined list to its first ``cap`` values while ``exact_counts``
+    stays exact (the inverted index's stopword head-truncation). int32
+    list offsets bound a single partition's joined payload at 2^31 values
+    — far above any bounded-partition budget."""
+    order = np.lexsort((values, group))
+    g, v = group[order], values[order]
+    new_run = np.ones(len(g), bool)
+    new_run[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new_run)
+    counts = np.diff(np.append(starts, len(g)))
+    if cap is not None:
+        rank = np.arange(len(g)) - np.repeat(starts, counts)
+        v = v[rank < cap]
+        kept_counts = np.minimum(counts, cap)
+    else:
+        kept_counts = counts
+    offsets = np.concatenate([[0], np.cumsum(kept_counts)])
+    vals = pc.cast(pa.array(v), pa.string())
+    la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+    return g[starts], counts, pc.binary_join(la, sep)

@@ -1394,7 +1394,8 @@ def llm_prep_v2_summary(sf_dir: str):
         sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
     )
     checker = PolicyChecker([non_empty_string("text")])
-    rep = tx.repetition_signals("text")
+    # only the unigram signal gates — skip the bigram/trigram passes
+    rep = tx.repetition_signals("text", grams=(1,))
 
     def gates(t: pa.Table) -> pa.Table:
         good, _bad = PolicyChecker.split(checker(t))

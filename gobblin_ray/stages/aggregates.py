@@ -39,9 +39,19 @@ def grouping_sets_aggregate(
     emitted first) and every set must be a subset of ``keys``."""
     from ray.data.aggregate import Count, Sum
 
+    seen_sets = set()
     for s in sets:
         if not set(s) <= set(keys):
             raise ValueError(f"grouping set {s} is not a subset of {keys}")
+        if set(s) == set(keys):
+            raise ValueError(
+                f"grouping set {s} repeats the full key list (the finest "
+                "level is always emitted first); drop it"
+            )
+        fs = frozenset(s)
+        if fs in seen_sets:
+            raise ValueError(f"duplicate grouping set {s}")
+        seen_sets.add(fs)
 
     key_types = {f.name: f.type for f in ds.schema().base_schema}
     out_cols = keys + ["n"] + [f"sum_{c}" for c in sum_cols]
@@ -190,40 +200,22 @@ def string_agg_by(ds, key: str, val: str, sep: str = ",",
     ``hash(key) % P``, no per-key Python. The skew note there applies:
     a hot key's concatenation is O(its rows); cap upstream if keys can be
     stopword-grade."""
-    import numpy as np
     import pyarrow.compute as pc
 
-    from .partition import key_partition
+    from ..kernels import runlength_join
+    from .partition import keyed_map_groups
 
-    P = num_partitions
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
-                             pc.is_valid(t.column(val))))
-        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
-
-    tag.__name__ = "tag_kp"
+    def drop_null_vals(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(val)))
 
     def assemble(g: pa.Table) -> pa.Table:
         k = g.column(key).to_numpy(zero_copy_only=False)
         v = pc.cast(g.column(val), pa.string()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((v, k))
-        k, v = k[order], v[order]
-        new_run = np.ones(len(k), bool)
-        new_run[1:] = k[1:] != k[:-1]
-        starts = np.flatnonzero(new_run)
-        counts = np.diff(np.append(starts, len(k)))
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        la = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(v, pa.string())
-        )
-        return pa.table({
-            key: pa.array(k[starts]),
-            out: pc.binary_join(la, sep),
-        })
+        firsts, _counts, joined = runlength_join(k, v, sep)
+        return pa.table({key: pa.array(firsts), out: joined})
 
     assemble.__name__ = "string_agg_assemble"
-    return (
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-        .groupby("_kp").map_groups(assemble, batch_format="pyarrow")
+    return keyed_map_groups(
+        ds, key, assemble, num_partitions=num_partitions,
+        batch_format="pyarrow", pre=drop_null_vals,
     )

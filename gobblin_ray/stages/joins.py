@@ -233,11 +233,30 @@ def outer_join_by_key(
     r_tag = right.map_batches(tag("r", right_key), batch_format="pyarrow",
                               batch_size=None)
 
+    # Columns on a nullable side (right of a left join, both of a full
+    # join) get NaN-promoted to float64 by pandas ONLY in partitions that
+    # contain unmatched rows — normalize them in every partition so the
+    # output blocks agree on one schema (arrow-level consumers union/write
+    # these blocks).
+    nullable_cols = []
+    if how in ("full", "right"):
+        nullable_cols += lcols
+    if how in ("full", "left"):
+        nullable_cols += rcols
+    int_cols = [
+        f.name for f in list(l_schema) + list(r_schema)
+        if f.name in nullable_cols
+        and (pa.types.is_integer(f.type) or pa.types.is_boolean(f.type))
+    ]
+
     def join_partition(g: "pd.DataFrame") -> "pd.DataFrame":
         lg = g[g["_side"] == "l"][lcols]
         rg = g[g["_side"] == "r"][rcols]
-        return pd.merge(lg, rg, left_on=left_key, right_on=right_key,
-                        how=hows[how])
+        out = pd.merge(lg, rg, left_on=left_key, right_on=right_key,
+                       how=hows[how])
+        for c in int_cols:
+            out[c] = out[c].astype("float64")
+        return out
 
     return l_tag.union(r_tag).groupby("_kp").map_groups(
         join_partition, batch_format="pandas"

@@ -65,3 +65,40 @@ def write_time_partitioned(
         out_dir, partition_cols=["date_part"]
     )
     return out_dir
+
+
+def keyed_map_groups(ds, key: str, fn, num_partitions: int = 64,
+                     batch_format: str = "pandas",
+                     drop_null_keys: bool = True, pre=None):
+    """Bounded-partition grouped apply — the shared shape under the window
+    analytics / grouped quantiles / string-agg / outer-join family: ONE
+    exchange on ``hash(key) % num_partitions`` (never per-key dispatch),
+    then ``fn`` once per partition with the routing column already
+    stripped. ``drop_null_keys`` filters null keys at the tag stage (SQL
+    window/group semantics vary; make the policy explicit per operator);
+    ``pre`` is an optional per-batch pyarrow filter/transform applied
+    before tagging. Partitioning assumption: one partition fits a worker —
+    raise ``num_partitions`` at scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = num_partitions
+
+    def tag(t: pa.Table) -> pa.Table:
+        if pre is not None:
+            t = pre(t)
+        if drop_null_keys:
+            t = t.filter(pc.is_valid(t.column(key)))
+        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
+
+    tag.__name__ = f"tag_kp[{key}]"
+
+    def wrapped(g):
+        g = g.drop(columns=["_kp"]) if batch_format == "pandas" else (
+            g.drop_columns(["_kp"])
+        )
+        return fn(g)
+
+    wrapped.__name__ = getattr(fn, "__name__", "keyed_fn")
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    return tagged.groupby("_kp").map_groups(wrapped, batch_format=batch_format)

@@ -202,25 +202,22 @@ def analytic_lag_cumsum(
     Partitioning assumption: one partition's rows fit in a worker."""
     import pandas as pd
 
-    from .partition import key_partition
-
-    P = num_partitions
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(key)))
-        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
-
-    tag.__name__ = "tag_kp"
+    from .partition import keyed_map_groups
 
     def analytics(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_by], kind="mergesort")
         grp = g.groupby(key, sort=False)[value_col]
         g["prev_value"] = grp.shift(1)
-        g["running_sum"] = grp.cumsum()
-        return g.drop(columns=["_kp"])
+        # SQL sum() OVER ignores NULLs (a null-value row carries the prior
+        # running total) but is NULL until the first non-null value; plain
+        # cumsum would emit NaN AT the null row instead.
+        cs = g[value_col].fillna(0.0).groupby(g[key], sort=False).cumsum()
+        seen = g[value_col].notna().groupby(g[key], sort=False).cummax()
+        g["running_sum"] = np.where(seen, cs, np.nan)
+        return g
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-    return tagged.groupby("_kp").map_groups(analytics, batch_format="pandas")
+    analytics.__name__ = "lag_cumsum"
+    return keyed_map_groups(ds, key, analytics, num_partitions=num_partitions)
 
 
 def ntile_by(ds, key: str, order_by: list[str], n: int,
@@ -235,16 +232,9 @@ def ntile_by(ds, key: str, order_by: list[str], n: int,
     """
     import pandas as pd
 
-    from .partition import key_partition
+    from .partition import keyed_map_groups
 
-    P = num_partitions
     asc = ascending if ascending is not None else [True] * len(order_by)
-
-    def tag(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t.column(key)))
-        return t.append_column("_kp", pa.array(key_partition(t.column(key), P)))
-
-    tag.__name__ = "tag_kp"
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_by],
@@ -261,7 +251,7 @@ def ntile_by(ds, key: str, order_by: list[str], n: int,
             rem + (r0 - big) // np.maximum(q, 1),
         ) + 1
         g[out] = tile.astype(np.int64)
-        return g.drop(columns=["_kp"])
+        return g
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-    return tagged.groupby("_kp").map_groups(assign, batch_format="pandas")
+    assign.__name__ = "ntile_assign"
+    return keyed_map_groups(ds, key, assign, num_partitions=num_partitions)
