@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_runs": demo.dedup_incremental_runs,
         "cdc_replay_mini": demo.cdc_replay_mini,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
+        "time_travel_read": demo.time_travel_read,
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
         "fork_multicast_counts": demo.fork_multicast_counts,
@@ -1008,6 +1009,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_replay_oracle.parquet')
+        """,
+        # time travel: the same sequential-replay oracle as cdc_replay_mini,
+        # sliced at the mid manifest's high_seq watermark
+        "time_travel_read": """
+            SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/time_travel_oracle.parquet')
         """,
         # CDC-out snapshot diff between two committed manifests; the sidecar
         # diffs two INDEPENDENT sequential replays sliced at the same

@@ -297,7 +297,8 @@ def _sequential_live_state(
     return {u: v for u, v in state.items() if not v["deleted"]}
 
 
-def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> str:
+def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH,
+                       max_seq: int | None = None) -> str:
     """Sequential single-process replay oracle for ``cdc_replay_mini``.
 
     Independent of the engine: applies every change event row-at-a-time
@@ -312,7 +313,8 @@ def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH) -> s
     the mini corpus is a few thousand rows.
     """
     live = sorted(
-        _sequential_live_state(corpus_dir).values(), key=lambda r: r["url"]
+        _sequential_live_state(corpus_dir, max_seq).values(),
+        key=lambda r: r["url"],
     )
     # html travels as an md5 hex digest (binary columns don't survive the
     # DuckDB->pandas compare path); byte-identity is still what's checked.
@@ -450,3 +452,8 @@ def planted_multiline(path: str = MULTILINE_PATH) -> str:
         "text": pa.array([d[1] for d in docs], pa.string()),
     })
     return _write(t, path)
+
+
+# ----------------------------------------------------- time-travel oracle
+
+TIME_TRAVEL_ORACLE_PATH = os.path.join(FIXTURE_DIR, "time_travel_oracle.parquet")

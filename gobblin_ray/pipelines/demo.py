@@ -1519,6 +1519,57 @@ def cdc_replay_mini(sf_dir: str):
     return eng.read_table().map_batches(_digest, batch_format="pyarrow")
 
 
+def time_travel_read(sf_dir: str):
+    """Time-travel read (Iceberg-snapshot analog of the manifest chain):
+    the lake's live rows AS OF an intermediate committed manifest — the
+    merge-on-read reader pointed at an older manifest (engine.read_table
+    takes any committed Manifest; vacuum=False keeps the superseded
+    files). Oracled by the sequential replay sliced at that manifest's
+    high_seq watermark (the same independent oracle as cdc_replay_mini,
+    at an EARLIER point in time)."""
+    import tempfile
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import TIME_TRAVEL_ORACLE_PATH, cdc_oracle_sidecar
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_tt_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=8, epoch_width=1_000),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(vacuum=False)  # time travel needs the superseded files
+    e_mid = max(1, eng.store.latest().epoch // 2)
+    m_mid = eng.store.load(e_mid)
+    cdc_oracle_sidecar(corpus, path=TIME_TRAVEL_ORACLE_PATH,
+                       max_seq=m_mid.high_seq)
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        vals = [
+            None if v is None else hashlib.md5(v).hexdigest()
+            for v in batch.column("html").to_pylist()
+        ]
+        idx = batch.column_names.index("html")
+        batch = batch.set_column(idx, "html_md5", pa.array(vals, pa.string()))
+        # as-of reads project to the CURRENT table schema: a column added
+        # by later mid-log schema evolution (fetch_status) null-fills if
+        # the older manifest predates it
+        if "fetch_status" not in batch.column_names:
+            batch = batch.append_column(
+                "fetch_status", pa.nulls(batch.num_rows, pa.int32())
+            )
+        return batch
+
+    return eng.read_table(m_mid).map_batches(_digest, batch_format="pyarrow")
+
+
 def snapshot_diff_changes(sf_dir: str):
     """CDC-out snapshot diff (engine.read_changes): the row-granular
     insert/update/delete feed between an INTERMEDIATE committed manifest and
@@ -1886,31 +1937,44 @@ def funnel_click_purchase(sf_dir: str):
 
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts"])
 
+    # "no such stage" travels as an int64 sentinel, NOT a null timestamp:
+    # Ray's Min over a nullable timestamp group falls back to pickled
+    # python objects (datetime + None) that downstream Arrow kernels
+    # reject (pinned by test_funnel_handles_users_missing_a_stage)
+    _MISSING = (1 << 63) - 1
+
     def widen(t: pa.Table) -> pa.Table:
-        is_click = pc.equal(t.column("event_type"), pa.scalar("click"))
-        is_purch = pc.equal(t.column("event_type"), pa.scalar("purchase"))
-        null_ts = pa.nulls(t.num_rows, pa.timestamp("us"))
+        ts_us = pc.fill_null(
+            pc.cast(t.column("ts").cast(pa.timestamp("us")), pa.int64()),
+            _MISSING,
+        )
+        miss = pa.scalar(_MISSING, pa.int64())
+        is_click = pc.fill_null(
+            pc.equal(t.column("event_type"), pa.scalar("click")), False
+        )
+        is_purch = pc.fill_null(
+            pc.equal(t.column("event_type"), pa.scalar("purchase")), False
+        )
         return pa.table({
             "user_id": t.column("user_id"),
-            "click_ts": pc.if_else(pc.fill_null(is_click, False),
-                                   t.column("ts"), null_ts),
-            "purchase_ts": pc.if_else(pc.fill_null(is_purch, False),
-                                      t.column("ts"), null_ts),
+            "click_us": pc.if_else(is_click, ts_us, miss),
+            "purchase_us": pc.if_else(is_purch, ts_us, miss),
         })
 
     widen.__name__ = "funnel_widen"
     per_user = (
         ds.map_batches(widen, batch_format="pyarrow", batch_size=None)
         .groupby("user_id")
-        .aggregate(Min("click_ts", alias_name="first_click"),
-                   Min("purchase_ts", alias_name="first_purchase"))
+        .aggregate(Min("click_us", alias_name="first_click"),
+                   Min("purchase_us", alias_name="first_purchase"))
     )
 
     def converted(t: pa.Table) -> pa.Table:
-        ok = pc.and_kleene(
-            pc.and_kleene(pc.is_valid(t.column("first_click")),
-                          pc.is_valid(t.column("first_purchase"))),
-            pc.less(t.column("first_click"), t.column("first_purchase")),
+        fc, fp = t.column("first_click"), t.column("first_purchase")
+        miss = pa.scalar(_MISSING, pa.int64())
+        ok = pc.and_(
+            pc.and_(pc.not_equal(fc, miss), pc.not_equal(fp, miss)),
+            pc.less(fc, fp),
         )
         return pa.table({
             "_g": pa.array([0] * t.num_rows, pa.int32()),

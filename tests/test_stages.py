@@ -1101,3 +1101,37 @@ def test_sink_csv_and_jsonl_roundtrip(ray_session, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         PartitionedParquetSink(str(tmp_path / "x"), file_format="avro")
+
+
+def test_funnel_handles_users_missing_a_stage(ray_session, tmp_path):
+    """A user with no click (or no purchase) must count as NOT converted —
+    exercises Ray's Min aggregate over an all-null timestamp group, which
+    the shipped testdata never does."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from gobblin_ray.pipelines.demo import funnel_click_purchase
+
+    ts = pd.Timestamp("2024-01-01")
+    rows = [
+        (1, "click", ts), (1, "purchase", ts + pd.Timedelta("1h")),   # converted
+        (2, "purchase", ts), (2, "click", ts + pd.Timedelta("1h")),   # wrong order
+        (3, "click", ts),                                             # no purchase
+        (4, "view", ts),                                              # neither
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array(
+            [r[2].to_datetime64().astype("datetime64[us]") for r in rows],
+            pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(["{}"] * len(rows), pa.string()),
+    })
+    d = tmp_path / "mini_sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = funnel_click_purchase(str(d)).to_pandas()
+    assert int(got["n_users"].iloc[0]) == 4
+    assert int(got["n_converted"].iloc[0]) == 1
