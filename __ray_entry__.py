@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "watermark_incremental": demo.watermark_incremental,
         "dedup_exact_documents": demo.dedup_exact_documents,
         "dedup_incremental_runs": demo.dedup_incremental_runs,
+        "dedup_neardup_incremental": demo.dedup_neardup_incremental,
         "cdc_replay_mini": demo.cdc_replay_mini,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
         "time_travel_read": demo.time_travel_read,
@@ -308,6 +309,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, text FROM run2
             WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+        """,
+        # cross-run near-dup: run-2 docs keep only clusters unseen in run 1,
+        # min doc_id per fresh cluster (planted ground truth)
+        "dedup_neardup_incremental": """
+            WITH f AS (
+                SELECT * FROM read_parquet(
+                    '/tmp/gobblin_ray_fixtures/planted_neardup_runs.parquet')
+            )
+            SELECT min(doc_id) AS doc_id
+            FROM f
+            WHERE run = 2 AND cluster_id NOT IN (
+                SELECT DISTINCT cluster_id FROM f WHERE run = 1
+            )
+            GROUP BY cluster_id
         """,
         "fork_branches": """
             SELECT CASE WHEN event_type = 'purchase' THEN 'buy'

@@ -457,3 +457,42 @@ def planted_multiline(path: str = MULTILINE_PATH) -> str:
 # ----------------------------------------------------- time-travel oracle
 
 TIME_TRAVEL_ORACLE_PATH = os.path.join(FIXTURE_DIR, "time_travel_oracle.parquet")
+
+
+# ------------------------------------------------ cross-run near-dup corpus
+
+NEARDUP_RUNS_PATH = os.path.join(FIXTURE_DIR, "planted_neardup_runs.parquet")
+
+
+def planted_neardup_runs(path: str = NEARDUP_RUNS_PATH) -> str:
+    """Two crawl snapshots with planted near-dup clusters that SPAN runs:
+    run-2 docs whose cluster already appeared in run 1 must drop; fresh
+    run-2 clusters dedup within the run (min doc_id survives). cluster_id
+    stores the ground truth so SQL replays the expected kept set."""
+    docs = [
+        # run 1
+        (0, _PARA, 0, 1),
+        (1, _PARA + " trailing words appended", 0, 1),
+        (2, _PARA2, 1, 1),
+        (3, _PARA3, 2, 1),
+        (4, "wholly unrelated short register of terms nothing shared here "
+            "with any other paragraph in this corpus at all", 3, 1),
+        # run 2
+        (10, _PARA.replace("quick", "swift"), 0, 2),        # dup of run-1 c0
+        (11, _PARA2 + " with a small suffix", 1, 2),        # dup of run-1 c1
+        (12, "a brand new cluster paragraph about distributed checkpoint "
+             "barriers and watermark alignment across stream operators "
+             "with consistent snapshots and replayable logs", 4, 2),
+        (13, "a brand new cluster paragraph about distributed checkpoint "
+             "barriers and watermark alignment across stream operators "
+             "with consistent snapshots and replayable log files", 4, 2),
+        (14, "another singleton about zygote processes forking sandboxes "
+             "quickly via copy on write page tables and shared text", 5, 2),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+        "cluster_id": pa.array([d[2] for d in docs], pa.int64()),
+        "run": pa.array([d[3] for d in docs], pa.int64()),
+    })
+    return _write(t, path)

@@ -1228,3 +1228,200 @@ def dedup_exact_incremental(
     return hashed.groupby("_hp").map_groups(
         check_and_update, batch_format="pyarrow"
     )
+
+
+# --------------------------------------- cross-run incremental near-dup
+
+def _bottomk_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
+    """Bottom-k sketch Jaccard estimate (Broder 1997 min-wise sketches):
+    with A, B each a doc's k smallest shingle hashes, J is estimated by
+    the fraction of the UNION's bottom-k that lies in both sketches.
+    Exact when either doc has < k shingles (the sketch is the full set)."""
+    union = np.union1d(a, b)
+    head = union[:k]
+    inter = np.intersect1d(np.intersect1d(head, a), b).size
+    return inter / len(head) if len(head) else 1.0
+
+
+def dedup_minhash_incremental(
+    ds,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k_anchors: int = 4,
+    k_sketch: int = 64,
+    shingle_k: int = 5,
+    num_partitions: int = 16,
+):
+    """Cross-RUN NEAR-dup dedup: drop new docs whose content is a near
+    duplicate (shingle Jaccard >= ``threshold``) of anything seen in a
+    PREVIOUS run, dedup near-dups WITHIN the run, and persist this run's
+    survivors to the index — the incremental companion to
+    ``dedup_exact_incremental`` for crawl snapshots, where most of each
+    snapshot is a light edit of the previous one.
+
+    Blocking reuses the BottomKShingler contract: a doc's ``k_anchors``
+    smallest shingle hashes; two docs with Jaccard J share an anchor with
+    prob ~1-(1-J)^k. Verification is the bottom-``k_sketch`` min-wise
+    sketch estimate (``_bottomk_jaccard``) — the index stores sketches,
+    never text, so the exchange and the index stay O(k) ints per doc.
+
+    Index layout: ``index_dir/part=<anchor % P>/run-*.parquet`` rows
+    (anchor int64, doc int64-or-string, sketch list<int64>), partitioned
+    by anchor so one group task reads one slice. Within-run clusters keep
+    the min ``id_col``; recall past an anchor bucket's min member follows
+    the star-verify caveat documented on ``_segment_pairs``.
+
+    One exchange (anchor % P); each partition task loads its index slice
+    once, estimates candidate Jaccards vectorized per bucket, and writes
+    its survivors' rows via tmp + rename with a content-fingerprint name
+    (idempotent on retry; one task owns a partition per run)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    P = num_partitions
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_anchor, out_sketch = [], [], []
+        for i, txt in zip(ids, texts):
+            sh = _char_shingle_hashes(txt or "", shingle_k)  # sorted unique
+            if not len(sh):
+                continue
+            sketch = sh[:k_sketch].view(np.int64)
+            for a in sh[: min(k_anchors, len(sh))].view(np.int64):
+                out_id.append(i)
+                out_anchor.append(int(a))
+                out_sketch.append(sketch)
+        return pa.table({
+            "anchor": pa.array(out_anchor, pa.int64()),
+            "doc": pa.array(out_id),
+            "sketch": pa.array([s.tolist() for s in out_sketch],
+                               pa.list_(pa.int64())),
+            "_ap": pa.array(
+                (np.asarray(out_anchor, np.int64).view(np.uint64)
+                 % np.uint64(P)).astype(np.int32)
+            ),
+        })
+
+    anchor_rows.__name__ = "anchor_sketch_rows"
+
+    def check_partition(g: pa.Table) -> pa.Table:
+        """Returns (doc, dup int8) verdict rows for this partition's docs:
+        dup=1 if near-dup of a prior-run doc or of a smaller-id doc in this
+        run sharing an anchor here."""
+        part = int(g.column("_ap")[0].as_py())
+        pdir = os.path.join(index_dir, f"part={part}")
+        old = None
+        if os.path.isdir(pdir):
+            old = pa.concat_tables([
+                pq.read_table(os.path.join(pdir, f))
+                for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
+            ])
+        anchors = g.column("anchor").to_numpy(zero_copy_only=False)
+        docs = g.column("doc").to_numpy(zero_copy_only=False)
+        sketches = g.column("sketch").to_pylist()
+        dup = np.zeros(len(docs), bool)
+        old_by_anchor: dict = {}
+        if old is not None and old.num_rows:
+            oa = old.column("anchor").to_numpy(zero_copy_only=False)
+            osk = old.column("sketch").to_pylist()
+            for j in range(len(oa)):
+                old_by_anchor.setdefault(oa[j], []).append(
+                    np.asarray(osk[j], np.int64)
+                )
+        order = np.lexsort((docs, anchors))
+        i = 0
+        while i < len(order):
+            j = i
+            a = anchors[order[i]]
+            while j < len(order) and anchors[order[j]] == a:
+                j += 1
+            bucket = order[i:j]  # sorted by doc id within the anchor
+            prior = old_by_anchor.get(a, [])
+            head_sketch = np.asarray(sketches[bucket[0]], np.int64)
+            for pos, row in enumerate(bucket):
+                s = np.asarray(sketches[row], np.int64)
+                hit = any(
+                    _bottomk_jaccard(s, o, k_sketch) >= threshold
+                    for o in prior
+                )
+                if not hit and pos > 0:  # within-run: star to the bucket min
+                    hit = _bottomk_jaccard(
+                        s, head_sketch, k_sketch) >= threshold
+                if hit:
+                    dup[row] = True
+            i = j
+        return pa.table({
+            "doc": pa.array(docs),
+            "dup": pa.array(dup.astype(np.int8)),
+        })
+
+    check_partition.__name__ = "incr_neardup_check"
+    rows = ds.map_batches(anchor_rows, batch_format="pyarrow", batch_size=None)
+    verdicts = rows.groupby("_ap").map_groups(
+        check_partition, batch_format="pyarrow"
+    )
+    # a doc is dup if ANY of its anchors said so
+    from ray.data.aggregate import Max
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t.column("d"), pa.scalar(0))).select(["doc"])
+
+    only_dups.__name__ = "only_dups"
+    # driver holds ONLY the dup ids (the within-run + cross-run losers),
+    # then broadcasts them once — O(dups), not O(docs)
+    dup_ids = set(
+        r["doc"] for r in
+        verdicts.groupby("doc").aggregate(Max("dup", alias_name="d"))
+        .map_batches(only_dups, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+
+    import ray
+
+    dup_ref = ray.put(pa.array(sorted(dup_ids)))
+
+    class KeepNew:
+        def __init__(self):
+            self.dups = ray.get(dup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(self.dups) == 0:
+                return t
+            hit = pc.fill_null(
+                pc.is_in(t.column(id_col), value_set=self.dups), False
+            )
+            return t.filter(pc.invert(hit))
+
+    kept = ds.map_batches(KeepNew, batch_format="pyarrow", batch_size=None,
+                          concurrency=(1, 4))
+
+    # persist the survivors' anchor rows (per partition, idempotent name)
+    def write_partition(g: pa.Table) -> pa.Table:
+        part = int(g.column("_ap")[0].as_py())
+        pdir = os.path.join(index_dir, f"part={part}")
+        os.makedirs(pdir, exist_ok=True)
+        out = g.drop_columns(["_ap"])
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, out.schema) as w:
+            w.write_table(out)
+        name = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        tmp = os.path.join(pdir, f".run-{name}.tmp-{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(pdir, f"run-{name}.parquet"))
+        return pa.table({"part": pa.array([part], pa.int32()),
+                         "rows": pa.array([out.num_rows], pa.int64())})
+
+    write_partition.__name__ = "incr_neardup_index_write"
+    survivors = kept.map_batches(
+        anchor_rows, batch_format="pyarrow", batch_size=None
+    )
+    survivors.groupby("_ap").map_groups(
+        write_partition, batch_format="pyarrow"
+    ).materialize()
+    return kept

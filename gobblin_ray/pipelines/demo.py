@@ -1519,6 +1519,37 @@ def cdc_replay_mini(sf_dir: str):
     return eng.read_table().map_batches(_digest, batch_format="pyarrow")
 
 
+def dedup_neardup_incremental(sf_dir: str):
+    """Cross-run NEAR-dup dedup (functions/dedup.dedup_minhash_incremental):
+    snapshot 2 drops docs that are near-dups of anything snapshot 1
+    persisted to the anchor+sketch index, and dedups fresh clusters within
+    the run — the incremental companion to dedup_exact_incremental for
+    crawl pipelines. Planted cross-run clusters give the value oracle."""
+    import tempfile
+
+    import ray.data as rd
+
+    from ..fixtures import planted_neardup_runs
+    from ..functions.dedup import dedup_minhash_incremental
+
+    path = planted_neardup_runs()
+    index = tempfile.mkdtemp(prefix="neardup_idx_")
+    ds = rd.read_parquet(path)
+
+    def run_filter(n):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("run"), pa.scalar(n)))
+
+        f.__name__ = f"run_{n}"
+        return f
+
+    run1 = ds.map_batches(run_filter(1), batch_format="pyarrow", batch_size=None)
+    dedup_minhash_incremental(run1, index).materialize()  # builds the index
+    run2 = ds.map_batches(run_filter(2), batch_format="pyarrow", batch_size=None)
+    kept = dedup_minhash_incremental(run2, index)
+    return kept.select_columns(["doc_id"])
+
+
 def time_travel_read(sf_dir: str):
     """Time-travel read (Iceberg-snapshot analog of the manifest chain):
     the lake's live rows AS OF an intermediate committed manifest — the

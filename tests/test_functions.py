@@ -856,3 +856,44 @@ def test_inverted_index_cap_and_exact_df(ray_session):
                                    max_postings=3).take_all()}
     assert capped["hot"]["df"] == 10  # df exact despite truncation
     assert capped["hot"]["postings"] == "0,1,2"
+
+
+def test_neardup_incremental_replay_drops_everything(ray_session, tmp_path):
+    """After a run's survivors are indexed, replaying the SAME snapshot
+    drops every doc (all are now near-dups of the index) — the crash/replay
+    posture of the incremental contract; and a fresh variant of an indexed
+    doc also drops."""
+    import ray.data as rd
+
+    from gobblin_ray.fixtures import planted_neardup_runs
+    from gobblin_ray.functions.dedup import dedup_minhash_incremental
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(planted_neardup_runs())
+    run1 = pa.Table.from_pylist(
+        [r for r in t.to_pylist() if r["run"] == 1]
+    )
+    index = str(tmp_path / "idx")
+    kept1 = dedup_minhash_incremental(
+        rd.from_arrow(run1).repartition(3), index
+    ).to_pandas()
+    assert set(kept1["doc_id"]) == {0, 2, 3, 4}  # within-run dup 1 dropped
+
+    replay = dedup_minhash_incremental(
+        rd.from_arrow(run1).repartition(2), index
+    ).to_pandas()
+    assert len(replay) == 0  # everything already indexed
+
+    variant = pa.table({
+        "doc_id": pa.array([99], pa.int64()),
+        "text": pa.array(
+            [run1.column("text")[0].as_py().replace("lazy", "sleepy")]
+        ),
+        "cluster_id": pa.array([0], pa.int64()),
+        "run": pa.array([3], pa.int64()),
+    })
+    kept3 = dedup_minhash_incremental(
+        rd.from_arrow(variant), index
+    ).to_pandas()
+    assert len(kept3) == 0  # near-dup of indexed doc 0
