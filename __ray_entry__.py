@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals_documents": demo.repetition_signals_documents,
         "tfidf_top_terms_documents": demo.tfidf_top_terms_documents,
         "lm_score_documents": demo.lm_score_documents,
+        # benchmark decontamination (eval k-gram span filter)
+        "decontaminate_documents": demo.decontaminate_documents,
         # one-pass per-column dataset profiler (counts/nulls/distinct/range)
         "profile_events_columns": demo.profile_events_columns,
         # sequence packing (fixed-token-budget training bins; prefix scan)
@@ -641,6 +643,11 @@ def oracle_sql() -> dict[str, str]:
                        AS lm_score
             FROM toks JOIN cnt USING (term)
             GROUP BY doc_id
+        """,
+        # planted contamination: doc_id % 7 == 0 docs carry the eval
+        # sentence (vocabulary-disjoint tokens), everything else survives
+        "decontaminate_documents": """
+            SELECT doc_id FROM documents WHERE doc_id % 7 <> 0
         """,
         "profile_events_columns": """
             SELECT 'event_id' AS col, count(*) AS n,

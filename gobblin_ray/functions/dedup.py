@@ -1274,9 +1274,13 @@ def dedup_minhash_incremental(
     the star-verify caveat documented on ``_segment_pairs``.
 
     One exchange (anchor % P); each partition task loads its index slice
-    once, estimates candidate Jaccards vectorized per bucket, and writes
-    its survivors' rows via tmp + rename with a content-fingerprint name
-    (idempotent on retry; one task owns a partition per run)."""
+    once, estimates candidate Jaccards per (new doc, prior doc) pair with
+    numpy set kernels — per-pair cost is O(k_sketch), and the pair count
+    is bounded by bucket size x priors-per-anchor, NOT corpus size (an
+    anchor is a specific bottom shingle hash, so buckets are near-dup
+    families, not hot keys) — and writes its survivors' rows via tmp +
+    rename with a content-fingerprint name (idempotent on retry; one task
+    owns a partition per run)."""
     import hashlib
     import os
 

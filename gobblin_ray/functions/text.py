@@ -748,6 +748,85 @@ def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+_WIN_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_window_hashes(h: np.ndarray, doc_of: np.ndarray, k: int):
+    """Chained 64-bit hashes of every k-consecutive-token window that lies
+    fully inside one doc (the repetition-signals mixing, shared here so
+    driver-side eval hashing and worker-side doc hashing agree bit-for-
+    bit). Returns (window_hashes, window_doc_index)."""
+    m = len(h) - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    gh = h[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            gh = (gh * np.uint64(0x100000001B3)) ^ (h[j:j + m] + _WIN_GAMMA)
+    ok = doc_of[:m] == doc_of[k - 1:]
+    idx = np.flatnonzero(ok)
+    return gh[idx], doc_of[idx]
+
+
+def decontaminate(ds, eval_texts: list[str], text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 8):
+    """Benchmark decontamination (public practice: Brown et al. 2020 GPT-3
+    App. C; The Pile; Dodge et al. 2021 C4 audit): DROP any training doc
+    sharing a ``k``-consecutive-token span with the eval set — the filter
+    every serious LLM-data pipeline runs before training.
+
+    Scale shape: the eval side is benchmark-sized, so its window hashes
+    compute on the driver and broadcast ONCE (``ray.put`` of a sorted u64
+    array — a few MB for all public benchmarks combined); each batch
+    explodes its docs' tokens once, builds window hashes with the shared
+    chained-mixing kernel (no span text materialized — the span-dedup
+    lesson), and drops docs via one vectorized ``np.isin`` against the
+    broadcast array. No shuffle at all. 64-bit span identity over-drops a
+    doc with probability ~(doc windows x eval windows)/2^64 — harmless in
+    this direction (a dropped clean doc, never a kept contaminated one,
+    modulo the same odds)."""
+    import ray
+
+    from ..engine import stable_hash_u64
+
+    ev_hashes = []
+    for s in eval_texts:
+        toks = pa.array((s or "").split(" "), pa.string())
+        h = stable_hash_u64(toks)
+        w, _ = _token_window_hashes(h, np.zeros(len(h), np.int64), k)
+        ev_hashes.append(w)
+    eval_set = np.unique(np.concatenate(ev_hashes)) if ev_hashes else (
+        np.empty(0, np.uint64)
+    )
+    eval_ref = ray.put(eval_set)
+
+    class DropContaminated:
+        def __init__(self):
+            self.eval_hashes = ray.get(eval_ref)  # once per worker
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t.column(text_col).fill_null(""), pattern=" "
+            )
+            flat = pc.list_flatten(toks).combine_chunks()
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            doc_of = np.repeat(np.arange(len(lens)), lens)
+            h = stable_hash_u64(flat) if len(flat) else np.empty(0, np.uint64)
+            w, wdoc = _token_window_hashes(h, doc_of, k)
+            hits = np.isin(w, self.eval_hashes)
+            bad = np.zeros(t.num_rows, bool)
+            if hits.any():
+                bad[np.unique(wdoc[hits])] = True
+            return t.filter(pa.array(~bad))
+
+    return ds.map_batches(
+        DropContaminated, batch_format="pyarrow", batch_size=None,
+        concurrency=(1, 8),
+    )
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

@@ -2053,6 +2053,35 @@ def profile_events_columns(sf_dir: str):
     )
 
 
+_EVAL_SENTENCE = "zq0 zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9"
+
+
+def decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (functions/text.decontaminate): docs
+    sharing any 8-token span with the eval set drop. Contamination is
+    planted deterministically (every doc_id % 7 == 0 doc gets the eval
+    sentence appended — its tokens never occur in the corpus vocabulary),
+    so SQL replays the expected survivor set exactly."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        contaminated = pa.array(ids % 7 == 0)
+        text = pc.if_else(
+            contaminated,
+            pc.binary_join_element_wise(
+                t.column("text"), pa.scalar(_EVAL_SENTENCE), " "
+            ),
+            t.column("text"),
+        )
+        return pa.table({"doc_id": t.column("doc_id"), "text": text})
+
+    plant.__name__ = "plant_contamination"
+    planted = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    out = tx.decontaminate(planted, [_EVAL_SENTENCE], "text", "doc_id", k=8)
+    return out.select_columns(["doc_id"])
+
+
 def lm_score_documents(sf_dir: str):
     """Unigram-LM quality scoring (functions/text.unigram_logprob_score):
     per-doc mean -ln p(token) under the corpus unigram distribution — the

@@ -897,3 +897,28 @@ def test_neardup_incremental_replay_drops_everything(ray_session, tmp_path):
         rd.from_arrow(variant), index
     ).to_pandas()
     assert len(kept3) == 0  # near-dup of indexed doc 0
+
+
+def test_decontaminate_span_semantics(ray_session):
+    """Only docs containing a FULL k-token eval span drop: partial overlap
+    (k-1 shared tokens), boundary-straddling mixes, and short docs all
+    survive."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import decontaminate
+
+    ev = "e1 e2 e3 e4"  # k = 4: exactly one eval window
+    docs = [
+        (0, "a b " + ev + " c"),        # contains the full span -> drop
+        (1, "a e1 e2 e3 b c d"),        # only 3 of 4 tokens -> keep
+        (2, ev.replace("e4", "x4")),    # k-1 prefix only -> keep
+        (3, "e1 e2"),                   # shorter than k -> keep
+        (4, "clean text entirely"),     # -> keep
+        (5, ev),                        # the eval text itself -> drop
+    ]
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+    kept = decontaminate(rd.from_arrow(t).repartition(3), [ev], k=4).to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 2, 3, 4]
