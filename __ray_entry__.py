@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
+        "mixture_sample_documents": demo.mixture_sample_documents,
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         "quantiles_by_event_type": demo.quantiles_by_event_type,
@@ -483,6 +484,20 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM events
             ) WHERE rn <= 50
+        """,
+        # the md5-prefix coin: first 8 hex chars as a u32 fraction
+        "mixture_sample_documents": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT)
+                           / 4294967296.0 AS frac
+                FROM documents
+            )
+            SELECT lang, count(*) AS n FROM w
+            WHERE frac < CASE lang WHEN 'en' THEN 0.8 WHEN 'de' THEN 0.5
+                                   WHEN 'fr' THEN 0.25 ELSE 0.0 END
+            GROUP BY lang
         """,
         "left_join_customer_orders": """
             SELECT c.c_mktsegment,

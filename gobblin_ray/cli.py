@@ -77,6 +77,14 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--limit", type=int, default=5)
 
     sp = sub.add_parser(
+        "describe", help="manifest lineage: epoch chain, per-bucket "
+        "base/delta layout, compaction debt, metrics (no Ray session)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--buckets", action="store_true",
+                    help="include the per-bucket table")
+
+    sp = sub.add_parser(
         "changes", help="CDC-out snapshot diff between two committed "
         "manifests: insert/update/delete feed (needs the older manifest's "
         "files — run within the vacuum window)"
@@ -247,6 +255,40 @@ def main(argv: list[str] | None = None) -> int:
 
     from .checkpoint import CheckpointStore
     from .engine import CdcEngine, EngineConfig
+
+    if args.cmd == "describe":
+        store = CheckpointStore(args.lake_dir)
+        m = store.latest()
+        if m is None:
+            print(json.dumps({"lake": args.lake_dir, "state": "uninitialized"}))
+            return 1
+        deltas = {b: len(s.delta_epochs) for b, s in m.buckets.items()}
+        out = {
+            "lake": args.lake_dir,
+            "epoch": m.epoch,
+            "applied_range": [m.low_seq, m.high_seq],
+            "epochs_committed": len(store.committed_epochs()),
+            "num_buckets": m.num_buckets,
+            "bucket_hash": m.bucket_hash,
+            "rows": sum(s.rows for s in m.buckets.values()),
+            "events_this_epoch": m.event_count,
+            "errors_this_epoch": m.error_count,
+            "schema": [f.name for f in m.base_schema()],
+            "schema_fingerprint": m.schema_fingerprint,
+            # compaction debt: outstanding delta files per bucket
+            "delta_files_total": sum(deltas.values()),
+            "max_deltas_per_bucket": max(deltas.values()) if deltas else 0,
+            "metrics": m.metrics,
+        }
+        if args.buckets:
+            out["buckets"] = {
+                str(b): {"rows": s.rows, "base_epoch": s.base_epoch,
+                         "deltas": len(s.delta_epochs),
+                         "high_seq": s.high_seq}
+                for b, s in sorted(m.buckets.items())
+            }
+        print(json.dumps(out))
+        return 0
 
     if args.cmd == "status":
         m = CheckpointStore(args.lake_dir).latest()

@@ -2110,6 +2110,23 @@ def dedup_lines_planted(sf_dir: str):
     return tx.dedup_lines(ds, "text", "doc_id", num_partitions=8)
 
 
+def mixture_sample_documents(sf_dir: str):
+    """LLM data-mixture sampling (stages/sorts.mixture_sample_hash):
+    per-lang weighted deterministic subsampling (en 80%, de 50%, fr 25%,
+    everything else dropped), reproducible across runs and partitionings;
+    the md5-prefix coin is SQL arithmetic, so the oracle replays the exact
+    subset. Returns per-lang kept counts."""
+    from ray.data.aggregate import Count
+
+    from ..stages.sorts import mixture_sample_hash
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    kept = mixture_sample_hash(
+        ds, "lang", {"en": 0.8, "de": 0.5, "fr": 0.25}, "doc_id"
+    )
+    return kept.groupby("lang").aggregate(Count(alias_name="n"))
+
+
 def quantiles_by_event_type(sf_dir: str):
     """Per-group exact quantiles (functions/quantiles.exact_quantiles_by):
     p50/p90 of value per event_type — one bounded exchange, vectorized

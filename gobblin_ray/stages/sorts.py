@@ -96,6 +96,35 @@ def top_k_per_group(
     )
 
 
+def mixture_sample_hash(ds, group_col: str, weights: dict, id_col: str):
+    """Deterministic WEIGHTED mixture sampling (LLM data-mixture shape:
+    keep fraction w_g of stratum g, reproducibly): a row survives iff the
+    top-32-bits-of-md5(id) fraction is below its group's weight — the
+    same stable-hash coin as ``stratified_sample_hash``, so the subset is
+    identical across runs, partitionings, and cluster sizes, and exactly
+    SQL-replayable (md5 prefix arithmetic). Groups absent from
+    ``weights`` default to weight 0 (dropped). Pure per-batch filter —
+    no shuffle, no driver state."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        frac = np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in ids],
+            dtype=np.float64,
+        ) / float(1 << 32)
+        g = t.column(group_col).to_pylist()
+        w = np.array([weights.get(x, 0.0) for x in g])
+        return t.filter(pa.array(frac < w))
+
+    keep.__name__ = "mixture_sample"
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def stratified_sample_hash(
     ds,
     group_key: str,
