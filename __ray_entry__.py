@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # algebraic statistics (corr / stddev) + collect-list shape
         "corr_quantity_price": demo.corr_quantity_price,
         "stddev_value_by_type": demo.stddev_value_by_type,
+        # z-score standardization (two-pass feature normalization)
+        "zscore_events_value": demo.zscore_events_value,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -469,6 +471,16 @@ def oracle_sql() -> dict[str, str]:
         "stddev_value_by_type": """
             SELECT event_type, round(stddev_samp(value), 4) AS sd
             FROM events GROUP BY event_type
+        """,
+        "zscore_events_value": """
+            WITH s AS (
+                SELECT avg(value) AS m, stddev_pop(value) AS sd FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(CASE WHEN abs((value - s.m) / s.sd) > 1.5
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+                   round(avg(abs((value - s.m) / s.sd)), 4) AS mean_abs_z
+            FROM events, s GROUP BY event_type
         """,
         "string_agg_nations": """
             SELECT n_regionkey,

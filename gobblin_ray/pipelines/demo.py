@@ -2127,6 +2127,50 @@ def mixture_sample_documents(sf_dir: str):
     return kept.groupby("lang").aggregate(Count(alias_name="n"))
 
 
+def zscore_events_value(sf_dir: str):
+    """Z-score standardization (stages/aggregates.standardize — the ML
+    feature-normalization two-pass: one algebraic stats aggregate, two
+    broadcast scalars, per-batch map): per event_type, how many events sit
+    beyond 1.5 population-z and the mean |z|."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.aggregates import standardize
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    z = standardize(ds, "value")
+
+    def widen(t: pa.Table) -> pa.Table:
+        az = pc.abs(t.column("z"))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "_az": az,
+            "_ex": pc.cast(pc.greater(az, pa.scalar(1.5)), pa.int64()),
+        })
+
+    widen.__name__ = "z_widen"
+    out = (
+        z.map_batches(widen, batch_format="pyarrow", batch_size=None)
+        .groupby("event_type")
+        .aggregate(Sum("_ex", alias_name="n_extreme"),
+                   Sum("_az", alias_name="_sum_az"),
+                   Count(alias_name="_n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        maz = pc.divide(t.column("_sum_az"),
+                        pc.cast(t.column("_n"), pa.float64()))
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "n_extreme": t.column("n_extreme"),
+            "mean_abs_z": pa.array(_duck_round(
+                maz.to_numpy(zero_copy_only=False), 4
+            ), pa.float64()),
+        })
+
+    finish.__name__ = "z_finish"
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def quantiles_by_event_type(sf_dir: str):
     """Per-group exact quantiles (functions/quantiles.exact_quantiles_by):
     p50/p90 of value per event_type — one bounded exchange, vectorized

@@ -219,3 +219,45 @@ def string_agg_by(ds, key: str, val: str, sep: str = ",",
         ds, key, assemble, num_partitions=num_partitions,
         batch_format="pyarrow", pre=drop_null_vals,
     )
+
+
+def standardize(ds, value_col: str, out: str = "z"):
+    """Z-score standardization (ML feature normalization): two passes —
+    ONE algebraic aggregate (n, Σx, Σx²; same decomposable shape as
+    ``pearson_corr``) gives the population mean/stddev, broadcast as two
+    scalars; then a pure per-batch map emits ``(x - mean) / std``. No
+    shuffle in either pass. Null values pass through as null; population
+    (ddof=0) semantics match SQL's ``avg``/``stddev_pop``."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import AggregateFn
+
+    def acc(s, block):
+        x = block.column(value_col).drop_null().to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        return (s[0] + len(x), s[1] + x.sum(), s[2] + (x * x).sum())
+
+    agg = AggregateFn(
+        init=lambda _k: (0, 0.0, 0.0),
+        accumulate_block=acc,
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        finalize=lambda s: s,
+        name="std_stats",
+    )
+    n, sx, sxx = ds.aggregate(agg)["std_stats"]
+    mean = sx / n if n else 0.0
+    var = max(sxx / n - mean * mean, 0.0) if n else 0.0
+    std = float(np.sqrt(var)) or 1.0  # constant column -> z = 0
+
+    def zmap(t: pa.Table) -> pa.Table:
+        z = pc.divide(
+            pc.subtract(pc.cast(t.column(value_col), pa.float64()),
+                        pa.scalar(mean)),
+            pa.scalar(std),
+        )
+        return t.append_column(out, z)
+
+    zmap.__name__ = "standardize"
+    return ds.map_batches(zmap, batch_format="pyarrow", batch_size=None)
