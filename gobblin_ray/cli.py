@@ -123,6 +123,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-manifests", type=int, default=1)
 
     sp = sub.add_parser(
+        "rollback", help="roll the lake back to an older committed manifest "
+        "(Iceberg snapshot-rollback analog; legal within the vacuum window; "
+        "the next run re-applies the later log span, converging byte-"
+        "identically)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--to-epoch", type=int, required=True)
+
+    sp = sub.add_parser(
         "copy", help="distcp-style resumable file copy (CopySource analog): "
         "bin-packed fan-out, landed-byte verify, manifest commit"
     )
@@ -220,6 +229,12 @@ def main(argv: list[str] | None = None) -> int:
         from .retention import vacuum_keep
 
         print(json.dumps(vacuum_keep(args.lake_dir, args.keep_manifests)))
+        return 0
+
+    if args.cmd == "rollback":
+        from .retention import rollback_to
+
+        print(json.dumps(rollback_to(args.lake_dir, args.to_epoch)))
         return 0
 
     if args.cmd == "copy":

@@ -288,3 +288,63 @@ def _vacuum_keep_locked(lake_dir: str, keep_manifests: int) -> dict:
         "removed_files": removed_files,
         "removed_manifests": removed_manifests,
     }
+
+
+def rollback_to(lake_dir: str, epoch: int) -> dict:
+    """Roll the lake back to committed manifest ``epoch`` (the Iceberg
+    snapshot-rollback analog): verify every data file that manifest
+    references still exists (rollback is only legal inside the vacuum /
+    manifest-retention window), then delete all LATER manifests and every
+    data file referenced by NO remaining manifest. Exactly-once replay
+    invariance makes this safe: the next ``run`` resumes from ``epoch``'s
+    high_seq and re-applies the later log span, converging to the same
+    state byte-for-byte (pinned by test_rollback_then_rerun_converges).
+
+    Takes the job lock — rolling back under a live driver would race its
+    in-flight promotes."""
+    from .locks import FileJobLock
+
+    with FileJobLock(os.path.join(lake_dir, "_locks")):
+        store = ckpt.CheckpointStore(lake_dir)
+        epochs = store.committed_epochs()
+        if epoch not in epochs:
+            raise ValueError(
+                f"epoch {epoch} is not a committed manifest (have {epochs})"
+            )
+        target = store.load(epoch)
+        missing = [
+            p for s in target.buckets.values()
+            for p in ckpt.bucket_files(lake_dir, s) if not os.path.exists(p)
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot roll back to epoch {epoch}: {len(missing)} data "
+                f"files were vacuumed (first: {missing[0]}); keep a wider "
+                "manifest window (vacuum --keep-manifests)"
+            )
+        keep_files: set[str] = set()
+        for e in epochs:
+            if e <= epoch:
+                for s in store.load(e).buckets.values():
+                    keep_files.update(ckpt.bucket_files(lake_dir, s))
+        removed_manifests = 0
+        for e in epochs:
+            if e > epoch:
+                os.remove(store._path(e))
+                removed_manifests += 1
+        removed_files = 0
+        data = os.path.join(lake_dir, ckpt.DATA_DIR)
+        if os.path.isdir(data):
+            for bdir in os.listdir(data):
+                full = os.path.join(data, bdir)
+                for name in os.listdir(full):
+                    p = os.path.join(full, name)
+                    if p not in keep_files:
+                        os.remove(p)
+                        removed_files += 1
+        return {
+            "rolled_back_to": epoch,
+            "high_seq": target.high_seq,
+            "removed_manifests": removed_manifests,
+            "removed_files": removed_files,
+        }

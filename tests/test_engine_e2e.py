@@ -501,3 +501,53 @@ def test_read_changes_matches_sequential_diff(ray_session, corpus, tmp_path_fact
         assert g["text"].isna().all()
         for _, r in g.iterrows():
             assert r["event_seq"] == a.loc[r["url"], "event_seq"]
+
+
+def test_rollback_then_rerun_converges(ray_session, corpus, oracle_df,
+                                       tmp_path_factory):
+    """Roll the lake back to a mid manifest, re-run to head: the replayed
+    state is byte-identical to the oracle (exactly-once invariance makes
+    rollback safe); rollback to a vacuumed/unknown epoch raises."""
+    import os
+
+    from gobblin_ray.retention import rollback_to
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("lake_rb"))
+    eng = CdcEngine(lake, f"{d}/events", EngineConfig(num_buckets=8,
+                                                      epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    head = eng.store.latest().epoch
+
+    mid = head // 2
+    rep = rollback_to(lake, mid)
+    assert rep["rolled_back_to"] == mid
+    assert eng.store.latest().epoch == mid
+    assert rep["removed_manifests"] == head - mid
+
+    # resume: re-applies (mid, head] and converges to the oracle
+    eng2 = CdcEngine(lake, f"{d}/events", EngineConfig(num_buckets=8,
+                                                       epoch_width=EPOCH_W))
+    reports = eng2.run(vacuum=False)
+    assert [r.epoch for r in reports] == list(range(mid + 1, head + 1))
+    got = (
+        eng2.read_table().to_pandas()
+        .sort_values("url").reset_index(drop=True)
+    )
+    want = oracle_df.sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+    with pytest.raises(ValueError):
+        rollback_to(lake, 9999)
+
+    # simulate a vacuumed window: delete one file the target references
+    m1 = eng2.store.load(1)
+    from gobblin_ray import checkpoint as ckpt
+
+    victim = ckpt.bucket_files(lake, next(iter(m1.buckets.values())))[0]
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError):
+        rollback_to(lake, 1)
