@@ -70,6 +70,10 @@ QUERY_NAMES = [
     "heavy_hitters_users",
     "window_lag_running_sum",
     "bloom_semi_lineitem",
+    "decontaminate_documents",
+    "zscore_events_value",
+    "mixture_sample_documents",
+    "dedup_lines_planted",
 ]
 
 

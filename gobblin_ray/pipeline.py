@@ -80,8 +80,10 @@ def _default_registry() -> AliasRegistry:
     reg.register("time_partition", time_partition)
     reg.register("content_hash", dd.content_hash_column)
     for name in ("token_count", "char_count", "bpe_ish_token_count",
-                 "quality_features", "quality_score"):
+                 "quality_features", "quality_score", "repetition_signals",
+                 "redact_pii", "canonicalize_url", "token_window_spans"):
         reg.register(name, getattr(tx, name))
+    reg.register("unpivot", cv.unpivot)
     # Stateful actor-pool stages (callable classes; init once per actor).
     from .stages.limiter import CountLimiter, RateLimiter, TimeLimiter
 
