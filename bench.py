@@ -3,8 +3,9 @@
 Usage:
   python bench.py                 # full: headline + query timings, ONE JSON line
   python bench.py --headline-only # just the CDC replay (used by --scaling)
-  python bench.py --scaling       # same job at 8 and 32 CPUs in fresh
-                                  # processes -> throughput + efficiency JSON
+  python bench.py --scaling       # same job at N and 4N CPUs (default 2/8,
+                                  # see run_scaling docstring) in fresh
+                                  # sessions -> throughput + efficiency JSON
 
 Environment:
   GRAFT_SF_DIR    testdata dir for the operator queries (default sf0.1)
