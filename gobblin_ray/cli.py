@@ -123,6 +123,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--keep-manifests", type=int, default=1)
 
     sp = sub.add_parser(
+        "rebucket", help="bucket-count migration (partition evolution): "
+        "rewrite every bucket under a new hash(url) %% N router at the "
+        "same watermark; subsequent runs resume under the new count"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--buckets", type=int, required=True)
+
+    sp = sub.add_parser(
         "rollback", help="roll the lake back to an older committed manifest "
         "(Iceberg snapshot-rollback analog; legal within the vacuum window; "
         "the next run re-applies the later log span, converging byte-"
@@ -360,6 +368,14 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "rebucket":
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            m = eng.rebucket(args.buckets)
+            print(json.dumps({
+                "epoch": m.epoch, "num_buckets": m.num_buckets,
+                "high_seq": m.high_seq,
+                "rows": sum(s.rows for s in m.buckets.values()),
+            }))
         elif args.cmd == "changes":
             from ray.data.aggregate import Count
 

@@ -956,6 +956,101 @@ class CdcEngine:
             load_merge, batch_format="pyarrow", batch_size=1
         )
 
+    def rebucket(self, new_buckets: int) -> "Manifest":
+        """Bucket-count migration (partition evolution — the operational
+        move when a lake outgrows its router, e.g. 32 -> 512 buckets as a
+        crawl grows): merge every OLD bucket's base+deltas (tombstones
+        RETAINED — late events must still lose to them), re-route every
+        row through the new ``hash(url) % new_buckets``, write ONE fresh
+        base per new bucket as the next epoch, and commit a manifest with
+        the new count at the SAME high_seq. Subsequent runs resume from
+        that watermark under the new router; exactly-once invariance makes
+        the continued replay converge byte-identically (pinned by
+        test_rebucket_midstream_converges). The Iceberg analog is
+        partition-spec evolution with a rewrite.
+
+        Shape: one read+merge task per old bucket -> ONE exchange on the
+        new bucket id -> one write task per new bucket. Per-bucket lineage
+        counters restart at the migration epoch (the manifest chain keeps
+        history). Idempotent per epoch: staged names are deterministic and
+        promote skips existing files."""
+        import ray.data as rd
+
+        from .merge import merge_bases
+
+        m = self.store.latest()
+        if m is None:
+            raise ValueError("rebucket needs a bootstrapped lake")
+        if new_buckets < 1:
+            raise ValueError("new_buckets must be >= 1")
+        epoch = m.epoch + 1
+        schema = m.base_schema()
+        lake_dir, B = self.lake_dir, int(new_buckets)
+        file_map = self.bucket_file_map(m)
+        specs = [{"files": files} for files in file_map.values() if files]
+
+        def load_and_route(batch: pa.Table) -> pa.Table:
+            out = []
+            for row in batch.to_pylist():
+                t = merge_bases(
+                    [pq.read_table(p) for p in row["files"]], schema
+                )  # tombstones retained
+                t = conform(t, schema)
+                nb = (stable_hash_u64(t.column("url")) % B).astype(np.int32)
+                out.append(t.append_column(_BUCKET_COL, pa.array(nb)))
+            return (pa.concat_tables(out) if out else
+                    conform(pa.table({}), schema).append_column(
+                        _BUCKET_COL, pa.array([], pa.int32())))
+
+        load_and_route.__name__ = "rebucket_route"
+
+        def write_new_bucket(group: pa.Table) -> pa.Table:
+            bucket = int(group.column(_BUCKET_COL)[0].as_py())
+            tbl = group.drop_columns([_BUCKET_COL]).sort_by(
+                [("url", "ascending")]
+            )
+            ckpt.atomic_write_table(
+                tbl, ckpt.staging_path(lake_dir, epoch, bucket)
+            )
+            return pa.table({
+                "bucket": pa.array([bucket], pa.int32()),
+                "rows": pa.array([tbl.num_rows], pa.int64()),
+            })
+
+        write_new_bucket.__name__ = "rebucket_write"
+        lineage = (
+            rd.from_items(specs)
+            .map_batches(load_and_route, batch_format="pyarrow", batch_size=1)
+            .groupby(_BUCKET_COL)
+            .map_groups(write_new_bucket, batch_format="pyarrow")
+            .take_all()
+        )
+        buckets_touched = [int(r["bucket"]) for r in lineage]
+        ckpt.promote(lake_dir, epoch, buckets_touched)
+        manifest = Manifest(
+            epoch=epoch,
+            low_seq=m.high_seq,
+            high_seq=m.high_seq,
+            num_buckets=B,
+            schema_fingerprint=m.schema_fingerprint,
+            schema_ipc=m.schema_ipc,
+            metrics=dict(m.metrics),
+        )
+        for r in lineage:
+            b = int(r["bucket"])
+            manifest.buckets[b] = BucketState(
+                bucket=b, high_seq=m.high_seq, base_epoch=epoch,
+                rows=int(r["rows"]), events_applied=0, events_epoch=epoch,
+            )
+        for b in range(B):
+            if b not in manifest.buckets:
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=m.high_seq, base_epoch=-1, rows=0,
+                    events_applied=0, events_epoch=epoch,
+                )
+        self.store.commit(manifest)
+        return manifest
+
     def read_changes(self, from_epoch: int, to_epoch: int | None = None):
         """CDC-out / snapshot diff between two committed manifests: one row
         per url whose LIVE state differs, tagged ``change_type`` in
