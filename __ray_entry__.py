@@ -103,6 +103,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stddev_value_by_type": demo.stddev_value_by_type,
         # z-score standardization (two-pass feature normalization)
         "zscore_events_value": demo.zscore_events_value,
+        # equi-width histogram (distribution profiling)
+        "histogram_event_values": demo.histogram_event_values,
+        # CDC partial-column upsert (merge-patch; null = not-present)
+        "cdc_partial_update": demo.cdc_partial_update,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -130,6 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences_documents": demo.pack_sequences_documents,
         # inverted index (term -> df + sorted posting list)
         "inverted_index_documents": demo.inverted_index_documents,
+        # RAG chunking (overlapping token windows, 1:N)
+        "chunk_documents_rag": demo.chunk_documents_rag,
         # funnel conversion (first click before first purchase)
         "funnel_click_purchase": demo.funnel_click_purchase,
         "bpe_token_totals": demo.bpe_token_totals,
@@ -146,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_planted": demo.embedding_dup_planted,
         # similarity search (extension set)
         "knn_brute_force": demo.knn_brute_force,
+        "cosine_pairs_embeddings": demo.cosine_pairs_embeddings,
         "knn_lsh": demo.knn_lsh,
         "knn_ivf": demo.knn_ivf,
         "embedding_dims": demo.embedding_dims,
@@ -481,6 +488,61 @@ def oracle_sql() -> dict[str, str]:
                                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
                    round(avg(abs((value - s.m) / s.sd)), 4) AS mean_abs_z
             FROM events, s GROUP BY event_type
+        """,
+        "histogram_event_values": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        # partial-column upsert: per user, the last NON-NULL value of each
+        # column independently (null synthesized = column not present in
+        # that change record) — IGNORE NULLS is exactly that contract
+        "cdc_partial_update": """
+            WITH m AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN event_id % 3 = 0 THEN NULL
+                            ELSE value END AS value,
+                       CASE WHEN event_id % 5 = 0 THEN NULL
+                            ELSE event_type END AS event_type
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            w AS (
+                SELECT user_id,
+                       last_value(value IGNORE NULLS) OVER win AS lv,
+                       last_value(event_type IGNORE NULLS) OVER win AS le,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM m
+                WINDOW win AS (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+            )
+            SELECT user_id, round(lv, 2) AS last_value,
+                   le AS last_event_type
+            FROM w WHERE rn = 1
+        """,
+        "cosine_pairs_embeddings": """
+            SELECT x.vec_id AS a, y.vec_id AS b,
+                   round(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                                CAST(y.embedding AS DOUBLE[])), 4)
+                       AS cosine
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                         CAST(y.embedding AS DOUBLE[])) >= 0.4
+        """,
+        # chunking: windows start every 24 tokens while inside the doc;
+        # t[i:i+31] is DuckDB's INCLUSIVE list slice (32 tokens, clipped)
+        "chunk_documents_rag": """
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            )
+            SELECT doc_id, CAST((i - 1) // 24 AS BIGINT) AS chunk_id,
+                   CAST(least(32, len(t) - i + 1) AS BIGINT) AS n_tokens,
+                   array_to_string(t[i:i+31], ' ') AS chunk
+            FROM toks CROSS JOIN LATERAL
+                (SELECT unnest(range(1, len(t) + 1, 24)) AS i) s
         """,
         "string_agg_nations": """
             SELECT n_regionkey,

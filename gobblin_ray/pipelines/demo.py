@@ -2202,3 +2202,92 @@ def multimodal_audio(sf_dir: str):
     return out.select_columns(
         ["media_id", "n_samples", "duration_s", "rms", "peak"]
     )
+
+
+def histogram_event_values(sf_dir: str):
+    """Equi-width histogram of events.value (width 10): the
+    distribution-profiling primitive (metrics histogram reporter analog,
+    gobblin-metrics-libs). Partial-aggregated groupby over O(range/width)
+    buckets — the exchange carries per-block partials, not rows."""
+    from ..stages.aggregates import histogram_equi_width
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    out = histogram_equi_width(ds, "value", 10.0)
+    return out.map_batches(
+        _round_cols({"sum_value": 2}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def cdc_partial_update(sf_dir: str):
+    """CDC partial-column upsert (merge-patch): change records where a
+    NULL column means "not present" — per user, the last NON-NULL value
+    and event_type independently (Hudi partial-update payload analog;
+    contrast the engine's whole-row LWW). Nulls are synthesized
+    deterministically (value missing when event_id % 3 == 0, event_type
+    missing when event_id % 5 == 0) so the oracle can replay them."""
+    from ..stages.windows import last_observed_state
+
+    ds = read_table(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "event_type", "value", "ts"],
+    )
+
+    def _mod0(col, m: int):
+        # x - (x // m) * m == 0  (pyarrow has no modulo kernel; x >= 0)
+        v = col.cast(pa.int64())
+        return pc.equal(
+            pc.subtract(v, pc.multiply(pc.divide(v, pa.scalar(m)),
+                                       pa.scalar(m))),
+            pa.scalar(0),
+        )
+
+    def synth_missing(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id")
+        v_missing = _mod0(eid, 3)
+        e_missing = _mod0(eid, 5)
+        t = t.set_column(
+            t.schema.get_field_index("value"), "value",
+            pc.if_else(v_missing, pa.scalar(None, pa.float64()),
+                       t.column("value")),
+        )
+        return t.set_column(
+            t.schema.get_field_index("event_type"), "event_type",
+            pc.if_else(e_missing, pa.scalar(None, pa.string()),
+                       t.column("event_type")),
+        )
+
+    patched = ds.map_batches(
+        synth_missing, batch_format="pyarrow", batch_size=None
+    )
+    out = last_observed_state(
+        patched, "user_id", ["ts", "event_id"], ["value", "event_type"]
+    )
+    return out.map_batches(
+        lambda t: t.select(["user_id", "last_value", "last_event_type"]),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(
+        _round_cols({"last_value": 2}), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
+def cosine_pairs_embeddings(sf_dir: str):
+    """Exact all-pairs cosine similarity self-join at threshold 0.4 over
+    the real embeddings table — the similarity-join primitive (related
+    content linking / threshold near-dup). Broadcast-matrix matmul per
+    batch; LSH/IVF prefilter is the documented beyond-memory path."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.cosine_self_join(ds, tau=0.4)
+    return out.map_batches(
+        _round_cols({"cosine": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def chunk_documents_rag(sf_dir: str):
+    """Overlapping token-window chunking (chunk=32, stride=24) — the RAG /
+    retrieval-indexing fan-out stage (1:N per-batch flat map, no shuffle)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        tx.chunk_token_windows(chunk=32, stride=24),
+        batch_format="pyarrow", batch_size=None,
+    )

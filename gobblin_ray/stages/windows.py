@@ -255,3 +255,40 @@ def ntile_by(ds, key: str, order_by: list[str], n: int,
 
     assign.__name__ = "ntile_assign"
     return keyed_map_groups(ds, key, assign, num_partitions=num_partitions)
+
+
+def last_observed_state(ds, key: str, order_by: list[str],
+                        value_cols: list[str], num_partitions: int = 64):
+    """CDC partial-column upsert (merge-patch reduce): one row per ``key``
+    carrying, for EACH of ``value_cols`` independently, the LAST NON-NULL
+    value in ``order_by`` order — change records that carry only the
+    columns they touch (null = "not present", not "set to null") fold into
+    the full current state. This is the partial-update payload contract of
+    CDC lake writers (Hudi's OverwriteNonDefaultsWithLatestAvroPayload;
+    Gobblin analog: converter-merged mutation streams feeding
+    `gobblin-runtime`'s dedup-reducer, SURVEY §2.8) — distinct from the
+    engine's whole-row LWW (`merge.lww_reduce`), where the newest row wins
+    wholesale.
+
+    Scale shape: ONE bounded exchange on ``hash(key) % num_partitions``
+    (same contract as the session/lag analytics), then per partition one
+    mergesort + ``groupby(key).last()`` — pandas' ``last`` skips NA, so the
+    per-column scan is a single C kernel over every key in the partition.
+    Refinement documented for very hot keys: a within-batch combiner must
+    carry per-COLUMN (order, value) partials (a single surviving row per
+    key is not associative when different columns' last writers are in
+    different batches), so it is deliberately not applied here.
+    Output columns: ``key`` then ``last_<col>`` per value column."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    def reduce_state(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        out = g.groupby(key, sort=False)[value_cols].last()
+        out.columns = [f"last_{c}" for c in value_cols]
+        return out.reset_index()
+
+    reduce_state.__name__ = "last_observed_state"
+    return keyed_map_groups(ds, key, reduce_state,
+                            num_partitions=num_partitions)

@@ -1135,3 +1135,60 @@ def test_funnel_handles_users_missing_a_stage(ray_session, tmp_path):
     got = funnel_click_purchase(str(d)).to_pandas()
     assert int(got["n_users"].iloc[0]) == 4
     assert int(got["n_converted"].iloc[0]) == 1
+
+
+# ----------------------------------------------------- round-3 session-4 ops
+
+def test_chunk_token_windows_edges():
+    import pyarrow as pa
+
+    from gobblin_ray.functions.text import chunk_token_windows
+
+    t = pa.table({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["a b c d e f g", "x", "", "p q r s t"],
+    })
+    out = chunk_token_windows(chunk=4, stride=3)(t).to_pydict()
+    # doc 1 (7 tokens): starts 0,3,6 -> 'a b c d','d e f g','g'
+    # doc 2 (1 token): one whole-doc chunk; doc 3: '' splits to [''] (1 tok)
+    # doc 4 (5 tokens): starts 0,3 -> 'p q r s','s t'
+    assert out["doc_id"] == [1, 1, 1, 2, 3, 4, 4]
+    assert out["chunk_id"] == [0, 1, 2, 0, 0, 0, 1]
+    assert out["n_tokens"] == [4, 4, 1, 1, 1, 4, 2]
+    assert out["chunk"] == [
+        "a b c d", "d e f g", "g", "x", "", "p q r s", "s t",
+    ]
+    # stride > chunk (gap sampling) is allowed: starts 0,5 on 6 tokens
+    t2 = pa.table({"doc_id": [9], "text": ["t0 t1 t2 t3 t4 t5"]})
+    out2 = chunk_token_windows(chunk=2, stride=5)(t2).to_pydict()
+    assert out2["chunk"] == ["t0 t1", "t5"]
+
+
+def test_last_observed_state_all_null_and_order(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gobblin_ray.stages.windows import last_observed_state
+
+    # user 1: value written at ts 1 then null at ts 2 -> keeps 10.0;
+    # event_type written LAST at ts 2 -> 'b' (independent per column).
+    # user 2: never writes value -> NaN/None survives.
+    df = pd.DataFrame({
+        "k": [1, 1, 2, 2],
+        "ts": [1, 2, 1, 2],
+        "value": [10.0, None, None, None],
+        "label": ["a", "b", None, "z"],
+    })
+    ds = ray.data.from_pandas(df)
+    out = (
+        last_observed_state(ds, "k", ["ts"], ["value", "label"])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out["k"]) == [1, 2]
+    assert out.loc[0, "last_value"] == 10.0
+    assert out.loc[0, "last_label"] == "b"
+    assert np.isnan(out.loc[1, "last_value"])
+    assert out.loc[1, "last_label"] == "z"
