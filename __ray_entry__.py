@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         "quantiles_by_event_type": demo.quantiles_by_event_type,
+        # one-pass mergeable quantile sketch (KLL; exact when saturated)
+        "quantiles_sketch_values": demo.quantiles_sketch_values,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -128,6 +130,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_documents": demo.lm_score_documents,
         # benchmark decontamination (eval k-gram span filter)
         "decontaminate_documents": demo.decontaminate_documents,
+        # data-driven percentile quality gate
+        "percentile_filter_docs": demo.percentile_filter_docs,
+        # domain blocklist filter (broadcast host set, parsed from urls)
+        "domain_blocklist_filter": demo.domain_blocklist_filter,
         # one-pass per-column dataset profiler (counts/nulls/distinct/range)
         "profile_events_columns": demo.profile_events_columns,
         # sequence packing (fixed-token-budget training bins; prefix scan)
@@ -428,6 +434,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.9,
                    round(quantile_cont(value, 0.9), 4)
             FROM events GROUP BY event_type
+        """,
+        # saturated at driver scale (n <= k=16384) -> exact quantile_cont;
+        # the estimation-regime rank bound is pinned by pytest
+        "quantiles_sketch_values": """
+            SELECT 0.25 AS q, round(quantile_cont(value, 0.25), 4) AS qv FROM events
+            UNION ALL
+            SELECT 0.5, round(quantile_cont(value, 0.5), 4) FROM events
+            UNION ALL
+            SELECT 0.9, round(quantile_cont(value, 0.9), 4) FROM events
+            UNION ALL
+            SELECT 0.99, round(quantile_cont(value, 0.99), 4) FROM events
+        """,
+        "percentile_filter_docs": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(array_length(string_split(text, ' ')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            q AS (SELECT quantile_cont(n_tokens, 0.9) AS thr FROM t)
+            SELECT doc_id, n_tokens FROM t, q WHERE n_tokens >= thr
+        """,
+        "domain_blocklist_filter": """
+            WITH u AS (
+                SELECT doc_id,
+                       'site' || CAST(doc_id % 50 AS VARCHAR)
+                              || '.example.com' AS host
+                FROM documents
+            )
+            SELECT doc_id, host FROM u
+            WHERE host NOT IN (
+                'site0.example.com', 'site1.example.com',
+                'site2.example.com', 'site3.example.com',
+                'site4.example.com', 'site5.example.com',
+                'site6.example.com', 'site7.example.com',
+                'site8.example.com', 'site9.example.com'
+            )
         """,
         "rollup_orders": """
             SELECT o_orderstatus, o_orderpriority,

@@ -202,3 +202,130 @@ def approx_distinct_by(ds, group_col: str, column: str, k: int = 4096):
         name="n_distinct",
     )
     return ds.groupby(group_col).aggregate(agg)
+
+
+# ------------------------------------------------- quantile sketch (KLL-lite)
+
+def _kll_compact(levels: list, coins: list, c: int):
+    """Compact every over-full level in place: sort the buffer, promote
+    every other element (starting at an alternating parity offset — the
+    deterministic stand-in for KLL's random coin; Karnin-Lang-Liberty 2016
+    use a fair coin, which keeps the estimator unbiased; alternating parity
+    trades a negligible bias for run-to-run determinism) to the next level,
+    discard the rest. An item at level i carries weight 2^i."""
+    lvl = 0
+    while lvl < len(levels):
+        if len(levels[lvl]) <= c:
+            lvl += 1
+            continue
+        buf = np.sort(levels[lvl])
+        off = coins[lvl] & 1
+        coins[lvl] += 1
+        promoted = buf[off::2]
+        levels[lvl] = np.empty(0, dtype=np.float64)
+        if lvl + 1 == len(levels):
+            levels.append(promoted)
+            coins.append(0)
+        else:
+            levels[lvl + 1] = np.concatenate([levels[lvl + 1], promoted])
+        lvl += 1
+    return levels, coins
+
+
+def _kll_insert(state, vals: np.ndarray, c: int):
+    levels, coins = state
+    levels = [np.concatenate([levels[0], vals])] + list(levels[1:])
+    return _kll_compact(levels, list(coins), c)
+
+
+def _kll_merge(a, b, c: int):
+    la, ca = a
+    lb, cb = b
+    n = max(len(la), len(lb))
+    levels = [
+        np.concatenate([
+            la[i] if i < len(la) else np.empty(0, np.float64),
+            lb[i] if i < len(lb) else np.empty(0, np.float64),
+        ])
+        for i in range(n)
+    ]
+    coins = [
+        (ca[i] if i < len(ca) else 0) + (cb[i] if i < len(cb) else 0)
+        for i in range(n)
+    ]
+    return _kll_compact(levels, coins, c)
+
+
+def _kll_quantiles(state, qs: list[float]) -> list[float]:
+    """quantile_cont-interpolated values in the SATURATED regime (all items
+    still at level 0 — exact: the sketch holds every value); weighted
+    order-statistic lookup in the estimation regime."""
+    levels, _ = state
+    if all(len(l) == 0 for l in levels):
+        return [float("nan")] * len(qs)
+    if all(len(l) == 0 for l in levels[1:]):  # saturated -> exact
+        v = np.sort(levels[0])
+        out = []
+        for q in qs:
+            h = (len(v) - 1) * q
+            lo = int(np.floor(h))
+            hi = min(lo + 1, len(v) - 1)
+            out.append(float(v[lo] + (v[hi] - v[lo]) * (h - lo)))
+        return out
+    vals = np.concatenate(levels)
+    wts = np.concatenate([
+        np.full(len(l), 2.0**i) for i, l in enumerate(levels)
+    ])
+    order = np.argsort(vals, kind="mergesort")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    total = cum[-1]
+    out = []
+    for q in qs:
+        r = q * (total - 1.0)
+        idx = int(np.searchsorted(cum - 1.0, r, side="left"))
+        out.append(float(vals[min(idx, len(vals) - 1)]))
+    return out
+
+
+def approx_quantiles(ds, column: str, qs: list[float],
+                     k: int = 16384) -> list[float]:
+    """Mergeable quantile sketch (KLL family; Karnin, Lang & Liberty 2016,
+    "Optimal quantile approximation in streams"): per-level buffers of
+    capacity ``k``; a full buffer sorts and promotes every other element
+    (weight doubles per level). Runs as a Ray AggregateFn TREE — each block
+    folds its values into its own sketch, merges are level-wise
+    concatenate + compact, and O(k log(n/k)) floats reach the driver. No
+    shuffle; contrast ``exact_quantiles``' multi-round histogram scans,
+    which re-read the dataset once per refinement round — the sketch is
+    the ONE-PASS path when rank error ~1/k is acceptable.
+
+    SATURATED regime (n <= k: no compaction fired anywhere): the sketch
+    holds every value and the result is EXACT quantile_cont interpolation
+    — what the driver oracle checks. Estimation regime: a weighted
+    order-statistic lookup; the rank-error bound is pinned by pytest.
+    NaN/NULL excluded, as in SQL."""
+    from ray.data.aggregate import AggregateFn
+
+    def new_state():
+        return ([np.empty(0, dtype=np.float64)], [0])
+
+    def acc(state, block):
+        if hasattr(block, "column"):  # pyarrow block
+            col = block.column(column)
+            v = col.drop_null().to_numpy(zero_copy_only=False)
+        else:  # pandas block (e.g. from_pandas datasets)
+            v = block[column].dropna().to_numpy()
+        v = v.astype(np.float64)
+        v = v[~np.isnan(v)]
+        return _kll_insert(state, v, k)
+
+    agg = AggregateFn(
+        init=lambda _k: new_state(),
+        accumulate_block=acc,
+        merge=lambda a, b: _kll_merge(a, b, k),
+        finalize=lambda s: s,
+        name="kll",
+    )
+    state = ds.aggregate(agg)["kll"]
+    return _kll_quantiles(state, qs)

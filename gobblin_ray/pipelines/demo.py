@@ -2291,3 +2291,83 @@ def chunk_documents_rag(sf_dir: str):
         tx.chunk_token_windows(chunk=32, stride=24),
         batch_format="pyarrow", batch_size=None,
     )
+
+
+def quantiles_sketch_values(sf_dir: str):
+    """ONE-PASS mergeable quantile sketch (KLL family) over events.value —
+    the streaming counterpart of `quantiles_event_value`'s multi-round
+    histogram refinement. Saturated at driver scale (n <= k), so the
+    result is exact quantile_cont interpolation; the estimation-regime
+    rank-error bound is pinned by pytest."""
+    from ..functions.sketch import approx_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    qs = [0.25, 0.5, 0.9, 0.99]
+    vals = approx_quantiles(ds, "value", qs)
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "qv": pa.array(_duck_round(np.asarray(vals), 4)),
+    })
+
+
+def percentile_filter_docs(sf_dir: str):
+    """Percentile-gate filter: keep documents at or above the corpus's 90th
+    percentile token count — the data-driven quality gate shape (threshold
+    comes from the data, not a constant): one stats pass computes the
+    quantile_cont threshold, then a broadcast-scalar per-batch filter."""
+    from ..functions.quantiles import exact_quantiles
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    toks = ds.map_batches(
+        tx.token_count(), batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda t: t.select(["doc_id", "n_tokens"]).set_column(
+            1, "n_tokens_f", t.column("n_tokens").cast(pa.float64())
+        ).append_column("n_tokens", t.column("n_tokens")),
+        batch_format="pyarrow", batch_size=None,
+    )
+    thr = exact_quantiles(toks, "n_tokens_f", [0.9])[0]
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.greater_equal(t.column("n_tokens_f"), pa.scalar(thr))
+        return t.filter(keep).select(["doc_id", "n_tokens"])
+
+    gate.__name__ = "percentile_gate"
+    return toks.map_batches(gate, batch_format="pyarrow", batch_size=None)
+
+
+def domain_blocklist_filter(sf_dir: str):
+    """Domain-blocklist filtering (webtext curation: drop documents from
+    blocked hosts). URLs are synthesized deterministically per doc (the
+    documents table carries no url column), the HOST is genuinely parsed
+    back out of the url string (vectorized regex), and membership is a
+    broadcast set test per batch — no shuffle, the standard shape for a
+    robots/blocklist gate at corpus scale."""
+    blocked = pa.array(
+        [f"site{i}.example.com" for i in range(10)], pa.string()
+    )
+
+    def run(t: pa.Table) -> pa.Table:
+        did = t.column("doc_id").cast(pa.int64())
+        m50 = pc.subtract(
+            did, pc.multiply(pc.divide(did, pa.scalar(50)), pa.scalar(50))
+        )
+        url = pc.binary_join_element_wise(
+            pa.array(["https://site"] * len(t)),
+            m50.cast(pa.string()),
+            pa.array([".example.com/p/"] * len(t)),
+            did.cast(pa.string()),
+            "",
+        )
+        host = pc.struct_field(
+            pc.extract_regex(url, r"^https://(?P<host>[^/]+)/"), "host"
+        )
+        keep = pc.invert(pc.is_in(host, value_set=blocked))
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "host": host,
+        }).filter(keep)
+
+    run.__name__ = "blocklist_gate"
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=None)

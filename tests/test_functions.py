@@ -922,3 +922,38 @@ def test_decontaminate_span_semantics(ray_session):
     })
     kept = decontaminate(rd.from_arrow(t).repartition(3), [ev], k=4).to_pandas()
     assert sorted(kept["doc_id"]) == [1, 2, 3, 4]
+
+
+def test_kll_sketch_estimation_rank_bound(ray_session):
+    """Estimation regime (k << n): every estimated quantile's true RANK is
+    within 2% of the requested rank; the distributed AggregateFn path and
+    the sequential insert path both honor the bound."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gobblin_ray.functions.sketch import approx_quantiles
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(50.0, 20.0, 120_000)
+    ds = ray.data.from_pandas(pd.DataFrame({"v": data})).repartition(16)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    est = approx_quantiles(ds, "v", qs, k=512)
+    srt = np.sort(data)
+    for q, e in zip(qs, est):
+        rank = np.searchsorted(srt, e) / len(srt)
+        assert abs(rank - q) < 0.02, (q, e, rank)
+
+
+def test_kll_sketch_saturated_is_exact(ray_session):
+    """n <= k: no compaction fires, result == quantile_cont exactly."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from gobblin_ray.functions.sketch import approx_quantiles
+
+    data = np.array([1.0, 3.0, 5.0, 7.0, 11.0])
+    ds = ray.data.from_pandas(pd.DataFrame({"v": data})).repartition(3)
+    got = approx_quantiles(ds, "v", [0.0, 0.25, 0.5, 1.0], k=64)
+    assert got == [1.0, 3.0, 5.0, 11.0]
