@@ -116,6 +116,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_by_event_type": demo.quantiles_by_event_type,
         # one-pass mergeable quantile sketch (KLL; exact when saturated)
         "quantiles_sketch_values": demo.quantiles_sketch_values,
+        "quantiles_sketch_by_type": demo.quantiles_sketch_by_type,
+        # row-level table diff (data-validation job)
+        "diff_tables_events": demo.diff_tables_events,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -445,6 +448,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, round(quantile_cont(value, 0.9), 4) FROM events
             UNION ALL
             SELECT 0.99, round(quantile_cont(value, 0.99), 4) FROM events
+        """,
+        # grouped KLL: every event_type group is saturated at driver scale
+        "quantiles_sketch_by_type": """
+            SELECT event_type, 0.5 AS q,
+                   round(quantile_cont(value, 0.5), 4) AS qv
+            FROM events GROUP BY event_type
+            UNION ALL
+            SELECT event_type, 0.9,
+                   round(quantile_cont(value, 0.9), 4)
+            FROM events GROUP BY event_type
+        """,
+        "diff_tables_events": """
+            WITH l AS (
+                SELECT event_id, user_id, event_type, value FROM events
+                WHERE event_id % 89 <> 0
+            ),
+            r AS (
+                SELECT event_id, user_id, event_type,
+                       CASE WHEN event_id % 101 = 0 THEN value + 1.0
+                            ELSE value END AS value
+                FROM events WHERE event_id % 97 <> 0
+            )
+            SELECT coalesce(l.event_id, r.event_id) AS event_id,
+                   CASE WHEN r.event_id IS NULL THEN 'left_only'
+                        WHEN l.event_id IS NULL THEN 'right_only'
+                        ELSE 'mismatch' END AS status
+            FROM l FULL JOIN r ON l.event_id = r.event_id
+            WHERE r.event_id IS NULL OR l.event_id IS NULL
+               OR l.user_id IS DISTINCT FROM r.user_id
+               OR l.event_type IS DISTINCT FROM r.event_type
+               OR l.value IS DISTINCT FROM r.value
         """,
         "percentile_filter_docs": """
             WITH t AS (

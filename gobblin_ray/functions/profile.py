@@ -97,3 +97,79 @@ def profile_columns(ds, columns: list[str], numeric: list[str],
         "min_v": pa.array([r[4] for r in rows], pa.float64()),
         "max_v": pa.array([r[5] for r in rows], pa.float64()),
     })
+
+
+def _row_hash_u64(t: pa.Table, cols: list[str]) -> np.ndarray:
+    """Order-sensitive 64-bit content hash of the given columns per row:
+    per-column hashes chained with a splitmix64 remix (null -> fixed
+    sentinel distinct from any value hash). Collision probability for a
+    missed mismatch is ~n_mismatch / 2^64 — negligible and only ever
+    UNDER-reports differences; documented contract of diff_by_key."""
+    from .sketch import _splitmix64
+
+    acc = np.full(len(t), np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for c in cols:
+        col = t.column(c)
+        nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
+        h = hash_column_u64(col.fill_null(0) if col.null_count else col)
+        h = np.where(nulls, np.uint64(0xDEADBEEFCAFEF00D), h)
+        with np.errstate(over="ignore"):
+            acc = _splitmix64(acc * np.uint64(1099511628211) + h)
+    return acc
+
+
+def diff_by_key(left, right, key: str, compare_cols: list[str],
+                num_partitions: int = 64):
+    """Row-level diff of two datasets sharing a primary key — the
+    data-validation job shape (reference analog: Gobblin's distcp/copy
+    verification and ValidationJob comparing source vs destination row
+    sets). Returns (key, status) rows for every key where the sides
+    DISAGREE: ``left_only``, ``right_only``, or ``mismatch`` (same key,
+    different content); equal rows are omitted. ``key`` is assumed unique
+    per side (a primary-key diff).
+
+    Scale shape: each side collapses per batch to (key, side, 64-bit
+    content hash) — 17 bytes/row through the ONE bounded exchange instead
+    of the full row width — then per partition one vectorized pandas
+    align + compare. Mismatch detection is by content hash (see
+    ``_row_hash_u64``); a hash collision under-reports with probability
+    ~2^-64 per differing row."""
+    import pandas as pd
+
+    from ..stages.partition import keyed_map_groups
+
+    def tag(side: int):
+        def run(t: pa.Table) -> pa.Table:
+            return pa.table({
+                key: t.column(key),
+                "_side": pa.array(
+                    np.full(len(t), side, dtype=np.int8)
+                ),
+                "_h": pa.array(
+                    _row_hash_u64(t, compare_cols).view(np.int64)
+                ),
+            })
+
+        run.__name__ = f"diff_tag[{side}]"
+        return run
+
+    l = left.map_batches(tag(0), batch_format="pyarrow", batch_size=None)
+    r = right.map_batches(tag(1), batch_format="pyarrow", batch_size=None)
+    both = l.union(r)
+
+    def compare(g: pd.DataFrame) -> pd.DataFrame:
+        lh = g[g["_side"] == 0].set_index(key)["_h"].astype("Int64")
+        rh = g[g["_side"] == 1].set_index(key)["_h"].astype("Int64")
+        j = pd.concat({"l": lh, "r": rh}, axis=1)
+        ne = (j["l"] != j["r"]).fillna(False).to_numpy(dtype=bool)
+        status = np.where(
+            j["r"].isna(), "left_only",
+            np.where(j["l"].isna(), "right_only",
+                     np.where(ne, "mismatch", "equal")),
+        )
+        out = pd.DataFrame({key: j.index.to_numpy(), "status": status})
+        return out[out["status"] != "equal"]
+
+    compare.__name__ = "diff_compare"
+    return keyed_map_groups(both, key, compare,
+                            num_partitions=num_partitions)

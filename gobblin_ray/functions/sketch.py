@@ -329,3 +329,50 @@ def approx_quantiles(ds, column: str, qs: list[float],
     )
     state = ds.aggregate(agg)["kll"]
     return _kll_quantiles(state, qs)
+
+
+def approx_quantiles_by(ds, group_col: str, value_col: str,
+                        qs: list[float], k: int = 16384):
+    """PER-GROUP one-pass quantile sketch: the grouped form of
+    ``approx_quantiles`` — one groupby exchange whose per-group payload is
+    the O(k log(n/k))-float KLL state, not the group's rows (contrast the
+    bounded-partition ``exact_quantiles_by``, which ships every row of
+    every group through the exchange). Saturated groups (n <= k) are exact
+    quantile_cont — what the driver oracle checks. Returns long format:
+    one row per (group, q, qv)."""
+    from ray.data.aggregate import AggregateFn
+
+    def acc(state, block):
+        if hasattr(block, "column"):
+            v = block.column(value_col).drop_null().to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            v = block[value_col].dropna().to_numpy()
+        v = v.astype(np.float64)
+        return _kll_insert(state, v[~np.isnan(v)], k)
+
+    agg = AggregateFn(
+        init=lambda _g: ([np.empty(0, dtype=np.float64)], [0]),
+        accumulate_block=acc,
+        merge=lambda a, b: _kll_merge(a, b, k),
+        finalize=lambda s: _kll_quantiles(s, qs),
+        name="_qv",
+    )
+    wide = ds.groupby(group_col).aggregate(agg)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.column(group_col)
+        lists = t.column("_qv")
+        nq = len(qs)
+        gi = np.repeat(np.arange(len(t)), nq)
+        return pa.table({
+            group_col: g.take(pa.array(gi)),
+            "q": pa.array(np.tile(np.asarray(qs, np.float64), len(t))),
+            "qv": pc.list_flatten(lists),
+        })
+
+    explode.__name__ = "explode_quantiles"
+    return wide.map_batches(explode, batch_format="pyarrow", batch_size=None)

@@ -2371,3 +2371,60 @@ def domain_blocklist_filter(sf_dir: str):
     run.__name__ = "blocklist_gate"
     ds = read_table(sf_dir, "documents", columns=["doc_id"])
     return ds.map_batches(run, batch_format="pyarrow", batch_size=None)
+
+
+def quantiles_sketch_by_type(sf_dir: str):
+    """Per-group one-pass quantile sketch (grouped KLL): p50/p90 of value
+    per event_type. The groupby exchange carries O(k)-float sketch states,
+    not rows; saturated groups are exact quantile_cont."""
+    from ..functions.sketch import approx_quantiles_by
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    out = approx_quantiles_by(ds, "event_type", "value", [0.5, 0.9])
+    return out.map_batches(
+        _round_cols({"qv": 4}), batch_format="pyarrow", batch_size=None
+    )
+
+
+def diff_tables_events(sf_dir: str):
+    """Data-validation diff (source-vs-destination row comparison): the
+    right side deterministically drops event_id % 97 == 0 rows, the left
+    side drops event_id % 89 == 0 rows, and the right side perturbs value
+    where event_id % 101 == 0 — the diff must report exactly the
+    right_only / left_only / mismatch keys and nothing else."""
+    from ..functions.profile import diff_by_key
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    base = read_table(sf_dir, "events", columns=cols)
+
+    def _mod_ne0(col, m: int):
+        v = col.cast(pa.int64())
+        return pc.not_equal(
+            pc.subtract(v, pc.multiply(pc.divide(v, pa.scalar(m)),
+                                       pa.scalar(m))),
+            pa.scalar(0),
+        )
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        return t.filter(_mod_ne0(t.column("event_id"), 89))
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        t = t.filter(_mod_ne0(t.column("event_id"), 97))
+        eid = t.column("event_id").cast(pa.int64())
+        bump = pc.equal(
+            pc.subtract(eid, pc.multiply(pc.divide(eid, pa.scalar(101)),
+                                         pa.scalar(101))),
+            pa.scalar(0),
+        )
+        newv = pc.if_else(
+            bump, pc.add(t.column("value"), pa.scalar(1.0)),
+            t.column("value"),
+        )
+        return t.set_column(t.schema.get_field_index("value"), "value", newv)
+
+    mk_left.__name__, mk_right.__name__ = "mk_left", "mk_right"
+    left = base.map_batches(mk_left, batch_format="pyarrow", batch_size=None)
+    right = base.map_batches(mk_right, batch_format="pyarrow",
+                             batch_size=None)
+    return diff_by_key(left, right, "event_id",
+                       ["user_id", "event_type", "value"])

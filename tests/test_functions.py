@@ -957,3 +957,36 @@ def test_kll_sketch_saturated_is_exact(ray_session):
     ds = ray.data.from_pandas(pd.DataFrame({"v": data})).repartition(3)
     got = approx_quantiles(ds, "v", [0.0, 0.25, 0.5, 1.0], k=64)
     assert got == [1.0, 3.0, 5.0, 11.0]
+
+
+def test_diff_by_key_nulls_and_equal(ray_session):
+    """Null-vs-value in a compare column is a mismatch; null-vs-null is
+    equal; identical tables diff to empty."""
+    import pandas as pd
+    import ray
+
+    from gobblin_ray.functions.profile import diff_by_key
+
+    l = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "v": [1.0, None, 3.0, None],
+        "s": ["a", "b", "c", "d"],
+    })
+    r = pd.DataFrame({
+        "id": [1, 2, 3, 5],
+        "v": [1.0, 2.0, 3.0, 9.0],
+        "s": ["a", "b", "x", "e"],
+    })
+    out = (
+        diff_by_key(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                    "id", ["v", "s"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    assert list(out["id"]) == [2, 3, 4, 5]
+    assert list(out["status"]) == [
+        "mismatch", "mismatch", "left_only", "right_only",
+    ]
+    same = diff_by_key(
+        ray.data.from_pandas(l), ray.data.from_pandas(l), "id", ["v", "s"]
+    ).to_pandas()
+    assert len(same) == 0
