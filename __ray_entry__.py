@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_event_values": demo.histogram_event_values,
         # CDC partial-column upsert (merge-patch; null = not-present)
         "cdc_partial_update": demo.cdc_partial_update,
+        # SCD type-2 history (one row per attribute change + validity span)
+        "scd2_user_type": demo.scd2_user_type,
+        # windowed dedup throttle (kept-anchored, at most one per gap)
+        "dedup_window_events": demo.dedup_window_events,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -599,6 +603,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, round(lv, 2) AS last_value,
                    le AS last_event_type
             FROM w WHERE rn = 1
+        """,
+        "scd2_user_type": """
+            WITH ordered AS (
+                SELECT user_id, event_type, ts,
+                       row_number() OVER w AS rn,
+                       lag(event_type) OVER w AS prev_attr
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts AS valid_from, rn
+                FROM ordered
+                WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr
+            )
+            SELECT user_id, event_type, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY user_id ORDER BY rn) AS valid_to
+            FROM changes
+        """,
+        "dedup_window_events": """
+            SELECT event_id, user_id, event_type, ts
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/dedup_window_oracle.parquet')
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

@@ -75,6 +75,11 @@ QUERY_NAMES = [
     "zscore_events_value",
     "mixture_sample_documents",
     "dedup_lines_planted",
+    "histogram_event_values",
+    "quantiles_sketch_values",
+    "chunk_documents_rag",
+    "cosine_pairs_embeddings",
+    "diff_tables_events",
 ]
 
 

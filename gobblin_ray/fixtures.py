@@ -496,3 +496,53 @@ def planted_neardup_runs(path: str = NEARDUP_RUNS_PATH) -> str:
         "run": pa.array([d[3] for d in docs], pa.int64()),
     })
     return _write(t, path)
+
+
+# ------------------------------------------------------- dedup-window oracle
+
+DEDUP_WINDOW_ORACLE_PATH = os.path.join(
+    FIXTURE_DIR, "dedup_window_oracle.parquet"
+)
+
+
+def dedup_window_sidecar(sf_dir: str, gap_s: float,
+                         path: str = DEDUP_WINDOW_ORACLE_PATH) -> str:
+    """Sequential kept-anchored throttle oracle for ``dedup_window_events``:
+    per (user_id, event_type) in (ts, event_id) order, keep a row iff it is
+    more than ``gap_s`` seconds after the LAST KEPT row — the dumb obvious
+    row-at-a-time replay of the window-dedup contract (kept-anchored, not
+    prev-raw-anchored), written to a fixed sidecar parquet for the DuckDB
+    oracle. Per-row Python is fine by design here: an oracle must be the
+    obvious implementation, and the driver corpus is small."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    df = t.to_pandas()
+    df = df[df["ts"].notna() & df["user_id"].notna()
+            & df["event_type"].notna()]
+    df = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                        kind="mergesort")
+    tsec = (df["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            / 1e6)
+    last: dict = {}
+    keep = []
+    for (uid, etype, sec) in zip(df["user_id"].to_numpy(),
+                                 df["event_type"].to_numpy(), tsec):
+        k = (uid, etype)
+        if k not in last or sec - last[k] > gap_s:
+            keep.append(True)
+            last[k] = sec
+        else:
+            keep.append(False)
+    out = df[np.asarray(keep)]
+    t = pa.table({
+        "event_id": pa.array(out["event_id"].to_numpy(), pa.int64()),
+        "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+        "event_type": pa.array(out["event_type"].to_numpy(), pa.string()),
+        "ts": pa.array(out["ts"].to_numpy().astype("datetime64[us]"),
+                       pa.timestamp("us")),
+    })
+    return _write(t, path)

@@ -2428,3 +2428,45 @@ def diff_tables_events(sf_dir: str):
                              batch_size=None)
     return diff_by_key(left, right, "event_id",
                        ["user_id", "event_type", "value"])
+
+
+def scd2_user_type(sf_dir: str):
+    """SCD type-2 dimension history (stages/windows.scd2_history): per
+    user, one row per event_type CHANGE with its validity interval
+    [valid_from, valid_to) — the warehouse-side shape a Gobblin-ingested
+    mutation stream lands in when the sink keeps history instead of LWW
+    (contrast cdc_lww_upsert_events, which keeps only the newest state).
+    One bounded exchange, per-partition vectorized shift/compare."""
+    from ..stages.windows import scd2_history
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    out = scd2_history(ds, "user_id", ["ts", "event_id"], "event_type")
+    return out.select_columns(
+        ["user_id", "event_type", "valid_from", "valid_to"]
+    )
+
+
+def dedup_window_events(sf_dir: str):
+    """Windowed dedup throttle (stages/windows.dedup_within_window): at
+    most one event per (user_id, event_type) per 2-day stretch, measured
+    from the LAST KEPT event — the duplicate-beacon / retry-storm
+    suppressor in event ingestion (kept-anchored semantics; Gobblin
+    expresses this as a per-key stateful filter in its streaming runtime).
+    Oracled by an independent sequential replay sidecar
+    (fixtures.dedup_window_sidecar) — kept-anchored chains are not
+    expressible as plain SQL window functions."""
+    from ..fixtures import dedup_window_sidecar
+    from ..stages.windows import dedup_within_window
+
+    gap_s = 2 * 86400.0
+    dedup_window_sidecar(sf_dir, gap_s)
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "event_type", "ts"]
+    )
+    out = dedup_within_window(
+        ds, ["user_id", "event_type"], "ts", gap_s,
+        order_tiebreak=["event_id"],
+    )
+    return out.select_columns(["event_id", "user_id", "event_type", "ts"])

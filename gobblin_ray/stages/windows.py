@@ -292,3 +292,118 @@ def last_observed_state(ds, key: str, order_by: list[str],
     reduce_state.__name__ = "last_observed_state"
     return keyed_map_groups(ds, key, reduce_state,
                             num_partitions=num_partitions)
+
+
+def scd2_history(ds, key: str, order_by: list[str], attr: str,
+                 num_partitions: int = 64):
+    """Slowly-changing-dimension type-2 history: collapse each key's
+    ordered event stream into one row per ATTRIBUTE CHANGE, with validity
+    interval [valid_from, valid_to) — valid_to is the next change's start,
+    null for the current row. The warehouse-side CDC pattern this engine's
+    lake feeds (reference analog: Gobblin-ingested mutation streams landing
+    in SCD2 dimension tables; the LWW reducer keeps only the newest state,
+    SCD2 keeps the full validity timeline).
+
+    Change semantics: a row opens a new interval when its ``attr`` IS
+    DISTINCT FROM the previous row's (null-safe, so null->value and
+    value->null both count; first row always opens). ``order_by[0]`` is
+    the event-time column used for the validity bounds.
+
+    Scale shape: ONE bounded exchange on ``hash(key) % num_partitions``,
+    then per partition one mergesort + vectorized shift/compare/shift —
+    the same all-C-kernel contract as the other window analytics. Null
+    keys dropped (filter upstream for parity)."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    ts_col = order_by[0]
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        kcol = g[key]
+        prev_attr = g[attr].shift(1)
+        same_key = kcol.eq(kcol.shift(1))
+        # null-safe "attr changed": equal treats NaN != NaN, so compare
+        # via (a == b) | (both null)
+        a, b = g[attr], prev_attr
+        unchanged = a.eq(b) | (a.isna() & b.isna())
+        opens = (~same_key) | (~unchanged)
+        c = g[opens.to_numpy()]
+        out = pd.DataFrame({
+            key: c[key].to_numpy(),
+            attr: c[attr].to_numpy(),
+            "valid_from": c[ts_col].to_numpy(),
+        })
+        nxt = out["valid_from"].shift(-1)
+        same_next = out[key].eq(out[key].shift(-1))
+        out["valid_to"] = nxt.where(same_next.to_numpy())
+        return out
+
+    collapse.__name__ = "scd2_collapse"
+    return keyed_map_groups(ds, key, collapse,
+                            num_partitions=num_partitions)
+
+
+def dedup_within_window(ds, keys: list[str], ts_col: str, gap_s: float,
+                        order_tiebreak: list[str] | None = None,
+                        num_partitions: int = 64):
+    """Streaming-style windowed deduplication: keep a row only if the
+    PREVIOUS kept row with the same ``keys`` is more than ``gap_s``
+    seconds older — the at-most-one-per-window throttle used to suppress
+    duplicate beacons / retry storms in event ingestion. "Previous KEPT"
+    (not previous raw) is the reference-faithful semantics: a burst
+    emits one survivor per gap_s stretch, measured from the last
+    survivor.
+
+    Scale shape: ONE bounded exchange on the key hash, then a per-partition
+    pass. The kept-anchored chain is inherently sequential per key, but the
+    loop body is a C ``searchsorted`` that JUMPS to the first row past the
+    window — O(kept · log rows) iterations total, not a Python visit of
+    every row (a retry storm of 10^6 duplicates inside one window costs
+    one iteration, not 10^6)."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    tiebreak = order_tiebreak or []
+    kp = keys[0]
+
+    def throttle(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([*keys, ts_col, *tiebreak], kind="mergesort")
+        # group boundary = ANY key column differs from the previous row
+        # (null-safe); vectorized per column — no row-wise string join
+        new_grp = np.zeros(len(g), dtype=bool)
+        new_grp[:1] = True
+        for k in keys:
+            col = g[k]
+            prev = col.shift(1)
+            same = col.eq(prev) | (col.isna() & prev.isna())
+            new_grp |= ~same.to_numpy()
+        new_grp = pd.Series(new_grp, index=g.index)
+        ts = g[ts_col].to_numpy()
+        # event-time seconds as float64 (datetime64 or numeric)
+        if np.issubdtype(ts.dtype, np.datetime64):
+            tsec = ts.astype("datetime64[us]").astype(np.int64) / 1e6
+        else:
+            tsec = ts.astype(np.float64)
+        grp_start = new_grp.to_numpy()
+        keep = np.zeros(len(g), dtype=bool)
+        starts = np.flatnonzero(grp_start)
+        bounds = np.append(starts, len(g))
+        # per key group: keep the anchor, searchsorted-jump to the first
+        # row strictly past anchor+gap (ts is sorted within the group)
+        for gi in range(len(starts)):
+            s, e = int(bounds[gi]), int(bounds[gi + 1])
+            seg = tsec[s:e]
+            i = 0
+            n = e - s
+            while i < n:
+                keep[s + i] = True
+                i = int(np.searchsorted(seg, seg[i] + gap_s, side="right"))
+        return g[keep]
+
+    throttle.__name__ = f"dedup_window[{gap_s}s]"
+    return keyed_map_groups(ds, kp, throttle,
+                            num_partitions=num_partitions,
+                            pre=None)

@@ -1192,3 +1192,99 @@ def test_last_observed_state_all_null_and_order(ray_session):
     assert out.loc[0, "last_label"] == "b"
     assert np.isnan(out.loc[1, "last_value"])
     assert out.loc[1, "last_label"] == "z"
+
+
+def test_scd2_history_matches_duckdb(ray_session):
+    """SCD2 collapse (null-safe attr change + validity intervals) == the
+    lag/lead SQL, including null->value and value->null transitions."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import scd2_history
+
+    rng = np.random.default_rng(23)
+    n = 500
+    attr = rng.choice(["a", "b", None], n, p=[0.45, 0.45, 0.1])
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "ts": rng.integers(0, 10_000, n).astype("datetime64[s]")
+            .astype("datetime64[us]"),
+        "id": np.arange(n),
+        "attr": attr,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(5)
+    got = (scd2_history(ds, "k", ["ts", "id"], "attr", num_partitions=6)
+           .to_pandas()
+           .sort_values(["k", "valid_from", "attr"])
+           .reset_index(drop=True))
+    want = duckdb.sql(
+        """
+        WITH o AS (
+            SELECT k, attr, ts, row_number() OVER w AS rn,
+                   lag(attr) OVER w AS prev
+            FROM df WINDOW w AS (PARTITION BY k ORDER BY ts, id)
+        ), c AS (
+            SELECT k, attr, ts AS valid_from, rn FROM o
+            WHERE rn = 1 OR attr IS DISTINCT FROM prev
+        )
+        SELECT k, attr, valid_from,
+               lead(valid_from) OVER (PARTITION BY k ORDER BY rn) AS valid_to
+        FROM c ORDER BY k, valid_from, attr
+        """
+    ).df()
+    pd.testing.assert_frame_equal(
+        got[["k", "attr", "valid_from", "valid_to"]],
+        want, check_dtype=False,
+    )
+
+
+def test_dedup_within_window_kept_anchored(ray_session):
+    """Windowed dedup == sequential kept-anchored replay; boundary is
+    STRICTLY-greater-than-gap (a row exactly gap seconds after the last
+    kept row is suppressed); multi-key groups throttle independently."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import dedup_within_window
+
+    # crafted burst: ts 0,2,5,7,12 with gap=5 -> keep 0 (anchor), drop 2,
+    # drop 5 (== gap, not >), keep 7, drop 12 (7+5 == 12, not >)
+    burst = pd.DataFrame({
+        "k": ["u"] * 5, "t": ["x"] * 5,
+        "ts": np.array([0, 2, 5, 7, 12], "datetime64[s]")
+            .astype("datetime64[us]"),
+        "id": np.arange(5),
+    })
+    got = (dedup_within_window(
+        rd.from_arrow(pa.Table.from_pandas(burst)), ["k", "t"], "ts", 5.0,
+        order_tiebreak=["id"], num_partitions=2,
+    ).to_pandas().sort_values("id"))
+    assert got["id"].tolist() == [0, 3]
+
+    # randomized multi-key parity vs the obvious sequential replay
+    rng = np.random.default_rng(31)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 9, n),
+        "t": rng.choice(["a", "b"], n),
+        "ts": rng.integers(0, 3_000, n).astype("datetime64[s]")
+            .astype("datetime64[us]"),
+        "id": np.arange(n),
+    })
+    got = (dedup_within_window(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(6),
+        ["k", "t"], "ts", 120.0, order_tiebreak=["id"], num_partitions=7,
+    ).to_pandas().sort_values("id")["id"].tolist())
+    sdf = df.sort_values(["k", "t", "ts", "id"], kind="mergesort")
+    last: dict = {}
+    want = []
+    for r in sdf.itertuples(index=False):
+        key = (r.k, r.t)
+        sec = r.ts.timestamp()
+        if key not in last or sec - last[key] > 120.0:
+            want.append(r.id)
+            last[key] = sec
+    assert got == sorted(want)
