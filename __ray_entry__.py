@@ -111,6 +111,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_user_type": demo.scd2_user_type,
         # windowed dedup throttle (kept-anchored, at most one per gap)
         "dedup_window_events": demo.dedup_window_events,
+        # moving-frame window aggregates (ROWS n PRECEDING)
+        "rolling_window_events": demo.rolling_window_events,
+        # rank / dense_rank / row_number per key
+        "rank_events_value": demo.rank_events_value,
+        # webtext canonicalization (NFC + lower + whitespace collapse)
+        "normalize_text_documents": demo.normalize_text_documents,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -626,6 +632,35 @@ def oracle_sql() -> dict[str, str]:
         "dedup_window_events": """
             SELECT event_id, user_id, event_type, ts
             FROM read_parquet('/tmp/gobblin_ray_fixtures/dedup_window_oracle.parquet')
+        """,
+        "rolling_window_events": """
+            SELECT event_id, user_id,
+                   sum(value) OVER w AS roll_sum,
+                   avg(value) OVER w AS roll_avg,
+                   min(value) OVER w AS roll_min,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+        "rank_events_value": """
+            -- rank/dense_rank peers are defined by ORDER BY value alone
+            -- (w); row_number needs the unique tiebreak (w2) to be
+            -- deterministic — same split rank_by makes internally
+            SELECT event_id, event_type,
+                   CAST(rank() OVER w AS BIGINT) AS rnk,
+                   CAST(dense_rank() OVER w AS BIGINT) AS dense_rnk,
+                   CAST(row_number() OVER w2 AS BIGINT) AS row_num
+            FROM events
+            WINDOW w AS (PARTITION BY event_type ORDER BY value DESC),
+                   w2 AS (PARTITION BY event_type
+                          ORDER BY value DESC, event_id)
+        """,
+        "normalize_text_documents": """
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                                       '\\s+', ' ', 'g')) AS norm_text
+            FROM documents
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

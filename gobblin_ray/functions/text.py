@@ -991,3 +991,50 @@ def chunk_token_windows(text_col: str = "text", id_col: str = "doc_id",
 
     run.__name__ = f"chunk_tokens[{chunk}/{stride}]"
     return run
+
+
+def normalize_text(text_col: str = "text", out: str = "norm_text"):
+    """Webtext normalization converter: Unicode NFC + lowercase +
+    ASCII-whitespace collapse + space trim — the canonicalization step
+    most LLM-prep dedup/quality stages assume upstream (and the string
+    analog of the reference's schema-normalizing converters). Per batch,
+    no shuffle; RE2 ``\\s`` (ASCII) and plain-space trim are chosen
+    deliberately so the result is bit-identical to
+    ``trim(regexp_replace(lower(nfc_normalize(x)), '\\s+', ' ', 'g'))``
+    in DuckDB.
+
+    NFC path: this pyarrow build's ``utf8_normalize`` is a NO-OP
+    (verified: every form returns combining sequences unchanged), so
+    composition falls back to ``unicodedata.normalize`` — but only for
+    the rows that need it: ASCII-only strings (byte length == codepoint
+    length, one vectorized compare) are NFC by definition and never
+    leave the Arrow path, so on mostly-ASCII webtext the Python cost is
+    proportional to the non-ASCII minority."""
+
+    def run(t: pa.Table) -> pa.Table:
+        s = t.column(text_col)
+        arr = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        non_ascii = pc.and_kleene(
+            pc.is_valid(arr),
+            pc.not_equal(pc.binary_length(arr), pc.utf8_length(arr)),
+        )
+        n_non = pc.sum(pc.cast(non_ascii, pa.int64())).as_py() or 0
+        if n_non:
+            import unicodedata
+
+            fixed = pa.array(
+                [unicodedata.normalize("NFC", v)
+                 for v in arr.filter(non_ascii).to_pylist()],
+                pa.string(),
+            )
+            arr = pc.replace_with_mask(
+                arr, pc.fill_null(non_ascii, False), fixed
+            )
+        arr = pc.utf8_lower(arr)
+        arr = pc.replace_substring_regex(arr, pattern=r"\s+",
+                                         replacement=" ")
+        arr = pc.utf8_trim(arr, characters=" ")
+        return t.append_column(out, arr)
+
+    run.__name__ = "normalize_text"
+    return run

@@ -2470,3 +2470,50 @@ def dedup_window_events(sf_dir: str):
         order_tiebreak=["event_id"],
     )
     return out.select_columns(["event_id", "user_id", "event_type", "ts"])
+
+
+def rolling_window_events(sf_dir: str):
+    """Moving-frame window aggregates (stages/windows.rolling_window):
+    per user, sum/avg/min/count of value over the last 7 rows ordered by
+    (ts, event_id). Frame sums add oldest->newest — the order DuckDB
+    evaluates moving frames — so floats are bit-identical to the window
+    SQL with no rounding."""
+    from ..stages.windows import rolling_window
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    out = rolling_window(ds, "user_id", ["ts", "event_id"], "value", 7)
+    return out.select_columns(
+        ["event_id", "user_id", "roll_sum", "roll_avg", "roll_min", "roll_n"]
+    )
+
+
+def rank_events_value(sf_dir: str):
+    """rank / dense_rank / row_number per event_type ordered by value
+    DESC (stages/windows.rank_by): ties share rank, event_id tiebreak
+    makes row_number deterministic. One bounded exchange + change-point
+    arithmetic per partition."""
+    from ..stages.windows import rank_by
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+    out = rank_by(ds, "event_type", ["value"], ["event_id"],
+                  descending=True)
+    return out.select_columns(
+        ["event_id", "event_type", "rnk", "dense_rnk", "row_num"]
+    )
+
+
+def normalize_text_documents(sf_dir: str):
+    """Webtext canonicalization (functions/text.normalize_text): NFC +
+    lower + whitespace collapse + trim per document — pure per-batch
+    pyarrow kernels, no shuffle; bit-identical to the DuckDB expression
+    by construction."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        tx.normalize_text("text", "norm_text"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return out.select_columns(["doc_id", "norm_text"])

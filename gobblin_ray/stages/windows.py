@@ -407,3 +407,103 @@ def dedup_within_window(ds, keys: list[str], ts_col: str, gap_s: float,
     return keyed_map_groups(ds, kp, throttle,
                             num_partitions=num_partitions,
                             pre=None)
+
+
+def rolling_window(ds, key: str, order_by: list[str], value_col: str,
+                   n_rows: int, num_partitions: int = 64):
+    """Moving-frame window aggregates per key: for each row, sum / avg /
+    min / count of ``value_col`` over the frame ``ROWS BETWEEN n_rows-1
+    PRECEDING AND CURRENT ROW`` ordered by ``order_by`` — the
+    moving-average / peak-detection shape (reference analog: windowed
+    rollups its streaming runtime builds from per-key state).
+
+    Float parity contract: the frame sum adds oldest -> newest, the same
+    order DuckDB evaluates moving frames, so sums are BIT-IDENTICAL to
+    the SQL window (verified empirically; a cumsum-diff formulation would
+    drift by subtraction error). Cost is n_rows vectorized shifted adds —
+    right for small frames; for n_rows in the thousands use a segment
+    tree / cumsum-diff with explicit rounding instead.
+
+    Scale shape: ONE bounded exchange on ``hash(key) % num_partitions``,
+    then per partition one mergesort + n_rows numpy adds. Emits the input
+    columns plus roll_sum / roll_avg / roll_min / roll_n."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        v = g[value_col].to_numpy(dtype=np.float64)
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        m = len(g)
+        acc = np.zeros(m)
+        mn = np.full(m, np.inf)
+        cnt = np.zeros(m, np.int64)
+        # oldest -> newest so addition order matches the SQL frame
+        for lag in range(n_rows - 1, -1, -1):
+            valid = pos >= lag
+            shifted = np.empty(m)
+            if lag:
+                shifted[lag:] = v[:-lag]
+                shifted[:lag] = 0.0
+            else:
+                shifted[:] = v
+            acc[valid] += shifted[valid]
+            np.minimum(mn, np.where(valid, shifted, np.inf), out=mn)
+            cnt += valid
+        out = g.copy()
+        out["roll_sum"] = acc
+        out["roll_avg"] = acc / cnt
+        out["roll_min"] = mn
+        out["roll_n"] = cnt
+        return out
+
+    roll.__name__ = f"rolling[{n_rows}]"
+    return keyed_map_groups(ds, key, roll, num_partitions=num_partitions)
+
+
+def rank_by(ds, key: str, rank_cols: list[str], tiebreak: list[str],
+            descending: bool = True, num_partitions: int = 64):
+    """rank() / dense_rank() / row_number() per key over ``rank_cols``
+    (ties share rank; ``tiebreak`` makes row_number deterministic, as an
+    oracle-comparable SQL row_number needs a unique ORDER BY anyway).
+
+    Scale shape: ONE bounded exchange, then per partition one mergesort
+    plus change-point arithmetic (flatnonzero / maximum.accumulate /
+    cumsum) — no per-group dispatch, no Python loop. Emits the input
+    columns plus rnk / dense_rnk / row_num (1-based, SQL semantics)."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        asc = [True] + [not descending] * len(rank_cols) + [True] * len(tiebreak)
+        g = g.sort_values([key, *rank_cols, *tiebreak], ascending=asc,
+                          kind="mergesort")
+        m = len(g)
+        kcol = g[key]
+        new_key = np.zeros(m, bool)
+        new_key[0] = True
+        new_key[1:] = (kcol.to_numpy()[1:] != kcol.to_numpy()[:-1])
+        change = new_key.copy()
+        for c in rank_cols:
+            col = g[c]
+            prev = col.shift(1)
+            same = (col.eq(prev) | (col.isna() & prev.isna())).to_numpy()
+            same[0] = False
+            change |= ~same
+        idx = np.arange(m)
+        grp_start = np.maximum.accumulate(np.where(new_key, idx, -1))
+        row_num = idx - grp_start + 1
+        last_change = np.maximum.accumulate(np.where(change, idx, -1))
+        rnk = row_num[last_change]
+        cs = np.cumsum(change)
+        dense = cs - cs[grp_start] + 1
+        out = g.copy()
+        out["rnk"] = rnk.astype(np.int64)
+        out["dense_rnk"] = dense.astype(np.int64)
+        out["row_num"] = row_num.astype(np.int64)
+        return out
+
+    rank.__name__ = "rank_by"
+    return keyed_map_groups(ds, key, rank, num_partitions=num_partitions)

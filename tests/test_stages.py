@@ -1288,3 +1288,89 @@ def test_dedup_within_window_kept_anchored(ray_session):
             want.append(r.id)
             last[key] = sec
     assert got == sorted(want)
+
+
+def test_rolling_window_bit_identical_to_duckdb(ray_session):
+    """Moving-frame sum/avg/min/count == DuckDB window SQL with EXACT
+    float equality (oldest->newest addition order)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import rolling_window
+
+    rng = np.random.default_rng(41)
+    n = 600
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "o": rng.permutation(n),
+        "id": np.arange(n),
+        "v": rng.standard_normal(n) * 1e3,
+    })
+    got = (rolling_window(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(5),
+        "k", ["o", "id"], "v", 5, num_partitions=6,
+    ).to_pandas().sort_values("id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT id, sum(v) OVER w AS roll_sum, avg(v) OVER w AS roll_avg, "
+        "min(v) OVER w AS roll_min, CAST(count(*) OVER w AS BIGINT) AS roll_n "
+        "FROM df WINDOW w AS (PARTITION BY k ORDER BY o, id "
+        "ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) ORDER BY id"
+    ).df()
+    for c in ["roll_sum", "roll_avg", "roll_min"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    assert (got["roll_n"].to_numpy() == want["roll_n"].to_numpy()).all()
+
+
+def test_rank_by_matches_duckdb(ray_session):
+    """rank/dense_rank peers on the rank columns only; row_number on the
+    full tiebreak — parity incl. duplicate values and null rank values."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import rank_by
+
+    rng = np.random.default_rng(43)
+    n = 500
+    v = np.round(rng.standard_normal(n), 1)  # force ties
+    v[rng.random(n) < 0.05] = np.nan
+    df = pd.DataFrame({
+        "k": rng.integers(0, 10, n), "id": np.arange(n), "v": v,
+    })
+    got = (rank_by(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+        "k", ["v"], ["id"], descending=True, num_partitions=5,
+    ).to_pandas().sort_values("id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT id, CAST(rank() OVER w AS BIGINT) rnk, "
+        "CAST(dense_rank() OVER w AS BIGINT) dense_rnk, "
+        "CAST(row_number() OVER w2 AS BIGINT) row_num FROM df "
+        "WINDOW w AS (PARTITION BY k ORDER BY v DESC), "
+        "w2 AS (PARTITION BY k ORDER BY v DESC, id) ORDER BY id"
+    ).df()
+    for c in ["rnk", "dense_rnk", "row_num"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+
+def test_normalize_text_unicode_and_whitespace(ray_session):
+    """NFC composition, lowercasing and whitespace collapse in one pass."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import normalize_text
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "  Hello\t\tWORLD \n",
+            "Café MIX",          # e + combining accent -> é (NFC)
+            "a  b   c",
+        ]),
+    })
+    out = (rd.from_arrow(t)
+           .map_batches(normalize_text(), batch_format="pyarrow",
+                        batch_size=None)
+           .to_pandas().sort_values("doc_id"))
+    assert out["norm_text"].tolist() == ["hello world", "café mix", "a b c"]
