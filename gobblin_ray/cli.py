@@ -131,6 +131,21 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, required=True)
 
     sp = sub.add_parser(
+        "purge", help="compliance purge (gobblin-compliance purger analog): "
+        "remove every row for the given keys from the lake — live rows, "
+        "tombstones and, by default, all older manifests/files, so time "
+        "travel cannot resurrect the data; replay continues at the same "
+        "watermark"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--url", action="append", default=[],
+                    help="key to purge (repeatable)")
+    sp.add_argument("--keys-file", default=None,
+                    help="newline-delimited file of keys to purge")
+    sp.add_argument("--keep-history", action="store_true",
+                    help="keep older manifests (NOT compliant; debugging)")
+
+    sp = sub.add_parser(
         "rollback", help="roll the lake back to an older committed manifest "
         "(Iceberg snapshot-rollback analog; legal within the vacuum window; "
         "the next run re-applies the later log span, converging byte-"
@@ -376,6 +391,15 @@ def main(argv: list[str] | None = None) -> int:
                 "high_seq": m.high_seq,
                 "rows": sum(s.rows for s in m.buckets.values()),
             }))
+        elif args.cmd == "purge":
+            keys = list(args.url)
+            if args.keys_file:
+                with open(args.keys_file) as f:
+                    keys += [ln.strip() for ln in f if ln.strip()]
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            print(json.dumps(eng.purge_keys(
+                keys, drop_history=not args.keep_history
+            )))
         elif args.cmd == "changes":
             from ray.data.aggregate import Count
 

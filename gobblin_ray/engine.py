@@ -1051,6 +1051,153 @@ class CdcEngine:
         self.store.commit(manifest)
         return manifest
 
+    def purge_keys(self, urls: list[str], drop_history: bool = True) -> dict:
+        """Compliance purge — GDPR right-to-be-forgotten over the lake
+        (reference analog: gobblin-modules/gobblin-compliance purger;
+        PurgeableHivePartitionDataset.java:76-80 rewrites each affected
+        Hive partition as the original LEFT OUTER JOINed against the
+        compliance-id table and atomically swaps the partition location,
+        HivePurgerConverter.java:25-29 builds those queries per dataset).
+
+        Ray-native: the url->bucket router makes the purge
+        BUCKET-TARGETED — only buckets owning a purge key are rewritten.
+        Each affected bucket merges base+deltas and drops EVERY row whose
+        url is purged — live and tombstone alike (a tombstone still
+        carries the key) — then lands as a fresh base at the next epoch
+        (staging -> promote, same two-phase commit as ingestion). With
+        ``drop_history`` (the compliant default) all older manifests and
+        newly-unreferenced data files are deleted — purged data must not
+        survive via time travel either. ``high_seq`` is unchanged, so
+        replay continues normally; events later in the log for a purged
+        key re-insert it as fresh data (purge-as-of-now semantics; the
+        upstream log is the source's retention problem, exactly as the
+        reference purges the warehouse, not Kafka).
+
+        Scale shape: driver work is O(keys) (hash -> bucket) + O(affected
+        buckets) lineage; one read+filter+write task per AFFECTED bucket
+        only, and each task ships ONLY its own keys (pre-partitioned
+        driver-side), so a 10^6-key purge over 10^4 buckets moves ~100
+        keys per task, not the whole set per task. Takes the job lock —
+        purging under a live driver would race its promotes."""
+        import ray.data as rd
+
+        from .locks import FileJobLock
+        from .merge import merge_bases
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("purge_keys needs a bootstrapped lake")
+            urls = sorted(set(urls))
+            if not urls:
+                raise ValueError("no keys to purge")
+            B = m.num_buckets
+            key_bucket = (
+                stable_hash_u64(pa.array(urls, pa.string())) % B
+            ).astype(np.int64)
+            by_bucket: dict[int, list[str]] = {}
+            for u, b in zip(urls, key_bucket):
+                by_bucket.setdefault(int(b), []).append(u)
+            file_map = self.bucket_file_map(m)
+            specs = [
+                {"bucket": b, "files": file_map[b], "purge": ks}
+                for b, ks in sorted(by_bucket.items()) if file_map.get(b)
+            ]
+            epoch = m.epoch + 1
+            schema = m.base_schema()
+            lake_dir = self.lake_dir
+
+            def purge_bucket(batch: pa.Table) -> pa.Table:
+                rows = []
+                for spec in batch.to_pylist():
+                    bucket = int(spec["bucket"])
+                    t = merge_bases(
+                        [pq.read_table(p) for p in spec["files"]], schema
+                    )  # tombstones retained: they carry the key too
+                    t = conform(t, schema)
+                    hit = pc.is_in(
+                        t.column("url"),
+                        value_set=pa.array(spec["purge"], pa.string()),
+                    )
+                    kept = t.filter(pc.invert(hit))
+                    ckpt.atomic_write_table(
+                        kept.sort_by([("url", "ascending")]),
+                        ckpt.staging_path(lake_dir, epoch, bucket),
+                    )
+                    rows.append({
+                        "bucket": bucket,
+                        "rows": kept.num_rows,
+                        "purged": t.num_rows - kept.num_rows,
+                    })
+                return pa.Table.from_pylist(
+                    rows,
+                    schema=pa.schema([
+                        ("bucket", pa.int32()), ("rows", pa.int64()),
+                        ("purged", pa.int64()),
+                    ]),
+                )
+
+            purge_bucket.__name__ = "purge_bucket"
+            lineage = (
+                rd.from_items(specs)
+                .map_batches(purge_bucket, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all()
+            )  # O(affected buckets) rows
+            touched = [int(r["bucket"]) for r in lineage]
+            ckpt.promote(lake_dir, epoch, touched)
+            manifest = Manifest(
+                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=B, schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+            )
+            total_purged = 0
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = s
+            for r in lineage:
+                b = int(r["bucket"])
+                old = m.buckets[b]
+                total_purged += int(r["purged"])
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
+                    rows=int(r["rows"]),
+                    events_applied=old.events_applied, events_epoch=epoch,
+                )
+            manifest.metrics["purged_rows"] = (
+                int(manifest.metrics.get("purged_rows", 0)) + total_purged
+            )
+            manifest.metrics["purged_keys"] = (
+                int(manifest.metrics.get("purged_keys", 0)) + len(urls)
+            )
+            self.store.commit(manifest)
+            removed_manifests = removed_files = 0
+            if drop_history:
+                keep_files = {
+                    p for s in manifest.buckets.values()
+                    for p in ckpt.bucket_files(lake_dir, s)
+                }
+                for e in self.store.committed_epochs():
+                    if e < epoch:
+                        os.remove(self.store._path(e))
+                        removed_manifests += 1
+                data = os.path.join(lake_dir, ckpt.DATA_DIR)
+                if os.path.isdir(data):
+                    for bdir in os.listdir(data):
+                        full = os.path.join(data, bdir)
+                        for name in os.listdir(full):
+                            p = os.path.join(full, name)
+                            if p not in keep_files:
+                                os.remove(p)
+                                removed_files += 1
+            return {
+                "epoch": epoch,
+                "purged_rows": total_purged,
+                "purged_keys": len(urls),
+                "buckets_rewritten": touched,
+                "removed_manifests": removed_manifests,
+                "removed_files": removed_files,
+            }
+
     def read_changes(self, from_epoch: int, to_epoch: int | None = None):
         """CDC-out / snapshot diff between two committed manifests: one row
         per url whose LIVE state differs, tagged ``change_type`` in

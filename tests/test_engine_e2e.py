@@ -596,3 +596,100 @@ def test_rebucket_midstream_converges(ray_session, corpus, oracle_df,
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False
     )
+
+
+def test_purge_keys_compliance(ray_session, corpus, oracle_df, tmp_path_factory):
+    """GDPR purge: purged urls vanish from live state AND from every
+    surviving data file (tombstones included); untouched rows are
+    byte-identical to the oracle; history manifests are dropped so time
+    travel cannot resurrect purged data; a re-run after purge is a no-op."""
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("lake_purge"))
+    eng = replay(d, lake)
+    df = engine_df(eng)
+    live_victims = df["url"].iloc[[3, 37, 101]].tolist()
+    # a tombstoned url: deleted in the log, absent from live state
+    ev = pd.concat([
+        pq.read_table(f"{d}/events/{s['file']}").to_pandas()
+        for s in meta["shards"]
+    ])
+    dead = sorted(set(ev["url"]) - set(df["url"]))
+    assert dead, "corpus should contain at least one fully-deleted url"
+    victims = live_victims + [dead[0]]
+
+    res = eng.purge_keys(victims)
+    assert res["purged_rows"] >= len(victims)
+    assert res["removed_manifests"] > 0
+
+    got = engine_df(eng)
+    assert not set(victims) & set(got["url"])
+    want = oracle_df[~oracle_df["url"].isin(victims)].reset_index(drop=True)
+    assert_matches_oracle(got, want)
+
+    # no surviving data file (any bucket, any kind) carries a purged key
+    import os
+    from gobblin_ray import checkpoint as ckpt
+    data = os.path.join(lake, ckpt.DATA_DIR)
+    for bdir in os.listdir(data):
+        for name in os.listdir(os.path.join(data, bdir)):
+            t = pq.read_table(os.path.join(data, bdir, name), columns=["url"])
+            assert not set(t.column("url").to_pylist()) & set(victims), name
+
+    # history gone: only the purge manifest remains
+    assert eng.store.committed_epochs() == [res["epoch"]]
+
+    # exactly-once: re-running over the same log span is a no-op
+    eng.run()
+    assert_matches_oracle(engine_df(eng), want)
+
+
+def test_purge_midstream_then_continue(ray_session, corpus, tmp_path_factory):
+    """Purge before the log is fully applied: a purged url with LATER
+    events re-appears built from ONLY the post-purge span (purge-as-of-now
+    semantics); all other urls converge to the full oracle."""
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("lake_purge_mid"))
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2)
+    high = eng.store.latest().high_seq
+
+    ev = pd.concat([
+        pq.read_table(f"{d}/events/{s['file']}").to_pandas()
+        for s in meta["shards"]
+    ])
+    later = set(ev[ev["event_seq"] > high]["url"])
+    live_now = set(engine_df(eng)["url"])
+    revived = sorted(later & live_now)[0]   # purged, then re-inserted
+    gone = sorted(live_now - later)[0]      # purged, never seen again
+    eng.purge_keys([revived, gone])
+    eng.run()
+
+    got = engine_df(eng)
+    assert gone not in set(got["url"])
+    # suffix-only oracle for the revived url: replay events > high only
+    pages = pq.read_table(f"{d}/pages.parquet")
+    suffix = [
+        pq.read_table(f"{d}/events/{s['file']}") for s in meta["shards"]
+    ]
+    suffix = [
+        t.filter(pa.compute.greater(t.column("event_seq"), high))
+        for t in suffix
+    ]
+    sfx_oracle = oracle_final_state(pages.slice(0, 0), suffix)
+    want_rev = sfx_oracle[sfx_oracle["url"] == revived]
+    got_rev = got[got["url"] == revived]
+    if want_rev.empty:  # the suffix may end in a delete
+        assert got_rev.empty
+    else:
+        assert len(got_rev) == 1
+        assert got_rev.iloc[0]["text"] == want_rev.iloc[0]["text"]
+        assert got_rev.iloc[0]["event_seq"] == want_rev.iloc[0]["event_seq"]
+    # everyone else converges to the full-replay oracle
+    full = oracle_final_state(
+        pages, [pq.read_table(f"{d}/events/{s['file']}") for s in meta["shards"]]
+    )
+    rest_want = full[~full["url"].isin([revived, gone])].reset_index(drop=True)
+    rest_got = got[~got["url"].isin([revived, gone])].reset_index(drop=True)
+    assert_matches_oracle(rest_got, rest_want)
