@@ -57,10 +57,15 @@ def grouping_sets_aggregate(
     key_types = {f.name: f.type for f in ds.schema().base_schema}
     out_cols = keys + ["n"] + [f"sum_{c}" for c in sum_cols]
 
+    # The finest level is re-consumed once per coarser set; without a
+    # materialize each branch would RE-RUN the wide shuffle over the full
+    # input (Ray Datasets fork by re-execution). The finest result is
+    # O(distinct key combos) rows — the "small results" exemption — so
+    # pinning it converts N full scans into one scan + N tiny re-aggs.
     finest = ds.groupby(keys).aggregate(
         Count(alias_name="n"),
         *[Sum(c, alias_name=f"sum_{c}") for c in sum_cols],
-    )
+    ).materialize()
     resums = [Sum("n", alias_name="n")] + [
         Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols
     ]
