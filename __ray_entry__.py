@@ -175,6 +175,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": demo.knn_lsh,
         "knn_ivf": demo.knn_ivf,
         "embedding_dims": demo.embedding_dims,
+        # clustering / curation over embeddings (extension set)
+        "kmeans_clusters_planted": demo.kmeans_clusters_planted,
+        "semantic_dedup_planted": demo.semantic_dedup_planted,
+        "classifier_score_embeddings": demo.classifier_score_embeddings,
         # multimodal (extension set; image decode is REAL Netpbm bytes,
         # audio decode is REAL PCM WAV via the stdlib wave module)
         "multimodal_decode": demo.multimodal_decode,
@@ -185,6 +189,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the classifier oracle embeds the SAME deterministic weight vector the
+    # Ray query broadcasts (repr round-trips float64 exactly through the
+    # DuckDB literal parser)
+    from gobblin_ray.pipelines.demo import _clf_weights
+
+    _w_lit = "[" + ", ".join(repr(float(x)) for x in _clf_weights()) + "]"
     return {
         "conv_filter_project": """
             SELECT l_orderkey, l_quantity,
@@ -1156,6 +1166,23 @@ def oracle_sql() -> dict[str, str]:
               ON x.vec_id < y.vec_id
             WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
                                          CAST(y.embedding AS DOUBLE[])) >= 0.95
+        """,
+        "kmeans_clusters_planted": """
+            SELECT vec_id,
+                   min(vec_id) OVER (PARTITION BY cluster_id) AS cluster_rep
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_semantic.parquet')
+        """,
+        "semantic_dedup_planted": """
+            SELECT vec_id
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_semantic.parquet')
+            QUALIFY vec_id = min(vec_id) OVER (PARTITION BY dup_group)
+        """,
+        "classifier_score_embeddings": f"""
+            SELECT vec_id,
+                   round(1.0 / (1.0 + exp(-(list_dot_product(
+                       CAST(embedding AS DOUBLE[]), {_w_lit}::DOUBLE[]
+                   ) + 0.25))), 6) AS score
+            FROM embeddings
         """,
         "knn_lsh": """
             WITH e AS (

@@ -27,6 +27,7 @@ NEARDUP_PATH = os.path.join(FIXTURE_DIR, "planted_neardup.parquet")
 SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
 EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
 KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
+SEMANTIC_PATH = os.path.join(FIXTURE_DIR, "planted_semantic.parquet")
 CDC_REPLAY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_replay_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
@@ -186,6 +187,92 @@ def planted_embdup(path: str = EMBDUP_PATH, n: int = 80, dim: int = 16) -> str:
             "embedding": pa.array(
                 [list(map(float, v)) for v in vecs], pa.list_(pa.float64())
             ),
+        }
+    )
+    return _write(t, path)
+
+
+def planted_semantic(
+    path: str = SEMANTIC_PATH,
+    n_clusters: int = 4,
+    per_cluster: int = 60,
+    dim: int = 16,
+) -> str:
+    """Clustered embeddings with planted ground truth for the k-means and
+    SemDeDup oracles: ``n_clusters`` orthogonal unit centers, members =
+    center + N(0, 0.3^2) noise, plus per-cluster near-identical dup groups
+    (one pair + one triple, cosine > 0.999 to their source member).
+
+    Margins are ENFORCED at build time (fixed seed, deterministic
+    rejection-resampling), so the planted labels are also the unique
+    k-means optimum basin:
+      - every member's cosine to its own center beats every other center
+        by >= 0.25 (Lloyd with centroids anywhere near the true centers
+        assigns identically to ``cluster_id``);
+      - every same-cluster NON-dup pair has cosine < 0.90, every planted
+        dup pair > 0.999 (tau = 0.95 separates with wide margin).
+
+    Columns: vec_id, embedding (list<double>), cluster_id (planted),
+    dup_group (= representative vec_id; unique for singletons)."""
+    rng = np.random.default_rng(11)
+    # orthonormal centers via QR of a fixed random matrix
+    q, _ = np.linalg.qr(rng.standard_normal((dim, n_clusters)))
+    centers = q.T  # (n_clusters, dim), orthonormal rows
+
+    def unit(v):
+        return v / np.linalg.norm(v)
+
+    members: list[np.ndarray] = []
+    labels: list[int] = []
+    for c in range(n_clusters):
+        got = 0
+        while got < per_cluster:
+            v = unit(centers[c] + rng.standard_normal(dim) * 0.3)
+            sims = centers @ v
+            own = sims[c]
+            other = np.max(np.delete(sims, c))
+            if own - other < 0.25:  # reject: too close to a rival center
+                continue
+            # reject if near-dup of an existing same-cluster member
+            ok = all(
+                float(m @ v) < 0.90
+                for m, lb in zip(members, labels)
+                if lb == c
+            )
+            if not ok:
+                continue
+            members.append(v)
+            labels.append(c)
+            got += 1
+
+    vecs = list(members)
+    cluster_id = list(labels)
+    dup_group = list(range(len(members)))  # singleton: own index
+    # plant one dup PAIR and one dup TRIPLE per cluster (copies of an
+    # existing member + tiny noise)
+    for c in range(n_clusters):
+        anchors = [i for i, lb in enumerate(cluster_id) if lb == c][:2]
+        for anchor, extra in zip(anchors, (1, 2)):
+            for _ in range(extra):
+                v = unit(vecs[anchor] + rng.standard_normal(dim) * 0.003)
+                assert float(v @ vecs[anchor]) > 0.999
+                vecs.append(v)
+                cluster_id.append(c)
+                dup_group.append(anchor)
+
+    n = len(vecs)
+    order = rng.permutation(n)  # shuffle row order so blocks mix clusters
+    t = pa.table(
+        {
+            "vec_id": pa.array([int(i) for i in order], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, vecs[i])) for i in order],
+                pa.list_(pa.float64()),
+            ),
+            "cluster_id": pa.array(
+                [cluster_id[i] for i in order], pa.int64()
+            ),
+            "dup_group": pa.array([dup_group[i] for i in order], pa.int64()),
         }
     )
     return _write(t, path)

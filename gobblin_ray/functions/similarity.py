@@ -261,6 +261,208 @@ def knn_ivf(
     return knn_brute_force(probed, query_matrix, k, id_col, vec_col)
 
 
+def farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k-means init: greedy max-min cosine-distance traversal
+    starting from row 0 (no RNG). On data with k well-separated clusters the
+    traversal provably lands one seed per cluster — the property the Lloyd
+    convergence argument needs (kmeans++ without the randomness)."""
+    X = _normalize(np.asarray(sample, dtype=np.float64))
+    seeds = [0]
+    # min cosine-similarity to any chosen seed, per point (lower = farther)
+    best = X @ X[0]
+    for _ in range(k - 1):
+        nxt = int(np.argmin(best))  # ties: lowest index (np.argmin rule)
+        seeds.append(nxt)
+        best = np.maximum(best, X @ X[nxt])
+    return X[seeds].copy()
+
+
+def kmeans_lloyd(
+    ds,
+    k: int,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_sample_n: int = 4096,
+    batch_size: int = 8192,
+):
+    """Distributed Lloyd k-means over the FULL dataset (spherical/cosine):
+    per iteration, ONE map_batches pass computes per-batch per-cluster
+    partial sums (a (<=k) x (dim+2) wide table — the mergeable sufficient
+    statistic), a tiny ``groupby('cluster').sum()`` tree combines them, and
+    the driver recomputes + renormalizes the (k x dim) centroid matrix and
+    re-broadcasts it via ``ray.put``. Returns ``(assigned_ds, centroids)``
+    where ``assigned_ds`` has a ``cluster`` column.
+
+    Scale shape: per-iteration exchange volume is O(blocks x k x dim)
+    floats — independent of row count; the input is re-scanned once per
+    iteration (at 100 TB, fit on a sample via ``kmeans_fit`` and run 1-2
+    refinement iterations here; this is the SemDeDup/SemDeDup-style
+    curation preprocessing pass, Abbas et al. 2023). Init is the
+    deterministic farthest-point traversal on a driver-held sample, so
+    results are reproducible across runs and partitionings given a
+    deterministic input order.
+
+    Reference analog: Gobblin has no clustering operator; this follows the
+    classic mergeable-summaries aggregation shape the repo uses for
+    sketches (functions/sketch.py) applied to the Lloyd sufficient
+    statistics."""
+    import ray
+
+    proj = ds.select_columns([id_col, vec_col])
+    sample = proj.limit(init_sample_n).to_pandas()
+    dim = len(sample[vec_col].iloc[0])
+    C = farthest_point_init(np.vstack(sample[vec_col].to_numpy()), k)
+
+    sum_cols = [f"s{i}" for i in range(dim)]
+
+    def partials(cref, t: pa.Table) -> pa.Table:
+        c = ray.get(cref[0]) if isinstance(cref, list) else cref
+        mat = _normalize(
+            np.vstack(t.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        assign = np.argmax(mat @ c.T, axis=1)
+        present = np.unique(assign)
+        onehot = assign[:, None] == present[None, :]  # (n, p)
+        sums = onehot.T.astype(np.float64) @ mat  # (p, dim)
+        cols = {
+            "cluster": pa.array(present.astype(np.int64)),
+            "n": pa.array(onehot.sum(axis=0).astype(np.int64)),
+        }
+        for i, name in enumerate(sum_cols):
+            cols[name] = pa.array(sums[:, i])
+        return pa.table(cols)
+
+    for _ in range(iters):
+        cref = [ray.put(np.ascontiguousarray(C))]
+        import functools
+
+        fn = functools.partial(partials, cref)
+        fn.__name__ = "kmeans_partials"
+        stats = (
+            proj.map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size
+            )
+            .groupby("cluster")
+            .sum(sum_cols + ["n"])
+            .take_all()
+        )
+        newC = C.copy()
+        for row in stats:
+            cid = int(row["cluster"])
+            n = float(row["sum(n)"])
+            if n > 0:
+                vec = np.array([row[f"sum({s})"] for s in sum_cols])
+                newC[cid] = vec / n
+        C = _normalize(newC)
+
+    cref_final = ray.put(np.ascontiguousarray(C))
+    assigned = ds.map_batches(
+        _AssignCell,
+        fn_constructor_kwargs=dict(centroids_ref=cref_final, vec_col=vec_col),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    ).rename_columns({"ivf_cell": "cluster"})
+    return assigned, C
+
+
+def semantic_dedup(
+    embeddings,
+    k: int,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 8,
+    block: int = 1024,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then WITHIN each cluster drop every row that has a
+    lower-id row with cosine >= ``tau`` (keep-first-by-id, the same
+    deterministic winner rule as the exact/MinHash dedups). Semantic
+    near-duplicates — same content re-encoded, paraphrases — land in the
+    same cluster, so the O(m^2) pair check runs per cluster, never
+    corpus-wide. Returns the kept rows with their ``cluster`` column.
+
+    Scale shape: clustering bounds the quadratic term to the largest
+    cluster (k chosen so corpus/k fits a worker — the paper uses
+    k = O(sqrt(n))); the per-cluster check is blocked matmul, O(m*B)
+    memory, no Python row loop. At 100 TB, write the assignment
+    partitioned by cluster once, then dedup per partition (the same
+    posture as knn_ivf's cell reuse)."""
+    assigned, _C = kmeans_lloyd(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+
+    def dedup_cell(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        mat = _normalize(
+            np.vstack(g.column(vec_col).to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        m = len(mat)
+        dominated = np.zeros(m, dtype=bool)
+        # blocked: rows [lo:hi) vs ALL earlier rows [0:hi) — O(m*B) memory
+        for lo in range(0, m, block):
+            hi = min(lo + block, m)
+            sims = mat[lo:hi] @ mat[:hi].T  # (b, hi)
+            cols = np.arange(hi)[None, :]
+            rows = np.arange(lo, hi)[:, None]
+            hit = (sims >= tau) & (cols < rows)
+            dominated[lo:hi] = hit.any(axis=1)
+        return g.filter(pa.array(~dominated))
+
+    return assigned.groupby("cluster").map_groups(
+        dedup_cell, batch_format="pyarrow"
+    )
+
+
+def logistic_score(
+    embeddings,
+    weights: np.ndarray,
+    bias: float = 0.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "score",
+    batch_size: int = 8192,
+):
+    """Linear-model batch inference over an embedding column: score =
+    sigmoid(w . x + b) per row — the quality-classifier curation shape
+    (GPT-3's LR-against-WebText filter; fastText quality scoring). The
+    weight vector is broadcast ONCE via ``ray.put`` and fetched in each
+    actor's ``__init__``; each batch is one float64 matvec (no Python
+    loop, no shuffle). Returns (id_col, out_col)."""
+    import ray
+
+    wref = ray.put(np.ascontiguousarray(np.asarray(weights, np.float64)))
+
+    class _Score:
+        def __init__(self):
+            self.w = ray.get(wref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.vstack(
+                t.column(vec_col).to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            z = mat @ self.w + bias
+            return pa.table(
+                {
+                    id_col: t.column(id_col),
+                    out_col: pa.array(1.0 / (1.0 + np.exp(-z))),
+                }
+            )
+
+    return embeddings.select_columns([id_col, vec_col]).map_batches(
+        _Score,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )
+
+
 class _BatchPairAbove:
     """Per-batch exact verifier: cosine of every batch row against the
     broadcast corpus matrix, emitting (a, b, cosine) pairs with a < b and

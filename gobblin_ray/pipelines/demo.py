@@ -1256,6 +1256,69 @@ def embedding_dims(sf_dir: str):
     return out.groupby(["label", "dim"]).aggregate(Count(alias_name="n"))
 
 
+def kmeans_clusters_planted(sf_dir: str):
+    """Distributed Lloyd k-means recovers the planted clusters of the
+    semantic fixture exactly (margin-enforced at fixture build time).
+    Labels are canonicalized to the min vec_id of each assigned cluster so
+    the comparison is permutation-free."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_semantic()
+    ds = rd.read_parquet(path)
+    assigned, _c = sim.kmeans_lloyd(ds, k=4, iters=8, id_col="vec_id")
+    reps = assigned.groupby("cluster").min("vec_id").take_all()  # k rows
+    lut = np.full(max(int(r["cluster"]) for r in reps) + 1, -1, np.int64)
+    for r in reps:  # k ints — closure capture, no broadcast needed
+        lut[int(r["cluster"])] = int(r["min(vec_id)"])
+
+    def relabel(t: pa.Table) -> pa.Table:
+        c = t.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": t.column("vec_id"),
+                "cluster_rep": pa.array(lut[c]),
+            }
+        )
+
+    relabel.__name__ = "canonical_labels"
+    return assigned.map_batches(
+        relabel, batch_format="pyarrow", batch_size=None
+    )
+
+
+def semantic_dedup_planted(sf_dir: str):
+    """SemDeDup over the planted fixture: cluster, then drop within-cluster
+    rows with a lower-id >=0.95-cosine neighbor — survivors are exactly the
+    min vec_id of each planted dup_group (singletons survive unchanged)."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_semantic()
+    ds = rd.read_parquet(path)
+    kept = sim.semantic_dedup(ds, k=4, tau=0.95, id_col="vec_id")
+    return kept.select_columns(["vec_id"])
+
+
+def _clf_weights(dim: int = 64) -> np.ndarray:
+    """Deterministic 'trained' LR weights for the classifier-inference demo
+    (shared with the oracle SQL literal — same seed, same bytes)."""
+    rng = np.random.default_rng(5)
+    return rng.standard_normal(dim) / 8.0
+
+
+def classifier_score_embeddings(sf_dir: str):
+    """Quality-classifier batch inference (GPT-3's LR quality filter shape):
+    sigmoid(w . x + b) over the embeddings table, weights broadcast once."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.logistic_score(ds, _clf_weights(), bias=0.25)
+    return out.map_batches(
+        _round_cols({"score": 6}), batch_format="pyarrow", batch_size=None
+    )
+
+
 # ---------------------------------------------------------------- multimodal / CDC
 
 def multimodal_decode(sf_dir: str):
