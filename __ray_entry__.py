@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_lineitem": demo.bloom_semi_lineitem,
         "anti_join_orders": demo.anti_join_orders,
         "asof_join_purchase_click": demo.asof_join_purchase_click,
+        "window_join_click_purchase": demo.window_join_click_purchase,
         "range_join_value_bands": demo.range_join_value_bands,
         "session_windows_users": demo.session_windows_users,
         # set ops / windows (§2.8, §2.10)
@@ -270,6 +271,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "window_join_click_purchase": """
+            SELECT p.event_id AS event_id, c.event_id AS click_event_id,
+                   c.ts AS click_ts
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+             AND c.ts BETWEEN p.ts - INTERVAL '30 minutes' AND p.ts
         """,
         "distinct_flag_status": """
             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem

@@ -1256,6 +1256,51 @@ def embedding_dims(sf_dir: str):
     return out.groupby(["label", "dim"]).aggregate(Count(alias_name="n"))
 
 
+def window_join_click_purchase(sf_dir: str):
+    """Stream-stream windowed join (Flink interval-join shape, operator Ray
+    Data lacks; composition in stages/joins.window_join_by_key): EVERY click
+    within the 30 minutes before each purchase by the same user — contrast
+    asof_join_purchase_click, which keeps only the nearest one. One bounded
+    co-partition exchange, exact-int64 rank-composite searchsorted kernel."""
+    from ..stages.joins import window_join_by_key
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    purchases = ds.map_batches(
+        cv.filter_equals("event_type", "purchase"), batch_format="pyarrow",
+        batch_size=None,
+    ).select_columns(["event_id", "ts", "user_id"])
+    clicks = ds.map_batches(
+        cv.chain(
+            cv.filter_equals("event_type", "click"),
+            cv.rename({"event_id": "click_event_id", "ts": "click_ts"}),
+            cv.project(["click_event_id", "click_ts", "user_id"]),
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined = window_join_by_key(
+        purchases, clicks, key="user_id", left_on="ts", right_on="click_ts",
+        before_s=1800.0, after_s=0.0,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # ids re-cast to int64: the unioned schema null-fills the other
+        # side's columns, so the pandas group stage upcasts to float64
+        # (same hash-parity hazard the asof join hit in round 1)
+        return pa.table(
+            {
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "click_event_id": t.column("click_event_id").cast(pa.int64()),
+                "click_ts": t.column("click_ts").cast(pa.timestamp("us")),
+            }
+        )
+
+    finish.__name__ = "window_join_finish"
+    return joined.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
 def kmeans_clusters_planted(sf_dir: str):
     """Distributed Lloyd k-means recovers the planted clusters of the
     semantic fixture exactly (margin-enforced at fixture build time).

@@ -329,6 +329,133 @@ def merge_asof_by_key(
     return both.groupby("_kp").map_groups(asof_partition, batch_format="pandas")
 
 
+def window_join_by_key(
+    left,
+    right,
+    key: str,
+    left_on: str,
+    right_on: str,
+    before_s: float = 0.0,
+    after_s: float = 0.0,
+    num_partitions: int = 32,
+):
+    """Stream-stream WINDOWED join: every (left, right) pair with the same
+    ``key`` and ``right_on`` within ``[left_on - before_s, left_on +
+    after_s]`` (inclusive both ends — SQL ``BETWEEN`` semantics). Unlike
+    ``merge_asof_by_key`` (nearest single match) this emits ALL matches —
+    the attribution shape ("every click within 30 min before each
+    purchase"), Flink's interval join. Column names of the two sides must
+    be disjoint apart from ``key`` (rename the right side first).
+
+    Ray Data has no interval join; the composition is the asof-join shape:
+    co-partition both sides through ONE union + groupby exchange on
+    ``hash(key) % num_partitions`` (bounded partitions, never per-key
+    dispatch), then a fully vectorized per-partition kernel: sort the
+    right side by (key-code, ts), rank timestamps so the (code, ts)
+    lexicographic order collapses to EXACT int64 arithmetic (code * M +
+    rank — no float composite, so microsecond bounds can't jitter), and
+    two ``np.searchsorted`` calls give each left row its contiguous match
+    span; pairs materialize with one ``np.repeat`` + grouped-arange
+    gather. Cost is O((n + pairs) log n) C work per partition, no Python
+    row loop. Partitioning assumption: one partition's rows (both sides)
+    fit in a worker; skew note — a single hot key with m_l x m_r matching
+    pairs emits them all (that's the query's own output size).
+
+    Reference analog: Gobblin has no general join (SURVEY §2.5); this
+    extends the merge_asof composition the same way the reference's
+    compaction pairs late/on-time records by key+time affinity
+    (gobblin-compaction/.../MRCompactorJobRunner.java dedup window)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..schema import conform, unify_additive
+    from .partition import key_partition
+
+    P = num_partitions
+    lcols = list(left.schema().names)
+    rcols = list(right.schema().names)
+    overlap = (set(lcols) & set(rcols)) - {key}
+    if overlap:
+        raise ValueError(f"window_join_by_key: rename overlapping columns {sorted(overlap)}")
+    l_schema = pa.schema(zip(left.schema().names, left.schema().types))
+    r_schema = pa.schema(zip(right.schema().names, right.schema().types))
+    union_schema = unify_additive(l_schema, r_schema).append(
+        pa.field("_side", pa.string())
+    )
+    before_us = int(round(before_s * 1e6))
+    after_us = int(round(after_s * 1e6))
+
+    def tag(side: str):
+        def f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_valid(t.column(key)))
+            t = t.append_column("_side", pa.array([side] * t.num_rows))
+            t = conform(t, union_schema)
+            return t.append_column(
+                "_kp", pa.array(key_partition(t.column(key), P))
+            )
+
+        f.__name__ = f"tag_{side}"
+        return f
+
+    l_tag = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
+    r_tag = right.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+
+    r_out = [c for c in rcols if c != key]
+
+    def _usec(s: pd.Series) -> np.ndarray:
+        v = s.to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            return v.astype("datetime64[us]").astype(np.int64)
+        return np.round(v.astype(np.float64) * 1e6).astype(np.int64)
+
+    def join_partition(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"][lcols]
+        rg = g[g["_side"] == "r"][rcols]
+        empty = pd.concat(
+            [lg.iloc[:0].reset_index(drop=True),
+             rg[r_out].iloc[:0].reset_index(drop=True)], axis=1,
+        )
+        if lg.empty or rg.empty:
+            return empty
+        codes, _ = pd.factorize(
+            pd.concat([lg[key], rg[key]], ignore_index=True), sort=False
+        )
+        lc = codes[: len(lg)].astype(np.int64)
+        rc = codes[len(lg):].astype(np.int64)
+        lt = _usec(lg[left_on])
+        rt = _usec(rg[right_on])
+        order = np.lexsort((rt, rc))
+        rc_s, rt_s = rc[order], rt[order]
+        lo_b, hi_b = lt - before_us, lt + after_us
+        # rank timestamps over (right values + both query bounds) so the
+        # composite code*M + rank is EXACT int64 and order-isomorphic to
+        # lexicographic (code, ts)
+        uniq = np.unique(np.concatenate([rt_s, lo_b, hi_b]))
+        M = np.int64(len(uniq) + 1)
+        rcomp = rc_s * M + np.searchsorted(uniq, rt_s)
+        lo = np.searchsorted(rcomp, lc * M + np.searchsorted(uniq, lo_b),
+                             side="left")
+        hi = np.searchsorted(rcomp, lc * M + np.searchsorted(uniq, hi_b),
+                             side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(lg)), counts)
+        ri = (np.repeat(lo, counts)
+              + np.arange(total)
+              - np.repeat(np.cumsum(counts) - counts, counts))
+        rg_sorted = rg.iloc[order]
+        return pd.concat(
+            [lg.iloc[li].reset_index(drop=True),
+             rg_sorted[r_out].iloc[ri].reset_index(drop=True)], axis=1,
+        )
+
+    join_partition.__name__ = "window_join"
+    both = l_tag.union(r_tag)
+    return both.groupby("_kp").map_groups(join_partition, batch_format="pandas")
+
+
 def range_join(
     points,
     intervals,

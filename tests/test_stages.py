@@ -1374,3 +1374,71 @@ def test_normalize_text_unicode_and_whitespace(ray_session):
                         batch_size=None)
            .to_pandas().sort_values("doc_id"))
     assert out["norm_text"].tolist() == ["hello world", "café mix", "a b c"]
+
+
+def test_window_join_matches_bruteforce(ray_session):
+    """Randomized parity: window_join_by_key == pandas merge + BETWEEN
+    filter, including inclusive bounds, multi-match keys, keys with no
+    matches, and duplicate timestamps."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import window_join_by_key
+
+    rng = np.random.default_rng(7)
+    nl, nr = 400, 600
+    base = np.datetime64("2026-01-01T00:00:00", "us")
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(nl, dtype=np.int64),
+            "k": rng.integers(0, 40, nl).astype(np.int64),
+            "lts": base + rng.integers(0, 3600, nl).astype("timedelta64[s]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rid": np.arange(nr, dtype=np.int64),
+            "k": rng.integers(0, 50, nr).astype(np.int64),  # some keys unmatched
+            "rts": base + rng.integers(0, 3600, nr).astype("timedelta64[s]"),
+        }
+    )
+    before, after = 120.0, 30.0
+    got = (
+        window_join_by_key(
+            rd.from_pandas(left), rd.from_pandas(right),
+            key="k", left_on="lts", right_on="rts",
+            before_s=before, after_s=after, num_partitions=8,
+        )
+        .to_pandas()
+    )
+    got["lid"] = got["lid"].astype(np.int64)
+    got["rid"] = got["rid"].astype(np.int64)
+    exp = left.merge(right, on="k")
+    lo = exp["lts"] - pd.Timedelta(seconds=before)
+    hi = exp["lts"] + pd.Timedelta(seconds=after)
+    exp = exp[(exp["rts"] >= lo) & (exp["rts"] <= hi)]
+    key_cols = ["lid", "rid"]
+    gs = got[key_cols + ["rts"]].sort_values(key_cols).reset_index(drop=True)
+    es = exp[key_cols + ["rts"]].sort_values(key_cols).reset_index(drop=True)
+    assert len(gs) > 0  # the window actually matches something
+    pd.testing.assert_frame_equal(gs, es)
+
+
+def test_window_join_empty_side_partitions(ray_session):
+    """A partition holding only one side emits nothing (and doesn't crash
+    the pandas group stage with a schema mismatch)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import window_join_by_key
+
+    left = pd.DataFrame({"lid": [1, 2], "k": [0, 1],
+                         "lts": pd.to_datetime(["2026-01-01", "2026-01-02"])})
+    right = pd.DataFrame({"rid": [9], "k": [99],  # never matches, other partition
+                          "rts": pd.to_datetime(["2026-01-01"])})
+    got = window_join_by_key(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_on="lts", right_on="rts",
+        before_s=60.0, after_s=60.0, num_partitions=4,
+    ).to_pandas()
+    assert len(got) == 0
