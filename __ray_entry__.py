@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_incremental": demo.dedup_neardup_incremental,
         "cdc_replay_mini": demo.cdc_replay_mini,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
+        "incremental_view_hosts": demo.incremental_view_hosts,
         "time_travel_read": demo.time_travel_read,
         # fork / routing (§2.5) + partitioners (§2.2)
         "fork_branches": demo.fork_branches,
@@ -1308,5 +1309,13 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_changes": """
             SELECT url, change_type, warc_ts, event_seq, text
             FROM read_parquet('/tmp/gobblin_ray_fixtures/snapshot_diff_oracle.parquet')
+        """,
+        # Incremental materialized view (IVM over the before-image change
+        # feed): the oracle is a full RECOMPUTE of the same per-host view
+        # from the sequential replay's head state (fixtures.cdc_view_sidecar)
+        # — the fold must land on it exactly.
+        "incremental_view_hosts": """
+            SELECT grp, n_live, sum_seq
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_view_oracle.parquet')
         """,
     }

@@ -1198,11 +1198,17 @@ class CdcEngine:
                 "removed_files": removed_files,
             }
 
-    def read_changes(self, from_epoch: int, to_epoch: int | None = None):
+    def read_changes(self, from_epoch: int, to_epoch: int | None = None,
+                     include_before: bool = False):
         """CDC-out / snapshot diff between two committed manifests: one row
         per url whose LIVE state differs, tagged ``change_type`` in
         {insert, update, delete} — insert/update rows carry the NEW
         (warc_ts, event_seq, text); deletes carry the last OLD values.
+        With ``include_before=True`` the feed also carries a Debezium-style
+        before-image column ``old_event_seq`` (the row's event_seq AS OF
+        ``from_epoch``; null on inserts) — what an incremental
+        materialized-view consumer needs to retract an updated row's old
+        contribution (see stages/aggregates.ivm_count_sum_view).
         The Gobblin analog is the snapshot-diff listing generalized to row
         granularity (FileBasedSource's prior-vs-current fs snapshot diff,
         gobblin-core/.../filebased/FileBasedSource.java) — the downstream-
@@ -1238,22 +1244,32 @@ class CdcEngine:
             t = live_rows(merge_bases([pq.read_table(p) for p in files], schema))
             return conform(t, schema).sort_by([("url", "ascending")])
 
-        out_schema = pa.schema([
+        fields = [
             ("url", pa.string()), ("change_type", pa.string()),
             ("warc_ts", pa.timestamp("us")), ("event_seq", pa.int64()),
             ("text", pa.string()),
-        ])
+        ]
+        if include_before:
+            fields.append(("old_event_seq", pa.int64()))
+        out_schema = pa.schema(fields)
 
-        def _emit(t: pa.Table, idx: np.ndarray, kind: str) -> pa.Table:
+        def _emit(t: pa.Table, idx: np.ndarray, kind: str,
+                  old_seq=None) -> pa.Table:
             sel = t.take(pa.array(idx))
-            return pa.table({
+            cols = {
                 "url": sel.column("url"),
                 "change_type": pa.array([kind] * len(idx), pa.string()),
                 "warc_ts": sel.column("warc_ts").cast(pa.timestamp("us")),
                 "event_seq": sel.column("event_seq").cast(pa.int64()),
                 "text": (sel.column("text") if kind != "delete"
                          else pa.nulls(len(idx), pa.string())),
-            }, schema=out_schema)
+            }
+            if include_before:
+                cols["old_event_seq"] = (
+                    pa.nulls(len(idx), pa.int64()) if old_seq is None
+                    else pa.array(np.asarray(old_seq, np.int64), pa.int64())
+                )
+            return pa.table(cols, schema=out_schema)
 
         def diff_bucket(batch: pa.Table) -> pa.Table:
             outs = []
@@ -1261,18 +1277,20 @@ class CdcEngine:
                 told, tnew = _live_sorted(row["old"]), _live_sorted(row["new"])
                 ou = told.column("url").to_numpy(zero_copy_only=False)
                 nu = tnew.column("url").to_numpy(zero_copy_only=False)
+                oseq_all = told.column("event_seq").to_numpy(
+                    zero_copy_only=False)
                 in_old = np.isin(nu, ou)
                 outs.append(_emit(tnew, np.flatnonzero(~in_old), "insert"))
-                outs.append(_emit(told, np.flatnonzero(~np.isin(ou, nu)),
-                                  "delete"))
+                gone = np.flatnonzero(~np.isin(ou, nu))
+                outs.append(_emit(told, gone, "delete", oseq_all[gone]))
                 common = np.flatnonzero(in_old)
                 if len(common):
                     oi = np.searchsorted(ou, nu[common])
-                    oseq = told.column("event_seq").to_numpy(
-                        zero_copy_only=False)[oi]
+                    oseq = oseq_all[oi]
                     nseq = tnew.column("event_seq").to_numpy(
                         zero_copy_only=False)[common]
-                    outs.append(_emit(tnew, common[oseq != nseq], "update"))
+                    chg = oseq != nseq
+                    outs.append(_emit(tnew, common[chg], "update", oseq[chg]))
             return (pa.concat_tables(outs) if outs
                     else conform(pa.table({}), out_schema))
 

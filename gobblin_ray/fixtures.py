@@ -28,6 +28,7 @@ SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
 EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
 KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
 SEMANTIC_PATH = os.path.join(FIXTURE_DIR, "planted_semantic.parquet")
+CDC_VIEW_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_view_oracle.parquet")
 CDC_REPLAY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_replay_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
@@ -421,6 +422,32 @@ def cdc_oracle_sidecar(corpus_dir: str, path: str = CDC_REPLAY_ORACLE_PATH,
          for n in schema.names},
         schema=schema,
     )
+    return _write(t, path)
+
+
+def cdc_view_sidecar(corpus_dir: str,
+                     path: str = CDC_VIEW_ORACLE_PATH) -> str:
+    """Recompute oracle for the incremental materialized view
+    (``incremental_view_hosts``): group the HEAD state of the independent
+    sequential replay by url host — per-host live-row count + sum of
+    event_seq. A correct IVM fold (base view at an early manifest + one
+    pass over the before-image change feed) must land on exactly this
+    table; any missed retraction or double-applied delta shows up as a
+    count/sum drift."""
+    import re
+
+    agg: dict[str, list] = {}
+    for row in _sequential_live_state(corpus_dir).values():
+        host = re.match(r"^https://([^/]+)/", row["url"]).group(1)
+        cur = agg.setdefault(host, [0, 0])
+        cur[0] += 1
+        cur[1] += row["event_seq"]
+    hosts = sorted(agg)
+    t = pa.table({
+        "grp": pa.array(hosts, pa.string()),
+        "n_live": pa.array([agg[h][0] for h in hosts], pa.int64()),
+        "sum_seq": pa.array([agg[h][1] for h in hosts], pa.int64()),
+    })
     return _write(t, path)
 
 

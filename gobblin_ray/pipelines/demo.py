@@ -1742,6 +1742,50 @@ def snapshot_diff_changes(sf_dir: str):
     return eng.read_changes(e_lo, e_hi)
 
 
+def incremental_view_hosts(sf_dir: str):
+    """Incremental materialized-view maintenance (IVM) driven by the CDC-out
+    feed: a per-host (live-row count, sum event_seq) view is seeded from the
+    state at an EARLY manifest and folded to head purely from
+    ``read_changes(include_before=True)`` deltas — the table itself is never
+    rescanned (the Debezium-consumer / Gupta-Mumick counting-IVM shape;
+    stages/aggregates.ivm_count_sum_view). Oracled by grouping the
+    independent sequential replay's HEAD state: any missed retraction or
+    double-applied delta drifts the counts."""
+    import tempfile
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import cdc_view_sidecar
+    from ..stages.aggregates import ivm_count_sum_view
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_ivm_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=8, epoch_width=1_000),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(vacuum=False)  # the base-view manifest's files must survive
+    cdc_view_sidecar(corpus)
+
+    e_lo = 1
+    base = eng.read_table(eng.store.load(e_lo)).select_columns(
+        ["url", "event_seq"]
+    )
+    changes = eng.read_changes(e_lo, include_before=True)
+
+    def host_of(t: pa.Table) -> pa.Array:
+        return pc.struct_field(
+            pc.extract_regex(t.column("url"), r"^https://(?P<host>[^/]+)/"),
+            "host",
+        )
+
+    return ivm_count_sum_view(base, changes, host_of)
+
+
 def copy_dataset_files(sf_dir: str):
     """Distcp-style copy job (gobblin-data-management CopySource /
     CopyDataPublisher analog) over the testdata parquet tables: plan ->

@@ -293,3 +293,84 @@ def histogram_equi_width(ds, value_col: str, width: float,
     return tagged.groupby(bucket_col).aggregate(
         Count(alias_name="n"), Sum(value_col, alias_name=sum_col)
     )
+
+
+def ivm_count_sum_view(base_state, changes, group_fn,
+                       seq_col: str = "event_seq",
+                       old_seq_col: str = "old_event_seq",
+                       group_col: str = "grp",
+                       n_col: str = "n_live",
+                       sum_col: str = "sum_seq"):
+    """Incremental materialized-view maintenance (IVM) over a CDC change
+    feed: maintain a per-group ``(count of live rows, sum of seq_col)``
+    view WITHOUT rescanning the table — the downstream-consumer shape
+    Gobblin's snapshot-diff listing feeds (FileBasedSource prior-vs-current
+    diff, gobblin-core/.../filebased/FileBasedSource.java), generalized to
+    row granularity by ``CdcEngine.read_changes(include_before=True)``.
+
+    Delta algebra (classic counting IVM, e.g. Gupta-Mumick'95 survey):
+      insert  -> (+1, +new_seq)
+      delete  -> (-1, -old_seq)   (the feed's delete rows carry old values)
+      update  -> ( 0, new_seq - old_seq)  (needs the before-image column)
+    Groups whose maintained count reaches 0 drop out of the view, exactly
+    as a recompute would.
+
+    Scale shape: both the base view and the deltas pre-aggregate INSIDE
+    ``map_batches`` (per-batch combiner over O(groups-in-batch) rows), so
+    the single groupby exchange moves O(distinct groups x blocks) partial
+    rows — never the state or the feed itself. ``group_fn`` maps a pyarrow
+    Table to the group-key Array (derive the key from immutable columns
+    only — e.g. host from url — since the feed keys changes by url)."""
+
+    def _partials(sign_from_type: bool):
+        def f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            g = group_fn(t)
+            seq = t.column(seq_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            if sign_from_type:
+                ct = t.column("change_type").to_numpy(zero_copy_only=False)
+                old = pc.fill_null(t.column(old_seq_col), 0).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.float64)
+                dn = np.where(ct == "insert", 1, np.where(ct == "delete", -1, 0))
+                dsum = np.where(
+                    ct == "insert", seq,
+                    np.where(ct == "delete", -seq, seq - old),
+                )
+            else:
+                dn = np.ones(len(seq), np.int64)
+                dsum = seq
+            tmp = pa.table({group_col: g,
+                            "_dn": pa.array(dn.astype(np.int64)),
+                            "_ds": pa.array(dsum.astype(np.float64))})
+            # per-batch combiner: collapse to one row per group
+            return pa.TableGroupBy(tmp, group_col).aggregate(
+                [("_dn", "sum"), ("_ds", "sum")]
+            ).rename_columns([group_col, "_dn", "_ds"])
+
+        f.__name__ = "ivm_deltas" if sign_from_type else "ivm_base"
+        return f
+
+    base_p = base_state.map_batches(
+        _partials(False), batch_format="pyarrow"
+    )
+    delta_p = changes.map_batches(
+        _partials(True), batch_format="pyarrow"
+    )
+    folded = base_p.union(delta_p).groupby(group_col).sum(["_dn", "_ds"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        t = t.filter(_pc.greater(t.column("sum(_dn)"), 0))
+        return pa.table({
+            group_col: t.column(group_col),
+            n_col: t.column("sum(_dn)").cast(pa.int64()),
+            sum_col: _pc.round(t.column("sum(_ds)")).cast(pa.int64()),
+        })
+
+    finish.__name__ = "ivm_finish"
+    return folded.map_batches(finish, batch_format="pyarrow", batch_size=None)

@@ -503,6 +503,55 @@ def test_read_changes_matches_sequential_diff(ray_session, corpus, tmp_path_fact
             assert r["event_seq"] == a.loc[r["url"], "event_seq"]
 
 
+def test_ivm_view_matches_head_recompute(ray_session, corpus,
+                                         tmp_path_factory):
+    """Incremental view maintenance: a per-host (count, sum event_seq) view
+    seeded at epoch 1 and folded forward ONLY from
+    read_changes(include_before=True) deltas equals a direct recompute over
+    the head state — and the feed's before-images are exactly the
+    from-manifest values (update retraction correctness)."""
+    import pyarrow.compute as pc
+
+    from gobblin_ray.stages.aggregates import ivm_count_sum_view
+
+    d, _meta = corpus
+    lake = str(tmp_path_factory.mktemp("lake_ivm"))
+    eng = CdcEngine(lake, f"{d}/events", EngineConfig(num_buckets=8,
+                                                      epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+
+    changes = eng.read_changes(1, include_before=True).to_pandas()
+    old_at_lo = (eng.read_table(eng.store.load(1)).to_pandas()
+                 .set_index("url")["event_seq"])
+    upd = changes[changes["change_type"] == "update"]
+    assert len(upd) > 0
+    assert (upd["old_event_seq"].to_numpy()
+            == old_at_lo.loc[upd["url"]].to_numpy()).all()
+    assert changes.loc[changes["change_type"] == "insert",
+                       "old_event_seq"].isna().all()
+
+    def host_of(t):
+        return pc.struct_field(
+            pc.extract_regex(t.column("url"), r"^https://(?P<host>[^/]+)/"),
+            "host",
+        )
+
+    base = eng.read_table(eng.store.load(1)).select_columns(
+        ["url", "event_seq"])
+    view = (ivm_count_sum_view(
+        base, eng.read_changes(1, include_before=True), host_of)
+        .to_pandas().sort_values("grp").reset_index(drop=True))
+
+    head = eng.read_table().to_pandas()
+    head["grp"] = head["url"].str.extract(r"^https://([^/]+)/")
+    exp = (head.groupby("grp")
+           .agg(n_live=("url", "size"), sum_seq=("event_seq", "sum"))
+           .reset_index().sort_values("grp").reset_index(drop=True))
+    exp["sum_seq"] = exp["sum_seq"].astype("int64")
+    pd.testing.assert_frame_equal(view, exp)
+
+
 def test_rollback_then_rerun_converges(ray_session, corpus, oracle_df,
                                        tmp_path_factory):
     """Roll the lake back to a mid manifest, re-run to head: the replayed
