@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--to-epoch", type=int, default=None,
                     help="default: the head manifest")
     sp.add_argument("--limit", type=int, default=5)
+    sp.add_argument("--include-before", action="store_true",
+                    help="carry Debezium-style before-image old_event_seq "
+                         "(what an incremental-view consumer needs)")
 
     sp = sub.add_parser(
         "clean", help="retention: delete/trash old dataset versions "
@@ -408,7 +411,10 @@ def main(argv: list[str] | None = None) -> int:
                         else eng.store.latest().epoch)
             # materialize once (the diff is churn-sized, not table-sized),
             # then sample + count from the cached blocks
-            ds = eng.read_changes(args.from_epoch, to_epoch).materialize()
+            ds = eng.read_changes(
+                args.from_epoch, to_epoch,
+                include_before=args.include_before,
+            ).materialize()
             for r in ds.take(args.limit):
                 r["text"] = (r.get("text") or "")[:60]
                 print(json.dumps(r, default=str))
