@@ -80,6 +80,9 @@ QUERY_NAMES = [
     "chunk_documents_rag",
     "cosine_pairs_embeddings",
     "diff_tables_events",
+    "classifier_score_embeddings",
+    "window_join_click_purchase",
+    "incremental_view_hosts",
 ]
 
 

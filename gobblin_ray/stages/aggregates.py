@@ -327,14 +327,16 @@ def ivm_count_sum_view(base_state, changes, group_fn,
             import numpy as np
 
             g = group_fn(t)
+            # int64 end to end: float64 partials would silently lose
+            # exactness past 2^53, reachable at 10^10-row x large-seq scale
             seq = t.column(seq_col).to_numpy(zero_copy_only=False).astype(
-                np.float64
+                np.int64
             )
             if sign_from_type:
                 ct = t.column("change_type").to_numpy(zero_copy_only=False)
                 old = pc.fill_null(t.column(old_seq_col), 0).to_numpy(
                     zero_copy_only=False
-                ).astype(np.float64)
+                ).astype(np.int64)
                 dn = np.where(ct == "insert", 1, np.where(ct == "delete", -1, 0))
                 dsum = np.where(
                     ct == "insert", seq,
@@ -345,7 +347,7 @@ def ivm_count_sum_view(base_state, changes, group_fn,
                 dsum = seq
             tmp = pa.table({group_col: g,
                             "_dn": pa.array(dn.astype(np.int64)),
-                            "_ds": pa.array(dsum.astype(np.float64))})
+                            "_ds": pa.array(dsum.astype(np.int64))})
             # per-batch combiner: collapse to one row per group
             return pa.TableGroupBy(tmp, group_col).aggregate(
                 [("_dn", "sum"), ("_ds", "sum")]
@@ -369,7 +371,7 @@ def ivm_count_sum_view(base_state, changes, group_fn,
         return pa.table({
             group_col: t.column(group_col),
             n_col: t.column("sum(_dn)").cast(pa.int64()),
-            sum_col: _pc.round(t.column("sum(_ds)")).cast(pa.int64()),
+            sum_col: t.column("sum(_ds)").cast(pa.int64()),
         })
 
     finish.__name__ = "ivm_finish"
