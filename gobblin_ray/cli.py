@@ -149,6 +149,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep older manifests (NOT compliant; debugging)")
 
     sp = sub.add_parser(
+        "redrive", help="dead-letter re-drive: replay quarantined _errors/ "
+        "rows back through validate -> merge -> commit, optionally after an "
+        "op-repair regex; rows still invalid are re-quarantined, never "
+        "dropped; the watermark is untouched (late LWW application "
+        "converges)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--epochs", type=int, nargs="*", default=None,
+                    help="only re-drive these epochs' error files")
+    sp.add_argument("--fix-op-sub", nargs=2, metavar=("REGEX", "REPL"),
+                    default=None,
+                    help="repair the op column with a regex substitution "
+                         "before re-validating")
+    sp.add_argument("--keep-sources", action="store_true",
+                    help="leave the source error files in place (default: "
+                         "move them to _errors/_redriven after commit)")
+
+    sp = sub.add_parser(
         "rollback", help="roll the lake back to an older committed manifest "
         "(Iceberg snapshot-rollback analog; legal within the vacuum window; "
         "the next run re-applies the later log span, converging byte-"
@@ -402,6 +420,30 @@ def main(argv: list[str] | None = None) -> int:
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
             print(json.dumps(eng.purge_keys(
                 keys, drop_history=not args.keep_history
+            )))
+        elif args.cmd == "redrive":
+            import re as _re
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            fixer = None
+            if args.fix_op_sub:
+                pat, repl = args.fix_op_sub
+                _re.compile(pat)  # fail fast on a bad pattern
+
+                def fixer(t: pa.Table) -> pa.Table:
+                    fixed = pc.replace_substring_regex(
+                        t.column("op"), pat, repl
+                    )
+                    return t.set_column(
+                        t.column_names.index("op"), "op", fixed
+                    )
+
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            print(json.dumps(eng.redrive_errors(
+                fixer=fixer, epochs=args.epochs,
+                consume=not args.keep_sources,
             )))
         elif args.cmd == "changes":
             from ray.data.aggregate import Count

@@ -1051,6 +1051,124 @@ class CdcEngine:
         self.store.commit(manifest)
         return manifest
 
+    def redrive_errors(self, fixer=None, epochs: list[int] | None = None,
+                       consume: bool = True) -> dict:
+        """Dead-letter re-drive: replay quarantined error rows back through
+        the full validate -> bucket -> LWW-merge -> commit path, optionally
+        after a ``fixer`` repairs them (the Gobblin quarantine/retry shape:
+        ERR_FILE diverts instead of failing, and the operator re-submits
+        the error files once the upstream bug is fixed —
+        gobblin-api/.../qualitychecker/row/RowLevelPolicy.java ERR_FILE +
+        the runtime's task-retry posture).
+
+        Correctness rests on LWW commutativity: applying a diverted event
+        LATE converges to exactly the state an on-time application would
+        have produced, because the merge winner is decided by the event's
+        own (warc_ts, event_seq) — never by arrival order — and the replay
+        epoch's watermark is pinned to the CURRENT high_seq, so regular
+        ingestion planning is untouched. Rows the fixer leaves invalid are
+        re-diverted into the new epoch's error sink (still quarantined,
+        never dropped); with ``consume=True`` the source error files move
+        to ``_errors/_redriven/`` after the commit, so a crash between
+        commit and move only re-redrives — idempotent by the same LWW
+        argument.
+
+        ``fixer``: pyarrow Table -> Table over the raw event schema.
+        ``epochs``: only re-drive these epochs' error files (default all).
+        """
+        if not self.cfg.job_lock:
+            return self._redrive_impl(fixer, epochs, consume)
+        from .locks import FileJobLock
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            return self._redrive_impl(fixer, epochs, consume)
+
+    def _redrive_impl(self, fixer, epochs, consume) -> dict:
+        import shutil
+        import tempfile
+
+        manifest = self.store.latest()
+        if manifest is None:
+            raise RuntimeError("lake not bootstrapped")
+        err_root = os.path.join(self.lake_dir, "_errors")
+        src_files: list[str] = []
+        if os.path.isdir(err_root):
+            for d in sorted(os.listdir(err_root)):
+                if not d.startswith("epoch="):
+                    continue
+                if epochs is not None and int(d.split("=")[1]) not in epochs:
+                    continue
+                for f in sorted(os.listdir(os.path.join(err_root, d))):
+                    if f.endswith(".parquet"):
+                        src_files.append(os.path.join(err_root, d, f))
+        if not src_files:
+            return {"epoch": None, "source_files": 0, "source_rows": 0,
+                    "redriven": 0, "still_diverted": 0, "unreplayable": 0}
+
+        tables = [pq.read_table(p) for p in src_files]
+        schema = unify_additive(*[t.schema for t in tables])
+        t = pa.concat_tables([conform(x, schema) for x in tables])
+        internal = [c for c in (_ERR_COL, _BUCKET_COL, _SALT_COL, _N_COL)
+                    if c in t.column_names]
+        t = t.drop_columns(internal)
+        if fixer is not None:
+            t = fixer(t)
+        # The epoch filter and the commit gate's independent count both key
+        # on event_seq; a null-seq row would silently vanish between them —
+        # surface it in the report instead.
+        valid_seq = pc.is_valid(t.column("event_seq"))
+        unreplayable = t.num_rows - int(pc.sum(valid_seq).as_py() or 0)
+        t = t.filter(valid_seq)
+        if t.num_rows == 0:
+            return {"epoch": None, "source_files": len(src_files),
+                    "source_rows": 0, "redriven": 0, "still_diverted": 0,
+                    "unreplayable": unreplayable}
+
+        redrive_dir = tempfile.mkdtemp(prefix="gobblin_redrive_")
+        try:
+            pq.write_table(
+                t, os.path.join(redrive_dir, "part-redrive-00000.parquet")
+            )
+            prev_events_dir, prev_cfg = self.events_dir, self.cfg
+            try:
+                self.events_dir = redrive_dir
+                # Route under the LAKE's bucket modulus, not this driver's
+                # config default — a mismatched count would promote the
+                # redriven rows into bucket dirs outside the manifest
+                # (orphaned = silent data loss; caught live in testing).
+                if self.cfg.num_buckets != manifest.num_buckets:
+                    from dataclasses import replace as _dc_replace
+
+                    self.cfg = _dc_replace(
+                        self.cfg, num_buckets=manifest.num_buckets
+                    )
+                log_meta = planmod.load_log_meta(redrive_dir)
+                ep = planmod.Epoch(
+                    index=manifest.epoch + 1,
+                    low_seq=-1,  # redriven seqs are all <= the watermark
+                    high_seq=manifest.high_seq,  # watermark PINNED
+                )
+                new_manifest, report = self.apply_epoch(ep, manifest, log_meta)
+            finally:
+                self.events_dir, self.cfg = prev_events_dir, prev_cfg
+        finally:
+            shutil.rmtree(redrive_dir, ignore_errors=True)
+
+        if consume:
+            dest_root = os.path.join(err_root, "_redriven")
+            for p in src_files:
+                dest = os.path.join(dest_root, os.path.relpath(p, err_root))
+                os.makedirs(os.path.dirname(dest), exist_ok=True)
+                os.replace(p, dest)
+        self.metrics.inc("errors_redriven", report.events)
+        self.metrics.submit_event(
+            "ErrorsRedriven", epoch=new_manifest.epoch,
+            redriven=report.events, still_diverted=report.errors,
+        )
+        return {"epoch": new_manifest.epoch, "source_files": len(src_files),
+                "source_rows": t.num_rows, "redriven": report.events,
+                "still_diverted": report.errors, "unreplayable": unreplayable}
+
     def purge_keys(self, urls: list[str], drop_history: bool = True) -> dict:
         """Compliance purge — GDPR right-to-be-forgotten over the lake
         (reference analog: gobblin-modules/gobblin-compliance purger;

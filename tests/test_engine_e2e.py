@@ -503,6 +503,84 @@ def test_read_changes_matches_sequential_diff(ray_session, corpus, tmp_path_fact
             assert r["event_seq"] == a.loc[r["url"], "event_seq"]
 
 
+def test_redrive_errors_after_fix(ray_session, tmp_path_factory):
+    """Dead-letter re-drive: diverted rows replay through the full pipeline
+    after a fixer repairs them; late LWW application converges to the state
+    an on-time application would have produced; unfixable rows stay
+    quarantined (re-diverted, never dropped); source error files are
+    consumed to _errors/_redriven; watermark is untouched."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("redrive_corpus"))
+    synth.write_corpus(d, n_pages=50, n_events=200, shard_rows=100)
+    p = f"{d}/events/part-00000.parquet"
+    t = pq.read_table(p)
+    op = t.column("op").to_pylist()
+    url = t.column("url").to_pylist()
+    orig_op5 = op[5]
+    op[5] = "BAD:" + orig_op5  # recoverable corruption
+    url[7] = None              # unrecoverable
+    t = t.set_column(1, "op", pa.array(op, pa.string()))
+    t = t.set_column(2, "url", pa.array(url, pa.string()))
+    pq.write_table(t, p)
+
+    lake = str(tmp_path_factory.mktemp("lake_redrive"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    head = eng.store.latest()
+    assert sum(eng.store.load(e).error_count
+               for e in eng.store.committed_epochs()) == 2
+
+    def fix(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        fixed = pc.replace_substring_regex(batch.column("op"), "^BAD:", "")
+        return batch.set_column(
+            batch.column_names.index("op"), "op", fixed
+        )
+
+    # Re-drive through a SEPARATE ops engine with the DEFAULT config (the
+    # CLI shape): the redrive must route under the MANIFEST's bucket
+    # modulus, not this driver's num_buckets default — a mismatch once
+    # promoted redriven rows into orphan bucket dirs outside the manifest
+    # (silent data loss, caught live).
+    ops_eng = CdcEngine(lake, events_dir="", config=EngineConfig())
+    out = ops_eng.redrive_errors(fixer=fix)
+    assert out["source_rows"] == 2
+    assert out["redriven"] == 1          # the fixed op row applied
+    assert out["still_diverted"] == 1    # the null-url row re-quarantined
+    assert out["epoch"] == head.epoch + 1
+    assert eng.store.latest().high_seq == head.high_seq  # watermark pinned
+    assert all(int(dd.split("=")[1]) < 4
+               for dd in os.listdir(os.path.join(lake, "data")))  # no orphans
+
+    # consumed: the original epoch error dirs hold no parquet any more
+    for dd in os.listdir(os.path.join(lake, "_errors")):
+        if dd.startswith("epoch=") and int(dd.split("=")[1]) <= head.epoch:
+            assert not [f for f in
+                        os.listdir(os.path.join(lake, "_errors", dd))
+                        if f.endswith(".parquet")]
+
+    # final state == oracle replay of the REPAIRED log minus the lost row
+    pages = pq.read_table(f"{d}/pages.parquet")
+    evt = pq.read_table(p)
+    ops = evt.column("op").to_pylist()
+    ops[5] = orig_op5
+    evt = evt.set_column(1, "op", pa.array(ops, pa.string()))
+    evt = evt.filter(pa.compute.is_valid(evt.column("url")))
+    rest = [pq.read_table(f"{d}/events/{f}")
+            for f in sorted(os.listdir(f"{d}/events"))
+            if f.endswith(".parquet") and f != "part-00000.parquet"]
+    assert_matches_oracle(engine_df(eng),
+                          oracle_final_state(pages, [evt] + rest))
+
+    # idempotent no-op when nothing is left for those epochs
+    again = ops_eng.redrive_errors(fixer=fix, epochs=[1])
+    assert again["source_files"] == 0
+
+
 def test_ivm_view_matches_head_recompute(ray_session, corpus,
                                          tmp_path_factory):
     """Incremental view maintenance: a per-host (count, sum event_seq) view
