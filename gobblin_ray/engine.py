@@ -1036,17 +1036,20 @@ class CdcEngine:
             schema_ipc=m.schema_ipc,
             metrics=dict(m.metrics),
         )
+        # events_epoch = 0: a migration applies no events, and salt_plan
+        # reads this field as "events applied THIS epoch" — the epoch
+        # NUMBER here would mark every bucket uniformly (wrongly) hot
         for r in lineage:
             b = int(r["bucket"])
             manifest.buckets[b] = BucketState(
                 bucket=b, high_seq=m.high_seq, base_epoch=epoch,
-                rows=int(r["rows"]), events_applied=0, events_epoch=epoch,
+                rows=int(r["rows"]), events_applied=0, events_epoch=0,
             )
         for b in range(B):
             if b not in manifest.buckets:
                 manifest.buckets[b] = BucketState(
                     bucket=b, high_seq=m.high_seq, base_epoch=-1, rows=0,
-                    events_applied=0, events_epoch=epoch,
+                    events_applied=0, events_epoch=0,
                 )
         self.store.commit(manifest)
         return manifest
@@ -1279,7 +1282,11 @@ class CdcEngine:
                 manifest.buckets[b] = BucketState(
                     bucket=b, high_seq=old.high_seq, base_epoch=epoch,
                     rows=int(r["rows"]),
-                    events_applied=old.events_applied, events_epoch=epoch,
+                    # events_epoch is the salt-plan input ("events applied
+                    # THIS epoch") — a purge applies none; writing the
+                    # epoch NUMBER here once made salt_plan flag rewritten
+                    # buckets as hot
+                    events_applied=old.events_applied, events_epoch=0,
                 )
             manifest.metrics["purged_rows"] = (
                 int(manifest.metrics.get("purged_rows", 0)) + total_purged
@@ -1288,6 +1295,36 @@ class CdcEngine:
                 int(manifest.metrics.get("purged_keys", 0)) + len(urls)
             )
             self.store.commit(manifest)
+            # The _errors/ quarantine (and its _redriven archive) stages
+            # FULL diverted rows — url, html, text — so a compliant purge
+            # must scrub it too, or the purged user's data survives there
+            # and a later redrive_errors() would re-insert it. Error
+            # volume is O(diverted rows), so a driver-side rewrite is fine.
+            purged_error_rows = 0
+            err_root = os.path.join(lake_dir, "_errors")
+            if os.path.isdir(err_root):
+                purge_set = pa.array(urls, pa.string())
+                for root, _dirs, names in os.walk(err_root):
+                    for name in names:
+                        if not name.endswith(".parquet"):
+                            continue
+                        p = os.path.join(root, name)
+                        t = pq.read_table(p)
+                        if "url" not in t.column_names:
+                            continue
+                        hit = pc.fill_null(
+                            pc.is_in(t.column("url"), value_set=purge_set),
+                            False,
+                        )
+                        n_hit = int(pc.sum(pc.cast(hit, pa.int64())).as_py())
+                        if not n_hit:
+                            continue
+                        purged_error_rows += n_hit
+                        kept = t.filter(pc.invert(hit))
+                        if kept.num_rows:
+                            ckpt.atomic_write_table(kept, p)
+                        else:
+                            os.remove(p)
             removed_manifests = removed_files = 0
             if drop_history:
                 keep_files = {
@@ -1311,6 +1348,7 @@ class CdcEngine:
                 "epoch": epoch,
                 "purged_rows": total_purged,
                 "purged_keys": len(urls),
+                "purged_error_rows": purged_error_rows,
                 "buckets_rewritten": touched,
                 "removed_manifests": removed_manifests,
                 "removed_files": removed_files,
@@ -1348,6 +1386,19 @@ class CdcEngine:
             self.store.load(to_epoch) if to_epoch is not None
             else self.store.latest()
         )
+        if m_old.num_buckets != m_new.num_buckets:
+            # bucket_hash pins the hash FUNCTION but not the modulus: a
+            # rebucket() between the two manifests moves urls across
+            # buckets, and pairing old bucket b with new bucket b would
+            # emit a mostly-spurious delete+insert feed. Diff within one
+            # bucket layout instead (before or after the migration).
+            raise ValueError(
+                f"read_changes across a bucket migration: manifest "
+                f"{m_old.epoch} has {m_old.num_buckets} buckets but "
+                f"{m_new.epoch} has {m_new.num_buckets}; diff within one "
+                "bucket layout (both sides before, or both after, the "
+                "rebucket)"
+            )
         old_map = self.bucket_file_map(m_old)
         new_map = self.bucket_file_map(m_new)
         schema = m_new.base_schema()

@@ -135,6 +135,12 @@ def knn_lsh(
     pass), then score ONLY batches' rows falling in each query's bucket.
     Recall < 1.0 by construction; raise n_probes by lowering n_planes.
 
+    CAVEAT (inherent to bucket probing): a query whose bucket holds NO
+    corpus vectors returns zero rows for that query_id — consumers must
+    key on query_id, never align positionally, and treat a missing id as
+    recall collapse (lower n_planes, or fall back to knn_brute_force for
+    the missing ids). 2^n_planes should stay well under the corpus size.
+
     At 100 TB the bucketed corpus would be written partitioned by
     ``lsh_bucket`` once and re-used across query sets (the IVF posture:
     coarse quantize once, probe per query)."""

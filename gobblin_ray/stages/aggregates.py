@@ -216,7 +216,10 @@ def string_agg_by(ds, key: str, val: str, sep: str = ",",
 
     def assemble(g: pa.Table) -> pa.Table:
         k = g.column(key).to_numpy(zero_copy_only=False)
-        v = pc.cast(g.column(val), pa.string()).to_numpy(zero_copy_only=False)
+        # RAW values into the sort — runlength_join casts to string AFTER
+        # ordering, so numeric columns aggregate in numeric order (a
+        # pre-cast here once made [9, 10] join as "10,9")
+        v = g.column(val).to_numpy(zero_copy_only=False)
         firsts, _counts, joined = runlength_join(k, v, sep)
         return pa.table({key: pa.array(firsts), out: joined})
 

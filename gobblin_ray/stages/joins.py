@@ -243,11 +243,19 @@ def outer_join_by_key(
         nullable_cols += lcols
     if how in ("full", "left"):
         nullable_cols += rcols
-    int_cols = [
-        f.name for f in list(l_schema) + list(r_schema)
-        if f.name in nullable_cols
-        and (pa.types.is_integer(f.type) or pa.types.is_boolean(f.type))
-    ]
+    int_like = {
+        f.name: f.type for f in list(l_schema) + list(r_schema)
+        if pa.types.is_integer(f.type) or pa.types.is_boolean(f.type)
+    }
+    # Nullable-side int/bool columns become float64 (NaN-carrying — the
+    # same dtype DuckDB's fetchdf hands back for an outer join, so the
+    # oracle compare agrees; CAVEAT: ints above 2^53 lose exactness, the
+    # price of the float-NaN representation). NON-nullable-side columns
+    # can't hold NaN in the result, but the union block ALREADY promoted
+    # them wherever the partition contains other-side rows — un-promote
+    # them back to their exact arrow dtype so all partitions agree.
+    int_cols = [c for c in int_like if c in nullable_cols]
+    solid = {c: t for c, t in int_like.items() if c not in nullable_cols}
 
     def join_partition(g: "pd.DataFrame") -> "pd.DataFrame":
         lg = g[g["_side"] == "l"][lcols]
@@ -256,6 +264,8 @@ def outer_join_by_key(
                        how=hows[how])
         for c in int_cols:
             out[c] = out[c].astype("float64")
+        for c, t in solid.items():
+            out[c] = out[c].astype(t.to_pandas_dtype())
         return out
 
     return l_tag.union(r_tag).groupby("_kp").map_groups(
@@ -316,7 +326,10 @@ def merge_asof_by_key(
     def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][[c for c in g.columns if c in lcols]]
         rg = g[g["_side"] == "r"][[c for c in rcols if c in g.columns]]
-        lg = lg.sort_values(left_on)
+        # null left_on rows have no defined nearest match and make
+        # merge_asof raise ("merge keys contain null values on left side");
+        # drop them like the inner ASOF JOIN the oracle runs would
+        lg = lg.dropna(subset=[left_on]).sort_values(left_on)
         rg = rg.sort_values(right_on).dropna(subset=[right_on, key])
         out = pd.merge_asof(
             lg, rg, left_on=left_on, right_on=right_on, by=key,
@@ -385,9 +398,15 @@ def window_join_by_key(
     before_us = int(round(before_s * 1e6))
     after_us = int(round(after_s * 1e6))
 
-    def tag(side: str):
+    def tag(side: str, ts_col: str):
         def f(t: pa.Table) -> pa.Table:
-            t = t.filter(pc.is_valid(t.column(key)))
+            # null keys can't match; null timestamps can't satisfy BETWEEN
+            # (SQL comparison with NULL is false) — and once cast to int64
+            # a NaT becomes INT64_MIN and wraps the window arithmetic
+            t = t.filter(
+                pc.and_(pc.is_valid(t.column(key)),
+                        pc.is_valid(t.column(ts_col)))
+            )
             t = t.append_column("_side", pa.array([side] * t.num_rows))
             t = conform(t, union_schema)
             return t.append_column(
@@ -397,8 +416,10 @@ def window_join_by_key(
         f.__name__ = f"tag_{side}"
         return f
 
-    l_tag = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
-    r_tag = right.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+    l_tag = left.map_batches(tag("l", left_on), batch_format="pyarrow",
+                             batch_size=None)
+    r_tag = right.map_batches(tag("r", right_on), batch_format="pyarrow",
+                              batch_size=None)
 
     r_out = [c for c in rcols if c != key]
 
@@ -519,9 +540,14 @@ def range_join(
         reps = (b1 - b0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(t.num_rows), reps)
         out = t.take(pa.array(idx))
-        bucket = np.concatenate(
-            [np.arange(a, a + r) for a, r in zip(b0, reps)]
-        ) if len(b0) else np.array([], np.int64)
+        # grouped arange in C (repeat + offset-corrected arange), not a
+        # Python per-interval loop — same idiom as window_join's pair gather
+        total = int(reps.sum())
+        bucket = (
+            np.repeat(b0, reps)
+            + np.arange(total)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+        ) if total else np.array([], np.int64)
         out = out.append_column("_side", pa.array(["i"] * out.num_rows))
         return conform(out, union_schema).append_column("_rb", pa.array(bucket))
 

@@ -724,6 +724,16 @@ def test_rebucket_midstream_converges(ray_session, corpus, oracle_df,
         got[want.columns.tolist()], want, check_dtype=False
     )
 
+    # a change feed spanning the migration pairs incompatible bucket
+    # layouts (urls moved buckets) — must refuse loudly, not emit a
+    # spurious delete+insert storm
+    with pytest.raises(ValueError, match="bucket migration"):
+        eng16.read_changes(pre.epoch, eng16.store.latest().epoch)
+    # within one layout it still works
+    assert eng16.read_changes(
+        mig.epoch, eng16.store.latest().epoch
+    ).count() > 0
+
 
 def test_purge_keys_compliance(ray_session, corpus, oracle_df, tmp_path_factory):
     """GDPR purge: purged urls vanish from live state AND from every
@@ -744,9 +754,34 @@ def test_purge_keys_compliance(ray_session, corpus, oracle_df, tmp_path_factory)
     assert dead, "corpus should contain at least one fully-deleted url"
     victims = live_victims + [dead[0]]
 
+    # Plant a quarantined error row carrying a victim's data: the purge
+    # must scrub the _errors/ sink too (it stages FULL rows — url, html,
+    # text — and a later redrive would re-insert them).
+    import os as _os
+    err_dir = _os.path.join(lake, "_errors", "epoch=000001")
+    _os.makedirs(err_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"url": [victims[0], "https://keep.example/x"],
+                  "op": ["upsert??", "upsert??"],
+                  "_err": ["bad_op", "bad_op"]}),
+        _os.path.join(err_dir, "planted.parquet"),
+    )
+
     res = eng.purge_keys(victims)
     assert res["purged_rows"] >= len(victims)
     assert res["removed_manifests"] > 0
+    assert res["purged_error_rows"] == 1
+
+    # quarantine scrubbed: no error parquet anywhere still carries a victim
+    for root, _dirs, names in _os.walk(_os.path.join(lake, "_errors")):
+        for name in names:
+            if name.endswith(".parquet"):
+                t_err = pq.read_table(_os.path.join(root, name),
+                                      columns=["url"])
+                assert not set(t_err.column("url").to_pylist()) & set(victims)
+    # ...but unrelated quarantined rows survive
+    kept_err = pq.read_table(_os.path.join(err_dir, "planted.parquet"))
+    assert kept_err.column("url").to_pylist() == ["https://keep.example/x"]
 
     got = engine_df(eng)
     assert not set(victims) & set(got["url"])

@@ -1442,3 +1442,78 @@ def test_window_join_empty_side_partitions(ray_session):
         before_s=60.0, after_s=60.0, num_partitions=4,
     ).to_pandas()
     assert len(got) == 0
+
+
+def test_string_agg_numeric_order(ray_session):
+    """string_agg over a NUMERIC column must order numerically (ORDER BY
+    val), not lexicographically — [9, 10] joins as "9,10", never "10,9"."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.aggregates import string_agg_by
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b"], "v": [10, 9, 2, 5]})
+    out = (string_agg_by(rd.from_pandas(df), "k", "v")
+           .to_pandas().set_index("k")["agg"])
+    assert out["a"] == "2,9,10"
+    assert out["b"] == "5"
+
+
+def test_joins_tolerate_null_timestamps(ray_session):
+    """Null timestamps: window_join must not wrap NaT into INT64_MIN window
+    arithmetic (negative repeat counts), and merge_asof_by_key must not
+    crash on null left_on — both drop the undefined rows, as the SQL
+    BETWEEN / inner ASOF JOIN semantics do."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import merge_asof_by_key, window_join_by_key
+
+    left = pd.DataFrame(
+        {"lid": [1, 2, 3], "k": [0, 0, 0],
+         "lts": pd.to_datetime(["2026-01-01 00:00:10", None,
+                                "2026-01-01 00:01:00"])}
+    )
+    right = pd.DataFrame(
+        {"rid": [7, 8, 9], "k": [0, 0, 0],
+         "rts": pd.to_datetime(["2026-01-01 00:00:05", None,
+                                "2026-01-01 00:00:55"])}
+    )
+    got = window_join_by_key(
+        rd.from_pandas(left), rd.from_pandas(right),
+        key="k", left_on="lts", right_on="rts",
+        before_s=10.0, after_s=0.0, num_partitions=4,
+    ).to_pandas()
+    pairs = set(zip(got["lid"].astype(int), got["rid"].astype(int)))
+    assert pairs == {(1, 7), (3, 9)}  # null rows on either side never pair
+
+    asof = merge_asof_by_key(
+        rd.from_pandas(left), rd.from_pandas(right.rename(columns={"rts": "ats"})),
+        key="k", left_on="lts", right_on="ats", right_cols=["rid"],
+    ).to_pandas()
+    asof = asof.dropna(subset=["rid"])
+    assert set(zip(asof["lid"].astype(int), asof["rid"].astype(int))) == {
+        (1, 7), (3, 9)
+    }
+
+
+def test_left_join_keeps_solid_int_dtype(ray_session):
+    """LEFT join: the non-nullable (left) side's int columns must come back
+    int64 in EVERY partition — the union block NaN-promotes them wherever a
+    partition holds right rows, which once made output blocks disagree on
+    schema across partitions."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import outer_join_by_key
+
+    left = pd.DataFrame({"lid": [1, 2, 3], "lk": [0, 1, 2]})
+    right = pd.DataFrame({"rid": [10, 30], "rk": [0, 2]})
+    out = outer_join_by_key(
+        rd.from_pandas(left), rd.from_pandas(right), "lk", "rk",
+        how="left", num_partitions=4,
+    ).to_pandas()
+    assert str(out["lid"].dtype) == "int64"
+    assert str(out["lk"].dtype) == "int64"
+    assert str(out["rid"].dtype) == "float64"  # nullable side stays float
+    assert len(out) == 3 and out["rid"].isna().sum() == 1
