@@ -173,6 +173,43 @@ def bloom_semi_join(ds, key: str, key_set, bits_per_key: int = 10):
     )
 
 
+def _co_partition(sides, union_schema: pa.Schema, num_partitions: int):
+    """Shared two-sided co-partition shape under outer/asof/window joins:
+    tag each side, conform to the union schema, route on ``hash(side's
+    key) % P``, and union both streams through the ONE exchange. ``sides``
+    is a list of ``(dataset, side_label, key_col, require_valid_cols)`` —
+    rows with a null in any ``require_valid_cols`` are dropped at the tag
+    stage (each operator states its own null policy explicitly). One
+    definition so a fix (e.g. the null-timestamp filter) can't silently
+    apply to one join and not its siblings."""
+    from ..schema import conform
+    from .partition import key_partition
+
+    tagged = []
+    for ds, side, key_col, req in sides:
+        def make(side=side, key_col=key_col, req=tuple(req)):
+            def f(t: pa.Table) -> pa.Table:
+                for c in req:
+                    t = t.filter(pc.is_valid(t.column(c)))
+                t = t.append_column("_side", pa.array([side] * t.num_rows))
+                t = conform(t, union_schema)
+                return t.append_column(
+                    "_kp",
+                    pa.array(key_partition(t.column(key_col), num_partitions)),
+                )
+
+            f.__name__ = f"tag_{side}"
+            return f
+
+        tagged.append(
+            ds.map_batches(make(), batch_format="pyarrow", batch_size=None)
+        )
+    out = tagged[0]
+    for t in tagged[1:]:
+        out = out.union(t)
+    return out
+
+
 def outer_join_by_key(
     left,
     right,
@@ -200,8 +237,7 @@ def outer_join_by_key(
     partition's rows from both sides fit in a worker."""
     import pandas as pd
 
-    from ..schema import conform, unify_additive
-    from .partition import key_partition
+    from ..schema import unify_additive
 
     hows = {"full": "outer", "left": "left", "right": "right"}
     if how not in hows:
@@ -219,19 +255,10 @@ def outer_join_by_key(
         pa.field("_side", pa.string())
     )
 
-    def tag(side: str, key: str):
-        def f(t: pa.Table) -> pa.Table:
-            kp = key_partition(t.column(key), P)
-            t = t.append_column("_side", pa.array([side] * t.num_rows))
-            return conform(t, union_schema).append_column("_kp", pa.array(kp))
-
-        f.__name__ = f"tag_{side}"
-        return f
-
-    l_tag = left.map_batches(tag("l", left_key), batch_format="pyarrow",
-                             batch_size=None)
-    r_tag = right.map_batches(tag("r", right_key), batch_format="pyarrow",
-                              batch_size=None)
+    both = _co_partition(
+        [(left, "l", left_key, []), (right, "r", right_key, [])],
+        union_schema, P,
+    )
 
     # Columns on a nullable side (right of a left join, both of a full
     # join) get NaN-promoted to float64 by pandas ONLY in partitions that
@@ -268,7 +295,7 @@ def outer_join_by_key(
             out[c] = out[c].astype(t.to_pandas_dtype())
         return out
 
-    return l_tag.union(r_tag).groupby("_kp").map_groups(
+    return both.groupby("_kp").map_groups(
         join_partition, batch_format="pandas"
     )
 
@@ -307,21 +334,9 @@ def merge_asof_by_key(
         pa.field("_side", pa.string())
     )
 
-    def tag(side: str):
-        def f(t: pa.Table) -> pa.Table:
-            from .partition import key_partition
-
-            t = t.append_column("_side", pa.array([side] * t.num_rows))
-            t = conform(t, union_schema)
-            return t.append_column(
-                "_kp", pa.array(key_partition(t.column(key), P))
-            )
-
-        f.__name__ = f"tag_{side}"
-        return f
-
-    l_tag = left.map_batches(tag("l"), batch_format="pyarrow", batch_size=None)
-    r_tag = r_full.map_batches(tag("r"), batch_format="pyarrow", batch_size=None)
+    both = _co_partition(
+        [(left, "l", key, []), (r_full, "r", key, [])], union_schema, P,
+    )
 
     def asof_partition(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["_side"] == "l"][[c for c in g.columns if c in lcols]]
@@ -338,7 +353,6 @@ def merge_asof_by_key(
         return out
 
     # union carries both sides through ONE shuffle on the partition key
-    both = l_tag.union(r_tag)
     return both.groupby("_kp").map_groups(asof_partition, batch_format="pandas")
 
 
@@ -381,8 +395,7 @@ def window_join_by_key(
     import numpy as np
     import pandas as pd
 
-    from ..schema import conform, unify_additive
-    from .partition import key_partition
+    from ..schema import unify_additive
 
     P = num_partitions
     lcols = list(left.schema().names)
@@ -398,28 +411,14 @@ def window_join_by_key(
     before_us = int(round(before_s * 1e6))
     after_us = int(round(after_s * 1e6))
 
-    def tag(side: str, ts_col: str):
-        def f(t: pa.Table) -> pa.Table:
-            # null keys can't match; null timestamps can't satisfy BETWEEN
-            # (SQL comparison with NULL is false) — and once cast to int64
-            # a NaT becomes INT64_MIN and wraps the window arithmetic
-            t = t.filter(
-                pc.and_(pc.is_valid(t.column(key)),
-                        pc.is_valid(t.column(ts_col)))
-            )
-            t = t.append_column("_side", pa.array([side] * t.num_rows))
-            t = conform(t, union_schema)
-            return t.append_column(
-                "_kp", pa.array(key_partition(t.column(key), P))
-            )
-
-        f.__name__ = f"tag_{side}"
-        return f
-
-    l_tag = left.map_batches(tag("l", left_on), batch_format="pyarrow",
-                             batch_size=None)
-    r_tag = right.map_batches(tag("r", right_on), batch_format="pyarrow",
-                              batch_size=None)
+    # null keys can't match; null timestamps can't satisfy BETWEEN (SQL
+    # comparison with NULL is false) — and once cast to int64 a NaT becomes
+    # INT64_MIN and wraps the window arithmetic, so both filter at the tag
+    both = _co_partition(
+        [(left, "l", key, [key, left_on]),
+         (right, "r", key, [key, right_on])],
+        union_schema, P,
+    )
 
     r_out = [c for c in rcols if c != key]
 
@@ -473,7 +472,6 @@ def window_join_by_key(
         )
 
     join_partition.__name__ = "window_join"
-    both = l_tag.union(r_tag)
     return both.groupby("_kp").map_groups(join_partition, batch_format="pandas")
 
 
