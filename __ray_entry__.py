@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_planted": demo.kmeans_clusters_planted,
         "semantic_dedup_planted": demo.semantic_dedup_planted,
         "classifier_score_embeddings": demo.classifier_score_embeddings,
+        "quantize_embeddings": demo.quantize_embeddings,
         # multimodal (extension set; image decode is REAL Netpbm bytes,
         # audio decode is REAL PCM WAV via the stdlib wave module)
         "multimodal_decode": demo.multimodal_decode,
@@ -1193,6 +1194,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), {_w_lit}::DOUBLE[]
                    ) + 0.25))), 6) AS score
             FROM embeddings
+        """,
+        # INT8 scalar quantization: half-up rounding spelled floor(z + 0.5)
+        # on BOTH sides (numpy rint is banker's; DuckDB round is half-away)
+        # and identical arithmetic associativity, so codes match exactly
+        "quantize_embeddings": """
+            WITH s AS (
+                SELECT min(u.x)::DOUBLE AS mn, max(u.x)::DOUBLE AS mx
+                FROM embeddings, UNNEST(CAST(embedding AS DOUBLE[])) AS u(x)
+            )
+            SELECT vec_id,
+                   array_to_string(list_transform(
+                       CAST(embedding AS DOUBLE[]),
+                       x -> CAST(floor((x - s.mn) * 255.0 / (s.mx - s.mn)
+                                       + 0.5) AS BIGINT)
+                   ), ',') AS qvec
+            FROM embeddings, s
         """,
         "knn_lsh": """
             WITH e AS (

@@ -83,6 +83,7 @@ QUERY_NAMES = [
     "classifier_score_embeddings",
     "window_join_click_purchase",
     "incremental_view_hosts",
+    "quantize_embeddings",
 ]
 
 

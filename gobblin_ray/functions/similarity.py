@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import HyperplaneLSH
 
@@ -541,4 +542,65 @@ def cosine_self_join(
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 8),
+    )
+
+
+def scalar_quantize(
+    embeddings,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "qvec",
+    bits: int = 8,
+    batch_size: int = 8192,
+):
+    """INT8/INTn scalar quantization of an embedding column — the
+    vector-store compression step a 100 TB ANN corpus needs (4x storage cut
+    at 8 bits vs float32; the same min-max SQ scheme FAISS's
+    ScalarQuantizer QT_8bit uses): q = floor((x - mn) * (2^bits - 1) /
+    (mx - mn) + 0.5), with ONE global (mn, mx) pair so codes are comparable
+    corpus-wide.
+
+    Two passes, no shuffle: pass 1 folds per-batch (min, max) partials —
+    O(blocks) rows to the driver; pass 2 broadcasts the two scalars in the
+    task closure (two floats — no ray.put needed) and quantizes each batch
+    as one numpy expression. Half-up rounding via floor(z + 0.5), NOT
+    numpy's banker's rint, so the arithmetic is bit-reproducible against
+    the SQL oracle. Degenerate mx == mn maps everything to 0. Returns
+    (id_col, out_col) with out_col a list<int64> of codes."""
+    import ray  # noqa: F401 - symmetry with siblings; closure broadcast here
+
+    proj = embeddings.select_columns([id_col, vec_col])
+
+    def batch_minmax(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(t.column(vec_col))
+        return pa.table({
+            "mn": pa.array([pc.min(flat).as_py()], pa.float64()),
+            "mx": pa.array([pc.max(flat).as_py()], pa.float64()),
+        })
+
+    batch_minmax.__name__ = "sq_minmax_partials"
+    parts = proj.map_batches(
+        batch_minmax, batch_format="pyarrow", batch_size=batch_size
+    ).take_all()  # O(blocks) rows
+    mn = min(p["mn"] for p in parts)
+    mx = max(p["mx"] for p in parts)
+    levels = float((1 << bits) - 1)
+    scale = (levels / (mx - mn)) if mx > mn else 0.0
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        # same associativity as the SQL literal: ((x - mn) * levels) / range
+        q = np.floor((flat - mn) * levels / (mx - mn) + 0.5) if mx > mn \
+            else np.zeros(len(flat))
+        codes = pa.ListArray.from_arrays(
+            col.offsets, pa.array(q.astype(np.int64), pa.int64())
+        )
+        return pa.table({id_col: t.column(id_col), out_col: codes})
+
+    quantize.__name__ = "scalar_quantize"
+    return proj.map_batches(
+        quantize, batch_format="pyarrow", batch_size=batch_size
     )

@@ -1347,6 +1347,31 @@ def semantic_dedup_planted(sf_dir: str):
     return kept.select_columns(["vec_id"])
 
 
+def quantize_embeddings(sf_dir: str):
+    """INT8 scalar quantization of the embeddings table (FAISS SQ8 shape;
+    functions/similarity.scalar_quantize): one global min/max stats pass,
+    then per-batch vectorized code assignment. Codes travel to the compare
+    as a comma-joined string (list cells don't survive the DuckDB->pandas
+    hash path, same reason binary rides as md5)."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = sim.scalar_quantize(ds)
+
+    def stringify(t: pa.Table) -> pa.Table:
+        col = t.column("qvec")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        strs = pa.ListArray.from_arrays(
+            col.offsets, pc.cast(col.values, pa.string())
+        )
+        return pa.table({
+            "vec_id": t.column("vec_id"),
+            "qvec": pc.binary_join(strs, ","),
+        })
+
+    stringify.__name__ = "codes_to_string"
+    return q.map_batches(stringify, batch_format="pyarrow", batch_size=None)
+
+
 def _clf_weights(dim: int = 64) -> np.ndarray:
     """Deterministic 'trained' LR weights for the classifier-inference demo
     (shared with the oracle SQL literal — same seed, same bytes)."""
