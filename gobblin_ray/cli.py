@@ -149,6 +149,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="keep older manifests (NOT compliant; debugging)")
 
     sp = sub.add_parser(
+        "compact", help="forced full compaction (the reference's standalone "
+        "compaction job): merge every bucket's outstanding deltas into a "
+        "fresh base at a new epoch; watermark pinned; per-bucket local, no "
+        "shuffle"
+    )
+    sp.add_argument("lake_dir")
+
+    sp = sub.add_parser(
         "redrive", help="dead-letter re-drive: replay quarantined _errors/ "
         "rows back through validate -> merge -> commit, optionally after an "
         "op-repair regex; rows still invalid are re-quarantined, never "
@@ -421,6 +429,19 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(eng.purge_keys(
                 keys, drop_history=not args.keep_history
             )))
+        elif args.cmd == "compact":
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            before = eng.store.latest()
+            dirty = sum(1 for s in before.buckets.values() if s.delta_epochs)
+            mf = eng.compact_now()
+            print(json.dumps({
+                "epoch": mf.epoch,
+                "buckets_compacted": dirty,
+                "outstanding_deltas_after": sum(
+                    len(s.delta_epochs) for s in mf.buckets.values()
+                ),
+                "rows": sum(s.rows for s in mf.buckets.values()),
+            }))
         elif args.cmd == "redrive":
             import re as _re
 

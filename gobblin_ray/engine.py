@@ -1054,6 +1054,93 @@ class CdcEngine:
         self.store.commit(manifest)
         return manifest
 
+    def compact_now(self) -> "Manifest":
+        """Forced full compaction — the reference runs compaction as its
+        own STANDALONE job, decoupled from ingestion
+        (gobblin-compaction/.../CompactionSource.java plans dirty datasets,
+        MRCompactorJobRunner merges them): merge every bucket's outstanding
+        deltas into one fresh base at a new epoch, watermark PINNED. The
+        inline amortized triggers (compact_every / ratio / age) bound read
+        amplification during ingestion; this zeroes it on demand — before a
+        read-heavy period, or after a burst of tiny epochs. Buckets with no
+        outstanding deltas are untouched (state carries forward).
+
+        Shape: per-bucket LOCAL — one merge+write task per DIRTY bucket,
+        NO exchange (the bucket router is unchanged). Idempotent: staged
+        names are deterministic and promote skips existing files. Takes
+        the job lock; superseded delta files become unreferenced and fall
+        to ``vacuum_keep``'s retention window."""
+        import ray.data as rd
+
+        from .locks import FileJobLock
+        from .merge import merge_bases
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("compact_now needs a bootstrapped lake")
+            dirty = {b: s for b, s in m.buckets.items() if s.delta_epochs}
+            if not dirty:
+                return m  # nothing outstanding — no new epoch
+            epoch = m.epoch + 1
+            schema = m.base_schema()
+            lake_dir = self.lake_dir
+            specs = [
+                {"bucket": b, "files": ckpt.bucket_files(lake_dir, s)}
+                for b, s in sorted(dirty.items())
+            ]
+
+            def compact_bucket(batch: pa.Table) -> pa.Table:
+                rows = []
+                for row in batch.to_pylist():
+                    bucket = int(row["bucket"])
+                    t = merge_bases(
+                        [pq.read_table(p) for p in row["files"]], schema
+                    )  # tombstones retained — late events must still lose
+                    t = conform(t, schema).sort_by([("url", "ascending")])
+                    ckpt.atomic_write_table(
+                        t, ckpt.staging_path(lake_dir, epoch, bucket)
+                    )
+                    rows.append({"bucket": bucket, "rows": t.num_rows})
+                return pa.Table.from_pylist(rows, schema=pa.schema([
+                    ("bucket", pa.int32()), ("rows", pa.int64()),
+                ]))
+
+            compact_bucket.__name__ = "compact_bucket"
+            lineage = (
+                rd.from_items(specs)
+                .map_batches(compact_bucket, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all()
+            )
+            touched = [int(r["bucket"]) for r in lineage]
+            ckpt.promote(lake_dir, epoch, touched)
+            manifest = Manifest(
+                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = s
+            for r in lineage:
+                b = int(r["bucket"])
+                old = m.buckets[b]
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
+                    rows=int(r["rows"]),
+                    events_applied=old.events_applied, events_epoch=0,
+                )
+            manifest.metrics["forced_compactions"] = (
+                int(manifest.metrics.get("forced_compactions", 0)) + 1
+            )
+            self.store.commit(manifest)
+            self.metrics.inc("compactions", len(touched))
+            self.metrics.submit_event(
+                "ForcedCompaction", epoch=epoch, buckets=len(touched),
+            )
+            return manifest
+
     def redrive_errors(self, fixer=None, epochs: list[int] | None = None,
                        consume: bool = True) -> dict:
         """Dead-letter re-drive: replay quarantined error rows back through

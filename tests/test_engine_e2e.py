@@ -503,6 +503,35 @@ def test_read_changes_matches_sequential_diff(ray_session, corpus, tmp_path_fact
             assert r["event_seq"] == a.loc[r["url"], "event_seq"]
 
 
+def test_compact_now_zeroes_deltas(ray_session, corpus, oracle_df,
+                                   tmp_path_factory):
+    """Forced compaction: outstanding deltas collapse to fresh bases at a
+    new epoch, the watermark is untouched, reads stay oracle-identical,
+    and a subsequent run over new log data continues normally."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_compact"))
+    # compact_every high => the run leaves every touched bucket dirty
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W, compact_every=99)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    before = eng.store.latest()
+    assert any(s.delta_epochs for s in before.buckets.values())
+
+    mf = eng.compact_now()
+    assert mf.epoch == before.epoch + 1
+    assert mf.high_seq == before.high_seq  # watermark pinned
+    assert all(not s.delta_epochs for s in mf.buckets.values())
+    assert_matches_oracle(engine_df(eng), oracle_df)
+
+    # idempotent: nothing outstanding => no new epoch
+    assert eng.compact_now().epoch == mf.epoch
+
+    # exactly-once: a re-run over the same log span applies nothing
+    assert eng.run() == []
+    assert_matches_oracle(engine_df(eng), oracle_df)
+
+
 def test_redrive_errors_after_fix(ray_session, tmp_path_factory):
     """Dead-letter re-drive: diverted rows replay through the full pipeline
     after a fixer repairs them; late LWW application converges to the state
