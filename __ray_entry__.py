@@ -1206,8 +1206,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id,
                    array_to_string(list_transform(
                        CAST(embedding AS DOUBLE[]),
-                       x -> CAST(floor((x - s.mn) * 255.0 / (s.mx - s.mn)
-                                       + 0.5) AS BIGINT)
+                       x -> CAST(CASE WHEN s.mx > s.mn
+                                 THEN floor((x - s.mn) * 255.0 / (s.mx - s.mn)
+                                            + 0.5)
+                                 ELSE 0 END AS BIGINT)
                    ), ',') AS qvec
             FROM embeddings, s
         """,

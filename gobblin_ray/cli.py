@@ -164,8 +164,10 @@ def main(argv: list[str] | None = None) -> int:
         "converges)"
     )
     sp.add_argument("lake_dir")
-    sp.add_argument("--epochs", type=int, nargs="*", default=None,
-                    help="only re-drive these epochs' error files")
+    sp.add_argument("--epochs", type=int, nargs="+", default=None,
+                    help="only re-drive these epochs' error files "
+                         "(omit for all; at least one value if given — an "
+                         "empty list would silently match nothing)")
     sp.add_argument("--fix-op-sub", nargs=2, metavar=("REGEX", "REPL"),
                     default=None,
                     help="repair the op column with a regex substitution "
@@ -432,26 +434,39 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "compact":
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
             before = eng.store.latest()
-            dirty = sum(1 for s in before.buckets.values() if s.delta_epochs)
+            if before is None:
+                raise SystemExit(
+                    f"compact: {args.lake_dir} is not a bootstrapped lake"
+                )
             mf = eng.compact_now()
+            # count from compact_now's OWN result (race-free): a no-op
+            # returns the old manifest, otherwise every compacted bucket's
+            # base was rewritten at the new epoch
+            compacted = 0 if mf.epoch == before.epoch else sum(
+                1 for s in mf.buckets.values() if s.base_epoch == mf.epoch
+            )
             print(json.dumps({
                 "epoch": mf.epoch,
-                "buckets_compacted": dirty,
+                "buckets_compacted": compacted,
                 "outstanding_deltas_after": sum(
                     len(s.delta_epochs) for s in mf.buckets.values()
                 ),
                 "rows": sum(s.rows for s in mf.buckets.values()),
             }))
         elif args.cmd == "redrive":
-            import re as _re
-
             import pyarrow as pa
             import pyarrow.compute as pc
 
             fixer = None
             if args.fix_op_sub:
                 pat, repl = args.fix_op_sub
-                _re.compile(pat)  # fail fast on a bad pattern
+                # fail fast with the ENGINE that will run it: Arrow uses
+                # RE2, which rejects lookbehind/backreferences that
+                # Python's re.compile happily accepts (a one-element probe
+                # — the empty-array call skips pattern compilation)
+                pc.replace_substring_regex(
+                    pa.array([""], pa.string()), pattern=pat, replacement=repl
+                )
 
                 def fixer(t: pa.Table) -> pa.Table:
                     fixed = pc.replace_substring_regex(

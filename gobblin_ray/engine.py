@@ -1070,12 +1070,16 @@ class CdcEngine:
         names are deterministic and promote skips existing files. Takes
         the job lock; superseded delta files become unreferenced and fall
         to ``vacuum_keep``'s retention window."""
+        from contextlib import nullcontext
+
         import ray.data as rd
 
         from .locks import FileJobLock
         from .merge import merge_bases
 
-        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+        lock = (FileJobLock(os.path.join(self.lake_dir, "_locks"))
+                if self.cfg.job_lock else nullcontext())  # same knob as run()
+        with lock:
             m = self.store.latest()
             if m is None:
                 raise ValueError("compact_now needs a bootstrapped lake")
@@ -1205,9 +1209,11 @@ class CdcEngine:
             t = fixer(t)
         # The epoch filter and the commit gate's independent count both key
         # on event_seq; a null-seq row would silently vanish between them —
-        # surface it in the report instead.
+        # split them out, keep them QUARANTINED (consume must never drop
+        # them from the active dead-letter queue), and report the count.
         valid_seq = pc.is_valid(t.column("event_seq"))
-        unreplayable = t.num_rows - int(pc.sum(valid_seq).as_py() or 0)
+        bad = t.filter(pc.invert(valid_seq))
+        unreplayable = bad.num_rows
         t = t.filter(valid_seq)
         if t.num_rows == 0:
             return {"epoch": None, "source_files": len(src_files),
@@ -1245,6 +1251,21 @@ class CdcEngine:
             shutil.rmtree(redrive_dir, ignore_errors=True)
 
         if consume:
+            if unreplayable:
+                # re-quarantine the null-seq rows under the NEW epoch so
+                # archiving the sources can't silently drop them from the
+                # active dead-letter queue
+                dest_dir = os.path.join(
+                    err_root, f"epoch={new_manifest.epoch:06d}"
+                )
+                os.makedirs(dest_dir, exist_ok=True)
+                ckpt.atomic_write_table(
+                    bad.append_column(
+                        _ERR_COL,
+                        pa.array(["null_seq"] * bad.num_rows, pa.string()),
+                    ),
+                    os.path.join(dest_dir, "unreplayable.parquet"),
+                )
             dest_root = os.path.join(err_root, "_redriven")
             for p in src_files:
                 dest = os.path.join(dest_root, os.path.relpath(p, err_root))

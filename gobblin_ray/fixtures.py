@@ -438,8 +438,11 @@ def cdc_view_sidecar(corpus_dir: str,
 
     agg: dict[str, list] = {}
     for row in _sequential_live_state(corpus_dir).values():
-        host = re.match(r"^https://([^/]+)/", row["url"]).group(1)
-        cur = agg.setdefault(host, [0, 0])
+        m = re.match(r"^https://([^/]+)/", row["url"])
+        if m is None:
+            continue  # no derivable host: excluded on the Ray side too
+            # (ivm_count_sum_view drops null group keys)
+        cur = agg.setdefault(m.group(1), [0, 0])
         cur[0] += 1
         cur[1] += row["event_seq"]
     hosts = sorted(agg)

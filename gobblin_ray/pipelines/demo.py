@@ -1313,6 +1313,10 @@ def kmeans_clusters_planted(sf_dir: str):
     path = fx.planted_semantic()
     ds = rd.read_parquet(path)
     assigned, _c = sim.kmeans_lloyd(ds, k=4, iters=8, id_col="vec_id")
+    # materialize: the reps groupby AND the returned relabel pipeline both
+    # consume `assigned` — without this the fixture re-reads and the
+    # assignment pass re-runs twice (fixture-sized; fine to pin)
+    assigned = assigned.materialize()
     reps = assigned.groupby("cluster").min("vec_id").take_all()  # k rows
     lut = np.full(max(int(r["cluster"]) for r in reps) + 1, -1, np.int64)
     for r in reps:  # k ints — closure capture, no broadcast needed

@@ -330,6 +330,13 @@ def ivm_count_sum_view(base_state, changes, group_fn,
             import numpy as np
 
             g = group_fn(t)
+            # null group keys are EXCLUDED from the view (the group_fn is a
+            # derivation — e.g. host from url — and a non-deriving row has
+            # no group; the paired recompute oracle must skip them too)
+            valid = pc.is_valid(g)
+            if not pc.all(valid).as_py():
+                t = t.filter(valid)
+                g = g.filter(valid)
             # int64 end to end: float64 partials would silently lose
             # exactness past 2^53, reachable at 10^10-row x large-seq scale
             seq = t.column(seq_col).to_numpy(zero_copy_only=False).astype(
@@ -351,10 +358,17 @@ def ivm_count_sum_view(base_state, changes, group_fn,
             tmp = pa.table({group_col: g,
                             "_dn": pa.array(dn.astype(np.int64)),
                             "_ds": pa.array(dsum.astype(np.int64))})
-            # per-batch combiner: collapse to one row per group
-            return pa.TableGroupBy(tmp, group_col).aggregate(
+            # per-batch combiner: collapse to one row per group; select
+            # output columns BY NAME (keys-first aggregate ordering is
+            # build-specific in pyarrow, not contractual)
+            agg = pa.TableGroupBy(tmp, group_col).aggregate(
                 [("_dn", "sum"), ("_ds", "sum")]
-            ).rename_columns([group_col, "_dn", "_ds"])
+            )
+            return pa.table({
+                group_col: agg.column(group_col),
+                "_dn": agg.column("_dn_sum"),
+                "_ds": agg.column("_ds_sum"),
+            })
 
         f.__name__ = "ivm_deltas" if sign_from_type else "ivm_base"
         return f

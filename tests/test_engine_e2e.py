@@ -575,11 +575,33 @@ def test_redrive_errors_after_fix(ray_session, tmp_path_factory):
     # modulus, not this driver's num_buckets default — a mismatch once
     # promoted redriven rows into orphan bucket dirs outside the manifest
     # (silent data loss, caught live).
+    # plant a quarantined row with a NULL event_seq: it can't replay (the
+    # epoch filter and commit gate both key on seq), but consume must
+    # re-quarantine it, never drop it from the active dead-letter queue
+    err1 = os.path.join(lake, "_errors", "epoch=000001")
+    os.makedirs(err1, exist_ok=True)
+    pq.write_table(
+        pa.table({
+            "url": ["https://nullseq.example/x"],
+            "op": ["insert"],
+            "event_seq": pa.array([None], pa.int64()),
+            "_err": ["bad_op"],
+        }),
+        os.path.join(err1, "planted-nullseq.parquet"),
+    )
+
     ops_eng = CdcEngine(lake, events_dir="", config=EngineConfig())
     out = ops_eng.redrive_errors(fixer=fix)
-    assert out["source_rows"] == 2
+    assert out["source_rows"] == 2       # the null-seq row is counted apart
+    assert out["unreplayable"] == 1
     assert out["redriven"] == 1          # the fixed op row applied
     assert out["still_diverted"] == 1    # the null-url row re-quarantined
+    requar = os.path.join(
+        lake, "_errors", f"epoch={out['epoch']:06d}", "unreplayable.parquet"
+    )
+    t_requar = pq.read_table(requar)
+    assert t_requar.column("url").to_pylist() == ["https://nullseq.example/x"]
+    assert t_requar.column("_err").to_pylist() == ["null_seq"]
     assert out["epoch"] == head.epoch + 1
     assert eng.store.latest().high_seq == head.high_seq  # watermark pinned
     assert all(int(dd.split("=")[1]) < 4
