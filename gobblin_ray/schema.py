@@ -58,13 +58,49 @@ EVENTS_V2_SCHEMA = EVENTS_SCHEMA.append(pa.field("fetch_status", pa.int32()))
 OPS = ("insert", "update", "delete")
 
 
-def unify_additive(*schemas: pa.Schema) -> pa.Schema:
-    """Additive-only schema unification (newest-wins field order).
+def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
+    """LOSSLESS type promotion for schema evolution, mirroring Avro's
+    promotion lattice (int -> long, float -> double; the reference's
+    AvroSchemaUtils-based evolution accepts these) but restricted to
+    promotions that can never lose a value: wider same-signedness ints,
+    wider floats, and int -> float only when every int fits the float's
+    integer-exact mantissa range (int8/16 -> float32; ints up to 32 bits ->
+    float64; int64 -> double is LOSSY past 2^53 and is rejected). Returns
+    the wider type, or None when no lossless promotion exists."""
+    if a == b:
+        return a
+    t = pa.types
+    for pred in (t.is_signed_integer, t.is_unsigned_integer, t.is_floating):
+        if pred(a) and pred(b):
+            return a if a.bit_width >= b.bit_width else b
+    def int_float(i, f):
+        if not ((t.is_signed_integer(i) or t.is_unsigned_integer(i))
+                and t.is_floating(f)):
+            return None
+        value_bits = i.bit_width - (1 if t.is_signed_integer(i) else 0)
+        mantissa = 24 if f == pa.float32() else 53
+        if value_bits <= mantissa:
+            return f
+        if value_bits <= 53:
+            return pa.float64()
+        return None
+    return int_float(a, b) or int_float(b, a)
 
-    Fields are the union of all input fields; a field present in several
-    schemas must have an identical type (no type promotion — the reference's
-    compaction also only supports additive evolution with null defaults).
-    Later schemas append their new fields after earlier ones, preserving
+
+def unify_additive(*schemas: pa.Schema) -> pa.Schema:
+    """Additive + lossless-widening schema unification (newest-wins field
+    order).
+
+    Fields are the union of all input fields. A field present in several
+    schemas with different types is promoted along the LOSSLESS widening
+    lattice (``_widen``: int8<int16<int32<int64, float32<float64, small
+    ints into exactly-representing floats) — the Avro type-promotion rules
+    the reference's evolution accepts, minus the lossy long->double edge.
+    Anything else (string vs int, int64 vs float, timestamp unit changes)
+    raises: destructive evolution must be explicit (re-bootstrap), exactly
+    as the reference's compaction rejects non-additive changes. ``conform``
+    casts narrow-typed old rows up to the unified type at read. Later
+    schemas append their new fields after earlier ones, preserving
     first-seen order, which keeps column order deterministic across epochs.
     """
     fields: dict[str, pa.Field] = {}
@@ -75,10 +111,14 @@ def unify_additive(*schemas: pa.Schema) -> pa.Schema:
                 # All evolved-in columns must be nullable (old rows null-fill).
                 fields[field.name] = field.with_nullable(True)
             elif prev.type != field.type:
-                raise TypeError(
-                    f"non-additive schema change for field {field.name!r}: "
-                    f"{prev.type} vs {field.type}"
-                )
+                wide = _widen(prev.type, field.type)
+                if wide is None:
+                    raise TypeError(
+                        f"non-additive schema change for field "
+                        f"{field.name!r}: {prev.type} vs {field.type} "
+                        "(no lossless promotion)"
+                    )
+                fields[field.name] = pa.field(field.name, wide, nullable=True)
     return pa.schema(list(fields.values()))
 
 

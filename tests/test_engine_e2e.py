@@ -906,3 +906,47 @@ def test_purge_midstream_then_continue(ray_session, corpus, tmp_path_factory):
     rest_want = full[~full["url"].isin([revived, gone])].reset_index(drop=True)
     rest_got = got[~got["url"].isin([revived, gone])].reset_index(drop=True)
     assert_matches_oracle(rest_got, rest_want)
+
+
+def test_type_widening_evolution_midlog(ray_session, corpus, oracle_df,
+                                        tmp_path_factory):
+    """Lossless type-widening evolution (Avro int->long promotion analog):
+    a late shard re-encodes fetch_status as int64; the replay unifies to
+    the wider type, old int32-typed rows cast up at read, and the final
+    state still value-matches the oracle."""
+    import os
+    import shutil
+
+    d, meta = corpus
+    d2 = str(tmp_path_factory.mktemp("widen_corpus"))
+    shutil.copytree(f"{d}/events", f"{d2}/events")
+    shutil.copy(f"{d}/pages.parquet", f"{d2}/pages.parquet")
+    # widen the LAST shard's fetch_status to int64
+    last = sorted(f for f in os.listdir(f"{d2}/events")
+                  if f.endswith(".parquet"))[-1]
+    p = os.path.join(d2, "events", last)
+    t = pq.read_table(p)
+    assert "fetch_status" in t.column_names
+    idx = t.column_names.index("fetch_status")
+    t = t.set_column(idx, "fetch_status",
+                     t.column("fetch_status").cast(pa.int64()))
+    pq.write_table(t, p)
+    # footer-derived log meta assigns distinct schema versions per footer;
+    # the producer-written _meta.json predates the rewrite
+    os.remove(os.path.join(d2, "events", "_meta.json"))
+
+    lake = str(tmp_path_factory.mktemp("lake_widen"))
+    eng = CdcEngine(lake, f"{d2}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d2}/pages.parquet")
+    eng.run()
+    got = engine_df(eng)
+    assert str(got["fetch_status"].dtype) in ("float64", "Int64", "int64")
+    # value parity with the oracle (dtype-agnostic compare)
+    want = oracle_df
+    assert list(got["url"]) == list(want["url"])
+    g = got["fetch_status"].to_numpy()
+    w = want["fetch_status"].to_numpy()
+    same = (g == w) | (pd.isna(g) & pd.isna(w))
+    assert same.all()
+    assert list(got["event_seq"]) == list(want["event_seq"])

@@ -235,3 +235,26 @@ def test_stable_hash_u64_buffer_edges():
     assert np.array_equal(stable_hash_u64(arr.slice(2, 3)), whole[2:5])
     # deterministic across calls
     assert np.array_equal(stable_hash_u64(arr), whole)
+
+
+def test_unify_additive_lossless_widening():
+    """Avro-style lossless promotions: wider ints/floats unify; small ints
+    promote into exactly-representing floats; lossy edges still raise."""
+    i32, i64 = pa.schema([("x", pa.int32())]), pa.schema([("x", pa.int64())])
+    assert unify_additive(i32, i64).field("x").type == pa.int64()
+    assert unify_additive(i64, i32).field("x").type == pa.int64()
+    f32, f64 = pa.schema([("x", pa.float32())]), pa.schema([("x", pa.float64())])
+    assert unify_additive(f32, f64).field("x").type == pa.float64()
+    i16 = pa.schema([("x", pa.int16())])
+    assert unify_additive(i16, f32).field("x").type == pa.float32()
+    # int32 overflows float32's 24-bit mantissa -> promotes to float64
+    assert unify_additive(i32, f32).field("x").type == pa.float64()
+    # int64 -> double is lossy past 2^53: rejected
+    with pytest.raises(TypeError):
+        unify_additive(i64, f64)
+    # mixed signedness: rejected (no lossless common type chosen)
+    u32 = pa.schema([("x", pa.uint32())])
+    with pytest.raises(TypeError):
+        unify_additive(i32, u32)
+    # uint32 fits float64 exactly
+    assert unify_additive(u32, f32).field("x").type == pa.float64()
