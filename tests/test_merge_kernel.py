@@ -258,3 +258,40 @@ def test_unify_additive_lossless_widening():
         unify_additive(i32, u32)
     # uint32 fits float64 exactly
     assert unify_additive(u32, f32).field("x").type == pa.float64()
+
+
+def test_widening_lattice_is_lossless_exhaustively():
+    """For EVERY type pair the lattice accepts, casting each side's extreme
+    values to the widened type and back must round-trip exactly — the
+    'lossless' claim, proven over the whole numeric type set."""
+    from itertools import product
+
+    from gobblin_ray.schema import _widen
+
+    types = [pa.int8(), pa.int16(), pa.int32(), pa.int64(),
+             pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
+             pa.float32(), pa.float64()]
+
+    def extremes(t):
+        if pa.types.is_signed_integer(t):
+            lo = -(1 << (t.bit_width - 1))
+            hi = (1 << (t.bit_width - 1)) - 1
+            return [lo, -1, 0, 1, hi]
+        if pa.types.is_unsigned_integer(t):
+            return [0, 1, (1 << t.bit_width) - 1]
+        import numpy as np
+        info = np.finfo("float32" if t == pa.float32() else "float64")
+        return [float(info.min), -1.5, 0.0, 1.5, float(info.max)]
+
+    checked = 0
+    for a, b in product(types, types):
+        w = _widen(a, b)
+        assert _widen(b, a) == w  # symmetric
+        if w is None:
+            continue
+        for src in (a, b):
+            vals = pa.array(extremes(src), src)
+            back = vals.cast(w).cast(src)
+            assert back.to_pylist() == vals.to_pylist(), (src, w)
+        checked += 1
+    assert checked >= 30  # the lattice actually accepts a broad set
