@@ -111,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="delete versions older than this many days")
     sp.add_argument("--newest-k", type=int, default=None,
                     help="retain only the newest K versions")
+    sp.add_argument("--max-bytes", type=int, default=None,
+                    help="retain the newest versions whose cumulative bytes "
+                         "fit this quota (newest always kept)")
     sp.add_argument("--combine-op", choices=["union", "intersect"],
                     default="intersect",
                     help="how to combine --retain-days and --newest-k")
@@ -260,8 +263,11 @@ def main(argv: list[str] | None = None) -> int:
             )
         if args.newest_k is not None:
             policies.append(ret.NewestKRetentionPolicy(args.newest_k))
+        if args.max_bytes is not None:
+            policies.append(ret.SizeQuotaRetentionPolicy(args.max_bytes))
         if not policies:
-            print("need --retain-days and/or --newest-k", file=sys.stderr)
+            print("need --retain-days, --newest-k and/or --max-bytes",
+                  file=sys.stderr)
             return 2
         policy = (
             policies[0] if len(policies) == 1

@@ -118,6 +118,48 @@ class NewestKRetentionPolicy:
         return ranked[self.k:]
 
 
+class SizeQuotaRetentionPolicy:
+    """Retain the newest versions whose CUMULATIVE bytes fit ``max_bytes``;
+    everything past the budget (newest-first accumulation) is deletable —
+    the disk-quota companion to NewestK (the reference's retention module
+    combines version finders with pluggable selection policies the same
+    way, gobblin-data-management/.../retention/policy/RetentionPolicy.java;
+    quota-style selection appears in its dataset cleaner configs). The
+    newest version is always retained even if it alone exceeds the quota
+    (deleting the only copy to satisfy a quota is never right). Version
+    size is the recursive byte sum of its path, computed once per clean."""
+
+    def __init__(self, max_bytes: int):
+        if max_bytes < 0:
+            raise ValueError("max_bytes must be >= 0")
+        self.max_bytes = int(max_bytes)
+
+    @staticmethod
+    def _size(path: str) -> int:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                try:
+                    total += os.path.getsize(os.path.join(root, n))
+                except OSError:
+                    pass
+        return total
+
+    def deletable(self, versions: list[DatasetVersion]) -> list[DatasetVersion]:
+        ranked = sorted(versions, key=lambda v: (v.ts, v.path), reverse=True)
+        spent = 0
+        doomed = []
+        for i, v in enumerate(ranked):
+            size = self._size(v.path)
+            if i > 0 and spent + size > self.max_bytes:
+                doomed.append(v)
+            else:
+                spent += size
+        return doomed
+
+
 class CombineRetentionPolicy:
     """UNION or INTERSECT of the delete sets of child policies
     (CombineRetentionPolicy.java DeletableCombineOperation)."""

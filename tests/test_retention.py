@@ -146,3 +146,33 @@ def test_vacuum_keep_preserves_time_travel(tmp_path, ray_session):
     # travel inside the retention window survives the vacuum)
     for e in all_epochs[-2:]:
         assert eng.read_table_arrow(store.load(e)).equals(before[e])
+
+
+def test_size_quota_policy(tmp_path):
+    """Newest-first accumulation under a byte quota; the newest version
+    survives even when it alone busts the budget."""
+    import os
+
+    from gobblin_ray.retention import (
+        DatasetCleaner, GlobVersionFinder, SizeQuotaRetentionPolicy,
+    )
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    # four versions, 100 bytes each, dt-ordered
+    for i, day in enumerate(("01", "02", "03", "04")):
+        d = root / f"dt=2026-01-{day}"
+        d.mkdir()
+        (d / "part.bin").write_bytes(b"x" * 100)
+    finder = GlobVersionFinder(str(root), "dt=*", ts_format="dt=%Y-%m-%d")
+    # quota fits two versions: the two oldest are deletable
+    doomed = SizeQuotaRetentionPolicy(250).deletable(finder.find())
+    assert sorted(v.key for v in doomed) == ["dt=2026-01-01", "dt=2026-01-02"]
+    # quota smaller than ONE version: newest still retained
+    doomed = SizeQuotaRetentionPolicy(10).deletable(finder.find())
+    assert sorted(v.key for v in doomed) == [
+        "dt=2026-01-01", "dt=2026-01-02", "dt=2026-01-03"]
+    # end-to-end through the cleaner
+    rep = DatasetCleaner(finder, SizeQuotaRetentionPolicy(250)).clean()
+    assert sorted(os.listdir(root)) == ["dt=2026-01-03", "dt=2026-01-04"]
+    assert len(rep.deleted) == 2
