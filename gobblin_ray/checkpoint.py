@@ -234,28 +234,47 @@ def promote(lake_dir: str, epoch: int, buckets: list[int] | list[tuple[int, str]
         os.replace(src, dst)
 
 
+def sweep_unreferenced(lake_dir: str, keep_files: set[str]) -> int:
+    """Delete every file under ``data/`` not in ``keep_files``; returns the
+    count. ONE definition shared by vacuum / manifest-retention / rollback /
+    purge (four near-identical copies once risked diverging on fixes).
+    Foreign entries — stray dotfiles, crash leftovers, non-directories —
+    are skipped, never fatal: a '.DS_Store' must not abort the cleanup that
+    bounds disk growth."""
+    removed = 0
+    data = os.path.join(lake_dir, DATA_DIR)
+    if not os.path.isdir(data):
+        return 0
+    for bdir in os.listdir(data):
+        full = os.path.join(data, bdir)
+        if not os.path.isdir(full):
+            continue
+        for name in os.listdir(full):
+            p = os.path.join(full, name)
+            if p not in keep_files and os.path.isfile(p):
+                os.remove(p)
+                removed += 1
+    return removed
+
+
 def vacuum(lake_dir: str, manifest: Manifest) -> int:
     """Delete base/delta files superseded by the committed manifest (and
     stale staging dirs of committed epochs). Returns files removed."""
-    removed = 0
     keep = {
         p for s in manifest.buckets.values() for p in bucket_files(lake_dir, s)
     }
-    data = os.path.join(lake_dir, DATA_DIR)
-    if os.path.isdir(data):
-        for bdir in os.listdir(data):
-            full = os.path.join(data, bdir)
-            for name in os.listdir(full):
-                p = os.path.join(full, name)
-                if p not in keep:
-                    os.remove(p)
-                    removed += 1
+    removed = sweep_unreferenced(lake_dir, keep)
     stage_root = os.path.join(lake_dir, STAGING_DIR)
     if os.path.isdir(stage_root):
         for edir in os.listdir(stage_root):
-            epoch = int(edir.split("=")[1])
+            full = os.path.join(stage_root, edir)
+            try:
+                epoch = int(edir.split("=")[1])
+            except (IndexError, ValueError):
+                continue  # foreign entry: not ours to touch
+            if not os.path.isdir(full):
+                continue
             if epoch <= manifest.epoch:
-                full = os.path.join(stage_root, edir)
                 for name in os.listdir(full):
                     os.remove(os.path.join(full, name))
                     removed += 1

@@ -1443,15 +1443,7 @@ class CdcEngine:
                     if e < epoch:
                         os.remove(self.store._path(e))
                         removed_manifests += 1
-                data = os.path.join(lake_dir, ckpt.DATA_DIR)
-                if os.path.isdir(data):
-                    for bdir in os.listdir(data):
-                        full = os.path.join(data, bdir)
-                        for name in os.listdir(full):
-                            p = os.path.join(full, name)
-                            if p not in keep_files:
-                                os.remove(p)
-                                removed_files += 1
+                removed_files = ckpt.sweep_unreferenced(lake_dir, keep_files)
             return {
                 "epoch": epoch,
                 "purged_rows": total_purged,

@@ -55,6 +55,45 @@ class FileJobLock:
             return True  # exists, owned by someone else
         return True
 
+    @staticmethod
+    def _proc_start(pid: int) -> int | None:
+        """Kernel start time of ``pid`` (clock ticks since boot, field 22
+        of /proc/<pid>/stat), or None when unavailable (non-Linux, pid
+        gone, permission). The (pid, start-ticks) pair uniquely identifies
+        a process incarnation — pid alone does not (pids are recycled)."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                data = f.read()
+            # comm (field 2) can contain spaces/parens: split after ')'
+            rest = data.rsplit(b")", 1)[1].split()
+            return int(rest[19])  # field 22 (state is field 3 = rest[0])
+        except (OSError, IndexError, ValueError):
+            return None
+
+    def _is_live(self, content: str) -> bool:
+        """Is the lock CONTENT a live holder? pid liveness alone is not
+        enough: a recycled pid would wedge the lake forever, so the lock
+        records the holder's /proc start ticks and a mismatch means the
+        original holder is dead (pid reuse). Two-field legacy locks fall
+        back to pid liveness."""
+        parts = content.split(":")
+        try:
+            pid = int(parts[0])
+        except (ValueError, IndexError):
+            return False
+        if pid == os.getpid():
+            return True
+        if not self._alive(pid):
+            return False
+        try:
+            recorded = int(parts[2]) if len(parts) > 2 and parts[2] else None
+        except ValueError:
+            recorded = None
+        if recorded is None:
+            return True  # legacy lock: pid liveness is all we have
+        current = self._proc_start(pid)
+        return current is None or current == recorded
+
     _TAKEOVER_STALE_SEC = 30.0  # a takeover guard older than this is from
     # a taker that died mid-takeover (the guarded section is tens of ms)
 
@@ -70,10 +109,10 @@ class FileJobLock:
         except OSError:
             return
         try:
-            pid = int(observed.split(":", 1)[0])
-        except ValueError:
-            pid = None
-        if pid is not None and (pid == os.getpid() or self._alive(pid)):
+            int(observed.split(":", 1)[0])
+        except (ValueError, IndexError):
+            return  # corrupt content: never steal
+        if self._is_live(observed):
             return  # live (or our own) holder: nothing to take over
         guard = f"{self.path}.takeover"
         try:
@@ -116,21 +155,31 @@ class FileJobLock:
             try:
                 fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                pid = self._holder()
-                if pid is None:
+                try:
+                    with open(self.path) as f:
+                        content = f.read()
+                except OSError:
                     if not os.path.exists(self.path):
                         continue  # holder vanished between checks: retry
-                    return False  # unreadable/corrupt: treat as locked
-                if pid == os.getpid() or self._alive(pid):
+                    return False  # unreadable: treat as locked
+                try:
+                    int(content.split(":", 1)[0])
+                except (ValueError, IndexError):
+                    return False  # corrupt: treat as locked, never steal
+                if self._is_live(content):
                     # Live holder — including THIS process: the lock is
                     # deliberately non-reentrant, so a maintenance call
                     # (e.g. vacuum) inside a live run fails loudly instead
                     # of stealing and then releasing the run's own lock.
+                    # Liveness = (pid, /proc start ticks) pair, so a
+                    # RECYCLED pid no longer wedges the lake.
                     return False
                 self._remove_stale()
                 continue
             with os.fdopen(fd, "w") as f:
-                f.write(f"{os.getpid()}:{time.time()}")
+                start = self._proc_start(os.getpid())
+                f.write(f"{os.getpid()}:{time.time()}:"
+                        f"{'' if start is None else start}")
             return True
         return False
 

@@ -116,7 +116,10 @@ def merge_bases(tables: list[pa.Table], schema: pa.Schema | None = None) -> pa.T
     associative and commutative, so base+deltas merge in any order."""
     tables = [t for t in tables if t is not None and t.num_rows]
     if not tables:
-        return pa.table({})
+        # keep the caller's schema: a column-less empty table crashes
+        # live_rows (no is_deleted) — reachable when a purge empties a
+        # bucket and its 0-row base is later re-read
+        return conform(pa.table({}), schema) if schema is not None else pa.table({})
     if schema is None:
         schema = unify_additive(*[t.schema for t in tables])
     if len(tables) == 1:

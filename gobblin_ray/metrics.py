@@ -130,13 +130,20 @@ class JsonLinesReporter:
 
 
 class MetricContext:
-    """Named metric registry node; children aggregate into parents.
+    """Named metric registry node; ``inc()`` aggregates into parents.
+
+    Rollup happens through the CONTEXT's ``inc`` (which walks the parent
+    chain), not through the returned ``Counter`` handle — a bare
+    ``counter(name).inc()`` counts on this node only:
 
     >>> root = MetricContext("gobblin_ray")
     >>> job = root.child("job", table="events")
-    >>> job.counter("events_applied").inc(100)
-    >>> root.snapshot()["counters"]["events_applied"]
+    >>> job.inc("events_applied", 100)   # rolls up
+    >>> root.counters()["events_applied"]
     100
+    >>> job.counter("local_only").inc(5)  # this node only, no rollup
+    >>> "local_only" in root.counters()
+    False
     """
 
     def __init__(self, name: str, parent: "MetricContext | None" = None,

@@ -63,8 +63,24 @@ def load_log_meta(events_dir: str) -> dict:
         fp = ",".join(f"{f.name}:{f.type}" for f in arrow_schema)
         version = version_of.setdefault(fp, len(version_of))
         idx = arrow_schema.get_field_index("event_seq")
-        lo = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
-        hi = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        if idx < 0:
+            raise ValueError(
+                f"log shard {name} has no event_seq column — not a change "
+                "log this engine can plan"
+            )
+        stats = [md.row_group(g).column(idx).statistics
+                 for g in range(md.num_row_groups)]
+        if all(st is not None and st.has_min_max for st in stats):
+            lo = min(st.min for st in stats)
+            hi = max(st.max for st in stats)
+        else:
+            # producer wrote the shard without statistics: one column read
+            # (footer fallback is already the slow path; never crash on it)
+            col = pq.read_table(path, columns=["event_seq"]).column("event_seq")
+            import pyarrow.compute as _pc
+
+            lo = _pc.min(col).as_py()
+            hi = _pc.max(col).as_py()
         shards.append(
             {
                 "file": name,
@@ -113,27 +129,34 @@ def plan_epochs_sized(
     to an 800 B/event estimate when absent); estimation is per shard, so a
     log whose record width changes over time re-paces automatically.
     """
+    from itertools import islice
+
     head = log_meta["max_seq"]
     shards = sorted(log_meta["shards"], key=lambda s: s["min_seq"])
     epochs: list[Epoch] = []
     low = committed_high
     idx = start_index
+    # persistent cursor past fully-consumed shards: `low` is monotone and
+    # shards are sorted, so planning is O(shards + epochs) — a full rescan
+    # per epoch was O(epochs x shards), a driver stall on old long logs
+    cursor = 0
     while low < head:
+        while cursor < len(shards) and shards[cursor]["max_seq"] <= low:
+            cursor += 1
         budget = float(target_bytes)
         high = low
-        for s in shards:
+        for s in islice(shards, cursor, None):
             if s["max_seq"] <= high or s["min_seq"] > head:
                 continue
             per_event = s.get("bytes", s["rows"] * 800) / max(1, s["rows"])
-            span_lo = max(high, low)
-            remaining_in_shard = s["max_seq"] - span_lo
+            remaining_in_shard = s["max_seq"] - high
             if remaining_in_shard <= 0:
                 continue
             affordable = int(budget / per_event)
             if affordable <= 0:
                 break
             take = min(remaining_in_shard, affordable)
-            high = span_lo + take
+            high += take
             budget -= take * per_event
             if budget < per_event:
                 break

@@ -126,8 +126,11 @@ class SizeQuotaRetentionPolicy:
     way, gobblin-data-management/.../retention/policy/RetentionPolicy.java;
     quota-style selection appears in its dataset cleaner configs). The
     newest version is always retained even if it alone exceeds the quota
-    (deleting the only copy to satisfy a quota is never right). Version
-    size is the recursive byte sum of its path, computed once per clean."""
+    (deleting the only copy to satisfy a quota is never right), and the
+    retained set is always a newest-first PREFIX — once one version busts
+    the budget, every older one is deletable too (a retained-history hole
+    would make point-in-time reads lie). Version size is the recursive
+    byte sum of its path, computed once per clean."""
 
     def __init__(self, max_bytes: int):
         if max_bytes < 0:
@@ -150,8 +153,14 @@ class SizeQuotaRetentionPolicy:
     def deletable(self, versions: list[DatasetVersion]) -> list[DatasetVersion]:
         ranked = sorted(versions, key=lambda v: (v.ts, v.path), reverse=True)
         spent = 0
-        doomed = []
+        doomed: list[DatasetVersion] = []
         for i, v in enumerate(ranked):
+            if doomed:
+                # PREFIX contract: once one version busts the budget, every
+                # OLDER version goes too — skipping it but keeping an even
+                # older one would punch a hole in the retained history
+                doomed.append(v)
+                continue
             size = self._size(v.path)
             if i > 0 and spent + size > self.max_bytes:
                 doomed.append(v)
@@ -311,16 +320,7 @@ def _vacuum_keep_locked(lake_dir: str, keep_manifests: int) -> dict:
         mf = store.load(e)
         for s in mf.buckets.values():
             keep_files.update(ckpt.bucket_files(lake_dir, s))
-    removed_files = 0
-    data = os.path.join(lake_dir, ckpt.DATA_DIR)
-    if os.path.isdir(data):
-        for bdir in os.listdir(data):
-            full = os.path.join(data, bdir)
-            for name in os.listdir(full):
-                p = os.path.join(full, name)
-                if p not in keep_files:
-                    os.remove(p)
-                    removed_files += 1
+    removed_files = ckpt.sweep_unreferenced(lake_dir, keep_files)
     removed_manifests = 0
     for e in epochs[:-keep_manifests]:
         os.remove(store._path(e))
@@ -374,16 +374,7 @@ def rollback_to(lake_dir: str, epoch: int) -> dict:
             if e > epoch:
                 os.remove(store._path(e))
                 removed_manifests += 1
-        removed_files = 0
-        data = os.path.join(lake_dir, ckpt.DATA_DIR)
-        if os.path.isdir(data):
-            for bdir in os.listdir(data):
-                full = os.path.join(data, bdir)
-                for name in os.listdir(full):
-                    p = os.path.join(full, name)
-                    if p not in keep_files:
-                        os.remove(p)
-                        removed_files += 1
+        removed_files = ckpt.sweep_unreferenced(lake_dir, keep_files)
         return {
             "rolled_back_to": epoch,
             "high_seq": target.high_seq,

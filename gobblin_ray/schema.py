@@ -70,16 +70,22 @@ def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
     if a == b:
         return a
     t = pa.types
-    for pred in (t.is_signed_integer, t.is_unsigned_integer, t.is_floating):
+    for pred in (t.is_signed_integer, t.is_unsigned_integer):
         if pred(a) and pred(b):
             return a if a.bit_width >= b.bit_width else b
+    # float16 is deliberately OUTSIDE the lattice: this pyarrow build cannot
+    # cast halffloat UP to float32/64, so a float16 promotion would be
+    # lossless on paper but uncastable in conform — reject instead
+    mantissa = {pa.float32(): 24, pa.float64(): 53}
+    if a in mantissa and b in mantissa:
+        return a if a.bit_width >= b.bit_width else b
+
     def int_float(i, f):
         if not ((t.is_signed_integer(i) or t.is_unsigned_integer(i))
-                and t.is_floating(f)):
+                and f in mantissa):
             return None
         value_bits = i.bit_width - (1 if t.is_signed_integer(i) else 0)
-        mantissa = 24 if f == pa.float32() else 53
-        if value_bits <= mantissa:
+        if value_bits <= mantissa[f]:
             return f
         if value_bits <= 53:
             return pa.float64()

@@ -100,3 +100,32 @@ def test_engine_run_refuses_foreign_lock(tmp_path, ray_session):
     os.remove(os.path.join(lockdir, "job.lock"))
     assert CdcEngine(lake, f"{corpus}/events", cfg).run() == []
     assert not os.path.exists(os.path.join(lockdir, "job.lock"))
+
+
+def test_pid_reuse_is_stale(tmp_path):
+    """A lock whose pid is alive but whose recorded /proc start ticks don't
+    match the CURRENT process at that pid is a RECYCLED pid — the original
+    holder is dead and the lock must be taken over, not wedge the lake."""
+    import os
+
+    from gobblin_ray.locks import FileJobLock
+
+    lock = FileJobLock(str(tmp_path))
+    os.makedirs(os.path.dirname(lock.path), exist_ok=True)
+    # pid 1 is always alive; 2**60 can never be its true start tick
+    with open(lock.path, "w") as f:
+        f.write(f"1:123.0:{2**60}")
+    assert lock.try_acquire()  # stale by start-tick mismatch: taken over
+    lock.release()
+
+    # legacy two-field lock with a live pid: liveness is all we have — held
+    with open(lock.path, "w") as f:
+        f.write("1:123.0")
+    assert not lock.try_acquire()
+
+    # matching start ticks: genuinely live — held
+    start = FileJobLock._proc_start(1)
+    if start is not None:
+        with open(lock.path, "w") as f:
+            f.write(f"1:123.0:{start}")
+        assert not lock.try_acquire()

@@ -271,6 +271,11 @@ def test_widening_lattice_is_lossless_exhaustively():
     types = [pa.int8(), pa.int16(), pa.int32(), pa.int64(),
              pa.uint8(), pa.uint16(), pa.uint32(), pa.uint64(),
              pa.float32(), pa.float64()]
+    # float16 must stay OUTSIDE the lattice: this pyarrow build cannot cast
+    # halffloat up, so any promotion involving it would break conform
+    for other in types:
+        assert _widen(pa.float16(), other) is None
+        assert _widen(other, pa.float16()) is None
 
     def extremes(t):
         if pa.types.is_signed_integer(t):
@@ -295,3 +300,16 @@ def test_widening_lattice_is_lossless_exhaustively():
             assert back.to_pylist() == vals.to_pylist(), (src, w)
         checked += 1
     assert checked >= 30  # the lattice actually accepts a broad set
+
+
+def test_merge_bases_empty_keeps_schema():
+    """All-empty inputs with an explicit schema yield an EMPTY table with
+    that schema — a column-less table crashed live_rows (no is_deleted),
+    reachable when a purge empties a bucket and its 0-row base is re-read."""
+    from gobblin_ray.merge import live_rows, merge_bases
+
+    out = merge_bases([BASE_SCHEMA.empty_table()], BASE_SCHEMA)
+    assert out.schema.names == BASE_SCHEMA.names
+    assert live_rows(out).num_rows == 0
+    out2 = merge_bases([], BASE_SCHEMA)
+    assert out2.schema.names == BASE_SCHEMA.names

@@ -176,3 +176,46 @@ def test_size_quota_policy(tmp_path):
     rep = DatasetCleaner(finder, SizeQuotaRetentionPolicy(250)).clean()
     assert sorted(os.listdir(root)) == ["dt=2026-01-03", "dt=2026-01-04"]
     assert len(rep.deleted) == 2
+
+
+def test_size_quota_prefix_contract(tmp_path):
+    """Unequal sizes: once a version busts the budget, every OLDER version
+    is deletable too — the retained set is a contiguous newest prefix, a
+    smaller older version must NOT sneak back under the quota."""
+    from gobblin_ray.retention import GlobVersionFinder, SizeQuotaRetentionPolicy
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    # newest-first sizes: [100, 200, 50]
+    for day, size in (("03", 100), ("02", 200), ("01", 50)):
+        d = root / f"dt=2026-01-{day}"
+        d.mkdir()
+        (d / "part.bin").write_bytes(b"x" * size)
+    finder = GlobVersionFinder(str(root), "dt=*", ts_format="dt=%Y-%m-%d")
+    doomed = SizeQuotaRetentionPolicy(160).deletable(finder.find())
+    # dt=02 busts the 160 budget -> it AND the older dt=01 are deletable
+    assert sorted(v.key for v in doomed) == ["dt=2026-01-01", "dt=2026-01-02"]
+
+
+def test_vacuum_tolerates_foreign_entries(tmp_path, ray_session):
+    """Stray files in _staging/ and data/ (editor temps, .DS_Store) must
+    not abort vacuum — cleanup bounds disk growth and can't be fragile."""
+    import os
+
+    from gobblin_ray import checkpoint as ckpt
+    from gobblin_ray import synth
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+
+    d = str(tmp_path / "c")
+    synth.write_corpus(d, n_pages=20, n_events=100, shard_rows=100)
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=2, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    os.makedirs(os.path.join(lake, "_staging"), exist_ok=True)
+    open(os.path.join(lake, "_staging", ".DS_Store"), "w").write("junk")
+    open(os.path.join(lake, "data", "strayfile"), "w").write("junk")
+    removed = ckpt.vacuum(lake, eng.store.latest())  # must not raise
+    assert removed >= 0
+    assert os.path.exists(os.path.join(lake, "data", "strayfile"))  # not ours
