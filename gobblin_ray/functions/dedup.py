@@ -1153,7 +1153,13 @@ def dedup_exact_incremental(
     new hashes via tmp + rename with a content-fingerprint name — a
     retried task rewrites the identical file (idempotent, same contract
     as the lake's staged writes). Exactly one task owns a partition per
-    run, so there are no concurrent writers per directory."""
+    run, so there are no concurrent writers per directory.
+
+    The PRIOR-index file list is snapshotted on the DRIVER at build time
+    and captured in the task closure: a task-time listdir would see this
+    run's own just-written index on any re-execution of the lazy dataset
+    (second consumption, task retry, lineage rebuild) and silently drop
+    every row as "already seen"."""
     import hashlib
     import os
 
@@ -1161,6 +1167,20 @@ def dedup_exact_incremental(
     import pyarrow.parquet as pq
 
     P = num_partitions
+    prior_files: dict[int, list[str]] = {}
+    if os.path.isdir(index_dir):
+        for d in sorted(os.listdir(index_dir)):
+            if not d.startswith("part="):
+                continue
+            pdir = os.path.join(index_dir, d)
+            if not os.path.isdir(pdir):
+                continue
+            files = sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            if files:
+                prior_files[int(d.split("=")[1])] = files
 
     def hash_bucket(t: pa.Table) -> pa.Table:
         arr = t.column(text_col).to_pandas().to_numpy(dtype=object, na_value="")
@@ -1177,14 +1197,11 @@ def dedup_exact_incremental(
     def check_and_update(g: pa.Table) -> pa.Table:
         part = int(g.column("_hp")[0].as_py())
         pdir = os.path.join(index_dir, f"part={part}")
-        seen = None
-        if os.path.isdir(pdir):
-            files = sorted(
-                os.path.join(pdir, f) for f in os.listdir(pdir)
-                if f.endswith(".parquet")
-            )
-            if files:
-                seen = pa.concat_tables(pq.read_table(f) for f in files)
+        files = prior_files.get(part, [])  # driver-time snapshot ONLY
+        seen = (
+            pa.concat_tables(pq.read_table(f) for f in files)
+            if files else None
+        )
         # within-run dedup first: keep min id per (h1, h2)
         g = g.sort_by(
             [("_h1", "ascending"), ("_h2", "ascending"), (id_col, "ascending")]
@@ -1287,6 +1304,21 @@ def dedup_minhash_incremental(
     import pyarrow.parquet as pq
 
     P = num_partitions
+    # prior-index snapshot taken on the DRIVER (same rationale as
+    # dedup_exact_incremental: a task-time listdir could observe this
+    # run's own writes under lineage re-execution)
+    prior_files: dict[int, list[str]] = {}
+    if os.path.isdir(index_dir):
+        for d in sorted(os.listdir(index_dir)):
+            pdir = os.path.join(index_dir, d)
+            if not d.startswith("part=") or not os.path.isdir(pdir):
+                continue
+            files = sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            if files:
+                prior_files[int(d.split("=")[1])] = files
 
     def anchor_rows(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -1319,13 +1351,11 @@ def dedup_minhash_incremental(
         dup=1 if near-dup of a prior-run doc or of a smaller-id doc in this
         run sharing an anchor here."""
         part = int(g.column("_ap")[0].as_py())
-        pdir = os.path.join(index_dir, f"part={part}")
-        old = None
-        if os.path.isdir(pdir):
-            old = pa.concat_tables([
-                pq.read_table(os.path.join(pdir, f))
-                for f in sorted(os.listdir(pdir)) if f.endswith(".parquet")
-            ])
+        files = prior_files.get(part, [])  # driver-time snapshot ONLY
+        old = (
+            pa.concat_tables([pq.read_table(f) for f in files])
+            if files else None
+        )
         anchors = g.column("anchor").to_numpy(zero_copy_only=False)
         docs = g.column("doc").to_numpy(zero_copy_only=False)
         sketches = g.column("sketch").to_pylist()
@@ -1410,7 +1440,12 @@ def dedup_minhash_incremental(
         part = int(g.column("_ap")[0].as_py())
         pdir = os.path.join(index_dir, f"part={part}")
         os.makedirs(pdir, exist_ok=True)
-        out = g.drop_columns(["_ap"])
+        # sort before fingerprinting: the group's row order is
+        # shuffle-dependent, and a retried task must write the SAME name
+        # for the same logical content or the index duplicates
+        out = g.drop_columns(["_ap"]).sort_by(
+            [("anchor", "ascending"), ("doc", "ascending")]
+        )
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, out.schema) as w:
             w.write_table(out)

@@ -96,16 +96,27 @@ class PnmCodec:
         magic = payload[:2]
         if magic not in (b"P5", b"P6"):
             raise ValueError("not a binary PGM/PPM payload")
-        pos, vals = 2, []
+        pos, vals, end = 2, [], len(payload)
         while len(vals) < 3:
-            while payload[pos : pos + 1].isspace():
+            while pos < end and payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= end:
+                # bound the scan: b"".isspace() is False, so an unbounded
+                # loop on a truncated header spins forever and the
+                # decode_ok=False fallback (which needs an EXCEPTION)
+                # never fires — one corrupt row wedged the actor
+                raise ValueError("truncated PNM header")
             if payload[pos : pos + 1] == b"#":  # comment line
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PNM comment")
+                pos = nl + 1
                 continue
             start = pos
-            while not payload[pos : pos + 1].isspace():
+            while pos < end and not payload[pos : pos + 1].isspace():
                 pos += 1
+            if pos >= end or start == pos:
+                raise ValueError("truncated PNM header")
             vals.append(int(payload[start:pos]))
         pos += 1  # exactly one whitespace byte after maxval
         w, h, maxv = vals
@@ -229,13 +240,18 @@ class ByteHistogram:
     codec-free): 16-bin byte histogram as a fixed-size list column."""
 
     def __init__(self, bins: int = 16):
+        if bins < 1 or bins > 256 or 256 % bins:
+            raise ValueError("bins must divide 256")
         self.bins = bins
+        self.div = 256 // bins  # bucket = byte // div — honors ANY bins
+        # (a hard-coded >> 4 made every bins value behave like 16)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = []
         for payload in batch.column("payload").to_pylist():
             arr = np.frombuffer(payload or b"", dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=self.bins).astype(np.float64)
+            hist = np.bincount(arr // self.div,
+                               minlength=self.bins).astype(np.float64)
             total = hist.sum() or 1.0
             feats.append(hist / total)
         return batch.append_column(
@@ -311,10 +327,16 @@ class FrameSampler:
         mids, fidx, ws, hs, lum = [], [], [], [], []
         ids = batch.column("media_id").to_pylist()
         for mid, payload in zip(ids, batch.column("payload").to_pylist()):
-            frames = self._demux(payload)
-            picked = frames[:: self.stride][: self.max_frames]
-            for j, fb in enumerate(picked):
-                img = self.codec.decode(fb)
+            # per-row containment, like the sibling stages' decode_ok
+            # contract: one corrupt container must not kill the batch
+            # task (a 1:N stage signals failure as zero emitted frames)
+            try:
+                frames = self._demux(payload)
+                picked = frames[:: self.stride][: self.max_frames]
+                decoded = [self.codec.decode(fb) for fb in picked]
+            except Exception:
+                continue
+            for j, img in enumerate(decoded):
                 mids.append(mid)
                 fidx.append(j * self.stride)
                 hs.append(img.shape[0])

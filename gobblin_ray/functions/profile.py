@@ -111,7 +111,15 @@ def _row_hash_u64(t: pa.Table, cols: list[str]) -> np.ndarray:
     for c in cols:
         col = t.column(c)
         nulls = pc.is_null(col).to_numpy(zero_copy_only=False)
-        h = hash_column_u64(col.fill_null(0) if col.null_count else col)
+        if col.null_count:
+            # the fill value is irrelevant (the sentinel overwrites null
+            # slots below) but it must be TYPE-VALID: fill_null(0) raises
+            # on string/binary columns, so fill those with ""
+            fill = "" if (pa.types.is_string(col.type)
+                          or pa.types.is_large_string(col.type)
+                          or pa.types.is_binary(col.type)) else 0
+            col = col.fill_null(fill)
+        h = hash_column_u64(col)
         h = np.where(nulls, np.uint64(0xDEADBEEFCAFEF00D), h)
         with np.errstate(over="ignore"):
             acc = _splitmix64(acc * np.uint64(1099511628211) + h)

@@ -51,7 +51,13 @@ def _hist_pass(ds, column: str, intervals: list[tuple[float, float]], B: int):
             if not len(sel):
                 continue
             width = (hi - lo) or 1.0
-            idx = np.minimum(((sel - lo) / width * B).astype(np.int64), B - 1)
+            # bin membership by searchsorted against the SAME float edge
+            # values the refinement later uses as interval bounds
+            # (lo + k*width/B) — a floor((v-lo)/width*B) here could
+            # disagree with the next round's v >= edge comparison at a
+            # bin boundary, desyncing `below` from the collected rows
+            edges = lo + np.arange(1, B) * width / B
+            idx = np.searchsorted(edges, sel, side="right")
             out[i * B : (i + 1) * B] += np.bincount(idx, minlength=B)
         return out
 

@@ -93,8 +93,14 @@ def approx_distinct(ds, column: str, k: int = 4096) -> float:
     empty = np.empty(0, dtype=np.uint64)
     agg = AggregateFn(
         init=lambda _k: empty,
+        # drop_null: SQL count(DISTINCT) ignores nulls — and a nullable
+        # int64 column would otherwise roundtrip through float64 in
+        # to_numpy (nulls -> NaN), collapsing distinct values past 2^53
         accumulate_block=lambda acc, block: _bottom_k(
-            np.concatenate([acc, hash_column_u64(block.column(column))]), k
+            np.concatenate(
+                [acc, hash_column_u64(block.column(column).drop_null())]
+            ),
+            k,
         ),
         merge=lambda a, b: _bottom_k(np.concatenate([a, b]), k),
         finalize=lambda acc: kmv_estimate(acc, k),

@@ -253,8 +253,6 @@ def repetition_signals(text_col: str = "text",
     only one signal should not pay the other grams' lexsort passes."""
     from ..engine import stable_hash_u64
 
-    _GAMMA = np.uint64(0x9E3779B97F4A7C15)
-
     def run(t: pa.Table) -> pa.Table:
         toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
         flat = pc.list_flatten(toks).combine_chunks()
@@ -270,18 +268,13 @@ def repetition_signals(text_col: str = "text",
             slots = np.maximum(lens - (n - 1), 0)
             max_per = np.zeros(n_docs, np.int64)
             dup_per = np.zeros(n_docs, np.int64)
-            m = len(h) - n + 1
-            if m <= 0:
+            # the ONE chained window-hash kernel (shared with
+            # decontaminate's eval hashing — same constants, same
+            # doc-boundary mask; a second inline copy once risked
+            # silently de-synchronizing gram identity)
+            ghash, gdoc = _token_window_hashes(h, doc_of, n)
+            if not len(ghash):
                 return max_per, dup_per, slots
-            gh = h[:m].copy()
-            with np.errstate(over="ignore"):
-                for j in range(1, n):
-                    gh = (gh * np.uint64(0x100000001B3)) ^ (h[j:j + m] + _GAMMA)
-            ok = doc_of[:m] == doc_of[n - 1:]
-            gidx = np.flatnonzero(ok)
-            if not len(gidx):
-                return max_per, dup_per, slots
-            gdoc, ghash = doc_of[gidx], gh[gidx]
             order = np.lexsort((ghash, gdoc))
             gd, gv = gdoc[order], ghash[order]
             new_run = np.ones(len(gd), bool)
@@ -833,13 +826,15 @@ def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
     byte windows — a cheap locality-sensitive fingerprint (numpy per row)."""
 
     def run(t: pa.Table) -> pa.Table:
+        # constant across rows — hoisted out of the per-doc loop
+        powers = np.power(131, np.arange(window, dtype=np.uint64),
+                          dtype=np.uint64)
         vals = []
         for s in t.column(text_col).to_pylist():
             b = np.frombuffer((s or "").encode("utf-8", "ignore"), dtype=np.uint8)
             if len(b) < window:
                 b = np.pad(b, (0, window - len(b)), constant_values=32)
             win = np.lib.stride_tricks.sliding_window_view(b, window).astype(np.uint64)
-            powers = np.power(131, np.arange(window, dtype=np.uint64), dtype=np.uint64)
             vals.append(int((win * powers).sum(axis=1).min()))
         return t.append_column(out, pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)))
 

@@ -467,6 +467,24 @@ def test_dedup_exact_incremental_cross_run(ray_session, tmp_path):
     assert files and all(f.endswith(".parquet") for f in files)
 
 
+def test_dedup_incremental_double_consumption(ray_session, tmp_path):
+    """Consuming the LAZY returned dataset twice must yield the same rows:
+    the membership check reads a driver-time snapshot of the prior index,
+    so a re-execution can't see this run's own index write and silently
+    drop everything as 'already seen'."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx2")
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["alpha", "beta"]),
+    })
+    out = dd.dedup_exact_incremental(rd.from_arrow(t), idx, num_partitions=2)
+    first = sorted(r["doc_id"] for r in out.take_all())   # executes + writes
+    second = sorted(r["doc_id"] for r in out.take_all())  # re-executes
+    assert first == second == [0, 1]
+
+
 # ---------------------------------------------------------------- KMV sketch
 
 def test_kmv_saturated_is_exact(ray_session):
