@@ -191,7 +191,17 @@ def run_copy(
                 stage = os.path.join(stage_root, rel)
                 n, dig = _copy_one(os.path.join(src_root, rel), stage)
                 if verify:
-                    dig = _md5_file(stage)  # digest of LANDED bytes
+                    # integrity is judged on LANDED bytes, and they must
+                    # MATCH the source stream's digest — computing the
+                    # staged digest without comparing would publish a
+                    # torn/bit-flipped file and remember its corrupt md5
+                    landed = _md5_file(stage)
+                    if landed != dig:
+                        raise IOError(
+                            f"copy verify failed for {rel}: source md5 "
+                            f"{dig} != staged md5 {landed}"
+                        )
+                    dig = landed
                 rels.append(rel)
                 bts.append(n)
                 mts.append(mt)

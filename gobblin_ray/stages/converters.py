@@ -35,6 +35,15 @@ def _named(name: str, fn: BatchFn) -> BatchFn:
     return fn
 
 
+def set_or_append(t: pa.Table, name: str, arr) -> pa.Table:
+    """Replace column ``name`` in place if present, else append it — the
+    shared tail of every in-place-or-new-column converter (compress /
+    decompress / encrypt / decrypt once carried four inline copies)."""
+    if name in t.column_names:
+        return t.set_column(t.schema.get_field_index(name), name, arr)
+    return t.append_column(name, arr)
+
+
 def identity() -> BatchFn:
     return _named("identity", lambda t: t)
 
@@ -151,7 +160,15 @@ class ParseJson:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows = t.column(self.field).to_pylist()
-        parsed = [self.loads(r) if r else {} for r in rows]
+        parsed = []
+        for r in rows:
+            try:
+                p = self.loads(r) if r else {}
+            except ValueError:
+                p = {}
+            # valid-but-non-object JSON ('[1,2]', '42', 'true', 'null')
+            # has no keys to extract — null-fill instead of AttributeError
+            parsed.append(p if isinstance(p, dict) else {})
         for key, typ in self.keys.items():
             t = t.append_column(key, pa.array([p.get(key) for p in parsed], typ))
         return t
@@ -314,9 +331,7 @@ def compress_column(field: str, codec: str = "gzip", out: str | None = None) -> 
             for v in t.column(field).to_pylist()
         ]
         arr = pa.array(vals, pa.binary())
-        if target == field:
-            return t.set_column(t.schema.get_field_index(field), target, arr)
-        return t.append_column(target, arr)
+        return set_or_append(t, target, arr)
 
     return _named(f"compress[{field}:{codec}]", run)
 
@@ -347,9 +362,7 @@ def decompress_column(
             )
         else:
             arr = pa.array(vals, pa.binary())
-        if target == field:
-            return t.set_column(t.schema.get_field_index(field), target, arr)
-        return t.append_column(target, arr)
+        return set_or_append(t, target, arr)
 
     return _named(f"decompress[{field}:{codec}]", run)
 

@@ -101,11 +101,9 @@ class EncryptColumn:
             for v in col.to_pylist()
         ]
         arr = pa.array(enc, pa.binary())
-        if self.out == self.column:
-            return t.set_column(
-                t.schema.get_field_index(self.column), self.out, arr
-            )
-        return t.append_column(self.out, arr)
+        from .converters import set_or_append
+
+        return set_or_append(t, self.out, arr)
 
 
 class DecryptColumn:
@@ -132,8 +130,6 @@ class DecryptColumn:
             )
         else:
             arr = pa.array(dec, pa.binary())
-        if self.out == self.column:
-            return t.set_column(
-                t.schema.get_field_index(self.column), self.out, arr
-            )
-        return t.append_column(self.out, arr)
+        from .converters import set_or_append
+
+        return set_or_append(t, self.out, arr)

@@ -41,23 +41,42 @@ import pyarrow.parquet as pq
 from ray.data import Datasink
 
 
+def _label(v) -> str:
+    """Directory-safe partition label: URL-quote everything outside
+    [A-Za-z0-9._-] (the Hive writer's escaping) — a raw str(value) holding
+    '/' or '..' would escape the partition layout (or out_dir entirely)."""
+    from urllib.parse import quote
+
+    return quote(str(v), safe="._-")
+
+
 def _split_by_partition(table: pa.Table, col: str) -> list[tuple[str, pa.Table]]:
     """(label, slice) per distinct partition value; nulls land in
-    '__null__'. Shared by both sinks so label formatting and null masking
-    can never diverge between the actor-pool and Datasink paths."""
+    '__null__', float NaNs in '__nan__' (``pc.equal(c, NaN)`` matches
+    NOTHING, so NaN rows used to vanish from the output entirely). Shared
+    by both sinks so label formatting and null/NaN masking can never
+    diverge between the actor-pool and Datasink paths."""
     out: list[tuple[str, pa.Table]] = []
     c = table.column(col)
     for v in pc.unique(c).to_pylist():
         if v is None:
             mask, label = pc.is_null(c), "__null__"
+        elif isinstance(v, float) and v != v:  # NaN
+            mask, label = pc.is_nan(c), "__nan__"
         else:
-            mask, label = pc.equal(c, pa.scalar(v)), str(v)
+            mask, label = pc.equal(c, pa.scalar(v)), _label(v)
         out.append((label, table.filter(pc.fill_null(mask, False))))
     return out
 
 
 class PartitionedParquetSink:
-    """Callable actor class: write each batch's partitions to Parquet."""
+    """Callable actor class: write each batch's partitions to Parquet.
+
+    CAVEAT: file names are pure content fingerprints (retry-idempotent),
+    so two DISTINCT batches with byte-identical content collapse into one
+    file. Data that can legitimately contain duplicated batches should go
+    through ``write_partitioned`` (the Datasink), whose names carry the
+    write-task index and never collide across tasks."""
 
     def __init__(
         self,
@@ -85,9 +104,10 @@ class PartitionedParquetSink:
             w.write_table(table)
         return hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
 
-    def _write_one(self, table: pa.Table, part_dir: str) -> dict:
+    def _write_one(self, table: pa.Table, part_dir: str,
+                   suffix: str = "") -> dict:
         os.makedirs(part_dir, exist_ok=True)
-        name = f"part-{self._fingerprint(table)}.{self.file_format}"
+        name = f"part-{self._fingerprint(table)}{suffix}.{self.file_format}"
         path = os.path.join(part_dir, name)
         tmp = f"{path}.tmp-{os.getpid()}"
         if self.file_format == "orc":
@@ -220,6 +240,14 @@ class SizedPartitionedParquetSink(Datasink):
         buf: dict[str, list[pa.Table]] = {}
         sizes: dict[str, int] = {}
         out: list[dict] = []
+        flush_no: dict[str, int] = {}
+        # ctx.task_index in the name: retry-stable (a retried task keeps
+        # its index) AND distinct across tasks — pure content fingerprints
+        # collapse two DIFFERENT tasks' identical batches into one file
+        # (silent row loss on legitimately duplicated data)
+        task_idx = getattr(ctx, "task_idx", None)
+        if task_idx is None:
+            task_idx = getattr(ctx, "task_index", 0)
 
         def flush(label: str):
             tables = buf.pop(label, None)
@@ -227,7 +255,11 @@ class SizedPartitionedParquetSink(Datasink):
                 return
             sizes.pop(label, None)
             merged = pa.concat_tables(tables)
-            out.append(self._writer._write_one(merged, self._part_dir(label)))
+            n = flush_no.get(label, 0)
+            flush_no[label] = n + 1
+            out.append(self._writer._write_one(
+                merged, self._part_dir(label), suffix=f"-t{task_idx}-{n}"
+            ))
 
         for block in blocks:
             if isinstance(block, pd.DataFrame):

@@ -73,6 +73,16 @@ def top_k_per_group(
         return t.take(pa.array(np.flatnonzero(ranks < k)))
 
     def combine_and_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # drop null/NaN group keys (the keyed_map_groups family's
+        # drop-null policy): NaN != NaN makes every such row its OWN
+        # group, so null-key rows bypassed the k limit entirely
+        col0 = t.column(group_key)
+        mask = pc.is_valid(col0)
+        if pa.types.is_floating(col0.type):
+            mask = pc.and_(mask, pc.invert(pc.is_nan(col0)))
+        t = t.filter(pc.fill_null(mask, False))
         t = _head_per_group(t)
         col = t.column(group_key)
         if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):

@@ -138,6 +138,14 @@ def hopping_rollup(
             .to_numpy(zero_copy_only=False).astype("datetime64[us]")
             .astype(np.int64)
         )
+        if t.num_rows == 0:
+            # empty/all-null-ts block: the change-point seed [True] below
+            # would index into an empty array
+            cols = {"_w": pa.array([], pa.int64()),
+                    "_n": pa.array([], pa.int64())}
+            if value_col is not None:
+                cols["_sv"] = pa.array([], pa.float64())
+            return pa.table(cols)
         w0 = (e // hop_us) * hop_us
         starts = (w0[None, :] - (np.arange(r) * hop_us)[:, None]).ravel()
         order = np.argsort(starts, kind="stable")
@@ -403,10 +411,19 @@ def dedup_within_window(ds, keys: list[str], ts_col: str, gap_s: float,
                 i = int(np.searchsorted(seg, seg[i] + gap_s, side="right"))
         return g[keep]
 
+    def drop_null_ts(t):
+        import pyarrow.compute as _pc
+
+        # a null timestamp has no position in any window — and once cast
+        # to int64 seconds a NaT becomes INT64_MIN, breaking the
+        # sorted-segment invariant searchsorted jumps rely on (it silently
+        # dropped VALID rows after the NaT in a group)
+        return t.filter(_pc.is_valid(t.column(ts_col)))
+
     throttle.__name__ = f"dedup_window[{gap_s}s]"
     return keyed_map_groups(ds, kp, throttle,
                             num_partitions=num_partitions,
-                            pre=None)
+                            pre=drop_null_ts)
 
 
 def rolling_window(ds, key: str, order_by: list[str], value_col: str,
@@ -433,7 +450,12 @@ def rolling_window(ds, key: str, order_by: list[str], value_col: str,
 
     def roll(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key, *order_by], kind="mergesort")
-        v = g[value_col].to_numpy(dtype=np.float64)
+        raw = g[value_col].to_numpy(dtype=np.float64)
+        # SQL frame aggregates IGNORE NULLs: a null row contributes to no
+        # frame sum/avg/min/count (one NaN used to poison every frame
+        # containing it); an all-null frame yields NaN (SQL NULL)
+        notnull = ~np.isnan(raw)
+        v = np.where(notnull, raw, 0.0)
         pos = g.groupby(key, sort=False).cumcount().to_numpy()
         m = len(g)
         acc = np.zeros(m)
@@ -443,19 +465,25 @@ def rolling_window(ds, key: str, order_by: list[str], value_col: str,
         for lag in range(n_rows - 1, -1, -1):
             valid = pos >= lag
             shifted = np.empty(m)
+            sh_nn = np.empty(m, bool)
             if lag:
                 shifted[lag:] = v[:-lag]
                 shifted[:lag] = 0.0
+                sh_nn[lag:] = notnull[:-lag]
+                sh_nn[:lag] = False
             else:
                 shifted[:] = v
-            acc[valid] += shifted[valid]
-            np.minimum(mn, np.where(valid, shifted, np.inf), out=mn)
-            cnt += valid
+                sh_nn[:] = notnull
+            take = valid & sh_nn
+            acc[take] += shifted[take]
+            np.minimum(mn, np.where(take, shifted, np.inf), out=mn)
+            cnt += take
+        has = cnt > 0
         out = g.copy()
-        out["roll_sum"] = acc
-        out["roll_avg"] = acc / cnt
-        out["roll_min"] = mn
-        out["roll_n"] = cnt
+        out["roll_sum"] = np.where(has, acc, np.nan)
+        out["roll_avg"] = np.where(has, acc / np.maximum(cnt, 1), np.nan)
+        out["roll_min"] = np.where(has, mn, np.nan)
+        out["roll_n"] = cnt  # SQL COUNT(value): non-null only
         return out
 
     roll.__name__ = f"rolling[{n_rows}]"

@@ -1517,3 +1517,96 @@ def test_left_join_keeps_solid_int_dtype(ray_session):
     assert str(out["lk"].dtype) == "int64"
     assert str(out["rid"].dtype) == "float64"  # nullable side stays float
     assert len(out) == 3 and out["rid"].isna().sum() == 1
+
+
+def test_dedup_window_ignores_null_timestamps(ray_session):
+    """A NaT row must not break the sorted-segment searchsorted jumps
+    (NaT -> INT64_MIN once silently dropped VALID rows after it)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import dedup_within_window
+
+    df = pd.DataFrame({
+        "k": [0, 0, 0, 0],
+        "ts": pd.to_datetime(["2026-01-01 00:00:05", "2026-01-01 00:00:10",
+                              None, None]),
+        "i": [1, 2, 3, 4],
+    })
+    got = dedup_within_window(
+        rd.from_pandas(df), keys=["k"], ts_col="ts", gap_s=2.0,
+        num_partitions=2,
+    ).to_pandas()
+    # both valid rows survive (5s apart > 2s gap); null-ts rows drop
+    assert sorted(got["i"].astype(int)) == [1, 2]
+
+
+def test_rolling_window_ignores_nulls(ray_session):
+    """SQL frame aggregates ignore NULLs: one null value must not poison
+    the frames containing it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import rolling_window
+
+    df = pd.DataFrame({
+        "k": [0, 0, 0], "o": [1, 2, 3], "v": [10.0, None, 30.0],
+    })
+    got = (rolling_window(rd.from_pandas(df), "k", ["o"], "v", n_rows=2)
+           .to_pandas().sort_values("o").reset_index(drop=True))
+    assert got["roll_sum"].tolist() == [10.0, 10.0, 30.0]
+    assert got["roll_n"].tolist() == [1, 1, 1]
+    assert got["roll_min"].tolist() == [10.0, 10.0, 30.0]
+
+
+def test_sink_handles_nan_partition(ray_session, tmp_path):
+    """Float-NaN partition values route to '__nan__' instead of silently
+    vanishing (pc.equal(c, NaN) matches nothing)."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.sink import PartitionedParquetSink
+
+    # NaN must arrive as a genuine Arrow NaN (pandas ingest maps NaN to
+    # Arrow NULL, which was already handled)
+    t = pa.table({
+        "p": pa.array(np.array([1.0, np.nan, 2.0])),
+        "x": pa.array([1, 2, 3]),
+    })
+    assert t.column("p").null_count == 0  # it really is NaN, not null
+    out = str(tmp_path / "out")
+    lin = rd.from_arrow(t).map_batches(
+        PartitionedParquetSink,
+        fn_constructor_kwargs=dict(out_dir=out, partition_col="p"),
+        batch_format="pyarrow", batch_size=None, concurrency=1,
+    ).to_pandas()
+    assert lin["rows"].sum() == 3
+    dirs = sorted(os.listdir(out))
+    assert "p=__nan__" in dirs
+    import pyarrow.parquet as pq
+    total = sum(
+        pq.read_table(os.path.join(out, d, f)).num_rows
+        for d in dirs for f in os.listdir(os.path.join(out, d))
+    )
+    assert total == 3
+
+
+def test_top_k_per_group_drops_null_keys(ray_session):
+    """Null group keys follow the family's drop policy — they used to each
+    count as their OWN group (NaN != NaN) and bypass the k limit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import top_k_per_group
+
+    df = pd.DataFrame({
+        "g": [1, 1, 1, None, None, None],
+        "v": [3.0, 2.0, 1.0, 9.0, 8.0, 7.0],
+    })
+    got = top_k_per_group(
+        rd.from_pandas(df), "g", k=1, by=["v"], descending=[True],
+        num_partitions=2,
+    ).to_pandas()
+    assert len(got) == 1 and float(got["v"].iloc[0]) == 3.0
