@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_orders_customers": demo.full_join_orders_customers,
         # per-key ordered analytics (lag / running sum window functions)
         "window_lag_running_sum": demo.window_lag_running_sum,
+        # lead / first_value / last_value / percent_rank / cume_dist
+        "window_frame_events": demo.window_frame_events,
         # per-group distinct-count sketch (KMV per group)
         "distinct_users_per_type": demo.distinct_users_per_type,
         # ROLLUP / CUBE multi-level aggregation (metric-context tree shape)
@@ -771,6 +773,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id IS NOT NULL AND ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "window_frame_events": """
+            SELECT event_id, user_id,
+                   lead(value) OVER w AS next_value,
+                   first_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS first_val,
+                   last_value(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS last_val,
+                   percent_rank() OVER wv AS pct_rank,
+                   cume_dist() OVER wv AS cume_dist
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+                   wv AS (PARTITION BY user_id ORDER BY value)
         """,
         "distinct_users_per_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct

@@ -2698,3 +2698,28 @@ def normalize_text_documents(sf_dir: str):
         batch_format="pyarrow", batch_size=None,
     )
     return out.select_columns(["doc_id", "norm_text"])
+
+
+def window_frame_events(sf_dir: str):
+    """Remaining analytic-window family (stages/windows.
+    analytic_frame_values): lead / first_value / last_value over the full
+    frame ordered by (ts, event_id), plus percent_rank / cume_dist over
+    value (ties share) — one bounded exchange, change-point arithmetic
+    per partition. Ratios are single IEEE divisions, bit-identical to
+    the SQL oracle with no rounding."""
+    from ..stages.windows import analytic_frame_values
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    ds = ds.map_batches(
+        cv.filter_expr(lambda t: pc.is_valid(t.column("ts"))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = analytic_frame_values(
+        ds, "user_id", ["ts", "event_id"], "value", "value"
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "next_value", "first_val", "last_val",
+         "pct_rank", "cume_dist"]
+    )

@@ -535,3 +535,92 @@ def rank_by(ds, key: str, rank_cols: list[str], tiebreak: list[str],
 
     rank.__name__ = "rank_by"
     return keyed_map_groups(ds, key, rank, num_partitions=num_partitions)
+
+
+def analytic_frame_values(ds, key: str, order_by: list[str], value_col: str,
+                          rank_col: str, num_partitions: int = 64):
+    """The remaining SQL analytic-window family: ``lead(value)`` (as
+    ``next_value``), ``first_value`` / ``last_value`` over the FULL
+    partition frame (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING — the unambiguous frame; the SQL default frame for
+    last_value is a classic footgun), and ``percent_rank`` / ``cume_dist``
+    ordered by ``rank_col`` (ties share: peers are IS NOT DISTINCT groups,
+    nulls/NaN all mutually peers, nulls last — DuckDB ASC default).
+
+    Gobblin analog: the per-key stateful streaming reducers
+    (gobblin-runtime fork/operator stream state); rebuilt Ray-native as
+    the family's shared shape — ONE bounded exchange on ``hash(key) % P``
+    (keyed_map_groups), then pure change-point arithmetic per partition
+    (lexsort / maximum.accumulate / searchsorted), no per-key dispatch.
+
+    Exactness: pct_rank = (rnk-1)/(n-1) and cume_dist = peers_end/n are
+    single IEEE divisions of small ints — bit-identical to the SQL
+    oracle, no rounding needed. next/first/last are raw column values.
+    Null keys are dropped (SQL window parity: filter upstream)."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    def frame(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort").reset_index(
+            drop=True
+        )
+        m = len(g)
+        if m == 0:
+            for c in ("next_value", "first_val", "last_val",
+                      "pct_rank", "cume_dist"):
+                g[c] = pd.Series(dtype="float64")
+            return g
+        k = g[key].to_numpy()
+        idx = np.arange(m)
+        new_key = np.zeros(m, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, m))
+        grp_start = np.repeat(starts, sizes)
+        grp_end = np.repeat(starts + sizes - 1, sizes)
+        v = g[value_col].to_numpy(dtype="float64", na_value=np.nan)
+        nxt = np.empty(m, np.float64)
+        nxt[:-1] = v[1:]
+        nxt[idx == grp_end] = np.nan
+        g["next_value"] = nxt
+        g["first_val"] = v[grp_start]
+        g["last_val"] = v[grp_end]
+        # rank ordering over rank_col within key (NaN sorts last, like
+        # DuckDB NULLS LAST ASC); stable so tie groups stay contiguous
+        rv = g[rank_col].to_numpy(dtype="float64", na_value=np.nan)
+        order = np.lexsort((rv, k))
+        rv2, k2 = rv[order], k[order]
+        new_key2 = np.zeros(m, bool)
+        new_key2[0] = True
+        new_key2[1:] = k2[1:] != k2[:-1]
+        starts2 = np.flatnonzero(new_key2)
+        sizes2 = np.diff(np.append(starts2, m))
+        grp_start2 = np.repeat(starts2, sizes2)
+        n2 = np.repeat(sizes2, sizes2).astype(np.float64)
+        same = np.zeros(m, bool)
+        same[1:] = (rv2[1:] == rv2[:-1]) | (
+            np.isnan(rv2[1:]) & np.isnan(rv2[:-1])
+        )
+        change = new_key2 | ~same
+        ch_idx = np.flatnonzero(change)
+        row_num2 = idx - grp_start2 + 1
+        rnk2 = row_num2[np.maximum.accumulate(np.where(change, idx, -1))]
+        # peer-group end = (next change point) - 1; key starts are always
+        # change points, so the peer group never crosses a key boundary
+        pos = np.searchsorted(ch_idx, idx, side="right")
+        nc = np.where(pos < len(ch_idx), ch_idx[np.minimum(pos, len(ch_idx) - 1)], m)
+        peers_end = (nc - grp_start2).astype(np.float64)
+        pct2 = np.where(n2 > 1, (rnk2 - 1) / np.maximum(n2 - 1, 1.0), 0.0)
+        cume2 = peers_end / n2
+        pct = np.empty(m, np.float64)
+        cume = np.empty(m, np.float64)
+        pct[order] = pct2
+        cume[order] = cume2
+        g["pct_rank"] = pct
+        g["cume_dist"] = cume
+        return g
+
+    frame.__name__ = "analytic_frame"
+    return keyed_map_groups(ds, key, frame, num_partitions=num_partitions)

@@ -1610,3 +1610,42 @@ def test_top_k_per_group_drops_null_keys(ray_session):
         num_partitions=2,
     ).to_pandas()
     assert len(got) == 1 and float(got["v"].iloc[0]) == 3.0
+
+
+def test_analytic_frame_values_matches_duckdb(ray_session):
+    """lead/first_value/last_value (full frame) + percent_rank/cume_dist
+    parity incl. tied rank values, null values, and a single-row key."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import analytic_frame_values
+
+    rng = np.random.default_rng(7)
+    n = 400
+    v = np.round(rng.standard_normal(n), 1)  # force ties
+    v[rng.random(n) < 0.08] = np.nan
+    k = rng.integers(0, 8, n)
+    k[0] = 99  # single-row key: percent_rank must be 0, cume_dist 1
+    df = pd.DataFrame({"k": k, "id": np.arange(n), "v": v})
+    got = (analytic_frame_values(
+        rd.from_arrow(pa.Table.from_pandas(df)).repartition(4),
+        "k", ["id"], "v", "v", num_partitions=5,
+    ).to_pandas().sort_values("id").reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT id, lead(v) OVER w AS next_value, "
+        "first_value(v) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_val, "
+        "last_value(v) OVER (PARTITION BY k ORDER BY id ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val, "
+        "percent_rank() OVER wv AS pct_rank, "
+        "cume_dist() OVER wv AS cume_dist FROM df "
+        "WINDOW w AS (PARTITION BY k ORDER BY id), "
+        "wv AS (PARTITION BY k ORDER BY v) ORDER BY id"
+    ).df()
+    for c in ["next_value", "first_val", "last_val"]:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        assert ((a == b) | (np.isnan(a) & np.isnan(b))).all(), c
+    for c in ["pct_rank", "cume_dist"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
