@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_events_value": demo.rank_events_value,
         # webtext canonicalization (NFC + lower + whitespace collapse)
         "normalize_text_documents": demo.normalize_text_documents,
+        # HTML -> text extraction (Common-Crawl WET step, vectorized RE2)
+        "extract_html_documents": demo.extract_html_documents,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -684,6 +686,34 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(lower(nfc_normalize(text)),
                                        '\\s+', ' ', 'g')) AS norm_text
             FROM documents
+        """,
+        "extract_html_documents": """
+            WITH h AS (
+                SELECT doc_id,
+                       '<html><head><title>doc</title><style>p{color:red}</style>'
+                       || '<script type="text/javascript">var x = 1 < 2;</script>'
+                       || '</head><body><!-- crawler: keep out --><h1 class="t">'
+                       || CAST(doc_id AS VARCHAR)
+                       || '</h1><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;</p><p>'
+                       || text || '</p></body></html>' AS html
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       regexp_replace(regexp_replace(regexp_replace(
+                           regexp_replace(html,
+                               '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                               '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                               '(?s)<!--.*?-->', ' ', 'g'),
+                               '(?s)<[^>]*>', ' ', 'g') AS x
+                FROM h
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(x,
+                           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                           '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                       '\\s+', ' ', 'g'), ' ') AS clean_text
+            FROM s
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

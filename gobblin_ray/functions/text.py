@@ -1033,3 +1033,45 @@ def normalize_text(text_col: str = "text", out: str = "norm_text"):
 
     run.__name__ = "normalize_text"
     return run
+
+
+def strip_html(text_col: str = "html", out: str = "clean_text"):
+    """Common-Crawl-style HTML → text extraction (the WET-file step of
+    the classic webtext pipeline; Gobblin analog: the string-converter
+    family, gobblin-core converter.string.*): drop <script>/<style>
+    subtrees and comments, strip remaining tags, unescape the core
+    entity set, collapse whitespace. Per batch, fully vectorized RE2
+    (``pc.replace_substring_regex``) — no shuffle, no Python rows.
+
+    Every pattern is RE2 (no backreferences — script and style are two
+    passes) with inline ``(?is)`` flags, and entities are literal
+    replaces, so the result is bit-identical to the same
+    ``regexp_replace(..., 'g')`` / ``replace(...)`` chain in DuckDB.
+    Real codecs (lxml/bs4) aren't in this container; this is the exact,
+    oracle-checkable vectorized core a tree-based extractor would wrap."""
+
+    _TAG_PASSES = [
+        (r"(?is)<script[^>]*>.*?</script>", " "),
+        (r"(?is)<style[^>]*>.*?</style>", " "),
+        (r"(?s)<!--.*?-->", " "),
+        (r"(?s)<[^>]*>", " "),
+    ]
+    _ENTITIES = [
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+    ]
+
+    def run(t: pa.Table) -> pa.Table:
+        arr = t.column(text_col)
+        for pat, repl in _TAG_PASSES:
+            arr = pc.replace_substring_regex(arr, pattern=pat,
+                                             replacement=repl)
+        for ent, ch in _ENTITIES:
+            arr = pc.replace_substring(arr, pattern=ent, replacement=ch)
+        arr = pc.replace_substring_regex(arr, pattern=r"\s+",
+                                         replacement=" ")
+        arr = pc.utf8_trim(arr, characters=" ")
+        return t.append_column(out, arr)
+
+    run.__name__ = "strip_html"
+    return run

@@ -2723,3 +2723,31 @@ def window_frame_events(sf_dir: str):
         ["event_id", "user_id", "next_value", "first_val", "last_val",
          "pct_rank", "cume_dist"]
     )
+
+
+def extract_html_documents(sf_dir: str):
+    """HTML → text extraction (functions/text.strip_html): wrap each
+    document's text in a deterministic Common-Crawl-style page shell
+    (head/style/script/comment boilerplate + entities), then run the
+    vectorized extractor — the oracle replays the identical RE2 chain in
+    SQL, so parity proves tag/entity/whitespace semantics, not just
+    plumbing. Per batch, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def wrap(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            '<html><head><title>doc</title><style>p{color:red}</style>'
+            '<script type="text/javascript">var x = 1 < 2;</script>'
+            '</head><body><!-- crawler: keep out --><h1 class="t">',
+            pc.cast(t.column("doc_id"), pa.string()),
+            "</h1><p>Tom &amp; Jerry &lt;3 &quot;quoted&quot;&nbsp;</p><p>",
+            t.column("text"),
+            "</p></body></html>",
+            "",
+        )
+        return t.append_column("html", html)
+
+    ds = ds.map_batches(wrap, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(tx.strip_html("html", "clean_text"),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "clean_text"])

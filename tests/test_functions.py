@@ -1008,3 +1008,33 @@ def test_diff_by_key_nulls_and_equal(ray_session):
         ray.data.from_pandas(l), ray.data.from_pandas(l), "id", ["v", "s"]
     ).to_pandas()
     assert len(same) == 0
+
+
+def test_strip_html_tags_entities_whitespace(ray_session):
+    """script/style subtrees (with tags inside) drop whole, comments
+    drop, entities unescape (amp last), whitespace collapses."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import strip_html
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "html": pa.array([
+            '<div><script>if (a<b) { x("<p>") }</script>Hi\n\n <b>there</b>'
+            '<!-- note\nmultiline --></div>',
+            "<style>a>b{x:1}</style>&amp;lt; stays &lt;escaped&gt;"
+            " &quot;q&quot;&nbsp;&#39;s&#39;",
+            "plain   text\twith\nspace",
+        ]),
+    })
+    got = (rd.from_arrow(t)
+           .map_batches(strip_html("html", "clean_text"),
+                        batch_format="pyarrow", batch_size=None)
+           .to_pandas().sort_values("doc_id")["clean_text"].tolist())
+    # '&amp;lt;' -> '&lt;' (amp unescapes LAST so the result is the
+    # literal entity text, not a double-unescape to '<')
+    assert got == [
+        "Hi there",
+        '&lt; stays <escaped> "q" \'s\'',
+        "plain text with space",
+    ]
