@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text_documents": demo.normalize_text_documents,
         # HTML -> text extraction (Common-Crawl WET step, vectorized RE2)
         "extract_html_documents": demo.extract_html_documents,
+        # distributed PageRank (iterative join+aggregate, integer-exact)
+        "pagerank_documents": demo.pagerank_documents,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -714,6 +716,37 @@ def oracle_sql() -> dict[str, str]:
                            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                        '\\s+', ' ', 'g'), ' ') AS clean_text
             FROM s
+        """,
+        "pagerank_documents": """
+            WITH nodes AS (SELECT doc_id AS node FROM documents),
+            p AS (SELECT count(*) AS n FROM documents),
+            edges AS (
+                SELECT node AS src, (131 * node + j.j) % p.n AS dst
+                FROM nodes, p, (SELECT unnest(range(0, 3)) AS j) j
+            ),
+            r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(r.r // 3) AS BIGINT) AS s
+                   FROM edges e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+            r1 AS (SELECT n.node,
+                          CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                               AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c1 c ON n.node = c.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(r.r // 3) AS BIGINT) AS s
+                   FROM edges e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+            r2 AS (SELECT n.node,
+                          CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                               AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c2 c ON n.node = c.node),
+            c3 AS (SELECT e.dst AS node,
+                          CAST(sum(r.r // 3) AS BIGINT) AS s
+                   FROM edges e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+            r3 AS (SELECT n.node,
+                          CAST(150000000 + (85 * coalesce(c.s, 0)) // 100
+                               AS BIGINT) AS r
+                   FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
+            SELECT node AS doc_id, r AS pr FROM r3
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

@@ -1,0 +1,127 @@
+"""Distributed graph analytics over Ray Data.
+
+PageRank is THE canonical iterative join+aggregate workload (Page et al.
+1999, "The PageRank citation ranking"): each round every node sends
+rank/out_degree along its out-edges and new ranks fold the incoming
+sums. At web scale the rank vector is as big as the node set, so it can
+NEVER be broadcast — the only shape that holds at 10^10 edges is the one
+here: co-partition ranks with edges by source through ONE bounded
+exchange (contributions computed partition-locally), then ONE
+combiner-pre-aggregated groupby-sum by destination. 2 exchanges per
+iteration, payload 2 ints/edge, no driver-side state at all.
+
+Reference analog: Gobblin has no graph operators (SURVEY §2 gap-class);
+this is a beyond-reference addition in the large-scale-pipeline family.
+
+Exactness: computed entirely in scaled int64 — r0 = SCALE, contribution
+= r // out_degree, r' = (15·SCALE)//100 + (85·sum)//100. Integer sums
+are addition-order independent, so the result is bit-identical across
+partitionings AND expressible in exact SQL (``//`` floor division), no
+float tolerance anywhere. With SCALE = 10^9 the quantization error per
+node per round is < 2e-9 of total mass; overflow headroom holds to
+in-degrees of ~10^7 at rank ~SCALE.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SCALE = 1_000_000_000
+
+
+def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
+             dst_col: str = "dst", iterations: int = 3,
+             scale: int = SCALE, damp_num: int = 85, damp_den: int = 100,
+             num_partitions: int = 32):
+    """Iterative PageRank: returns a Dataset (node_col, "pr") of scaled
+    int64 ranks after ``iterations`` rounds.
+
+    ``nodes`` must list every node once; ``edges`` rows are directed
+    (src, dst) — parallel edges each carry a contribution. Dangling
+    nodes (no out-edges) simply drop their mass, dangling DESTINATIONS
+    (no in-edges) get the base rank: both the standard simplification.
+    Edges whose src is not a node are ignored; dst values MUST be nodes
+    (a phantom dst would materialize as a new node next round — semi-join
+    edges against the node set upstream if the graph is dirty).
+
+    Scale notes: ``edges`` is re-tagged every iteration (the lineage
+    re-executes its synth/read each round) — persist edges to Parquet
+    once at real scale. The per-iteration groupby("_kp") partitions are
+    bounded by hash(node) % P, never per-key; the dst-sum uses Ray's
+    native combiner tree so only O(distinct dst per block) rows cross
+    the second exchange."""
+    from ..schema import unify_additive
+    from ..stages.joins import _co_partition
+
+    base = (scale * (damp_den - damp_num)) // damp_den
+
+    ranks = nodes.map_batches(
+        lambda t, s=scale: t.select([node_col]).append_column(
+            "r", pa.array(np.full(t.num_rows, s, np.int64))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    r_schema = pa.schema([(node_col, pa.int64()), ("r", pa.int64())])
+    e_schema = pa.schema([(src_col, pa.int64()), (dst_col, pa.int64())])
+    union_schema = unify_additive(r_schema, e_schema).append(
+        pa.field("_side", pa.string())
+    )
+
+    def contribute(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == "l"]
+        rg = g[g["_side"] == "r"]
+        # seed rows keep zero-in-degree nodes present in the next fold
+        seeds = pd.DataFrame({
+            node_col: lg[node_col].to_numpy(np.int64),
+            "c": np.zeros(len(lg), np.int64),
+        })
+        if rg.empty:
+            return seeds
+        deg = rg.groupby(src_col, sort=False)[dst_col].transform(
+            "size").to_numpy(np.int64)
+        # LEFT join keeps len == len(rg) positionally aligned with deg;
+        # edges whose src is not a node (phantom src) drop via the mask.
+        # Nullable Int64 (not float64 + NaN upcast) so ranks past 2^53
+        # survive the join exactly
+        lr = lg[[node_col, "r"]].copy()
+        lr["r"] = lr["r"].astype("Int64")
+        m = rg[[src_col, dst_col]].merge(
+            lr, left_on=src_col, right_on=node_col,
+            how="left", sort=False,
+        )
+        kept = m["r"].notna().to_numpy()
+        contrib = pd.DataFrame({
+            node_col: m[dst_col].to_numpy(np.int64)[kept],
+            "c": m["r"].to_numpy()[kept].astype(np.int64) // deg[kept],
+        })
+        return pd.concat([seeds, contrib], ignore_index=True)
+
+    contribute.__name__ = "pr_contribute"
+
+    for _ in range(iterations):
+        both = _co_partition(
+            [(ranks, "l", node_col, [node_col]),
+             (edges, "r", src_col, [src_col, dst_col])],
+            union_schema, num_partitions,
+        )
+        contribs = both.groupby("_kp").map_groups(
+            lambda g: contribute(g.drop(columns=["_kp"])),
+            batch_format="pandas",
+        )
+        summed = contribs.groupby(node_col).sum("c")
+
+        def fold(t: pa.Table, b=base, dn=damp_num, dd=damp_den) -> pa.Table:
+            s = pc.cast(t.column("sum(c)"), pa.int64())
+            r = pc.add(b, pc.divide(pc.multiply(s, dn), dd))
+            return pa.table({node_col: t.column(node_col), "r": r})
+
+        fold.__name__ = "pr_fold"
+        ranks = summed.map_batches(fold, batch_format="pyarrow",
+                                   batch_size=None)
+
+    return ranks.map_batches(
+        lambda t: t.rename_columns([node_col, "pr"]),
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -2751,3 +2751,36 @@ def extract_html_documents(sf_dir: str):
     ds = ds.map_batches(tx.strip_html("html", "clean_text"),
                         batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["doc_id", "clean_text"])
+
+
+def pagerank_documents(sf_dir: str):
+    """Distributed PageRank (functions/graph.pagerank) over a
+    deterministic planted link graph on the documents table: node set =
+    doc_id (contiguous 0..N-1), out-links doc -> (131*doc + j) % N for
+    j in 0..2. Integer-exact scaled arithmetic (see module docstring),
+    so the unrolled-SQL oracle matches bit-for-bit after 3 iterations —
+    2 bounded exchanges per iteration, rank vector never broadcast."""
+    from ..functions.graph import pagerank
+
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = nodes.count()
+
+    def make_edges(t: pa.Table, n=n) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([d, d, d])
+        j = np.repeat(np.arange(3, dtype=np.int64), len(d))
+        dst = (131 * src + j) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    nodes = nodes.map_batches(
+        lambda t: t.rename_columns(["node"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    edges = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
+        make_edges, batch_format="pyarrow", batch_size=None,
+    )
+    out = pagerank(nodes, edges, iterations=3)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "pr"]),
+        batch_format="pyarrow", batch_size=None,
+    )

@@ -1038,3 +1038,34 @@ def test_strip_html_tags_entities_whitespace(ray_session):
         '&lt; stays <escaped> "q" \'s\'',
         "plain text with space",
     ]
+
+
+def test_pagerank_integer_semantics(ray_session):
+    """Crafted graph: dangling node (no out-edges), zero-in-degree node,
+    parallel edges, phantom src — vs a sequential integer reference."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.graph import pagerank
+
+    nodes = [0, 1, 2, 3, 4]  # 4 = no in-edges; 3 = dangling (no out)
+    edges = [(0, 1), (0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (9, 1)]
+    S, K = 1_000_000_000, 3
+    r = {v: S for v in nodes}
+    for _ in range(K):
+        s = {v: 0 for v in nodes}
+        deg = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        for a, b in edges:
+            if a in r and b in s:
+                s[b] += r[a] // deg[a]
+        r = {v: (S * 15) // 100 + (85 * s[v]) // 100 for v in nodes}
+    got = pagerank(
+        rd.from_arrow(pa.table({"node": pa.array(nodes, pa.int64())})),
+        rd.from_arrow(pa.table({
+            "src": pa.array([a for a, _ in edges], pa.int64()),
+            "dst": pa.array([b for _, b in edges], pa.int64()),
+        })).repartition(3),
+        iterations=K, num_partitions=4,
+    ).to_pandas().set_index("node")["pr"].to_dict()
+    assert got == r
