@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_documents": demo.extract_html_documents,
         # distributed PageRank (iterative join+aggregate, integer-exact)
         "pagerank_documents": demo.pagerank_documents,
+        # distributed connected components (min-label propagation)
+        "connected_components_documents": demo.connected_components_documents,
+        # Z-order (Morton) clustering key for multi-dim layout
+        "zorder_cluster_events": demo.zorder_cluster_events,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -747,6 +751,38 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS r
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
             SELECT node AS doc_id, r AS pr FROM r3
+        """,
+        "connected_components_documents": """
+            WITH RECURSIVE nodes AS (SELECT doc_id AS v FROM documents),
+            p AS (SELECT count(*) AS n FROM documents),
+            ed AS (
+                SELECT v AS a, v + 1 AS b FROM nodes, p
+                WHERE v % 7 <> 6 AND v % 11 <> 10 AND v + 1 < p.n
+            ),
+            e AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+            reach(v, u) AS (
+                SELECT a AS v, b AS u FROM e
+                UNION
+                SELECT r.v, e.b AS u FROM reach r JOIN e ON r.u = e.a
+            )
+            SELECT n.v AS doc_id,
+                   CAST(least(n.v, coalesce(min(r.u), n.v)) AS BIGINT)
+                       AS label
+            FROM nodes n LEFT JOIN reach r ON r.v = n.v
+            GROUP BY n.v
+        """,
+        "zorder_cluster_events": """
+            WITH src AS (
+                SELECT event_id, user_id & 65535 AS x,
+                       event_id & 65535 AS y
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(sum((((x >> b.b) & 1) << (2 * b.b))
+                            + (((y >> b.b) & 1) << (2 * b.b + 1)))
+                        AS BIGINT) AS zkey
+            FROM src, (SELECT unnest(range(0, 16)) AS b) b
+            GROUP BY event_id, x, y
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

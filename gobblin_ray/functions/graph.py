@@ -125,3 +125,10 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
         lambda t: t.rename_columns([node_col, "pr"]),
         batch_format="pyarrow", batch_size=None,
     )
+
+
+# Public re-export: distributed min-label propagation (one groupby per
+# round, edges never collected on the driver) — shared with the near-dup
+# clustering path. See functions/dedup.connected_components for the
+# algorithm and convergence contract.
+from .dedup import connected_components  # noqa: E402,F401

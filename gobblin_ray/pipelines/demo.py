@@ -2784,3 +2784,58 @@ def pagerank_documents(sf_dir: str):
         lambda t: t.rename_columns(["doc_id", "pr"]),
         batch_format="pyarrow", batch_size=None,
     )
+
+
+def connected_components_documents(sf_dir: str):
+    """Distributed connected components (functions/graph.
+    connected_components — min-label propagation, one groupby per round)
+    over a planted chain graph on doc_ids: edge (i, i+1) unless i hits a
+    break point (i%7==6 or i%11==10), so components are short chains plus
+    isolated nodes. Oracle = recursive-CTE reachability; label = min id
+    of the component."""
+    import ray.data as rd
+
+    from ..functions.graph import connected_components
+
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = nodes.count()
+
+    def make_edges(t: pa.Table, n=n) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        keep = (d % 7 != 6) & (d % 11 != 10) & (d + 1 < n)
+        a = d[keep]
+        return pa.table({"a": pa.array(a), "b": pa.array(a + 1)})
+
+    pairs = nodes.map_batches(make_edges, batch_format="pyarrow",
+                              batch_size=None)
+    labels = connected_components(pairs)
+
+    ks = np.fromiter(labels.keys(), np.int64, len(labels))
+    vs = np.fromiter(labels.values(), np.int64, len(labels))
+    order = np.argsort(ks)
+    ks, vs = ks[order], vs[order]
+
+    def attach(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, d)
+        pos = np.minimum(pos, max(len(ks) - 1, 0))
+        hit = (len(ks) > 0) & (ks[pos] == d)
+        lab = np.where(hit, vs[pos], d).astype(np.int64)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "label": pa.array(lab)})
+
+    return nodes.map_batches(attach, batch_format="pyarrow",
+                             batch_size=None)
+
+
+def zorder_cluster_events(sf_dir: str):
+    """Z-order clustering key (stages/sorts.zorder_key): Morton-interleave
+    (user_id, event_id) low 16 bits each — the OPTIMIZE ZORDER layout
+    primitive; sort/range-partition on zkey downstream co-locates rows
+    close in both dimensions. Bit ops replay exactly in SQL."""
+    from ..stages.sorts import zorder_key
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = ds.map_batches(zorder_key(["user_id", "event_id"], bits=16),
+                        batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["event_id", "zkey"])

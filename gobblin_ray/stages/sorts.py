@@ -10,6 +10,7 @@ top rows (MRCompactor job shape), minus the full shuffle.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -169,3 +170,37 @@ def stratified_sample_hash(
         descending=[False, False], num_partitions=num_partitions,
     )
     return out.drop_columns(["_h"])
+
+
+def zorder_key(cols: list[str], bits: int = 16, out: str = "zkey"):
+    """Z-order (Morton) clustering key — the Delta/Iceberg ``OPTIMIZE
+    ZORDER BY`` layout primitive: interleave the low ``bits`` bits of k
+    int columns so a sort/range-partition on the key co-locates rows
+    that are close in EVERY dimension, making multi-column min/max file
+    pruning effective (each file covers a small hyper-rectangle instead
+    of a full stripe of one column). Gobblin analog: none (its writers
+    partition on one derived key; SURVEY §2.2) — lakehouse-standard
+    beyond-reference addition.
+
+    Per-batch converter, no shuffle: k·bits vectorized numpy ops per
+    batch (bit ops are exactly reproducible in SQL ``>> & <<``, so the
+    key is oracle-checkable). Cluster the table with
+    ``ds.sort(out)`` / ``repartition`` downstream; k·bits must be <= 63.
+    Columns are masked to the low ``bits`` bits — pre-scale or bucket
+    wider domains upstream (standard zorder practice)."""
+    k = len(cols)
+    if k * bits > 63:
+        raise ValueError(f"zorder_key: {k} cols x {bits} bits > 63")
+    mask = (1 << bits) - 1
+
+    def run(t: pa.Table) -> pa.Table:
+        z = np.zeros(t.num_rows, np.int64)
+        for i, c in enumerate(cols):
+            x = t.column(c).to_numpy(zero_copy_only=False).astype(
+                np.int64) & mask
+            for b in range(bits):
+                z |= ((x >> b) & 1) << (b * k + i)
+        return t.append_column(out, pa.array(z))
+
+    run.__name__ = f"zorder[{','.join(cols)}]"
+    return run
