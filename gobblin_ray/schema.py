@@ -153,3 +153,74 @@ def schema_fingerprint(schema: pa.Schema) -> str:
 
     desc = ";".join(f"{f.name}:{f.type}" for f in schema)
     return hashlib.sha256(desc.encode()).hexdigest()[:16]
+
+
+def _read_violations(writer: pa.Schema, reader: pa.Schema) -> list[str]:
+    """Can a consumer on ``reader`` decode data written with ``writer``?
+    Avro resolution rules restricted to this engine's lossless lattice:
+    reader-only fields need a null default (nullable); shared fields need
+    the writer type to promote INTO the reader type; writer-only fields
+    are simply ignored by projection."""
+    out = []
+    wf = {f.name: f for f in writer}
+    for f in reader:
+        w = wf.get(f.name)
+        if w is None:
+            if not f.nullable:
+                out.append(
+                    f"field {f.name!r} is new to the reader but has no "
+                    "null default (non-nullable)"
+                )
+        elif w.type != f.type:
+            wide = _widen(w.type, f.type)
+            if wide is None or wide != f.type:
+                out.append(
+                    f"field {f.name!r}: writer {w.type} does not promote "
+                    f"to reader {f.type}"
+                )
+    return out
+
+
+def compatibility_violations(
+    old, new: pa.Schema, mode: str = "BACKWARD"
+) -> list[str]:
+    """Schema-registry compatibility check — the Confluent/Kafka registry
+    contract (BACKWARD / FORWARD / FULL and their _TRANSITIVE variants;
+    Gobblin consumes the same registry via
+    gobblin-modules/gobblin-kafka-common KafkaSchemaRegistry). ``old`` is
+    the previous schema, or the full history list for _TRANSITIVE modes
+    (non-transitive modes check only the latest).
+
+    BACKWARD: consumers on ``new`` can read data written under ``old``
+    (new fields need null defaults; types may only widen old -> new).
+    FORWARD: consumers on ``old`` can read data written under ``new``
+    (removed fields must have been nullable; types may only narrow...
+    i.e. new must promote INTO old). FULL: both. NONE: anything goes.
+    Returns human-readable violations; empty list == compatible."""
+    mode = mode.upper()
+    base = mode.removesuffix("_TRANSITIVE")
+    if base not in ("BACKWARD", "FORWARD", "FULL", "NONE"):
+        raise ValueError(f"unknown compatibility mode {mode!r}")
+    history = list(old) if isinstance(old, (list, tuple)) else [old]
+    if not mode.endswith("_TRANSITIVE"):
+        history = history[-1:]
+    out: list[str] = []
+    for i, prior in enumerate(history):
+        tag = f" (vs history[{i}])" if len(history) > 1 else ""
+        if base in ("BACKWARD", "FULL"):
+            out += [f"BACKWARD{tag}: {v}"
+                    for v in _read_violations(prior, new)]
+        if base in ("FORWARD", "FULL"):
+            out += [f"FORWARD{tag}: {v}"
+                    for v in _read_violations(new, prior)]
+    return out
+
+
+def check_compatibility(old, new: pa.Schema, mode: str = "BACKWARD") -> None:
+    """Raise ``TypeError`` listing every violation if ``new`` is not
+    ``mode``-compatible with ``old`` (see compatibility_violations)."""
+    v = compatibility_violations(old, new, mode)
+    if v:
+        raise TypeError(
+            f"schema not {mode}-compatible: " + "; ".join(v)
+        )

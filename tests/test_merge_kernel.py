@@ -313,3 +313,65 @@ def test_merge_bases_empty_keeps_schema():
     assert live_rows(out).num_rows == 0
     out2 = merge_bases([], BASE_SCHEMA)
     assert out2.schema.names == BASE_SCHEMA.names
+
+
+def test_schema_registry_compatibility_modes():
+    """Confluent-mode semantics over the lossless lattice: BACKWARD
+    gates added fields + narrowing; FORWARD gates removals + widening;
+    FULL both; _TRANSITIVE walks the whole history."""
+    import pyarrow as pa
+    import pytest
+
+    from gobblin_ray.schema import (check_compatibility,
+                                    compatibility_violations)
+
+    v1 = pa.schema([pa.field("id", pa.int32(), nullable=False),
+                    pa.field("name", pa.string())])
+    # add a nullable field + widen id: BACKWARD ok (new reader null-fills
+    # and widens old data), FORWARD not (old reader can't narrow int64)
+    v2 = pa.schema([pa.field("id", pa.int64(), nullable=False),
+                    pa.field("name", pa.string()),
+                    pa.field("score", pa.float64())])
+    assert compatibility_violations(v1, v2, "BACKWARD") == []
+    assert any("does not promote" in m
+               for m in compatibility_violations(v1, v2, "FORWARD"))
+    assert compatibility_violations(v1, v2, "FULL") != []
+    assert compatibility_violations(v1, v2, "NONE") == []
+
+    # add a NON-nullable field: BACKWARD violation (no null default)
+    v2_req = pa.schema([pa.field("id", pa.int32(), nullable=False),
+                        pa.field("tag", pa.string(), nullable=False)])
+    assert any("null default" in m
+               for m in compatibility_violations(v1, v2_req, "BACKWARD"))
+
+    # remove a nullable field: BACKWARD ok AND FORWARD ok (old reader
+    # null-fills the gap) => FULL ok
+    v2_drop = pa.schema([pa.field("id", pa.int32(), nullable=False)])
+    assert compatibility_violations(v1, v2_drop, "FULL") == []
+    # remove a REQUIRED field: FORWARD violation
+    v2_noid = pa.schema([pa.field("name", pa.string())])
+    assert any("null default" in m
+               for m in compatibility_violations(v1, v2_noid, "FORWARD"))
+
+    # transitive modes walk the whole history; plain modes check only
+    # the LATEST prior schema
+    v3 = pa.schema([pa.field("id", pa.int64(), nullable=False),
+                    pa.field("name", pa.string()),
+                    pa.field("score", pa.float32())])
+    v4 = pa.schema([pa.field("id", pa.int64(), nullable=False),
+                    pa.field("name", pa.string()),
+                    pa.field("score", pa.float64())])
+    # latest (v3) -> v4 widens float32 -> float64: FORWARD fails on v3
+    assert compatibility_violations([v2, v3], v4, "FORWARD") != []
+    assert compatibility_violations([v2, v3], v4, "BACKWARD") == []
+    assert compatibility_violations([v2, v3], v4,
+                                    "BACKWARD_TRANSITIVE") == []
+    # FORWARD_TRANSITIVE: v2 (float64 reader) passes, v3 fails — and the
+    # violation is labeled with which history entry it came from
+    tv = compatibility_violations([v2, v3], v4, "FORWARD_TRANSITIVE")
+    assert tv and all("history[1]" in m for m in tv)
+
+    with pytest.raises(TypeError, match="not FULL-compatible"):
+        check_compatibility(v1, v2, "FULL")
+    with pytest.raises(ValueError):
+        compatibility_violations(v1, v2, "SIDEWAYS")
