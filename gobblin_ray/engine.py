@@ -168,6 +168,11 @@ class EngineConfig:
     job_lock: bool = True  # FileBasedJobLock analog: refuse to run while
     # another live driver holds <lake>/_locks/job.lock (two concurrent
     # replays would race staged promotes); stale locks are taken over
+    schema_compat_mode: str | None = None  # registry-style evolution gate
+    # (schema.check_compatibility: BACKWARD / FORWARD / FULL / NONE
+    # [+_TRANSITIVE]) applied to lake-schema changes ON TOP of the lossless
+    # additive lattice — e.g. FULL also rejects widenings and additions an
+    # old-schema consumer could not read. None = additive lattice only.
     max_run_seconds: float | None = None  # early stop (Source.isEarlyStopped,
     # gobblin-api/.../source/Source.java:103 + Kafka max pull duration,
     # KafkaExtractor maxPullTime): once the budget elapses, stop SUBMITTING
@@ -514,6 +519,17 @@ class CdcEngine:
                 pa.field("is_deleted", pa.bool_())
             ),
         )
+        if self.cfg.schema_compat_mode and base_schema != manifest.base_schema():
+            # registry-style gate on top of the additive lattice: fail the
+            # epoch BEFORE any work if the evolved lake schema is not
+            # mode-compatible with the current one (SchemaCompatibility
+            # policy analog, enforced at plan time not at commit)
+            from .schema import check_compatibility
+
+            check_compatibility(
+                manifest.base_schema(), base_schema,
+                self.cfg.schema_compat_mode,
+            )
 
         prev_counts = {b: s.events_epoch for b, s in manifest.buckets.items()}
         splan = planmod.salt_plan(
@@ -595,6 +611,20 @@ class CdcEngine:
         # Schema only ever widens across epochs, even if this epoch's
         # shards predate a column introduced by an earlier window member.
         base_schema = unify_additive(manifest.base_schema(), execution["base_schema"])
+        if self.cfg.schema_compat_mode and base_schema != manifest.base_schema():
+            # authoritative registry gate: the plan-time check in
+            # _execute_epoch compares against the WINDOW-START manifest, so
+            # a widening can masquerade as a plain addition when the column
+            # was introduced by an earlier epoch of the same pipelined
+            # window; here ``manifest`` is the live head, so the sequential
+            # schema chain is exact. Raising BEFORE promote leaves the
+            # watermark at the last committed epoch (staged files are swept).
+            from .schema import check_compatibility
+
+            check_compatibility(
+                manifest.base_schema(), base_schema,
+                self.cfg.schema_compat_mode,
+            )
 
         touched = {int(r["bucket"]): r for r in lineage}
         # TaskLevelPolicy commit gate (gobblin-api/.../qualitychecker/task/

@@ -950,3 +950,50 @@ def test_type_widening_evolution_midlog(ray_session, corpus, oracle_df,
     same = (g == w) | (pd.isna(g) & pd.isna(w))
     assert same.all()
     assert list(got["event_seq"]) == list(want["event_seq"])
+
+
+def test_schema_compat_mode_gates_widening(ray_session, corpus, oracle_df,
+                                           tmp_path_factory):
+    """schema_compat_mode=FULL rejects a mid-log int32->int64 widening
+    (an old-schema consumer cannot read the wider type) BEFORE any epoch
+    work; BACKWARD accepts it and the replay converges to the oracle."""
+    import os
+    import shutil
+
+    import pytest
+
+    d, meta = corpus
+    d2 = str(tmp_path_factory.mktemp("compat_corpus"))
+    shutil.copytree(f"{d}/events", f"{d2}/events")
+    shutil.copy(f"{d}/pages.parquet", f"{d2}/pages.parquet")
+    last = sorted(f for f in os.listdir(f"{d2}/events")
+                  if f.endswith(".parquet"))[-1]
+    p = os.path.join(d2, "events", last)
+    t = pq.read_table(p)
+    idx = t.column_names.index("fetch_status")
+    t = t.set_column(idx, "fetch_status",
+                     t.column("fetch_status").cast(pa.int64()))
+    pq.write_table(t, p)
+    os.remove(os.path.join(d2, "events", "_meta.json"))
+
+    lake = str(tmp_path_factory.mktemp("lake_compat_full"))
+    eng = CdcEngine(lake, f"{d2}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W,
+                                 schema_compat_mode="FULL"))
+    eng.bootstrap(f"{d2}/pages.parquet")
+    with pytest.raises(TypeError, match="FULL-compatible"):
+        eng.run()
+
+    # BACKWARD allows the widening; the run completes and value-matches
+    lake2 = str(tmp_path_factory.mktemp("lake_compat_bwd"))
+    eng2 = CdcEngine(lake2, f"{d2}/events",
+                     EngineConfig(num_buckets=8, epoch_width=EPOCH_W,
+                                  schema_compat_mode="BACKWARD"))
+    eng2.bootstrap(f"{d2}/pages.parquet")
+    eng2.run()
+    got = engine_df(eng2)
+    want = oracle_df
+    assert list(got["url"]) == list(want["url"])
+    g = got["fetch_status"].to_numpy()
+    w = want["fetch_status"].to_numpy()
+    assert ((g == w) | (pd.isna(g) & pd.isna(w))).all()
