@@ -129,6 +129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_documents": demo.connected_components_documents,
         # Z-order (Morton) clustering key for multi-dim layout
         "zorder_cluster_events": demo.zorder_cluster_events,
+        # per-group MAD outlier screen (Hampel rule, bit-exact medians)
+        "mad_outliers_events": demo.mad_outliers_events,
+        # skew-resistant hybrid join (hot keys broadcast, cold keys hashed)
+        "skew_join_lineitem_orders": demo.skew_join_lineitem_orders,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -783,6 +787,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS zkey
             FROM src, (SELECT unnest(range(0, 16)) AS b) b
             GROUP BY event_id, x, y
+        """,
+        "mad_outliers_events": """
+            WITH src AS (
+                SELECT event_id, user_id, value FROM events
+                WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ),
+            med AS (
+                SELECT user_id, quantile_cont(value, 0.5) AS med
+                FROM src GROUP BY user_id
+            ),
+            d AS (
+                SELECT s.event_id, s.user_id, m.med,
+                       abs(s.value - m.med) AS dev
+                FROM src s JOIN med m ON s.user_id = m.user_id
+            ),
+            mad AS (
+                SELECT user_id, quantile_cont(dev, 0.5) AS mad
+                FROM d GROUP BY user_id
+            )
+            SELECT d.event_id, d.user_id,
+                   round(d.med, 2) AS med, round(a.mad, 2) AS mad,
+                   d.dev > 3.0 * a.mad AS is_outlier
+            FROM d JOIN mad a ON d.user_id = a.user_id
+        """,
+        "skew_join_lineitem_orders": """
+            SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

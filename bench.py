@@ -84,6 +84,11 @@ QUERY_NAMES = [
     "window_join_click_purchase",
     "incremental_view_hosts",
     "quantize_embeddings",
+    "window_frame_events",
+    "extract_html_documents",
+    "pagerank_documents",
+    "mad_outliers_events",
+    "skew_join_lineitem_orders",
 ]
 
 

@@ -191,3 +191,48 @@ def exact_quantiles_by(ds, group_col: str, value_col: str, qs: list[float],
     qpart.__name__ = "group_quantiles"
     return keyed_map_groups(ds, group_col, qpart,
                             num_partitions=num_partitions)
+
+
+def mad_outliers(ds, group_col: str, value_col: str, k: float = 3.0,
+                 num_partitions: int = 64):
+    """Robust per-group outlier detection via Median Absolute Deviation
+    (Hampel's rule: flag rows with |v - median| > k * MAD) — the
+    data-quality screen that, unlike z-scores, is not itself dragged by
+    the outliers it hunts. Gobblin analog: the row-level quality-policy
+    family (SURVEY §2.9), extended with a data-driven threshold.
+
+    ONE bounded exchange on ``hash(group) % num_partitions``; per
+    partition both medians come from the same cythonized
+    ``groupby().quantile`` lerp that is bit-identical to SQL
+    ``quantile_cont`` (proven by the grouped-quantile oracle), so the
+    deviations, the k*MAD threshold and the resulting flags are exactly
+    reproducible — no float tolerance. Emits the input columns plus
+    ``med`` / ``mad`` / ``is_outlier``. Null group keys are dropped;
+    null values pass through with a null flag (SQL comparison-with-NULL
+    semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..stages.partition import keyed_map_groups
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        med = g.groupby(group_col, sort=False)[value_col].quantile(
+            0.5, interpolation="linear")
+        m = g[group_col].map(med).to_numpy(np.float64)
+        dev = np.abs(g[value_col].to_numpy(np.float64) - m)
+        mad = (g.assign(_dev=dev)
+                .groupby(group_col, sort=False)["_dev"]
+                .quantile(0.5, interpolation="linear"))
+        md = g[group_col].map(mad).to_numpy(np.float64)
+        out = g.copy()
+        out["med"] = m
+        out["mad"] = md
+        flag = dev > k * md
+        out["is_outlier"] = pd.array(
+            np.where(np.isnan(dev), None, flag), dtype="boolean"
+        )
+        return out
+
+    flag.__name__ = "mad_outliers"
+    return keyed_map_groups(ds, group_col, flag,
+                            num_partitions=num_partitions)

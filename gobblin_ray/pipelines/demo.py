@@ -2839,3 +2839,46 @@ def zorder_cluster_events(sf_dir: str):
     ds = ds.map_batches(zorder_key(["user_id", "event_id"], bits=16),
                         batch_format="pyarrow", batch_size=None)
     return ds.select_columns(["event_id", "zkey"])
+
+
+def mad_outliers_events(sf_dir: str):
+    """Per-user MAD outlier screen (functions/quantiles.mad_outliers,
+    Hampel k=3): medians from the quantile_cont-parity kernel, so flags
+    are bit-exact against the SQL replay."""
+    from ..functions.quantiles import mad_outliers
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "value"])
+    ds = ds.map_batches(
+        cv.filter_expr(lambda t: pc.is_valid(t.column("value"))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = mad_outliers(ds, "user_id", "value", k=3.0)
+    out = out.map_batches(
+        _round_cols({"med": 2, "mad": 2}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return out.select_columns(
+        ["event_id", "user_id", "med", "mad", "is_outlier"]
+    )
+
+
+def skew_join_lineitem_orders(sf_dir: str):
+    """Skew-resistant hybrid join (stages/joins.skew_join_by_key):
+    orderkeys with >8 lineitems take the broadcast path (their rows never
+    shuffle), the cold tail takes the partitioned hash join; union is
+    exact. Exercises BOTH paths at every sf (per-key counts span 1..12)."""
+    from ..stages.joins import skew_join_by_key
+
+    left = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    right = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    right = right.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = skew_join_by_key(left, right, "l_orderkey", hot_threshold=8)
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "o_custkey"]
+    )

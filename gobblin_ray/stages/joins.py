@@ -584,3 +584,91 @@ def range_join(
     match.__name__ = "range_match"
     both = p_tag.union(i_tag)
     return both.groupby("_rb").map_groups(match, batch_format="pyarrow")
+
+
+def hot_keys_exact(ds, key: str, threshold: int):
+    """Exact hot-key detection: ONE combiner-pre-aggregated groupby count,
+    then only keys with count > threshold come to the driver — O(hot keys)
+    driver state, never the full key histogram."""
+    counts = ds.groupby(key).count()
+
+    def keep_hot(t: pa.Table, th=threshold) -> pa.Table:
+        return t.filter(pc.greater(t.column("count()"), th))
+
+    hot = counts.map_batches(keep_hot, batch_format="pyarrow",
+                             batch_size=None)
+    return [r[key] for r in hot.take_all()]
+
+
+def skew_join_by_key(left, right, key: str, hot_threshold: int,
+                     num_partitions: int = 16):
+    """Skew-resistant INNER equi-join: the classic fact⋈dim shape where a
+    handful of hot keys (celebrity users, null-ish defaults, head URLs)
+    would overload single shuffle partitions. Spark's skew-join hint /
+    AQE skew split rebuilt Ray-native, and the join-side complement to
+    this engine's salted hot-bucket routing (plan.salt_plan):
+
+    1. find hot LEFT keys exactly (``hot_keys_exact`` — one combiner
+       groupby, only hot keys reach the driver);
+    2. hot left rows join against the hot slice of the right side via
+       ``broadcast_join`` — those rows NEVER shuffle (ray.put once,
+       plasma-shared per node);
+    3. cold rows flow through the ordinary partitioned ``hash_join``,
+       whose partitions are now skew-free;
+    4. union — exact, since the key split is a partition of the rows.
+
+    Assumption (documented per the custom-operator rule): the right side
+    holds bounded rows per key (dimension/metadata), so the hot slice
+    fits in the object store. Null keys drop (inner-join semantics)."""
+    import ray
+
+    hot = hot_keys_exact(left, key, hot_threshold)
+    if not hot:
+        return hash_join(left, right, key, num_partitions=num_partitions)
+    hot_arr = pa.array(sorted(hot))
+    hot_ref = ray.put(hot_arr)
+
+    def splitter(keep_hot: bool):
+        # TASK-based stage on purpose: the final pipeline runs four split
+        # streams + the broadcast-join actor pool + the hash-shuffle
+        # aggregators CONCURRENTLY, and each actor pool reserves >= 1 CPU
+        # up front — on a small node the reservations alone can deadlock
+        # the scheduler. ray.get of the plasma-shared hot set is a local
+        # zero-copy fetch per task, so tasks lose nothing here.
+        def split(t: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            col = t.column(key)
+            in_hot = pc.fill_null(pc.is_in(col, value_set=hot), False)
+            keep = in_hot if keep_hot else pc.and_(
+                pc.invert(in_hot), pc.is_valid(col))
+            return t.filter(keep)
+
+        split.__name__ = f"split_{'hot' if keep_hot else 'cold'}[{key}]"
+        return split
+
+    right_hot_ds = right.map_batches(splitter(True), batch_format="pyarrow",
+                                     batch_size=None)
+    right_hot = pa.concat_tables(
+        [ray.get(r) for r in right_hot_ds.to_arrow_refs()],
+        promote_options="default",
+    )
+    left_hot = left.map_batches(splitter(True), batch_format="pyarrow",
+                                batch_size=None)
+    left_cold = left.map_batches(splitter(False), batch_format="pyarrow",
+                                 batch_size=None)
+    right_cold = right.map_batches(splitter(False), batch_format="pyarrow",
+                                   batch_size=None)
+
+    out_cols = list(left.schema().names) + [
+        c for c in right.schema().names if c != key
+    ]
+    joined_hot = broadcast_join(left_hot, right_hot, key).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow",
+        batch_size=None,
+    )
+    joined_cold = hash_join(left_cold, right_cold, key,
+                            num_partitions=num_partitions).map_batches(
+        lambda t: t.select(out_cols), batch_format="pyarrow",
+        batch_size=None,
+    )
+    return joined_hot.union(joined_cold)

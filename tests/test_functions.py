@@ -1069,3 +1069,26 @@ def test_pagerank_integer_semantics(ray_session):
         iterations=K, num_partitions=4,
     ).to_pandas().set_index("node")["pr"].to_dict()
     assert got == r
+
+
+def test_mad_outliers_flags_and_nulls(ray_session):
+    """Hampel flags the planted spike, not the bulk; a null value rides
+    through with a null flag (SQL comparison-with-NULL semantics)."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.quantiles import mad_outliers
+
+    t = pa.table({
+        "k": pa.array([1] * 9 + [1, 2, 2], pa.int64()),
+        "id": pa.array(list(range(12)), pa.int64()),
+        "v": pa.array([10.0, 11, 9, 10, 12, 8, 10, 11, 9, 1000.0,
+                       5.0, None]),
+    })
+    import pandas as pd
+
+    got = (mad_outliers(rd.from_arrow(t).repartition(3), "k", "v", k=3.0,
+                        num_partitions=2)
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert bool(got.loc[9, "is_outlier"])           # the 1000.0 spike
+    assert not got.loc[:8, "is_outlier"].any()      # bulk stays clean
+    assert pd.isna(got.loc[11, "is_outlier"])       # null value -> null flag

@@ -1689,3 +1689,45 @@ def test_zorder_key_improves_multidim_locality(ray_session):
     assert files_touched(np.argsort(z, kind="stable")) < files_touched(
         np.argsort(x, kind="stable"))
     assert a_z <= a_x
+
+
+def test_skew_join_matches_plain_join(ray_session):
+    """Hybrid hot/cold split is exact: equals a plain pandas merge on a
+    crafted skewed input (one celebrity key, a cold tail, a right-only
+    key, a null key) and both paths are actually taken."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import hot_keys_exact, skew_join_by_key
+
+    rng = np.random.default_rng(11)
+    k = np.concatenate([np.zeros(500, np.int64),
+                        rng.integers(1, 40, 300)])
+    left = pd.DataFrame({"k": k, "lid": np.arange(len(k))})
+    right = pd.DataFrame({"k": np.arange(0, 45), "attr": np.arange(0, 45) * 10})
+    # null key row must drop (inner-join semantics)
+    lt = pa.table({
+        "k": pa.array(list(k) + [None], pa.int64()),
+        "lid": pa.array(list(np.arange(len(k))) + [-1], pa.int64()),
+    })
+    lds = rd.from_arrow(lt).repartition(4)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(2)
+
+    hot = hot_keys_exact(lds, "k", 100)
+    assert hot == [0]  # only the celebrity key
+
+    got = (skew_join_by_key(lds, rds, "k", hot_threshold=100,
+                            num_partitions=4)
+           .to_pandas().sort_values(["k", "lid"]).reset_index(drop=True))
+    want = (left.merge(right, on="k", how="inner")
+            .sort_values(["k", "lid"]).reset_index(drop=True))
+    assert len(got) == len(want) == 800
+    for c in ("k", "lid", "attr"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # threshold above every count -> pure hash-join fallback, same result
+    got2 = (skew_join_by_key(lds, rds, "k", hot_threshold=10_000,
+                             num_partitions=4)
+            .to_pandas().sort_values(["k", "lid"]).reset_index(drop=True))
+    assert (got2["lid"].to_numpy() == want["lid"].to_numpy()).all()
