@@ -200,6 +200,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip re-reading landed bytes for the digest")
 
     sp = sub.add_parser(
+        "replicate", help="maintain a downstream replica lake purely from "
+        "the primary's full-row change feed (cascaded CDC; distcp/"
+        "ReplicationConfiguration analog). Idempotent per round."
+    )
+    sp.add_argument("src_lake")
+    sp.add_argument("dst_lake")
+    sp.add_argument("--pages", required=True,
+                    help="the shared bootstrap snapshot parquet")
+    sp.add_argument("--feed-dir", required=True,
+                    help="where the exported change-feed shards land")
+    sp.add_argument("--events-dir", required=True,
+                    help="the PRIMARY's events dir (engine handle only)")
+    sp.add_argument("--from-epoch", type=int, default=0)
+    sp.add_argument("--buckets", type=int, default=16,
+                    help="replica bucket count (independent of primary)")
+
+    sp = sub.add_parser(
         "query", help="run one operator pipeline from the demo library "
         "(EmbeddedGobblin one-shot job analog)"
     )
@@ -295,6 +312,27 @@ def main(argv: list[str] | None = None) -> int:
         from .retention import rollback_to
 
         print(json.dumps(rollback_to(args.lake_dir, args.to_epoch)))
+        return 0
+
+    if args.cmd == "replicate":
+        from .engine import CdcEngine as _Eng, EngineConfig as _Cfg
+        from .replicate import replicate as _repl
+
+        _ray_up(args.num_cpus)
+        t0 = time.time()
+        src = _Eng(args.src_lake, args.events_dir, _Cfg())
+        dst = _repl(src, args.dst_lake, args.pages, args.feed_dir,
+                    cfg=_Cfg(num_buckets=args.buckets),
+                    from_epoch=args.from_epoch)
+        m = dst.store.latest()
+        print(json.dumps({
+            "replica_epoch": m.epoch,
+            "replica_rows": sum(s.rows for s in m.buckets.values()),
+            "sec": round(time.time() - t0, 3),
+        }))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "copy":

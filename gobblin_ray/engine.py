@@ -1598,6 +1598,105 @@ class CdcEngine:
             diff_bucket, batch_format="pyarrow", batch_size=1
         )
 
+    def read_changes_full(self, from_epoch: int, to_epoch: int | None = None):
+        """Full-row CDC-out feed: like ``read_changes`` but each
+        insert/update row carries EVERY lake column of the new state, and
+        each delete carries the TOMBSTONE's (warc_ts, event_seq) — i.e.
+        the deleting event's own identity, not the last old values. That
+        makes the feed a REPLAYABLE event log: applying it (change_type
+        as ``op``) to a replica bootstrapped from the same snapshot
+        converges the replica's live state byte-identically, because
+        every feed row sits at its true position in the (warc_ts,
+        event_seq) LWW total order (replicate.py builds on this; a
+        net-change delete replayed with the OLD row's identity would tie
+        with the replica's own row and make the winner order-dependent).
+        Urls purged (no tombstone) fall back to the old row's identity.
+
+        Same scale shape as read_changes: per-bucket local, no shuffle;
+        needs the older manifest's files (vacuum window)."""
+        import ray.data as rd
+
+        from .merge import live_rows, merge_bases
+
+        m_old = self.store.load(from_epoch)
+        m_new = (
+            self.store.load(to_epoch) if to_epoch is not None
+            else self.store.latest()
+        )
+        if m_old.num_buckets != m_new.num_buckets:
+            raise ValueError(
+                "read_changes_full across a bucket migration; diff within "
+                "one bucket layout (see read_changes)"
+            )
+        old_map = self.bucket_file_map(m_old)
+        new_map = self.bucket_file_map(m_new)
+        schema = m_new.base_schema()
+        specs = [
+            {"old": old_map.get(b, []), "new": new_map.get(b, [])}
+            for b in sorted(set(old_map) | set(new_map))
+        ]
+        out_schema = pa.schema(
+            [("change_type", pa.string())]
+            + [(f.name, f.type) for f in schema if f.name != "is_deleted"]
+        )
+        data_cols = [f.name for f in out_schema][1:]
+
+        def _merged(files: list[str]) -> pa.Table:
+            if not files:
+                return conform(pa.table({}), schema)
+            t = merge_bases([pq.read_table(p) for p in files], schema)
+            return conform(t, schema).sort_by([("url", "ascending")])
+
+        def _emit(t: pa.Table, idx: np.ndarray, kind: str) -> pa.Table:
+            sel = t.take(pa.array(idx)).select(data_cols)
+            return pa.table(
+                {"change_type": pa.array([kind] * len(idx), pa.string()),
+                 **{c: sel.column(c) for c in data_cols}},
+                schema=out_schema,
+            )
+
+        def diff_bucket(batch: pa.Table) -> pa.Table:
+            outs = []
+            for row in batch.to_pylist():
+                all_old = _merged(row["old"])
+                all_new = _merged(row["new"])
+                told, tnew = live_rows(all_old), live_rows(all_new)
+                told = conform(told, schema)
+                tnew = conform(tnew, schema)
+                ou = told.column("url").to_numpy(zero_copy_only=False)
+                nu = tnew.column("url").to_numpy(zero_copy_only=False)
+                in_old = np.isin(nu, ou)
+                outs.append(_emit(tnew, np.flatnonzero(~in_old), "insert"))
+                common = np.flatnonzero(in_old)
+                if len(common):
+                    oi = np.searchsorted(ou, nu[common])
+                    oseq = told.column("event_seq").to_numpy(
+                        zero_copy_only=False)[oi]
+                    nseq = tnew.column("event_seq").to_numpy(
+                        zero_copy_only=False)[common]
+                    outs.append(
+                        _emit(tnew, common[oseq != nseq], "update"))
+                gone = np.flatnonzero(~np.isin(ou, nu))
+                if len(gone):
+                    # deleting event's identity lives in the NEW tombstones
+                    au = all_new.column("url").to_numpy(zero_copy_only=False)
+                    pos = np.searchsorted(au, ou[gone])
+                    pos_c = np.minimum(pos, max(len(au) - 1, 0))
+                    has_tomb = (len(au) > 0) & (au[pos_c] == ou[gone])
+                    if has_tomb.any():
+                        outs.append(_emit(
+                            all_new, pos_c[has_tomb], "delete"))
+                    if (~has_tomb).any():  # purged: old identity fallback
+                        outs.append(_emit(
+                            told, gone[~has_tomb], "delete"))
+            return (pa.concat_tables(outs) if outs
+                    else conform(pa.table({}), out_schema))
+
+        diff_bucket.__name__ = "snapshot_diff_full"
+        return rd.from_items(specs).map_batches(
+            diff_bucket, batch_format="pyarrow", batch_size=1
+        )
+
     def read_table_arrow(self, manifest: Manifest | None = None) -> pa.Table:
         """Driver-side materialized view — tests/small lakes only."""
         from .merge import merge_bases

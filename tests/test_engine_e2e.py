@@ -997,3 +997,42 @@ def test_schema_compat_mode_gates_widening(ray_session, corpus, oracle_df,
     g = got["fetch_status"].to_numpy()
     w = want["fetch_status"].to_numpy()
     assert ((g == w) | (pd.isna(g) & pd.isna(w))).all()
+
+
+def test_replication_from_change_feed(ray_session, corpus, oracle_df,
+                                      tmp_path_factory):
+    """Cascaded replication: a replica bootstrapped from the same snapshot
+    and fed ONLY the exported full-row change feed converges to the
+    primary's live state byte-identically — the completeness proof for
+    the CDC-out surface. Deletes replay with the tombstone's own
+    (warc_ts, event_seq) so every feed row sits at its true LWW position.
+    A second round exports an empty delta and no-ops."""
+    from gobblin_ray.replicate import export_change_log, replicate
+
+    d, meta = corpus
+    src_lake = str(tmp_path_factory.mktemp("repl_src"))
+    src = CdcEngine(src_lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    src.bootstrap(f"{d}/pages.parquet")
+    src.run(vacuum=False)  # epoch-0 files must survive for the 0->head diff
+
+    feed_dir = str(tmp_path_factory.mktemp("repl_feed"))
+    dst_lake = str(tmp_path_factory.mktemp("repl_dst"))
+    dst = replicate(src, dst_lake, f"{d}/pages.parquet", feed_dir,
+                    cfg=EngineConfig(num_buckets=4, epoch_width=EPOCH_W))
+
+    got, want = engine_df(dst), engine_df(src)
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    for c in want.columns:
+        g, w = got[c].to_numpy(), want[c].to_numpy()
+        same = (g == w) | (pd.isna(g) & pd.isna(w))
+        assert same.all(), f"replica mismatch in {c}"
+    # the replica also matches the sequential oracle end-to-end
+    assert_matches_oracle(got, oracle_df)
+
+    # idempotent second round: feed of dst-head vs src-head is empty
+    feed2 = str(tmp_path_factory.mktemp("repl_feed2"))
+    n = export_change_log(src, feed2,
+                          from_epoch=src.store.latest().epoch)
+    assert n == 0
