@@ -58,6 +58,13 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
 
     base = (scale * (damp_den - damp_num)) // damp_den
 
+    # Block-count hygiene: every iteration's sort-shuffles pay a per-block
+    # constant, and reads on a many-CPU node split into far more blocks
+    # than the exchange is wide — pin both inputs to the exchange width so
+    # barrier cost is O(num_partitions) per round, not O(read splits)
+    # compounding through the unions (measured 45s -> 8s on 5k nodes).
+    nodes = nodes.repartition(num_partitions)
+    edges = edges.repartition(num_partitions)
     ranks = nodes.map_batches(
         lambda t, s=scale: t.select([node_col]).append_column(
             "r", pa.array(np.full(t.num_rows, s, np.int64))),
@@ -78,7 +85,7 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
             "c": np.zeros(len(lg), np.int64),
         })
         if rg.empty:
-            return seeds
+            return pa.Table.from_pandas(seeds, preserve_index=False)
         deg = rg.groupby(src_col, sort=False)[dst_col].transform(
             "size").to_numpy(np.int64)
         # LEFT join keeps len == len(rg) positionally aligned with deg;
@@ -96,7 +103,12 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
             node_col: m[dst_col].to_numpy(np.int64)[kept],
             "c": m["r"].to_numpy()[kept].astype(np.int64) // deg[kept],
         })
-        return pd.concat([seeds, contrib], ignore_index=True)
+        out = pd.concat([seeds, contrib], ignore_index=True)
+        # per-partition pre-sum: one row per dst leaves the partition, and
+        # the downstream exchange aggregates ARROW blocks (the pandas-block
+        # aggregate path is measurably slower per block)
+        out = out.groupby(node_col, sort=False, as_index=False)["c"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     contribute.__name__ = "pr_contribute"
 
@@ -118,8 +130,9 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
             return pa.table({node_col: t.column(node_col), "r": r})
 
         fold.__name__ = "pr_fold"
+        # re-pin the block count: the union doubles it every round otherwise
         ranks = summed.map_batches(fold, batch_format="pyarrow",
-                                   batch_size=None)
+                                   batch_size=None).repartition(num_partitions)
 
     return ranks.map_batches(
         lambda t: t.rename_columns([node_col, "pr"]),

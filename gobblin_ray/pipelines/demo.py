@@ -2779,7 +2779,7 @@ def pagerank_documents(sf_dir: str):
     edges = read_table(sf_dir, "documents", columns=["doc_id"]).map_batches(
         make_edges, batch_format="pyarrow", batch_size=None,
     )
-    out = pagerank(nodes, edges, iterations=3)
+    out = pagerank(nodes, edges, iterations=3, num_partitions=8)
     return out.map_batches(
         lambda t: t.rename_columns(["doc_id", "pr"]),
         batch_format="pyarrow", batch_size=None,
