@@ -133,6 +133,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": demo.mad_outliers_events,
         # skew-resistant hybrid join (hot keys broadcast, cold keys hashed)
         "skew_join_lineitem_orders": demo.skew_join_lineitem_orders,
+        # TPC-H-shaped multi-join compositions (Q3 / Q5 analogs)
+        "tpch_q3_shipping_priority": demo.tpch_q3_shipping_priority,
+        "tpch_q5_local_supplier": demo.tpch_q5_local_supplier,
         "string_agg_nations": demo.string_agg_nations,
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
@@ -814,6 +817,38 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_lineitem_orders": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        "tpch_q3_shipping_priority": """
+            WITH r AS (
+                SELECT l.l_orderkey,
+                       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                           AS revenue,
+                       o.o_orderdate, o.o_orderpriority
+                FROM customer c
+                JOIN orders o ON c.c_custkey = o.o_custkey
+                JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                WHERE c.c_mktsegment = 'BUILDING'
+                  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+                  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+                GROUP BY 1, 3, 4
+            )
+            SELECT * FROM r ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "tpch_q5_local_supplier": """
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n.n_name
         """,
         "cosine_pairs_embeddings": """
             SELECT x.vec_id AS a, y.vec_id AS b,

@@ -2882,3 +2882,147 @@ def skew_join_lineitem_orders(sf_dir: str):
     return out.select_columns(
         ["l_orderkey", "l_linenumber", "l_quantity", "o_custkey"]
     )
+
+
+def tpch_q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-shaped composition (segment filter -> 3-way join ->
+    grouped revenue -> top-10): customer segment broadcast-prunes orders,
+    the surviving (filtered, small) order slice broadcasts into lineitem
+    — the big table never shuffles — then grouped Sum + deterministic
+    top-k on (rounded revenue, orderkey). o_orderpriority stands in for
+    the reference dataset's o_shippriority."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.sorts import top_k
+
+    cutoff = pa.scalar(np.datetime64("1998-06-01", "us"))
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    cust = cust.filter(
+        pc.equal(cust.column("c_mktsegment"), "BUILDING")
+    ).select(["c_custkey"])
+    orders = read_table(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"), cutoff)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    orders = broadcast_join(
+        orders, cust.rename_columns(["o_custkey"]), keys="o_custkey"
+    )
+    # the doubly-filtered order slice is small by selectivity — collect
+    # and broadcast it into the fact table so lineitem never shuffles
+    o_small = pa.concat_tables(
+        [ray.get(r) for r in orders.to_arrow_refs()],
+        promote_options="default",
+    ).select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t.column("l_shipdate"), cutoff)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = broadcast_join(
+        li, o_small.rename_columns(
+            ["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        keys="l_orderkey",
+    )
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("rev", r)
+
+    out = joined.map_batches(rev, batch_format="pyarrow", batch_size=None)
+    out = out.groupby(
+        ["l_orderkey", "o_orderdate", "o_orderpriority"]
+    ).aggregate(Sum("rev", alias_name="revenue"))
+    out = out.map_batches(_round_cols({"revenue": 2}),
+                          batch_format="pyarrow", batch_size=None)
+    return top_k(out, 10, ["revenue", "l_orderkey"],
+                 descending=[True, False])
+
+
+def tpch_q5_local_supplier(sf_dir: str):
+    """TPC-H Q5-shaped composition (region-pruned 6-table join ->
+    revenue per nation): all four dimension sides resolve driver-side to
+    tiny broadcast tables; the one genuinely big⋈big edge
+    (lineitem⋈orders) is the single shuffle; the c_nation==s_nation
+    'local supplier' predicate filters per batch after two broadcast
+    lookups."""
+    import os
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    from ..stages.joins import hash_join
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    nat = nation.join(asia, keys="n_regionkey", right_keys="r_regionkey",
+                      join_type="inner").select(["n_nationkey", "n_name"])
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).join(nat, keys="s_nationkey", right_keys="n_nationkey",
+           join_type="inner")
+    customer = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), lo),
+            pc.less(t.column("o_orderdate"), hi),
+        )).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["o_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = hash_join(li, orders, "o_orderkey", num_partitions=16)
+    joined = broadcast_join(
+        joined,
+        supplier.rename_columns(["l_suppkey", "s_nationkey", "n_name"]),
+        keys="l_suppkey",
+    )
+    joined = broadcast_join(
+        joined, customer.rename_columns(["o_custkey", "c_nationkey"]),
+        keys="o_custkey",
+    )
+
+    def local_rev(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("c_nationkey"),
+                              t.column("s_nationkey")))
+        r = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return t.append_column("rev", r)
+
+    out = joined.map_batches(local_rev, batch_format="pyarrow",
+                             batch_size=None)
+    out = out.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
+    return out.map_batches(_round_cols({"revenue": 2}),
+                           batch_format="pyarrow", batch_size=None)

@@ -45,8 +45,22 @@ def broadcast_join(
 
 
 def hash_join(left, right, on, right_on=None, join_type: str = "inner",
-              num_partitions: int = 16):
-    """Partitioned hash join of two Datasets on key columns."""
+              num_partitions: int | None = None):
+    """Partitioned hash join of two Datasets on key columns.
+
+    ``num_partitions`` is clamped to the cluster CPU count: Ray's
+    hash-shuffle join reserves one aggregator slot per partition, so
+    asking for more partitions than CPUs deadlocks a small node (the
+    aggregators can never all be placed). Default: one partition per
+    CPU, capped at 16 for the small-SF regime.
+    """
+    import ray
+
+    cpus = max(1, int(ray.cluster_resources().get("CPU", 1)))
+    if num_partitions is None:
+        num_partitions = min(16, cpus)
+    else:
+        num_partitions = max(1, min(int(num_partitions), cpus))
     on = (on,) if isinstance(on, str) else tuple(on)
     right_on = (right_on,) if isinstance(right_on, str) else (
         tuple(right_on) if right_on else None
