@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_runs": demo.dedup_incremental_runs,
         "dedup_neardup_incremental": demo.dedup_neardup_incremental,
         "cdc_replay_mini": demo.cdc_replay_mini,
+        "point_lookup_urls": demo.point_lookup_urls,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
         "incremental_view_hosts": demo.incremental_view_hosts,
         "time_travel_read": demo.time_travel_read,
@@ -1506,6 +1507,14 @@ def oracle_sql() -> dict[str, str]:
         "time_travel_read": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/time_travel_oracle.parquet')
+        """,
+        # Point-lookup serving path: bucket-pruned GET of every url ending
+        # in '7'; oracle = the sequential replay filtered the same way, so
+        # a missed bucket / resurrected tombstone / stale LWW loser fails.
+        "point_lookup_urls": """
+            SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/lookup_oracle.parquet')
+            WHERE url LIKE '%7'
         """,
         # CDC-out snapshot diff between two committed manifests; the sidecar
         # diffs two INDEPENDENT sequential replays sliced at the same

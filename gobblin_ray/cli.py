@@ -77,6 +77,18 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--limit", type=int, default=5)
 
     sp = sub.add_parser(
+        "lookup", help="point-lookup serving path: live rows for explicit "
+        "urls — routes each key to its owning bucket and opens ONLY those "
+        "buckets with the key set pushed into the parquet scan (O(keys), "
+        "not a table scan)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--url", action="append", default=[],
+                    help="url to look up (repeatable)")
+    sp.add_argument("--keys-file", default=None,
+                    help="newline-delimited file of urls")
+
+    sp = sub.add_parser(
         "describe", help="manifest lineage: epoch chain, per-bucket "
         "base/delta layout, compaction debt, metrics (no Ray session)"
     )
@@ -550,6 +562,22 @@ def main(argv: list[str] | None = None) -> int:
                 "to_epoch": to_epoch,
                 "changes": sum(by_type.values()),
                 "by_type": dict(sorted(by_type.items())),
+            }))
+        elif args.cmd == "lookup":
+            keys = list(args.url)
+            if args.keys_file:
+                with open(args.keys_file) as f:
+                    keys += [ln.strip() for ln in f if ln.strip()]
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            t0 = time.time()
+            tbl = eng.lookup_urls(keys)
+            for r in tbl.to_pylist():
+                r.pop("html", None)
+                r["text"] = (r.get("text") or "")[:60]
+                print(json.dumps(r, default=str))
+            print(json.dumps({
+                "requested": len(set(keys)), "found": tbl.num_rows,
+                "sec": round(time.time() - t0, 3),
             }))
         elif args.cmd == "read":
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())

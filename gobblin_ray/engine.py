@@ -986,6 +986,64 @@ class CdcEngine:
             load_merge, batch_format="pyarrow", batch_size=1
         )
 
+    def lookup_urls(
+        self, urls: list[str], manifest: Manifest | None = None
+    ) -> pa.Table:
+        """Point-lookup serving path: the live rows for an explicit url
+        set WITHOUT a full merge-on-read scan. Each url is routed to its
+        owning bucket with the SAME router as writes (stable_hash_u64 %
+        num_buckets — the manifest's modulus, not the driver config's),
+        only those buckets are opened, and the url set is pushed into the
+        parquet scan (``filters=``) so row-group min/max stats on the
+        url-sorted base files prune I/O inside a bucket too. Filtering
+        each file BEFORE the LWW merge is correct because the merge is
+        per-url independent; tombstoned urls come back absent, exactly as
+        in ``read_table``. Work is O(|urls| + touched row-groups),
+        independent of lake size — at 10^10 rows this is the difference
+        between a key-value GET and a table scan. One Ray task per
+        touched bucket; the result is driver-sized by contract (callers
+        ask for specific keys), so returning a pyarrow Table is not a
+        take_all smell. Gobblin itself is ingest-only — the read-back
+        analog is its extract-verification path
+        (gobblin-runtime/.../JobLauncherTestHelper.java:80-131 reads rows
+        back by key to assert state)."""
+        import ray
+
+        from .merge import merge_bases
+
+        manifest = manifest or self.store.latest()
+        if manifest is None:
+            raise ValueError("lookup_urls needs a bootstrapped lake")
+        schema = manifest.base_schema()
+        empty = live_rows(conform(pa.table({}), schema))
+        uniq = sorted({u for u in urls if u is not None})
+        if not uniq:
+            return empty
+        h = stable_hash_u64(pa.array(uniq, pa.string()))
+        owner = (h % manifest.num_buckets).astype(np.int64)
+        by_bucket: dict[int, list[str]] = {}
+        for u, b in zip(uniq, owner):
+            by_bucket.setdefault(int(b), []).append(u)
+        file_map = self.bucket_file_map(manifest)
+
+        @ray.remote(num_cpus=1)
+        def probe(files: list[str], wanted: list[str]) -> pa.Table:
+            parts = [
+                pq.read_table(p, filters=[("url", "in", wanted)])
+                for p in files
+            ]
+            return live_rows(merge_bases(parts, schema))
+
+        refs = [
+            probe.remote(file_map[b], wanted)
+            for b, wanted in sorted(by_bucket.items())
+            if file_map.get(b)
+        ]
+        hits = [t for t in ray.get(refs) if t.num_rows]
+        if not hits:
+            return empty
+        return pa.concat_tables(hits).sort_by([("url", "ascending")])
+
     def rebucket(self, new_buckets: int) -> "Manifest":
         """Bucket-count migration (partition evolution — the operational
         move when a lake outgrows its router, e.g. 32 -> 512 buckets as a

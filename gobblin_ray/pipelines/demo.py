@@ -1656,6 +1656,56 @@ def cdc_replay_mini(sf_dir: str):
     return eng.read_table().map_batches(_digest, batch_format="pyarrow")
 
 
+def point_lookup_urls(sf_dir: str):
+    """Point-lookup serving path (engine.lookup_urls): bucket-pruned
+    key-value GET over the mini CDC lake — each requested url routes to
+    its owning bucket (manifest router), only those buckets open, and the
+    url set is pushed into the parquet scan so row-group stats prune
+    inside the bucket. Request set: every url the corpus ever mentions
+    (bootstrapped or event-minted) ending in '7' — tombstoned ones must
+    come back absent. Oracle: the sequential replay sidecar filtered by
+    the same suffix, so a lookup that misses a bucket, resurrects a
+    tombstone, or returns a stale LWW loser value-fails."""
+    import glob as _glob
+    import hashlib
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import LOOKUP_ORACLE_PATH, cdc_oracle_sidecar
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_lookup_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=8, epoch_width=1_000),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run()
+    cdc_oracle_sidecar(corpus, path=LOOKUP_ORACLE_PATH)
+
+    urls = set(
+        pq.read_table(f"{corpus}/pages.parquet", columns=["url"])
+        .column("url").to_pylist()
+    )
+    for f in sorted(_glob.glob(f"{corpus}/events/part-*.parquet")):
+        urls.update(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    got = eng.lookup_urls(sorted(u for u in urls if u.endswith("7")))
+    # html -> md5 hex (binary doesn't survive the DuckDB->pandas compare).
+    vals = [
+        None if v is None else hashlib.md5(v).hexdigest()
+        for v in got.column("html").to_pylist()
+    ]
+    return got.set_column(
+        got.column_names.index("html"), "html_md5", pa.array(vals, pa.string())
+    )
+
+
 def dedup_neardup_incremental(sf_dir: str):
     """Cross-run NEAR-dup dedup (functions/dedup.dedup_minhash_incremental):
     snapshot 2 drops docs that are near-dups of anything snapshot 1

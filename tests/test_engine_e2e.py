@@ -1036,3 +1036,33 @@ def test_replication_from_change_feed(ray_session, corpus, oracle_df,
     n = export_change_log(src, feed2,
                           from_epoch=src.store.latest().epoch)
     assert n == 0
+
+
+def test_lookup_urls_point_get(full_run, corpus, oracle_df):
+    """Point-lookup serving path: bucket-pruned lookup returns exactly the
+    live rows of the requested urls — byte-identical to the full
+    merge-on-read scan — with tombstoned and never-seen urls absent, and
+    an empty request returning an empty table with the full live schema."""
+    d, _ = corpus
+    live = list(oracle_df["url"])
+    all_urls = set(pq.read_table(f"{d}/pages.parquet").column("url").to_pylist())
+    deleted = sorted(all_urls - set(live))
+    assert deleted, "corpus should tombstone at least one bootstrapped url"
+    wanted_live = [live[0], live[len(live) // 2], live[-1]]
+    got = full_run.lookup_urls(
+        wanted_live + [deleted[0], "https://never-crawled.example/x"]
+    )
+    assert got.column("url").to_pylist() == sorted(wanted_live)
+    # Byte parity with the full scan on every column.
+    full = full_run.read_table_arrow()
+    want = full.filter(
+        pa.compute.is_in(full.column("url"), value_set=pa.array(wanted_live))
+    ).sort_by([("url", "ascending")])
+    assert got.schema.names == want.schema.names
+    assert got.equals(want.cast(got.schema))
+    # Duplicated request urls collapse; empty request keeps the schema.
+    again = full_run.lookup_urls([wanted_live[0], wanted_live[0]])
+    assert again.num_rows == 1
+    empty = full_run.lookup_urls([])
+    assert empty.num_rows == 0
+    assert empty.schema.names == full.schema.names
