@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outliers_events": demo.mad_outliers_events,
         # skew-resistant hybrid join (hot keys broadcast, cold keys hashed)
         "skew_join_lineitem_orders": demo.skew_join_lineitem_orders,
+        "merge_into_customers": demo.merge_into_customers,
         # TPC-H-shaped multi-join compositions (Q3 / Q5 analogs)
         "tpch_q3_shipping_priority": demo.tpch_q3_shipping_priority,
         "tpch_q5_local_supplier": demo.tpch_q5_local_supplier,
@@ -818,6 +819,33 @@ def oracle_sql() -> dict[str, str]:
         "skew_join_lineitem_orders": """
             SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_custkey
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        # SQL MERGE INTO: matched UPDATE (acctbal += revenue), matched
+        # DELETE (>24 orders churn), NOT MATCHED INSERT (minted keys).
+        # Money folds in integer cents so the sums are exact; the final
+        # balance is one divide + one add in the same order on both sides.
+        "merge_into_customers": """
+            WITH src AS (
+                SELECT CASE WHEN o_custkey % 97 = 0
+                            THEN o_custkey + 10000000 ELSE o_custkey END AS k,
+                       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                     AS BIGINT)) AS BIGINT) AS spent_cents,
+                       COUNT(*) AS n_orders
+                FROM orders GROUP BY 1
+            ), m AS (
+                SELECT c.c_custkey AS tk, c.c_name, c.c_acctbal,
+                       c.c_mktsegment, s.k AS sk, s.spent_cents, s.n_orders
+                FROM customer c FULL JOIN src s ON c.c_custkey = s.k
+            )
+            SELECT CAST(COALESCE(tk, sk) AS BIGINT) AS c_custkey,
+                   c_name,
+                   CASE WHEN tk IS NOT NULL AND sk IS NOT NULL
+                            THEN c_acctbal + spent_cents / 100.0
+                        WHEN tk IS NULL THEN spent_cents / 100.0
+                        ELSE c_acctbal END AS c_acctbal,
+                   c_mktsegment
+            FROM m
+            WHERE NOT (tk IS NOT NULL AND sk IS NOT NULL AND n_orders > 24)
         """,
         "tpch_q3_shipping_priority": """
             WITH r AS (

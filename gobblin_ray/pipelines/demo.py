@@ -3076,3 +3076,58 @@ def tpch_q5_local_supplier(sf_dir: str):
     out = out.groupby("n_name").aggregate(Sum("rev", alias_name="revenue"))
     return out.map_batches(_round_cols({"revenue": 2}),
                            batch_format="pyarrow", batch_size=None)
+
+
+def merge_into_customers(sf_dir: str):
+    """SQL MERGE INTO (stages/joins.merge_into — Delta/Iceberg MERGE
+    analog) over the customer dimension: per-customer order revenue is the
+    source; matched customers get ``c_acctbal += revenue`` (UPDATE),
+    matched customers with more than 24 orders churn (DELETE), and
+    source keys minted OUTSIDE the dimension (every 97th custkey shifted
+    by 10M — a late-arriving-dimension shape) INSERT with the revenue as
+    the opening balance and null name/segment. Money folds in integer
+    cents (``floor(x*100+0.5)`` half-up on both sides) so the revenue sum
+    is exact; the final balance is one divide + one add in the same order
+    as the SQL, hence bit-identical."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import merge_into
+
+    target = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"],
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        # pyarrow.compute has no modulo kernel — remap the key in numpy
+        k = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        k2 = pa.array(np.where(k % 97 == 0, k + 10_000_000, k))
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"c_custkey": k2, "cents": cents})
+
+    to_cents.__name__ = "order_cents"
+    src = (
+        orders.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+        .groupby("c_custkey")
+        .aggregate(Sum("cents", alias_name="spent_cents"),
+                   Count(alias_name="n_orders"))
+    )
+    return merge_into(
+        target, src, key="c_custkey",
+        update_exprs={
+            "c_acctbal":
+                lambda df: df["c_acctbal"] + df["spent_cents__src"] / 100.0,
+        },
+        delete_when=lambda df: df["n_orders__src"] > 24,
+        insert_exprs={
+            "c_acctbal": lambda s: s["spent_cents__src"] / 100.0,
+        },
+        num_partitions=16,
+    )

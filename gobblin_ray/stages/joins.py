@@ -314,6 +314,147 @@ def outer_join_by_key(
     )
 
 
+def merge_into(
+    target,
+    source,
+    key: str,
+    update_exprs: dict | None = None,
+    delete_when=None,
+    insert_unmatched: bool = True,
+    insert_exprs: dict | None = None,
+    num_partitions: int = 64,
+):
+    """SQL:2003 ``MERGE INTO target USING source ON target.key = source.key``
+    (Delta MERGE / Iceberg MergeIntoCommand / Hudi expression-payload
+    analog). The CDC engine's LWW merge (merge.py) is the specialized
+    whole-row last-writer-wins instance of this; ``merge_into`` is the
+    general per-clause form:
+
+      WHEN MATCHED AND delete_when(row)   THEN DELETE
+      WHEN MATCHED                        THEN UPDATE SET col = expr(row)
+      WHEN NOT MATCHED [BY TARGET]        THEN INSERT (cols) VALUES (exprs)
+
+    Both sides must carry the key under the SAME column name. Expressions
+    see a merged frame with target columns under their own names and every
+    source column suffixed ``__src``; ``update_exprs`` / ``insert_exprs``
+    values are a source column name (str) or a ``callable(df) -> values``
+    (``insert_exprs`` callables see only the unmatched SOURCE rows, still
+    ``__src``-suffixed). Unlisted target columns default on insert to the
+    same-named source column if one exists, else null; the key always
+    fills from the source key. Two source rows with one key raise the
+    SQL 'attempt to update the same row twice' error (checked per
+    partition — co-partitioning makes the per-partition check exhaustive).
+    Null source keys are dropped at the tag stage; null target keys pass
+    through unmatched (SQL: NULL joins nothing — and they can't falsely
+    NaN-match because the null-key source rows are already gone).
+
+    Shape: ONE bounded co-partition exchange on ``hash(key) % P`` (the
+    same union exchange as the outer/asof/window joins — both sides
+    stream, no broadcast, no driver state), then one vectorized pandas
+    pass per partition. Dtype contract (outer_join_by_key convention):
+    int/bool target columns that inserts can null, come back float64
+    (the NaN-carrying dtype DuckDB's fetchdf also hands back); every
+    other int/bool column is un-promoted to its exact dtype in every
+    partition; string/timestamp columns are pinned so an all-insert
+    partition can't degrade them to a null-typed block."""
+    import numpy as np
+    import pandas as pd
+
+    from ..schema import unify_additive
+
+    update_exprs = dict(update_exprs or {})
+    insert_exprs = dict(insert_exprs or {})
+    tcols = list(target.schema().names)
+    scols = list(source.schema().names)
+    if key not in tcols or key not in scols:
+        raise ValueError(f"both sides need key column {key!r}")
+    skey = f"{key}__src"
+
+    def rename_src(t: pa.Table) -> pa.Table:
+        return t.rename_columns([f"{c}__src" for c in t.column_names])
+
+    rename_src.__name__ = "suffix_source_cols"
+    src = source.map_batches(rename_src, batch_format="pyarrow", batch_size=None)
+    t_schema = pa.schema(zip(target.schema().names, target.schema().types))
+    s_schema = pa.schema(
+        [(f"{n}__src", t)
+         for n, t in zip(source.schema().names, source.schema().types)]
+    )
+    union_schema = unify_additive(t_schema, s_schema).append(
+        pa.field("_side", pa.string())
+    )
+    both = _co_partition(
+        [(target, "t", key, []), (src, "s", skey, [skey])],
+        union_schema, num_partitions,
+    )
+
+    for c in tcols:  # default INSERT mapping: same-named source column
+        if c != key and c not in insert_exprs and c in scols:
+            insert_exprs[c] = c
+    int_like = {
+        f.name: f.type for f in t_schema
+        if pa.types.is_integer(f.type) or pa.types.is_boolean(f.type)
+    }
+    nullable = set(update_exprs)
+    if insert_unmatched:
+        nullable |= {c for c in tcols if c != key and c not in insert_exprs}
+    float_cols = [c for c in int_like if c in nullable]
+    solid = {c: t for c, t in int_like.items() if c not in nullable}
+    pin = {}
+    for f in t_schema:
+        if pa.types.is_string(f.type) or pa.types.is_large_string(f.type):
+            pin[f.name] = "string"
+        elif pa.types.is_timestamp(f.type):
+            pin[f.name] = f"datetime64[{f.type.unit}]"
+    scols_r = [f"{c}__src" for c in scols]
+
+    def _vals(ex, frame):
+        if isinstance(ex, str):
+            return frame[f"{ex}__src"]
+        return pd.Series(np.asarray(ex(frame)), index=frame.index)
+
+    def apply_merge(g: pd.DataFrame) -> pd.DataFrame:
+        tg = g[g["_side"] == "t"][tcols]
+        sg = g[g["_side"] == "s"][scols_r]
+        if sg[skey].duplicated().any():
+            dup = sg[skey][sg[skey].duplicated()].iloc[0]
+            raise ValueError(
+                f"MERGE source has multiple rows for key {dup!r} "
+                "(SQL: a target row cannot be updated twice)"
+            )
+        m = tg.merge(sg, left_on=key, right_on=skey, how="left")
+        matched = m[skey].notna()
+        if delete_when is not None and len(m):
+            drop = matched & np.asarray(delete_when(m), dtype=bool)
+            m = m[~drop].reset_index(drop=True)
+            matched = matched[~drop].reset_index(drop=True)
+        for c, ex in update_exprs.items():
+            m[c] = m[c].where(~matched, _vals(ex, m))
+        out = m[tcols]
+        if insert_unmatched:
+            ins_src = sg[~sg[skey].isin(tg[key])].reset_index(drop=True)
+            if len(ins_src):
+                ins = pd.DataFrame(index=ins_src.index)
+                for c in tcols:
+                    if c == key:
+                        ins[c] = ins_src[skey]
+                    elif c in insert_exprs:
+                        ins[c] = _vals(insert_exprs[c], ins_src)
+                    else:
+                        ins[c] = None
+                out = pd.concat([out, ins[tcols]], ignore_index=True)
+        out = out.copy()
+        for c in float_cols:
+            out[c] = out[c].astype("float64")
+        for c, t in solid.items():
+            out[c] = out[c].astype(t.to_pandas_dtype())
+        for c, dt in pin.items():
+            out[c] = out[c].astype(dt)
+        return out
+
+    return both.groupby("_kp").map_groups(apply_merge, batch_format="pandas")
+
+
 def merge_asof_by_key(
     left,
     right,

@@ -1731,3 +1731,88 @@ def test_skew_join_matches_plain_join(ray_session):
                              num_partitions=4)
             .to_pandas().sort_values(["k", "lid"]).reset_index(drop=True))
     assert (got2["lid"].to_numpy() == want["lid"].to_numpy()).all()
+
+
+def test_merge_into_matches_brute_force(ray_session):
+    """merge_into == a pandas brute-force MERGE on crafted data covering
+    every clause: matched update, matched delete, unmatched-target
+    passthrough, unmatched-source insert (explicit expr + same-name
+    default + null default), null-key policy, the duplicate-source-key
+    error, insert_unmatched=False, and the dtype contract (insert-nullable
+    int -> float64, solid int stays exact)."""
+    import pandas as pd
+    import pytest as _pytest
+    import ray.data as rd
+
+    from gobblin_ray.stages.joins import merge_into
+
+    tgt = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "name": ["a", "b", "c", "d", "e"],
+        "bal": [10.0, 20.0, 30.0, 40.0, 50.0],
+        "tier": np.array([1, 1, 2, 2, 3], np.int64),  # no source counterpart
+        "grp": np.array([7, 7, 8, 8, 9], np.int64),   # updated int
+    })
+    src = pd.DataFrame({
+        "k": [2, 3, 5, 6, 7],        # 2,3,5 matched; 6,7 inserts
+        "delta": [5.0, 7.0, 9.0, 11.0, 13.0],
+        "grp": np.array([70, 80, 90, 60, 61], np.int64),
+        "kill": [False, True, False, False, True],  # 3 deletes; 7 inserts anyway
+    })
+    got = merge_into(
+        rd.from_arrow(pa.Table.from_pandas(tgt)).repartition(3),
+        rd.from_arrow(pa.Table.from_pandas(src)).repartition(2),
+        key="k",
+        update_exprs={"bal": lambda df: df["bal"] + df["delta__src"],
+                      "grp": "grp"},
+        delete_when=lambda df: df["kill__src"],
+        insert_exprs={"bal": "delta"},
+        num_partitions=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    want = pd.DataFrame({
+        "k": [1, 2, 4, 5, 6, 7],
+        "name": ["a", "b", "d", "e", None, None],
+        "bal": [10.0, 25.0, 40.0, 59.0, 11.0, 13.0],
+        "tier": [1.0, 1.0, 2.0, 3.0, np.nan, np.nan],  # insert-nullable int
+        "grp": [7.0, 70.0, 8.0, 90.0, 60.0, 61.0],     # updated int
+    })
+    assert got["k"].dtype == np.int64          # solid key stays exact
+    assert got["tier"].dtype == np.float64
+    assert got["grp"].dtype == np.float64
+    pd.testing.assert_frame_equal(
+        got.assign(name=got["name"].astype(object).where(got["name"].notna(), None)),
+        want, check_like=True)
+
+    # insert_unmatched=False: source-only keys vanish, tier stays int64.
+    got2 = merge_into(
+        rd.from_arrow(pa.Table.from_pandas(tgt)),
+        rd.from_arrow(pa.Table.from_pandas(src)),
+        key="k",
+        update_exprs={"bal": lambda df: df["bal"] + df["delta__src"]},
+        delete_when=lambda df: df["kill__src"],
+        insert_unmatched=False,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(got2["k"]) == [1, 2, 4, 5]
+    assert got2["tier"].dtype == np.int64
+
+    # Null source keys drop at the tag stage; null target keys pass through.
+    tgt_n = pd.DataFrame({"k": [1.0, np.nan], "v": [1.0, 2.0]})
+    src_n = pd.DataFrame({"k": [np.nan, 1.0], "v2": [99.0, 5.0]})
+    got3 = merge_into(
+        rd.from_arrow(pa.Table.from_pandas(tgt_n)),
+        rd.from_arrow(pa.Table.from_pandas(src_n)),
+        key="k", update_exprs={"v": "v2"},
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got3["v"].tolist() == [5.0, 2.0]  # null-key target row untouched
+    assert len(got3) == 2                     # null source key never inserts
+
+    # Duplicate source key raises the SQL error.
+    dup = pd.DataFrame({"k": [2, 2], "delta": [1.0, 2.0],
+                        "grp": np.array([0, 0], np.int64),
+                        "kill": [False, False]})
+    with _pytest.raises(Exception, match="updated twice"):
+        merge_into(
+            rd.from_arrow(pa.Table.from_pandas(tgt)),
+            rd.from_arrow(pa.Table.from_pandas(dup)),
+            key="k", update_exprs={"bal": "delta"},
+        ).materialize()
