@@ -79,6 +79,12 @@ class Manifest:
     metrics: dict = field(default_factory=dict)  # cumulative named counters
     # as of this commit (MetricContext rollup; purely observational)
     bucket_hash: str = BUCKET_HASH_VERSION  # url->bucket router version
+    # Cumulative STORED-name -> CURRENT-name map (metadata-only column
+    # renames; Iceberg rename analog). Readers apply it to every data
+    # file before conforming to base_schema; files rewritten by
+    # compaction land with current names and the map becomes inert for
+    # them (apply_renames skips when the target name is present).
+    column_renames: dict[str, str] = field(default_factory=dict)
 
     def base_schema(self):
         """Deserialize the committed base schema (Arrow IPC round-trip)."""
@@ -111,6 +117,7 @@ class Manifest:
             "error_count": self.error_count,
             "metrics": self.metrics,
             "bucket_hash": self.bucket_hash,
+            "column_renames": self.column_renames,
             "buckets": {
                 str(b): vars(s) for b, s in sorted(self.buckets.items())
             },
@@ -129,6 +136,7 @@ class Manifest:
             error_count=d.get("error_count", 0),
             metrics=d.get("metrics", {}),
             bucket_hash=d.get("bucket_hash", _LEGACY_BUCKET_HASH),
+            column_renames=d.get("column_renames", {}),
         )
         m.buckets = {int(b): BucketState(**s) for b, s in d["buckets"].items()}
         return m

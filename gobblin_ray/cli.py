@@ -149,6 +149,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--buckets", type=int, required=True)
 
     sp = sub.add_parser(
+        "rename", help="metadata-only column rename (Iceberg RENAME COLUMN "
+        "analog): new manifest at the same watermark, no data rewrite; "
+        "readers map old stored names forward; identity columns protected"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("old")
+    sp.add_argument("new")
+
+    sp = sub.add_parser(
         "purge", help="compliance purge (gobblin-compliance purger analog): "
         "remove every row for the given keys from the lake — live rows, "
         "tombstones and, by default, all older manifests/files, so time "
@@ -477,6 +486,14 @@ def main(argv: list[str] | None = None) -> int:
                 "epoch": m.epoch, "num_buckets": m.num_buckets,
                 "high_seq": m.high_seq,
                 "rows": sum(s.rows for s in m.buckets.values()),
+            }))
+        elif args.cmd == "rename":
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            m = eng.rename_column(args.old, args.new)
+            print(json.dumps({
+                "epoch": m.epoch,
+                "schema": [f.name for f in m.base_schema()],
+                "column_renames": m.column_renames,
             }))
         elif args.cmd == "purge":
             keys = list(args.url)

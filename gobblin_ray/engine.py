@@ -41,7 +41,8 @@ from . import checkpoint as ckpt
 from . import plan as planmod
 from .checkpoint import BucketState, CheckpointStore, Manifest
 from .merge import live_rows, lww_reduce, merge_base_with_events
-from .schema import OPS, PAGES_SCHEMA, conform, schema_fingerprint, unify_additive
+from .schema import (OPS, PAGES_SCHEMA, apply_renames, conform,
+                     rename_schema, schema_fingerprint, unify_additive)
 
 _ERR_COL = "_err"
 _BUCKET_COL = "url_bucket"
@@ -288,6 +289,7 @@ class _MergeBucket:
         bucket_files: dict[int, list[str]],
         compact_buckets: set[int],
         base_schema: pa.Schema,
+        renames: dict[str, str] | None = None,
     ):
         self.lake_dir = lake_dir
         self.epoch = epoch
@@ -296,6 +298,7 @@ class _MergeBucket:
         # RecompactionPolicy (delta count / delta-row ratio conditions).
         self.compact_buckets = compact_buckets
         self.base_schema = base_schema
+        self.renames = dict(renames or {})  # stored-name -> current-name
 
     def __call__(self, group: pa.Table) -> pa.Table:
         from .merge import merge_bases
@@ -320,7 +323,8 @@ class _MergeBucket:
         files = self.bucket_files.get(bucket, [])
         compact = bucket in self.compact_buckets
         if compact and files:
-            tables = [pq.read_table(p) for p in files] + [delta]
+            tables = [apply_renames(pq.read_table(p), self.renames)
+                      for p in files] + [delta]
             merged = merge_bases(tables, self.base_schema)
             kind = "base"
             out_rows = merged.num_rows
@@ -512,7 +516,12 @@ class CdcEngine:
 
         _t0 = _time.time()
         shards = planmod.prune_shards(log_meta, epoch.low_seq, epoch.high_seq)
-        events_schema = self._event_schemas(log_meta, shards)
+        raw_events_schema = self._event_schemas(log_meta, shards)
+        # Producers may lag a column rename: their events still carry the
+        # STORED name; map it to the current name before unification (same
+        # skip-if-target-present rule as the file readers).
+        ren = dict(manifest.column_renames)
+        events_schema = rename_schema(raw_events_schema, ren)
         base_schema = unify_additive(
             manifest.base_schema(),
             pa.schema([f for f in events_schema if f.name != "op"]).append(
@@ -536,7 +545,14 @@ class CdcEngine:
             prev_counts, self.cfg.num_buckets, self.cfg.hot_factor, self.cfg.max_salt
         )
 
-        ds = self._read_epoch_events(log_meta, epoch, events_schema)
+        ds = self._read_epoch_events(log_meta, epoch, raw_events_schema)
+        if ren:
+            def _ren_events(t: pa.Table, _m=ren) -> pa.Table:
+                return apply_renames(t, _m)
+
+            _ren_events.__name__ = "apply_column_renames"
+            ds = ds.map_batches(_ren_events, batch_format="pyarrow",
+                                batch_size=None)
         ds = ds.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(
             _BucketAndReduce(self.cfg.num_buckets, splan.hot_buckets),
@@ -568,7 +584,8 @@ class CdcEngine:
                 ):
                     compact_buckets.add(b)
         merge = _MergeBucket(
-            self.lake_dir, epoch.index, bucket_files, compact_buckets, base_schema,
+            self.lake_dir, epoch.index, bucket_files, compact_buckets,
+            base_schema, renames=ren,
         )
 
         def merge_bucket(group: pa.Table) -> pa.Table:
@@ -653,6 +670,7 @@ class CdcEngine:
             num_buckets=manifest.num_buckets,
             schema_fingerprint=schema_fingerprint(base_schema),
             schema_ipc=Manifest.encode_schema(base_schema),
+            column_renames=dict(manifest.column_renames),
         )
         report = EpochReport(epoch.index, epoch.low_seq, epoch.high_seq)
         report.salted_buckets = execution["salted"]
@@ -969,6 +987,7 @@ class CdcEngine:
 
         manifest = manifest or self.store.latest()
         schema = manifest.base_schema()
+        ren = dict(manifest.column_renames)
         file_map = self.bucket_file_map(manifest)
         specs = [{"files": files} for files in file_map.values() if files]
 
@@ -977,7 +996,10 @@ class CdcEngine:
 
             out = []
             for files in batch.column("files").to_pylist():
-                merged = merge_bases([pq.read_table(p) for p in files], schema)
+                merged = merge_bases(
+                    [apply_renames(pq.read_table(p), ren) for p in files],
+                    schema,
+                )
                 out.append(live_rows(merged))
             return pa.concat_tables(out) if out else conform(pa.table({}), schema)
 
@@ -1026,10 +1048,14 @@ class CdcEngine:
             by_bucket.setdefault(int(b), []).append(u)
         file_map = self.bucket_file_map(manifest)
 
+        ren = dict(manifest.column_renames)
+
         @ray.remote(num_cpus=1)
         def probe(files: list[str], wanted: list[str]) -> pa.Table:
             parts = [
-                pq.read_table(p, filters=[("url", "in", wanted)])
+                apply_renames(
+                    pq.read_table(p, filters=[("url", "in", wanted)]), ren
+                )
                 for p in files
             ]
             return live_rows(merge_bases(parts, schema))
@@ -1043,6 +1069,88 @@ class CdcEngine:
         if not hits:
             return empty
         return pa.concat_tables(hits).sort_by([("url", "ascending")])
+
+    # Identity columns: the router key, the LWW ordering axes and the
+    # tombstone marker. Renaming one would change engine SEMANTICS, not
+    # metadata — protected (Iceberg likewise refuses to drop/rename a
+    # partition source field without a spec evolution).
+    _PROTECTED_COLUMNS = frozenset({"url", "warc_ts", "event_seq", "is_deleted"})
+
+    def rename_column(self, old: str, new: str) -> "Manifest":
+        """Metadata-only column rename — the Iceberg ``RENAME COLUMN``
+        analog (UpdateSchema.renameColumn; Iceberg does it via field ids,
+        this engine via the manifest's cumulative STORED-name ->
+        CURRENT-name map since Arrow schemas carry no ids): commit a new
+        manifest at the SAME watermark whose schema carries the new name;
+        NO data file is rewritten. Every reader passes file tables through
+        ``apply_renames`` before conforming, and compaction naturally
+        rewrites files with current names over time (at which point the
+        map no-ops for them; a rebucket rewrites everything and clears it).
+        Producers may lag the rename: events still arriving under the old
+        name are mapped forward in the epoch path. Re-adding a NEW column
+        under the old name later is safe — apply_renames skips a mapping
+        when the target name is already present in a file, and any file
+        holding the pre-rename column strictly predates the rename.
+
+        Chained renames compose (a->b then b->c leaves {a->c, b->c});
+        a rename BACK (a->b then b->a) cancels to {b->a} with stored-a
+        files correctly untouched. An explicit admin DDL operation, so it
+        bypasses ``schema_compat_mode`` (the registry gate governs
+        passive, data-driven evolution). Takes the job lock."""
+        from contextlib import nullcontext
+
+        from .locks import FileJobLock
+
+        lock = (FileJobLock(os.path.join(self.lake_dir, "_locks"))
+                if self.cfg.job_lock else nullcontext())
+        with lock:
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("rename_column needs a bootstrapped lake")
+            schema = m.base_schema()
+            names = schema.names
+            if old not in names:
+                raise ValueError(f"no column {old!r} in {names}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            if old in self._PROTECTED_COLUMNS or new in self._PROTECTED_COLUMNS:
+                raise ValueError(
+                    f"cannot rename identity column ({old!r} -> {new!r}): "
+                    f"{sorted(self._PROTECTED_COLUMNS)} are the router key, "
+                    "LWW axes and tombstone marker"
+                )
+            if not new or not new.isidentifier():
+                raise ValueError(f"invalid column name {new!r}")
+            new_schema = pa.schema(
+                [f.with_name(new) if f.name == old else f for f in schema]
+            )
+            ren = {
+                k: (new if v == old else v)
+                for k, v in m.column_renames.items()
+            }
+            ren[old] = new
+            ren = {k: v for k, v in ren.items() if k != v}
+            manifest = Manifest(
+                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=schema_fingerprint(new_schema),
+                schema_ipc=Manifest.encode_schema(new_schema),
+                metrics=dict(m.metrics),
+                column_renames=ren,
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
+                    rows=s.rows, events_applied=s.events_applied,
+                    events_epoch=0,  # a rename applies no events
+                    delta_epochs=list(s.delta_epochs),
+                    delta_rows=s.delta_rows,
+                )
+            self.store.commit(manifest)
+            self.metrics.submit_event(
+                "ColumnRenamed", epoch=manifest.epoch, old=old, new=new,
+            )
+            return manifest
 
     def rebucket(self, new_buckets: int) -> "Manifest":
         """Bucket-count migration (partition evolution — the operational
@@ -1077,11 +1185,14 @@ class CdcEngine:
         file_map = self.bucket_file_map(m)
         specs = [{"files": files} for files in file_map.values() if files]
 
+        ren = dict(m.column_renames)
+
         def load_and_route(batch: pa.Table) -> pa.Table:
             out = []
             for row in batch.to_pylist():
                 t = merge_bases(
-                    [pq.read_table(p) for p in row["files"]], schema
+                    [apply_renames(pq.read_table(p), ren)
+                     for p in row["files"]], schema
                 )  # tombstones retained
                 t = conform(t, schema)
                 nb = (stable_hash_u64(t.column("url")) % B).astype(np.int32)
@@ -1123,6 +1234,9 @@ class CdcEngine:
             schema_fingerprint=m.schema_fingerprint,
             schema_ipc=m.schema_ipc,
             metrics=dict(m.metrics),
+            # every bucket was rewritten with CURRENT column names above,
+            # so the stored-name rename map is spent
+            column_renames={},
         )
         # events_epoch = 0: a migration applies no events, and salt_plan
         # reads this field as "events applied THIS epoch" — the epoch
@@ -1182,12 +1296,15 @@ class CdcEngine:
                 for b, s in sorted(dirty.items())
             ]
 
+            ren = dict(m.column_renames)
+
             def compact_bucket(batch: pa.Table) -> pa.Table:
                 rows = []
                 for row in batch.to_pylist():
                     bucket = int(row["bucket"])
                     t = merge_bases(
-                        [pq.read_table(p) for p in row["files"]], schema
+                        [apply_renames(pq.read_table(p), ren)
+                         for p in row["files"]], schema
                     )  # tombstones retained — late events must still lose
                     t = conform(t, schema).sort_by([("url", "ascending")])
                     ckpt.atomic_write_table(
@@ -1212,6 +1329,8 @@ class CdcEngine:
                 num_buckets=m.num_buckets,
                 schema_fingerprint=m.schema_fingerprint,
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                # untouched (clean) buckets keep pre-rename files on disk
+                column_renames=dict(m.column_renames),
             )
             for b, s in m.buckets.items():
                 manifest.buckets[b] = s
@@ -1287,7 +1406,8 @@ class CdcEngine:
             return {"epoch": None, "source_files": 0, "source_rows": 0,
                     "redriven": 0, "still_diverted": 0, "unreplayable": 0}
 
-        tables = [pq.read_table(p) for p in src_files]
+        tables = [apply_renames(pq.read_table(p), manifest.column_renames)
+                  for p in src_files]
         schema = unify_additive(*[t.schema for t in tables])
         t = pa.concat_tables([conform(x, schema) for x in tables])
         internal = [c for c in (_ERR_COL, _BUCKET_COL, _SALT_COL, _N_COL)
@@ -1424,12 +1544,15 @@ class CdcEngine:
             schema = m.base_schema()
             lake_dir = self.lake_dir
 
+            ren = dict(m.column_renames)
+
             def purge_bucket(batch: pa.Table) -> pa.Table:
                 rows = []
                 for spec in batch.to_pylist():
                     bucket = int(spec["bucket"])
                     t = merge_bases(
-                        [pq.read_table(p) for p in spec["files"]], schema
+                        [apply_renames(pq.read_table(p), ren)
+                         for p in spec["files"]], schema
                     )  # tombstones retained: they carry the key too
                     t = conform(t, schema)
                     hit = pc.is_in(
@@ -1467,6 +1590,8 @@ class CdcEngine:
                 epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
                 num_buckets=B, schema_fingerprint=m.schema_fingerprint,
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                # untouched buckets keep pre-rename files on disk
+                column_renames=dict(m.column_renames),
             )
             total_purged = 0
             for b, s in m.buckets.items():
@@ -1595,10 +1720,13 @@ class CdcEngine:
             for b in sorted(set(old_map) | set(new_map))
         ]
 
+        ren = dict(m_new.column_renames)
+
         def _live_sorted(files: list[str]) -> pa.Table:
             if not files:
                 return conform(pa.table({}), schema)
-            t = live_rows(merge_bases([pq.read_table(p) for p in files], schema))
+            t = live_rows(merge_bases(
+                [apply_renames(pq.read_table(p), ren) for p in files], schema))
             return conform(t, schema).sort_by([("url", "ascending")])
 
         fields = [
@@ -1699,10 +1827,13 @@ class CdcEngine:
         )
         data_cols = [f.name for f in out_schema][1:]
 
+        ren = dict(m_new.column_renames)
+
         def _merged(files: list[str]) -> pa.Table:
             if not files:
                 return conform(pa.table({}), schema)
-            t = merge_bases([pq.read_table(p) for p in files], schema)
+            t = merge_bases(
+                [apply_renames(pq.read_table(p), ren) for p in files], schema)
             return conform(t, schema).sort_by([("url", "ascending")])
 
         def _emit(t: pa.Table, idx: np.ndarray, kind: str) -> pa.Table:
@@ -1761,9 +1892,11 @@ class CdcEngine:
 
         manifest = manifest or self.store.latest()
         schema = manifest.base_schema()
+        ren = dict(manifest.column_renames)
         tables = []
         for files in self.bucket_file_map(manifest).values():
-            merged = merge_bases([pq.read_table(p) for p in files], schema)
+            merged = merge_bases(
+                [apply_renames(pq.read_table(p), ren) for p in files], schema)
             if merged.num_rows:
                 tables.append(live_rows(merged))
         if not tables:

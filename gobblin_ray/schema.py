@@ -147,6 +147,44 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
     return pa.Table.from_arrays(cols, schema=schema)
 
 
+def apply_renames(table: pa.Table, renames: dict[str, str] | None) -> pa.Table:
+    """Metadata-only column-rename evolution at READ time (the Iceberg
+    rename analog, without field ids): map STORED column names to their
+    CURRENT names. Files written before a rename keep the old name on
+    disk until compaction naturally rewrites them; every reader passes
+    the manifest's cumulative ``column_renames`` map through here first,
+    then conforms to the current schema.
+
+    A mapping is SKIPPED when the target name already exists in the same
+    file: the only way a file can contain both is that the old name was
+    re-added as a NEW column after the rename (files holding the
+    pre-rename column strictly predate the rename), and that new column
+    must keep its name."""
+    if not renames:
+        return table
+    present = set(table.column_names)
+    out = []
+    for n in table.column_names:
+        t = renames.get(n)
+        out.append(t if t is not None and t not in present else n)
+    return table.rename_columns(out)
+
+
+def rename_schema(schema: pa.Schema, renames: dict[str, str] | None) -> pa.Schema:
+    """Schema-level twin of ``apply_renames`` (same skip-if-target-present
+    rule), for renaming a source-announced schema before unification."""
+    if not renames:
+        return schema
+    present = {f.name for f in schema}
+    fields = []
+    for f in schema:
+        t = renames.get(f.name)
+        fields.append(
+            f.with_name(t) if t is not None and t not in present else f
+        )
+    return pa.schema(fields)
+
+
 def schema_fingerprint(schema: pa.Schema) -> str:
     """Stable short fingerprint of a schema (recorded in the manifest)."""
     import hashlib

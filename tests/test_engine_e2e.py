@@ -1066,3 +1066,50 @@ def test_lookup_urls_point_get(full_run, corpus, oracle_df):
     empty = full_run.lookup_urls([])
     assert empty.num_rows == 0
     assert empty.schema.names == full.schema.names
+
+
+def test_rename_column_evolution(ray_session, corpus, oracle_df,
+                                 tmp_path_factory):
+    """Metadata-only column rename mid-replay (Iceberg RENAME COLUMN
+    analog): no data rewrite; events still arriving under the OLD name
+    keep applying; every reader (scan, point lookup) maps stored names
+    forward; compaction rewrites with current names and reads stay
+    oracle-identical; chained renames compose; identity columns are
+    protected."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_rename"))
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+
+    m = eng.rename_column("lang", "language")
+    names = m.base_schema().names
+    assert "language" in names and "lang" not in names
+    assert m.column_renames == {"lang": "language"}
+    assert m.high_seq == eng.store.load(m.epoch - 1).high_seq  # watermark pinned
+
+    # The log's remaining events still carry 'lang' — they must keep
+    # applying (producer lags the rename), including the fetch_status
+    # additive evolution further down the log.
+    eng.run(vacuum=False)
+    df = engine_df(eng).rename(columns={"language": "lang"})
+    assert_matches_oracle(df, oracle_df)
+
+    got = eng.lookup_urls([oracle_df["url"].iloc[0]])
+    assert "language" in got.schema.names and got.num_rows == 1
+
+    # Compaction rewrites files under CURRENT names; reads unchanged.
+    eng.compact_now()
+    df2 = engine_df(eng).rename(columns={"language": "lang"})
+    assert_matches_oracle(df2, oracle_df)
+
+    # Chained rename composes the stored-name map.
+    m2 = eng.rename_column("language", "lingo")
+    assert m2.column_renames == {"lang": "lingo", "language": "lingo"}
+    assert "lingo" in eng.read_table_arrow().column_names
+
+    for bad in [("url", "page_url"), ("warc_ts", "ts"), ("nope", "x"),
+                ("lingo", "text"), ("lingo", "bad name")]:
+        with pytest.raises(ValueError):
+            eng.rename_column(*bad)
