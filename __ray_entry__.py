@@ -126,6 +126,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_documents": demo.extract_html_documents,
         # distributed PageRank (iterative join+aggregate, integer-exact)
         "pagerank_documents": demo.pagerank_documents,
+        "triangle_documents": demo.triangle_documents,
+        "badwords_filter_docs": demo.badwords_filter_docs,
         # distributed connected components (min-label propagation)
         "connected_components_documents": demo.connected_components_documents,
         # Z-order (Morton) clustering key for multi-dim layout
@@ -729,6 +731,30 @@ def oracle_sql() -> dict[str, str]:
                            '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
                        '\\s+', ' ', 'g'), ' ') AS clean_text
             FROM s
+        """,
+        # C4 bad-words page filter: word-boundary token match only.
+        "badwords_filter_docs": """
+            SELECT doc_id, lang FROM documents
+            WHERE NOT regexp_matches(text, '\\b(slow|spark)\\b')
+        """,
+        # Exact triangle count over the planted doc-id graph; the oracle
+        # is the textbook oriented 3-way self-join (x<y<z counted once).
+        "triangle_documents": """
+            WITH nn AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS a, doc_id + 1 AS b FROM documents, nn
+                WHERE doc_id + 1 < n
+                UNION ALL
+                SELECT doc_id, doc_id + 2 FROM documents, nn
+                WHERE doc_id % 3 = 0 AND doc_id + 2 < n
+                UNION ALL
+                SELECT doc_id, doc_id + 5 FROM documents, nn
+                WHERE doc_id % 13 = 0 AND doc_id + 5 < n
+            )
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "pagerank_documents": """
             WITH nodes AS (SELECT doc_id AS node FROM documents),

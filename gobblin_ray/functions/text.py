@@ -1075,3 +1075,34 @@ def strip_html(text_col: str = "html", out: str = "clean_text"):
 
     run.__name__ = "strip_html"
     return run
+
+
+def badwords_filter(words, text_col: str = "text"):
+    """C4-style bad-words document filter (Raffel et al. 2020 §2.2 drop
+    any page containing a word from the blocklist; same posture as the
+    reference's row-level FAIL policies, content- instead of
+    schema-driven): ONE RE2 word-boundary alternation evaluated
+    vectorized per batch over the Arrow column — no shuffle, no per-row
+    Python; the blocklist compiles into the pattern once at pipeline
+    build (for 100k+-word lists swap the regex for token-explode +
+    ``pc.is_in``, the shape langid uses). Word-boundary semantics: a
+    blocklisted word matches whole tokens only ('slow' does not kill
+    'slowly'). Null text drops (SQL ``WHERE NOT regexp_matches(..)``
+    parity). Returns the KEPT rows."""
+    import re as _re
+
+    if not words:
+        raise ValueError("badwords_filter needs a non-empty blocklist")
+    pat = r"\b(" + "|".join(sorted(_re.escape(w) for w in words)) + r")\b"
+    # RE2 rejects some PCRE constructs Python accepts — probe with a
+    # one-element array (the empty array skips pattern compilation).
+    pc.match_substring_regex(pa.array([""], pa.string()), pat)
+
+    def run(t: pa.Table) -> pa.Table:
+        hit = pc.match_substring_regex(
+            pc.cast(t.column(text_col), pa.string()), pat
+        )
+        return t.filter(pc.invert(pc.fill_null(hit, True)))
+
+    run.__name__ = "badwords_filter"
+    return run

@@ -3131,3 +3131,42 @@ def merge_into_customers(sf_dir: str):
         },
         num_partitions=16,
     )
+
+
+def badwords_filter_docs(sf_dir: str):
+    """C4-style bad-words page filter (functions/text.badwords_filter):
+    drop every document whose text contains a blocklisted TOKEN
+    (word-boundary match — 'slow' must not kill 'slowly'); vectorized
+    RE2 per batch, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = ds.map_batches(
+        tx.badwords_filter(("slow", "spark")),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return ds.select_columns(["doc_id", "lang"])
+
+
+def triangle_documents(sf_dir: str):
+    """Exact distributed triangle count (functions/graph.count_triangles,
+    oriented-wedge MR algorithm) over a planted doc-id graph: ring edges
+    (i, i+1), chord (i, i+2) on every third node — each such chord closes
+    exactly one triangle — plus sparse (i, i+5) chords that close none.
+    Oracle = a plain 3-way self-join on the same edge CTE."""
+    from ..functions.graph import count_triangles
+
+    nodes = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = nodes.count()
+
+    def make_edges(t: pa.Table, n=n) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        segs = []
+        for step, mod in ((1, 1), (2, 3), (5, 13)):
+            keep = (d % mod == 0) & (d + step < n)
+            segs.append(np.stack([d[keep], d[keep] + step], axis=1))
+        e = np.concatenate(segs, axis=0)
+        return pa.table({"a": pa.array(e[:, 0]), "b": pa.array(e[:, 1])})
+
+    make_edges.__name__ = "planted_triangle_edges"
+    edges = nodes.map_batches(make_edges, batch_format="pyarrow",
+                              batch_size=None)
+    return count_triangles(edges, num_partitions=8)

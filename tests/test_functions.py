@@ -1092,3 +1092,67 @@ def test_mad_outliers_flags_and_nulls(ray_session):
     assert bool(got.loc[9, "is_outlier"])           # the 1000.0 spike
     assert not got.loc[:8, "is_outlier"].any()      # bulk stays clean
     assert pd.isna(got.loc[11, "is_outlier"])       # null value -> null flag
+
+
+def test_count_triangles_matches_brute_force(ray_session):
+    """Triangle count on a random DIRTY edge list (duplicates, reversed
+    copies, self-loops) == the O(n^3) brute force; empty graph -> 0."""
+    import itertools
+
+    import ray.data as rd
+
+    from gobblin_ray.functions.graph import count_triangles
+
+    rng = np.random.default_rng(77)
+    n = 40
+    base = rng.integers(0, n, size=(260, 2))
+    dirty = np.concatenate([
+        base,
+        base[:, ::-1][:80],                 # reversed duplicates
+        base[:50],                          # exact duplicates
+        np.stack([np.arange(5), np.arange(5)], axis=1),  # self-loops
+    ])
+    edges = rd.from_arrow(pa.table({
+        "a": pa.array(dirty[:, 0].astype(np.int64)),
+        "b": pa.array(dirty[:, 1].astype(np.int64)),
+    })).repartition(4)
+    got = count_triangles(edges, num_partitions=7).take_all()[0]["triangles"]
+
+    eset = {(min(a, b), max(a, b)) for a, b in dirty.tolist() if a != b}
+    adj = {v: set() for v in range(n)}
+    for a, b in eset:
+        adj[a].add(b), adj[b].add(a)
+    want = sum(
+        1 for x, y, z in itertools.combinations(range(n), 3)
+        if y in adj[x] and z in adj[x] and z in adj[y]
+    )
+    assert got == want and want > 0
+
+    empty = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                    "b": pa.array([], pa.int64())}))
+    assert count_triangles(empty).take_all()[0]["triangles"] == 0
+
+
+def test_badwords_filter_word_boundaries(ray_session):
+    """Blocklisted words kill docs as whole tokens only; null text drops;
+    regex metacharacters in the blocklist are escaped."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.text import badwords_filter
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a slow query", "slowly but surely", "nothing here",
+            None, "c++ is fine",
+        ], pa.string()),
+    })
+    kept = (rd.from_arrow(t)
+            .map_batches(badwords_filter(("slow", "c++")),
+                         batch_format="pyarrow", batch_size=None)
+            .to_pandas())
+    # 0 killed (token), 1 kept ('slowly' is not 'slow'), 3 (null) dropped.
+    # 4 is KEPT: 'c++' is escaped (no regex repeat error at compile), but
+    # \b cannot anchor after a non-word char — an inherent limit of
+    # word-boundary blocklists for punctuation terms.
+    assert kept["doc_id"].tolist() == [1, 2, 4]
