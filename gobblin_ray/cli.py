@@ -221,6 +221,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip re-reading landed bytes for the digest")
 
     sp = sub.add_parser(
+        "clone", help="disaster-recovery lake clone: checksum-verified "
+        "copy of data/ + _checkpoints/ + _errors/ under the source job "
+        "lock; the clone resumes replay at the copied watermark; "
+        "re-running syncs only changed files"
+    )
+    sp.add_argument("src_lake")
+    sp.add_argument("dst_lake")
+    sp.add_argument("--units", type=int, default=None)
+    sp.add_argument("--no-verify", action="store_true")
+
+    sp = sub.add_parser(
         "replicate", help="maintain a downstream replica lake purely from "
         "the primary's full-row change feed (cascaded CDC; distcp/"
         "ReplicationConfiguration analog). Idempotent per round."
@@ -351,6 +362,20 @@ def main(argv: list[str] | None = None) -> int:
             "replica_rows": sum(s.rows for s in m.buckets.values()),
             "sec": round(time.time() - t0, 3),
         }))
+        import ray
+
+        ray.shutdown()
+        return 0
+
+    if args.cmd == "clone":
+        from .copy import copy_lake
+
+        _ray_up(args.num_cpus)
+        t0 = time.time()
+        out = copy_lake(args.src_lake, args.dst_lake, num_units=args.units,
+                        verify=not args.no_verify)
+        out["sec"] = round(time.time() - t0, 3)
+        print(json.dumps(out))
         import ray
 
         ray.shutdown()

@@ -281,3 +281,36 @@ def verify_copy(src_root: str, dest_root: str, glob: str = "*") -> list[str]:
         if _md5_file(dst) != _md5_file(os.path.join(src_root, e.rel_path)):
             bad.append(e.rel_path)
     return bad
+
+
+def copy_lake(src_lake: str, dst_lake: str, num_units: int | None = None,
+              verify: bool = True) -> dict:
+    """Disaster-recovery lake clone (gobblin-distcp over a whole dataset,
+    CopyableDatasetBase posture): checksum-verified copy of everything a
+    lake needs to SERVE and RESUME — ``data/`` (bases + deltas),
+    ``_checkpoints/`` (the manifest chain IS the watermark/commit state)
+    and the ``_errors/`` quarantine — while excluding run-scoped state
+    that must not travel (``_locks``: liveness is host-local;
+    ``_staging``: uncommitted by definition; ``_metrics``: flight
+    recorder, observational). Takes the SOURCE job lock so no commit is
+    mid-flight: the clone is a consistent snapshot at a committed
+    watermark, and a ``CdcEngine`` pointed at it resumes replay exactly
+    where the source stood (run_copy is resumable + idempotent per
+    subtree via its own manifest). Re-running after the source advanced
+    copies only changed files (mtime+size diff) — an incremental DR sync.
+    """
+    from .locks import FileJobLock
+
+    out = {"files_listed": 0, "files_copied": 0, "bytes": 0, "subtrees": []}
+    with FileJobLock(os.path.join(src_lake, "_locks")):
+        for sub in ("data", "_checkpoints", "_errors"):
+            src = os.path.join(src_lake, sub)
+            if not os.path.isdir(src):
+                continue
+            r = run_copy(src, os.path.join(dst_lake, sub),
+                         num_units=num_units, verify=verify)
+            out["files_listed"] += r["files_listed"]
+            out["files_copied"] += r["files_copied"]
+            out["bytes"] += r.get("bytes", 0)
+            out["subtrees"].append(sub)
+    return out

@@ -1113,3 +1113,40 @@ def test_rename_column_evolution(ray_session, corpus, oracle_df,
                 ("lingo", "text"), ("lingo", "bad name")]:
         with pytest.raises(ValueError):
             eng.rename_column(*bad)
+
+
+def test_lake_clone_and_resume(ray_session, corpus, oracle_df,
+                               tmp_path_factory):
+    """DR clone (copy.copy_lake): a checksum-verified copy of a MID-REPLAY
+    lake is a fully functional lake — it resumes replay from the copied
+    watermark and converges oracle-identically; the source is untouched;
+    a second clone pass after the source advanced syncs incrementally."""
+    import json as _json
+
+    from gobblin_ray.copy import copy_lake
+
+    d, _ = corpus
+    src = str(tmp_path_factory.mktemp("lake_dr_src"))
+    dst = str(tmp_path_factory.mktemp("lake_dr_dst")) + "/clone"
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    eng = CdcEngine(src, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+    mid_epoch = eng.store.latest().epoch
+
+    out = copy_lake(src, dst)
+    assert out["files_copied"] > 0 and "_checkpoints" in out["subtrees"]
+
+    clone = CdcEngine(dst, f"{d}/events", cfg)
+    assert clone.store.latest().epoch == mid_epoch  # watermark traveled
+    clone.run(vacuum=False)  # resumes at mid_epoch + 1, replays to head
+    assert_matches_oracle(engine_df(clone), oracle_df)
+    assert eng.store.latest().epoch == mid_epoch  # source untouched
+
+    # Incremental sync: advance the source, re-clone — only new files move.
+    eng.run(vacuum=False)
+    out2 = copy_lake(src, dst)
+    assert 0 < out2["files_copied"] < out["files_copied"] + out2["files_listed"]
+    resync = CdcEngine(dst, f"{d}/events", cfg)
+    assert resync.store.latest().epoch == eng.store.latest().epoch
+    assert_matches_oracle(engine_df(resync), oracle_df)
