@@ -174,6 +174,17 @@ class EngineConfig:
     # [+_TRANSITIVE]) applied to lake-schema changes ON TOP of the lossless
     # additive lattice — e.g. FULL also rejects widenings and additions an
     # old-schema consumer could not read. None = additive lattice only.
+    event_transforms: tuple = ()  # ingest-time converter chain (Gobblin's
+    # Converter-in-task-flow analog, gobblin-api/.../converter/Converter.java
+    # composed by MultiConverter): callables pa.Table -> pa.Table applied to
+    # every event batch AFTER column-rename mapping, BEFORE validation.
+    # Contract: VALUE-REWRITING only — row count and schema must be
+    # preserved (enforced per batch; dropping rows would break the
+    # extracted==applied+diverted commit gate, and schema evolution must
+    # come from the LOG so resume/redrive see the same lineage). Must be
+    # deterministic: exactly-once resume re-applies an epoch's transforms
+    # and has to produce byte-identical output. Filtering/quarantine
+    # belongs to the row-level policies, not here.
     max_run_seconds: float | None = None  # early stop (Source.isEarlyStopped,
     # gobblin-api/.../source/Source.java:103 + Kafka max pull duration,
     # KafkaExtractor maxPullTime): once the budget elapses, stop SUBMITTING
@@ -552,6 +563,27 @@ class CdcEngine:
 
             _ren_events.__name__ = "apply_column_renames"
             ds = ds.map_batches(_ren_events, batch_format="pyarrow",
+                                batch_size=None)
+        # Converter chain runs AFTER rename mapping (transforms are written
+        # against CURRENT column names) and BEFORE validation.
+        for i, fn in enumerate(self.cfg.event_transforms):
+            def _conv(t: pa.Table, _fn=fn, _i=i) -> pa.Table:
+                out = _fn(t)
+                if out.num_rows != t.num_rows:
+                    raise ValueError(
+                        f"event_transforms[{_i}] changed the row count "
+                        f"({t.num_rows} -> {out.num_rows}); converters are "
+                        "value-rewriting — divert rows via row policies"
+                    )
+                if out.schema != t.schema:
+                    raise ValueError(
+                        f"event_transforms[{_i}] changed the schema; "
+                        "evolution must come from the log"
+                    )
+                return out
+
+            _conv.__name__ = getattr(fn, "__name__", f"event_transform_{i}")
+            ds = ds.map_batches(_conv, batch_format="pyarrow",
                                 batch_size=None)
         ds = ds.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=None)
         ds = ds.map_batches(

@@ -1150,3 +1150,48 @@ def test_lake_clone_and_resume(ray_session, corpus, oracle_df,
     resync = CdcEngine(dst, f"{d}/events", cfg)
     assert resync.store.latest().epoch == eng.store.latest().epoch
     assert_matches_oracle(engine_df(resync), oracle_df)
+
+
+def test_event_transforms_converter_chain(ray_session, corpus, oracle_df,
+                                          tmp_path_factory):
+    """Ingest-time converter chain (EngineConfig.event_transforms — the
+    Gobblin Converter-in-task-flow analog): a value-rewriting transform
+    (uppercase lang) applies to every EVENT batch; final state == oracle
+    with the same rewrite on event-written rows (bootstrap rows
+    untouched); contract violations (row drop / schema change) fail the
+    epoch before any commit."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_conv"))
+
+    def upper_lang(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("lang")
+        return t.set_column(i, "lang", pa.compute.utf8_upper(t.column("lang")))
+
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W,
+                       event_transforms=(upper_lang,))
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    df = engine_df(eng)
+    want = oracle_df.copy()
+    ev = want["event_seq"] >= 0  # bootstrap rows never pass the chain
+    want.loc[ev, "lang"] = want.loc[ev, "lang"].str.upper()
+    assert_matches_oracle(df, want)
+
+    # Contract: dropping rows or changing the schema fails the epoch.
+    def drop_rows(t: pa.Table) -> pa.Table:
+        return t.slice(0, max(0, t.num_rows - 1))
+
+    def add_col(t: pa.Table) -> pa.Table:
+        return t.append_column("extra", pa.nulls(t.num_rows, pa.int64()))
+
+    for bad, msg in ((drop_rows, "row count"), (add_col, "schema")):
+        lake_b = str(tmp_path_factory.mktemp("lake_conv_bad"))
+        eng_b = CdcEngine(lake_b, f"{d}/events",
+                          EngineConfig(num_buckets=4, epoch_width=EPOCH_W,
+                                       event_transforms=(bad,)))
+        eng_b.bootstrap(f"{d}/pages.parquet")
+        before = eng_b.store.latest().epoch
+        with pytest.raises(Exception, match=msg):
+            eng_b.run(max_epochs=1, vacuum=False)
+        assert eng_b.store.latest().epoch == before  # nothing committed
