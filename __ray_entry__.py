@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_neardup_incremental": demo.dedup_neardup_incremental,
         "cdc_replay_mini": demo.cdc_replay_mini,
         "point_lookup_urls": demo.point_lookup_urls,
+        "projected_read_cdc": demo.projected_read_cdc,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
         "incremental_view_hosts": demo.incremental_view_hosts,
         "time_travel_read": demo.time_travel_read,
@@ -1569,6 +1570,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/lookup_oracle.parquet')
             WHERE url LIKE '%7'
+        """,
+        # Pruned merge-on-read scan: projection pushed into the file
+        # scans, predicate applied per bucket post-merge.
+        "projected_read_cdc": """
+            SELECT url, text, event_seq
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/projected_read_oracle.parquet')
+            WHERE lang = 'en'
         """,
         # CDC-out snapshot diff between two committed manifests; the sidecar
         # diffs two INDEPENDENT sequential replays sliced at the same

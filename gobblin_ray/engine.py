@@ -1010,11 +1010,35 @@ class CdcEngine:
             if s.rows > 0
         }
 
-    def read_table(self, manifest: Manifest | None = None):
+    def read_table(
+        self,
+        manifest: Manifest | None = None,
+        columns: list[str] | None = None,
+        predicate=None,
+        predicate_columns: list[str] | None = None,
+    ):
         """The lake's live rows as a Dataset — the merge-on-read reader:
         one task per bucket LWW-merges base + outstanding deltas in memory
         (a bucket is sized to fit a worker heap by construction), drops
-        tombstones and bookkeeping."""
+        tombstones and bookkeeping.
+
+        ``columns``: project the result to these columns AND push the
+        projection into every parquet scan — only the requested columns
+        plus the merge identity set (url / warc_ts / event_seq /
+        is_deleted) leave storage. At webtext scale the html payload
+        dominates bytes; a text-only read must not fetch it ("prune at
+        the read"). Rename-aware: each file's footer maps CURRENT names
+        back to its stored names.
+
+        ``predicate``: optional callable ``pa.Table -> BooleanArray``;
+        columns it touches that are not in ``columns`` must be listed in
+        ``predicate_columns`` (read for the filter, dropped from the
+        result)
+        applied per bucket AFTER the LWW merge, never before — filtering
+        files pre-merge on a non-key column is wrong (an old base row
+        passing the filter would beat a newer delta row that fails it
+        and resurrect overwritten state). Post-merge it runs distributed,
+        per bucket, before any downstream exchange."""
         import ray.data as rd
 
         manifest = manifest or self.store.latest()
@@ -1022,6 +1046,27 @@ class CdcEngine:
         ren = dict(manifest.column_renames)
         file_map = self.bucket_file_map(manifest)
         specs = [{"files": files} for files in file_map.values() if files]
+        identity = ["url", "warc_ts", "event_seq", "is_deleted"]
+        if columns is not None:
+            want = list(columns) + list(predicate_columns or [])
+            unknown = [c for c in want if c not in schema.names]
+            if unknown:
+                raise ValueError(f"unknown columns {unknown}; have {schema.names}")
+            need = list(dict.fromkeys(want + identity))
+            schema = pa.schema([schema.field(c) for c in need])
+
+        def _read_pruned(path: str) -> pa.Table:
+            if columns is None:
+                return apply_renames(pq.read_table(path), ren)
+            avail = pq.read_schema(path).names
+            present = set(avail)
+
+            def current(n: str) -> str:
+                t = ren.get(n)  # same skip-if-target-present rule as
+                return t if t is not None and t not in present else n
+
+            stored = [n for n in avail if current(n) in schema.names]
+            return apply_renames(pq.read_table(path, columns=stored), ren)
 
         def load_merge(batch: pa.Table) -> pa.Table:
             from .merge import merge_bases
@@ -1029,11 +1074,20 @@ class CdcEngine:
             out = []
             for files in batch.column("files").to_pylist():
                 merged = merge_bases(
-                    [apply_renames(pq.read_table(p), ren) for p in files],
-                    schema,
+                    [_read_pruned(p) for p in files], schema,
                 )
-                out.append(live_rows(merged))
-            return pa.concat_tables(out) if out else conform(pa.table({}), schema)
+                live = live_rows(merged)
+                if predicate is not None:
+                    live = live.filter(
+                        pc.fill_null(pa.array(predicate(live)), False)
+                    )
+                if columns is not None:
+                    live = live.select(list(columns))
+                out.append(live)
+            if out:
+                return pa.concat_tables(out)
+            empty = live_rows(conform(pa.table({}), schema))
+            return empty.select(list(columns)) if columns is not None else empty
 
         load_merge.__name__ = "merge_on_read"
         return rd.from_items(specs).map_batches(

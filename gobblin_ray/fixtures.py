@@ -31,6 +31,7 @@ SEMANTIC_PATH = os.path.join(FIXTURE_DIR, "planted_semantic.parquet")
 CDC_VIEW_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_view_oracle.parquet")
 CDC_REPLAY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_replay_oracle.parquet")
 LOOKUP_ORACLE_PATH = os.path.join(FIXTURE_DIR, "lookup_oracle.parquet")
+PROJ_ORACLE_PATH = os.path.join(FIXTURE_DIR, "projected_read_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
 

@@ -3170,3 +3170,35 @@ def triangle_documents(sf_dir: str):
     edges = nodes.map_batches(make_edges, batch_format="pyarrow",
                               batch_size=None)
     return count_triangles(edges, num_partitions=8)
+
+
+def projected_read_cdc(sf_dir: str):
+    """Pruned merge-on-read scan (engine.read_table(columns=, predicate=)):
+    only the requested + identity columns leave the parquet files (the
+    heavy html payload never loads), and the row filter runs per bucket
+    AFTER the LWW merge (pre-merge filtering would resurrect overwritten
+    state). Oracle: the sequential replay sidecar selected/filtered the
+    same way."""
+    import tempfile
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import PROJ_ORACLE_PATH, cdc_oracle_sidecar
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    root = tempfile.mkdtemp(prefix="cdc_proj_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=200 * scale, n_events=2_000 * scale,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=8, epoch_width=1_000),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run()
+    cdc_oracle_sidecar(corpus, path=PROJ_ORACLE_PATH)
+    return eng.read_table(
+        columns=["url", "text", "event_seq"],
+        predicate=lambda t: pc.equal(t.column("lang"), "en"),
+        predicate_columns=["lang"],
+    )

@@ -1195,3 +1195,44 @@ def test_event_transforms_converter_chain(ray_session, corpus, oracle_df,
         with pytest.raises(Exception, match=msg):
             eng_b.run(max_epochs=1, vacuum=False)
         assert eng_b.store.latest().epoch == before  # nothing committed
+
+
+def test_read_table_projection_and_predicate(full_run, oracle_df):
+    """Pruned lake read: column projection pushes into every parquet scan
+    (only requested + identity columns leave storage) and the predicate
+    runs per bucket AFTER the LWW merge; result == the full scan filtered
+    and selected. Works across schema evolution (fetch_status files)."""
+    want = oracle_df[oracle_df["lang"] == "en"][["url", "text"]]
+    want = want.sort_values("url").reset_index(drop=True)
+    got = (
+        full_run.read_table(
+            columns=["url", "text"],
+            predicate=lambda t: pa.compute.equal(t.column("lang"), "en"),
+            predicate_columns=["lang"],
+        )
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(got.columns) == ["url", "text"]
+    pd.testing.assert_frame_equal(got, want)
+    with pytest.raises(ValueError, match="unknown columns"):
+        full_run.read_table(columns=["nope"])
+
+
+def test_read_table_projection_across_rename(ray_session, corpus,
+                                             oracle_df, tmp_path_factory):
+    """Projection by the CURRENT name still reads pre-rename files (the
+    footer maps stored names back), and the pruned scan skips the heavy
+    html payload entirely."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_proj_ren"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+    eng.rename_column("lang", "language")
+    eng.run(vacuum=False)
+    got = (
+        eng.read_table(columns=["url", "language"])
+        .to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    assert list(got["language"]) == list(oracle_df["lang"])
