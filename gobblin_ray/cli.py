@@ -158,6 +158,15 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("new")
 
     sp = sub.add_parser(
+        "drop-column", help="metadata-only DROP COLUMN (Iceberg "
+        "deleteColumn analog): no data rewrite; the stored name is retired "
+        "via a tombstone mapping so it cannot resurrect; name reusable "
+        "after a rebucket"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("name")
+
+    sp = sub.add_parser(
         "purge", help="compliance purge (gobblin-compliance purger analog): "
         "remove every row for the given keys from the lake — live rows, "
         "tombstones and, by default, all older manifests/files, so time "
@@ -511,6 +520,14 @@ def main(argv: list[str] | None = None) -> int:
                 "epoch": m.epoch, "num_buckets": m.num_buckets,
                 "high_seq": m.high_seq,
                 "rows": sum(s.rows for s in m.buckets.values()),
+            }))
+        elif args.cmd == "drop-column":
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            m = eng.drop_column(args.name)
+            print(json.dumps({
+                "epoch": m.epoch,
+                "schema": [f.name for f in m.base_schema()],
+                "column_renames": m.column_renames,
             }))
         elif args.cmd == "rename":
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())

@@ -535,7 +535,13 @@ class CdcEngine:
         events_schema = rename_schema(raw_events_schema, ren)
         base_schema = unify_additive(
             manifest.base_schema(),
-            pa.schema([f for f in events_schema if f.name != "op"]).append(
+            # __dropped_* tombstone names (drop_column) are retired, not
+            # new fields — they must not re-enter via additive unification;
+            # conform() drops their values at the merge.
+            pa.schema([
+                f for f in events_schema
+                if f.name != "op" and not f.name.startswith("__dropped_")
+            ]).append(
                 pa.field("is_deleted", pa.bool_())
             ),
         )
@@ -1162,6 +1168,71 @@ class CdcEngine:
     # partition source field without a spec evolution).
     _PROTECTED_COLUMNS = frozenset({"url", "warc_ts", "event_seq", "is_deleted"})
 
+    def drop_column(self, name: str) -> "Manifest":
+        """Metadata-only DROP COLUMN (Iceberg UpdateSchema.deleteColumn
+        analog): commit a new manifest at the SAME watermark without the
+        field; NO data file is rewritten. The stored name is retired by
+        mapping it to a unique ``__dropped_<name>_e<epoch>`` tombstone in
+        the rename map — readers rename file columns to the tombstone and
+        ``conform`` (which projects to the schema) drops the values; the
+        epoch path renames lagging producers' event columns the same way
+        and excludes tombstones from additive unification, so the column
+        cannot silently resurrect. RE-USING a dropped name stays blocked
+        while any pre-drop file could still be read (the map outlives the
+        files by design — no field ids); after a ``rebucket`` (full
+        rewrite, map cleared) the name becomes available again and a
+        later add is a FRESH column with no history, exactly Iceberg's
+        re-add semantics. Identity columns protected; admin DDL, bypasses
+        the passive registry gate. Takes the job lock."""
+        from contextlib import nullcontext
+
+        from .locks import FileJobLock
+
+        lock = (FileJobLock(os.path.join(self.lake_dir, "_locks"))
+                if self.cfg.job_lock else nullcontext())
+        with lock:
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("drop_column needs a bootstrapped lake")
+            schema = m.base_schema()
+            if name not in schema.names:
+                raise ValueError(f"no column {name!r} in {schema.names}")
+            if name in self._PROTECTED_COLUMNS:
+                raise ValueError(
+                    f"cannot drop identity column {name!r}: "
+                    f"{sorted(self._PROTECTED_COLUMNS)} are the router key, "
+                    "LWW axes and tombstone marker"
+                )
+            epoch = m.epoch + 1
+            tomb = f"__dropped_{name}_e{epoch}"
+            new_schema = pa.schema([f for f in schema if f.name != name])
+            ren = {
+                k: (tomb if v == name else v)
+                for k, v in m.column_renames.items()
+            }
+            ren[name] = tomb
+            manifest = Manifest(
+                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=schema_fingerprint(new_schema),
+                schema_ipc=Manifest.encode_schema(new_schema),
+                metrics=dict(m.metrics),
+                column_renames=ren,
+            )
+            for b, st in m.buckets.items():
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=st.high_seq, base_epoch=st.base_epoch,
+                    rows=st.rows, events_applied=st.events_applied,
+                    events_epoch=0,
+                    delta_epochs=list(st.delta_epochs),
+                    delta_rows=st.delta_rows,
+                )
+            self.store.commit(manifest)
+            self.metrics.submit_event(
+                "ColumnDropped", epoch=manifest.epoch, column=name,
+            )
+            return manifest
+
     def rename_column(self, old: str, new: str) -> "Manifest":
         """Metadata-only column rename — the Iceberg ``RENAME COLUMN``
         analog (UpdateSchema.renameColumn; Iceberg does it via field ids,
@@ -1205,8 +1276,16 @@ class CdcEngine:
                     f"{sorted(self._PROTECTED_COLUMNS)} are the router key, "
                     "LWW axes and tombstone marker"
                 )
-            if not new or not new.isidentifier():
+            if not new or not new.isidentifier() or new.startswith("__dropped_"):
                 raise ValueError(f"invalid column name {new!r}")
+            if new in m.column_renames:
+                # the name is RETIRED (drop_column tombstone or an earlier
+                # rename source): a column called this still exists in
+                # old files and would be mapped away/recalled wrongly
+                raise ValueError(
+                    f"column name {new!r} is retired while pre-rename files "
+                    "may still be read (rebucket clears the map)"
+                )
             new_schema = pa.schema(
                 [f.with_name(new) if f.name == old else f for f in schema]
             )

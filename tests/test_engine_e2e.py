@@ -1236,3 +1236,46 @@ def test_read_table_projection_across_rename(ray_session, corpus,
         .to_pandas().sort_values("url").reset_index(drop=True)
     )
     assert list(got["language"]) == list(oracle_df["lang"])
+
+
+def test_drop_column_evolution(ray_session, corpus, oracle_df,
+                               tmp_path_factory):
+    """Metadata-only DROP COLUMN mid-replay: the field leaves the schema
+    with no data rewrite; lagging producers' events still carrying it
+    keep applying with the column dropped (no resurrection through
+    additive unification); the retired name is blocked for rename; after
+    a rebucket (full rewrite, map cleared) the replay's own evolution may
+    re-add it as a FRESH column."""
+    d, _ = corpus
+    lake = str(tmp_path_factory.mktemp("lake_drop"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    # run past the fetch_status evolution point (60% of the log), then drop
+    eng.run(max_epochs=3, vacuum=False)
+    assert "fetch_status" in eng.store.latest().base_schema().names
+    m = eng.drop_column("fetch_status")
+    assert "fetch_status" not in m.base_schema().names
+    assert any(v.startswith("__dropped_fetch_status") 
+               for v in m.column_renames.values())
+
+    eng.run(vacuum=False)  # remaining events still carry fetch_status
+    head = eng.store.latest().base_schema().names
+    assert "fetch_status" not in head  # no resurrection via unification
+    df = engine_df(eng)
+    assert "fetch_status" not in df.columns
+    want = oracle_df.drop(columns=["fetch_status"])
+    for col in ("url", "text", "lang", "event_seq"):
+        assert list(df[col]) == list(want[col])
+
+    with pytest.raises(ValueError, match="retired"):
+        eng.rename_column("lang", "fetch_status")
+    with pytest.raises(ValueError, match="identity|no column"):
+        eng.drop_column("url")
+
+    # rebucket rewrites every file under current names and clears the map:
+    # the name is usable again (fresh column, no history).
+    eng.rebucket(8)
+    assert eng.store.latest().column_renames == {}
+    m2 = eng.rename_column("lang", "fetch_status")
+    assert "fetch_status" in m2.base_schema().names
