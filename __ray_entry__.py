@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup: near-dup family (extension set)
         "dedup_lines_planted": demo.dedup_lines_planted,
         "dedup_minhash_planted": demo.dedup_minhash_planted,
+        "dedup_cluster_best": demo.dedup_cluster_best,
         "dedup_ngram_planted": demo.dedup_ngram_planted,
         "simhash_planted_pairs": demo.simhash_planted_pairs,
         "embedding_dup_planted": demo.embedding_dup_planted,
@@ -1396,6 +1397,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
             GROUP BY cluster_id
+        """,
+        "dedup_cluster_best": """
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       row_number() OVER (
+                           PARTITION BY cluster_id
+                           ORDER BY length(text) DESC, doc_id
+                       ) AS rn
+                FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
+            ) WHERE rn = 1
         """,
         "dedup_ngram_planted": """
             SELECT min(doc_id) AS doc_id

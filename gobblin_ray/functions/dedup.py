@@ -673,6 +673,114 @@ def dedup_minhash(
     return _drop_non_representatives(docs, confirmed, id_col)
 
 
+def select_cluster_representatives(
+    docs,
+    confirmed_pairs,
+    score_fn,
+    id_col: str = "doc_id",
+):
+    """Near-dup cluster representative selection by QUALITY, not min-id:
+    keep, per confirmed near-dup cluster, the member with the highest
+    ``score_fn`` value (ties broken by smallest id) — the
+    RefinedWeb/FineWeb-style "keep the best document in the cluster" rule,
+    vs ``_drop_non_representatives``'s arbitrary keep-min-id. The
+    reference's compaction dedup has the same pluggable-winner shape
+    (AvroKeyDedupReducer delegates record choice to a comparator,
+    gobblin-compaction/.../AvroKeyDedupReducer.java:35-93).
+
+    ``score_fn(sub: pa.Table) -> np.ndarray[float64]`` scores a batch of
+    member rows (vectorized; e.g. ``pc.utf8_length`` of the text).
+
+    Scale shape: the driver holds only the node->label map of CONFIRMED
+    dup members (same posture as ``_drop_non_representatives``). Scoring
+    touches member rows only (one corpus scan, per-batch vectorized);
+    the winner argmax is a groupby over O(members) (label, score, id)
+    triples — never text — and the final keep-filter is one more scan
+    with the loser id set broadcast in the closure.
+    """
+    comp = connected_components(confirmed_pairs)
+    if not comp:
+        return docs
+    member_ids = np.fromiter(comp.keys(), np.int64, len(comp))
+    labels_arr = np.fromiter(comp.values(), np.int64, len(comp))
+    order = np.argsort(member_ids)
+    member_ids, labels_arr = member_ids[order], labels_arr[order]
+
+    def member_scores(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(member_ids, ids)
+        pos = np.minimum(pos, len(member_ids) - 1)
+        hit = member_ids[pos] == ids
+        sub = t.filter(pa.array(hit))
+        if sub.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        score = np.asarray(score_fn(sub), dtype=np.float64)
+        return pa.table(
+            {
+                id_col: sub.column(id_col),
+                "label": pa.array(labels_arr[pos[hit]]),
+                "score": pa.array(score),
+            }
+        )
+
+    member_scores.__name__ = "score_dup_members"
+    scored = docs.map_batches(
+        member_scores, batch_format="pyarrow", batch_size=None
+    )
+
+    def pick_winner(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        # lexsort: last key is primary -> (-score asc == score desc),
+        # then id asc for the tie.
+        best = np.lexsort((ids, -sc))[0]
+        return pa.table(
+            {
+                "label": t.column("label").slice(best, 1),
+                "winner": t.column(id_col).slice(best, 1),
+            }
+        )
+
+    pick_winner.__name__ = "pick_cluster_winner"
+    winners = (
+        scored.groupby("label")
+        .map_groups(pick_winner, batch_format="pyarrow")
+        .take_all()
+    )
+    winner_set = {int(r["winner"]) for r in winners}
+    drop = np.array(
+        sorted(set(map(int, member_ids)) - winner_set), dtype=np.int64
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isin(ids, drop)))
+
+    keep.__name__ = "drop_non_best"
+    return docs.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+def dedup_minhash_best(
+    docs,
+    score_fn,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kw,
+):
+    """MinHash near-dup removal keeping the BEST-scoring member per
+    cluster (see ``select_cluster_representatives``)."""
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kw)
+    confirmed = verify_pairs_jaccard(pairs, docs, threshold, text_col, id_col)
+    return select_cluster_representatives(docs, confirmed, score_fn, id_col)
+
+
 # ------------------------------------------- n-gram Jaccard (bottom-k blocking)
 
 class BottomKShingler:

@@ -1127,6 +1127,33 @@ def dedup_minhash_planted(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+def dedup_cluster_best(sf_dir: str):
+    """Near-dup removal keeping the BEST member per cluster
+    (functions/dedup.select_cluster_representatives — the
+    RefinedWeb/FineWeb "keep the highest-quality duplicate" rule, score =
+    text length here, tiebreak min doc_id) instead of keep-min-id. On the
+    planted clusters the winners differ from min-id (cluster 0's longest
+    member is doc 1), so this genuinely tests the argmax rule. Oracle =
+    row_number() over (partition by cluster_id order by length desc, id)."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    path = fx.planted_neardup()
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+
+    def longest(sub: pa.Table) -> np.ndarray:
+        return pc.utf8_length(sub.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+
+    kept = dd.dedup_minhash_best(
+        ds, longest, threshold=0.7, num_perm=64, bands=16,
+        concurrency=(1, 4),
+    )
+    return kept.select_columns(["doc_id"])
+
+
 def dedup_ngram_planted(sf_dir: str):
     """n-gram Jaccard near-dup removal (bottom-k min-shingle blocking +
     exact shingle-Jaccard confirm) on the planted clusters: kept set must

@@ -1156,3 +1156,41 @@ def test_badwords_filter_word_boundaries(ray_session):
     # \b cannot anchor after a non-word char — an inherent limit of
     # word-boundary blocklists for punctuation terms.
     assert kept["doc_id"].tolist() == [1, 2, 4]
+
+
+def test_select_cluster_representatives_tiebreak_and_empty(ray_session):
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aaaa", "bbbbbb", "cccc", "dd", "solo"], pa.string()),
+    }))
+
+    def length_score(sub):
+        return pc.utf8_length(sub.column("text")).to_numpy(
+            zero_copy_only=False).astype("float64")
+
+    # cluster {0,1,2}: 1 wins on length; cluster {3}: none (singleton via
+    # no pairs); tie between 0 and 2 would break to min id if 1 absent.
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array([0, 1], pa.int64()),
+        "b": pa.array([1, 2], pa.int64()),
+    }))
+    kept = dd.select_cluster_representatives(docs, pairs, length_score)
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 3, 4]
+
+    # tie on score -> min id wins (0 vs 2, both length 4)
+    pairs2 = rd.from_arrow(pa.table({
+        "a": pa.array([0], pa.int64()),
+        "b": pa.array([2], pa.int64()),
+    }))
+    kept2 = dd.select_cluster_representatives(docs, pairs2, length_score)
+    assert sorted(kept2.to_pandas()["doc_id"]) == [0, 1, 3, 4]
+
+    # no confirmed pairs -> identity
+    empty = rd.from_arrow(pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    kept3 = dd.select_cluster_representatives(docs, empty, length_score)
+    assert sorted(kept3.to_pandas()["doc_id"]) == [0, 1, 2, 3, 4]
