@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # one-pass mergeable quantile sketch (KLL; exact when saturated)
         "quantiles_sketch_values": demo.quantiles_sketch_values,
         "quantiles_sketch_by_type": demo.quantiles_sketch_by_type,
+        # sample-based range clustering + sorted zone-map export (TeraSort)
+        "range_partition_events": demo.range_partition_events,
         # row-level table diff (data-validation job)
         "diff_tables_events": demo.diff_tables_events,
         # CSV / JSON source parity (§2.1, §2.3)
@@ -512,6 +514,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, 0.9,
                    round(quantile_cont(value, 0.9), 4)
             FROM events GROUP BY event_type
+        """,
+        # Range clustering: cuts are the 7 exact octile quantiles rounded
+        # half-away to 4 digits (the shared cut list both sides assign
+        # against); range_id = #{cut <= value}; lo/hi are the per-range
+        # min/max zone-map stats the export manifest records.
+        "range_partition_events": """
+            WITH cuts AS (
+                SELECT round(quantile_cont(value, 0.125), 4) AS c FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.25), 4) FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.375), 4) FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.5), 4) FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.625), 4) FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.75), 4) FROM events
+                UNION ALL SELECT round(quantile_cont(value, 0.875), 4) FROM events
+            )
+            SELECT range_id, CAST(count(*) AS BIGINT) AS n,
+                   round(min(value), 4) AS lo, round(max(value), 4) AS hi
+            FROM (
+                SELECT value,
+                       (SELECT count(*) FROM cuts WHERE c <= e.value)
+                           AS range_id
+                FROM events e
+                WHERE value IS NOT NULL AND NOT isnan(value)
+            ) GROUP BY range_id
         """,
         "diff_tables_events": """
             WITH l AS (

@@ -2208,6 +2208,35 @@ def quantiles_event_value(sf_dir: str):
     })
 
 
+def range_partition_events(sf_dir: str):
+    """Sample-based range clustering + sorted pruning-ready export
+    (stages/sorts.range_cut_points / range_partitioned_export — the
+    TeraSort / Spark-RangePartitioner / OPTIMIZE-SORT-BY shape): exact
+    equi-frequency cut points on events.value (rounded with the DuckDB
+    half-away rule so assignment replays bit-exactly in SQL), one bounded
+    exchange co-locates each range, every range task sorts + writes its
+    own file with min/max zone-map stats. Output = the O(ranges) stats
+    manifest; the file-pruning read is exercised by the pytest."""
+    import shutil
+
+    from ..stages.sorts import range_cut_points, range_partitioned_export
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    cuts = range_cut_points(ds, "value", num_ranges=8, digits=4)
+    out_dir = "/tmp/gobblin_ray_fixtures/range_export_events"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    meta = range_partitioned_export(ds, "value", out_dir, cuts)
+    rows = meta["ranges"]
+    return pa.table({
+        "range_id": pa.array([r["range_id"] for r in rows], pa.int64()),
+        "n": pa.array([r["rows"] for r in rows], pa.int64()),
+        "lo": pa.array(_duck_round(
+            np.array([r["vmin"] for r in rows]), 4), pa.float64()),
+        "hi": pa.array(_duck_round(
+            np.array([r["vmax"] for r in rows]), 4), pa.float64()),
+    })
+
+
 def inverted_index_documents(sf_dir: str):
     """Inverted index (functions/text.build_inverted_index): term ->
     (document frequency, sorted comma-joined posting list). Pairs dedup per

@@ -204,3 +204,153 @@ def zorder_key(cols: list[str], bits: int = 16, out: str = "zkey"):
 
     run.__name__ = f"zorder[{','.join(cols)}]"
     return run
+
+
+# ---------------------------------------------------- range clustering (TeraSort)
+
+def range_cut_points(ds, col: str, num_ranges: int, digits: int = 4,
+                     exact: bool = True, sketch_k: int = 2048) -> list[float]:
+    """Sample the ``num_ranges - 1`` equi-frequency cut points that split
+    ``col`` into balanced ranges — the sampling half of the TeraSort /
+    Spark RangePartitioner shape. Cuts are rounded to ``digits`` with the
+    DuckDB half-away rule so the downstream assignment is bit-reproducible
+    against a SQL ``round(quantile_cont(...), d)`` replay.
+
+    ``exact=True`` uses the multi-round exact-quantile scan (deterministic,
+    oracle-parity; O(B) bytes per scan to the driver). At 100 TB pass
+    ``exact=False`` for the one-pass mergeable KLL sketch — same API, one
+    scan, O(k log(n/k)) floats to the driver; cut placement error ~1/k of
+    rank, which only skews partition sizes, never correctness (assignment
+    still uses the one shared cut list).
+    """
+    qs = [i / num_ranges for i in range(1, num_ranges)]
+    if exact:
+        from ..functions.quantiles import exact_quantiles
+        vals = exact_quantiles(ds, col, qs)
+    else:
+        from ..functions.sketch import approx_quantiles
+        vals = approx_quantiles(ds, col, qs, k=sketch_k)
+    p = float(10**digits)
+    return [float(np.copysign(np.floor(abs(v) * p + 0.5), v) / p)
+            for v in vals]
+
+
+def assign_range(cuts: list[float], col: str, out: str = "range_id"):
+    """Per-batch range assignment: ``range_id = #{cut : cut <= v}``
+    (searchsorted side='right' over the sorted cut list — O(log cuts) per
+    row, vectorized, no shuffle). Null/NaN values get range NULL so they
+    can't silently land in range 0. SQL replay:
+    ``(SELECT count(*) FROM cuts WHERE c <= value)``."""
+    carr = np.asarray(sorted(cuts), dtype=np.float64)
+
+    def run(t: pa.Table) -> pa.Table:
+        v = t.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        rid = np.searchsorted(carr, v, side="right").astype(np.int64)
+        bad = np.isnan(v)
+        arr = pa.array(rid, pa.int64())
+        if bad.any():
+            arr = pa.array(
+                np.ma.masked_array(rid, mask=bad), pa.int64(),
+            )
+        return t.append_column(out, arr)
+
+    run.__name__ = f"assign_range[{col}]"
+    return run
+
+
+def range_partitioned_export(ds, col: str, out_dir: str,
+                             cuts: list[float]):
+    """Range-clustered, sorted, pruning-ready export — the write half of
+    TeraSort and the ``OPTIMIZE ... SORT BY`` layout primitive: one
+    bounded exchange co-locates each range, every range task sorts its
+    rows by ``col`` and writes its own parquet file under
+    ``out_dir/range=K/`` (distributed writes, one dir per range =
+    resumable/partitioned output), and the driver records only the
+    O(ranges) stats manifest ``_ranges.json`` (cuts + per-range
+    rows/min/max) that ``read_range_pruned`` uses to open only the files a
+    predicate can touch. Null/NaN sort keys are excluded (they carry no
+    range). Gobblin analog: TimeBasedWriterPartitioner's partitioned
+    output dirs (PartitionedDataWriter.java:349) with lakehouse min/max
+    zone maps added. At scale, roll files inside a range by size (the
+    per-range task sees its rows as one group; splitting is local)."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.is_valid(t.column(col)),
+                    pc.invert(pc.is_nan(t.column(col))))
+        ),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(assign_range(cuts, col), batch_format="pyarrow",
+                  batch_size=None)
+
+    def write_range(t: pa.Table) -> pa.Table:
+        rid = int(t.column("range_id")[0].as_py())
+        body = t.drop_columns(["range_id"]).sort_by([(col, "ascending")])
+        d = os.path.join(out_dir, f"range={rid}")
+        os.makedirs(d, exist_ok=True)
+        path = os.path.join(d, "part-0.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(body, tmp, compression="zstd")
+        os.replace(tmp, path)
+        v = body.column(col).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "range_id": pa.array([rid], pa.int64()),
+            "path": pa.array([path], pa.string()),
+            "rows": pa.array([body.num_rows], pa.int64()),
+            "vmin": pa.array([float(v[0])], pa.float64()),
+            "vmax": pa.array([float(v[-1])], pa.float64()),
+        })
+
+    write_range.__name__ = "write_range"
+    manifest = (
+        ds.groupby("range_id")
+        .map_groups(write_range, batch_format="pyarrow")
+        .take_all()
+    )
+    manifest = sorted(manifest, key=lambda r: r["range_id"])
+    os.makedirs(out_dir, exist_ok=True)
+    meta = {"col": col, "cuts": [float(c) for c in cuts],
+            "ranges": [{k: r[k] for k in
+                        ("range_id", "path", "rows", "vmin", "vmax")}
+                       for r in manifest]}
+    mpath = os.path.join(out_dir, "_ranges.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=1)
+    os.replace(tmp, mpath)
+    return meta
+
+
+def read_range_pruned(out_dir: str, lo: float, hi: float):
+    """Zone-map pruned read over a ``range_partitioned_export`` layout:
+    consult ``_ranges.json``, open ONLY the range files whose [vmin, vmax]
+    overlaps [lo, hi], apply the residual filter per batch. Returns
+    ``(dataset, files_opened)`` so callers (and the pruning test) can see
+    the file subset."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_ranges.json")) as f:
+        meta = json.load(f)
+    col = meta["col"]
+    files = [r["path"] for r in meta["ranges"]
+             if r["vmin"] <= hi and r["vmax"] >= lo]
+    if not files:
+        return rd.from_arrow(pa.table({col: pa.array([], pa.float64())})), []
+    ds = rd.read_parquet(files)
+    ds = ds.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t.column(col), pa.scalar(float(lo))),
+                    pc.less_equal(t.column(col), pa.scalar(float(hi))))
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return ds, files

@@ -1816,3 +1816,59 @@ def test_merge_into_matches_brute_force(ray_session):
             rd.from_arrow(pa.Table.from_pandas(dup)),
             key="k", update_exprs={"bal": "delta"},
         ).materialize()
+
+
+def test_range_partitioned_export_prunes(ray_session, tmp_path):
+    """TeraSort-shape export: balanced ranges, per-file sort, zone-map
+    manifest, and a narrow range query opens ONLY the overlapping file(s)
+    while returning exactly the brute-force row set."""
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import (
+        range_cut_points,
+        range_partitioned_export,
+        read_range_pruned,
+    )
+
+    rng = np.random.default_rng(7)
+    v = rng.permutation(np.linspace(0.0, 100.0, 4000))
+    v[::97] = np.nan  # NaN keys carry no range and must be excluded
+    t = pa.table({"value": pa.array(v, pa.float64()),
+                  "id": pa.array(np.arange(4000), pa.int64())})
+    ds = rd.from_arrow(t).repartition(8)
+
+    cuts = range_cut_points(ds, "value", num_ranges=8, digits=4)
+    assert cuts == sorted(cuts) and len(cuts) == 7
+    out = str(tmp_path / "range_export")
+    meta = range_partitioned_export(ds, "value", out, cuts)
+
+    clean = v[~np.isnan(v)]
+    assert sum(r["rows"] for r in meta["ranges"]) == clean.size
+    # equi-frequency cuts -> balanced ranges (exact quantiles, n % 8 slack)
+    for r in meta["ranges"]:
+        assert abs(r["rows"] - clean.size / 8) <= 2
+    # files are sorted and zone maps truthful; ranges honor the cut fences
+    import pyarrow.parquet as pq
+    fences = [-np.inf] + list(cuts) + [np.inf]
+    for r in meta["ranges"]:
+        body = pq.read_table(r["path"]).column("value").to_numpy()
+        assert (np.diff(body) >= 0).all()
+        assert body[0] == r["vmin"] and body[-1] == r["vmax"]
+        assert body[0] >= fences[r["range_id"]]
+        assert body[-1] < fences[r["range_id"] + 1] or (
+            body[-1] == fences[r["range_id"] + 1])
+
+    lo, hi = float(cuts[2]) + 0.01, float(cuts[3]) - 0.01  # inside range 3
+    pruned, files = read_range_pruned(out, lo, hi)
+    assert len(files) == 1
+    got = np.sort(pruned.to_pandas()["value"].to_numpy())
+    want = np.sort(clean[(clean >= lo) & (clean <= hi)])
+    np.testing.assert_array_equal(got, want)
+
+    # empty-overlap query opens nothing
+    empty, files0 = read_range_pruned(out, 1e9, 2e9)
+    assert files0 == [] and empty.count() == 0
+
+    # sketch-based cuts (the 100-TB one-pass path) are monotone and usable
+    acuts = range_cut_points(ds, "value", num_ranges=8, digits=4, exact=False)
+    assert acuts == sorted(acuts) and len(acuts) == 7
