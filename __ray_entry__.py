@@ -155,6 +155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_partition_events": demo.range_partition_events,
         # row-level table diff (data-validation job)
         "diff_tables_events": demo.diff_tables_events,
+        # referential-integrity audit (FK orphan detection across tables)
+        "fk_audit_edges": demo.fk_audit_edges,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -538,6 +540,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # FK orphan audit: edge 1 drops every 97th order from the parent
+        # side so its lineitems dangle; edge 2 is intact (zero orphans).
+        # NULL FKs never fail a referential constraint (IS NOT NULL here
+        # mirrors fk_audit's exclusion).
+        "fk_audit_edges": """
+            WITH par AS (
+                SELECT o_orderkey AS k FROM orders
+                WHERE o_orderkey % 97 <> 0
+            ),
+            ch AS (
+                SELECT l_orderkey AS k FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+            ),
+            orph AS (
+                SELECT ch.k FROM ch
+                WHERE ch.k NOT IN (SELECT k FROM par)
+            ),
+            ch2 AS (
+                SELECT c_nationkey AS k FROM customer
+                WHERE c_nationkey IS NOT NULL
+            ),
+            orph2 AS (
+                SELECT ch2.k FROM ch2
+                WHERE ch2.k NOT IN (SELECT n_nationkey FROM nation)
+            )
+            SELECT 'lineitem->orders' AS edge,
+                   CAST((SELECT count(*) FROM ch) AS BIGINT) AS n_child,
+                   CAST((SELECT count(*) FROM orph) AS BIGINT)
+                       AS n_orphan_rows,
+                   CAST((SELECT count(DISTINCT k) FROM orph) AS BIGINT)
+                       AS n_orphan_keys
+            UNION ALL
+            SELECT 'customer->nation',
+                   CAST((SELECT count(*) FROM ch2) AS BIGINT),
+                   CAST((SELECT count(*) FROM orph2) AS BIGINT),
+                   CAST((SELECT count(DISTINCT k) FROM orph2) AS BIGINT)
         """,
         "diff_tables_events": """
             WITH l AS (

@@ -181,3 +181,83 @@ def diff_by_key(left, right, key: str, compare_cols: list[str],
     compare.__name__ = "diff_compare"
     return keyed_map_groups(both, key, compare,
                             num_partitions=num_partitions)
+
+
+def fk_audit(child, child_fk: str, parent, parent_key: str, edge: str):
+    """Referential-integrity audit: count child rows whose foreign key has
+    no matching parent key (the dbt ``relationships`` test / Gobblin
+    ValidationJob posture, SURVEY §2.9's quality family applied ACROSS
+    tables).
+
+    Scale shape: per-batch combiners collapse BOTH sides to
+    ``(key, partial child-row count, parent marker)`` before the single
+    bounded exchange — the exchange carries O(distinct keys) rows, never
+    child rows; one ``groupby(key).aggregate(sum, max)`` resolves each
+    key's orphan-ness; the rollup over the grouped output is a tiny
+    mergeable aggregate (3 counters per block). NULL child FKs are
+    excluded, matching SQL semantics where a NULL FK never fails a
+    referential constraint (and the matching ``IS NOT NULL`` oracle).
+
+    Returns a one-row pyarrow Table:
+    ``edge | n_child | n_orphan_rows | n_orphan_keys``.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def child_comb(t: pa.Table) -> pa.Table:
+        k = t.column(child_fk)
+        k = k.filter(pc.is_valid(k)) if k.null_count else k
+        g = pa.table({"k": k}).group_by("k").aggregate([("k", "count")])
+        n = g.column("k_count").cast(pa.int64())
+        return pa.table({
+            "k": g.column("k"), "n": n,
+            "mark": pa.array(np.zeros(g.num_rows, np.int64)),
+        })
+
+    def parent_comb(t: pa.Table) -> pa.Table:
+        k = t.column(parent_key)
+        k = k.filter(pc.is_valid(k)) if k.null_count else k
+        ku = pc.unique(k)
+        z = pa.array(np.zeros(len(ku), np.int64))
+        return pa.table({
+            "k": ku, "n": z,
+            "mark": pa.array(np.ones(len(ku), np.int64)),
+        })
+
+    child_comb.__name__ = f"fk_child[{child_fk}]"
+    parent_comb.__name__ = f"fk_parent[{parent_key}]"
+    u = child.map_batches(
+        child_comb, batch_format="pyarrow", batch_size=None
+    ).union(parent.map_batches(
+        parent_comb, batch_format="pyarrow", batch_size=None
+    ))
+    g = u.groupby("k").aggregate(
+        Sum("n", alias_name="n"), Max("mark", alias_name="mark")
+    )
+
+    def roll(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        orphan = np.logical_and(
+            t.column("mark").to_numpy(zero_copy_only=False) == 0, n > 0
+        )
+        return pa.table({
+            "n_child": pa.array([int(n.sum())], pa.int64()),
+            "n_orphan_rows": pa.array([int(n[orphan].sum())], pa.int64()),
+            "n_orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
+        })
+
+    roll.__name__ = "fk_rollup"
+    agg = g.map_batches(
+        roll, batch_format="pyarrow", batch_size=None
+    ).aggregate(
+        Sum("n_child", alias_name="n_child"),
+        Sum("n_orphan_rows", alias_name="n_orphan_rows"),
+        Sum("n_orphan_keys", alias_name="n_orphan_keys"),
+    )
+    return pa.table({
+        "edge": pa.array([edge], pa.string()),
+        "n_child": pa.array([int(agg["n_child"] or 0)], pa.int64()),
+        "n_orphan_rows": pa.array(
+            [int(agg["n_orphan_rows"] or 0)], pa.int64()),
+        "n_orphan_keys": pa.array(
+            [int(agg["n_orphan_keys"] or 0)], pa.int64()),
+    })

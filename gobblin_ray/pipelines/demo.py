@@ -3258,3 +3258,36 @@ def projected_read_cdc(sf_dir: str):
         predicate=lambda t: pc.equal(t.column("lang"), "en"),
         predicate_columns=["lang"],
     )
+
+
+def fk_audit_edges(sf_dir: str):
+    """Referential-integrity audit (functions/profile.fk_audit): orphan
+    child rows per FK edge, combiner-collapsed to O(distinct keys) through
+    ONE bounded exchange per edge. Edge 1 plants orphans by dropping every
+    97th order from the PARENT side (so lineitems of those orders dangle);
+    edge 2 is the intact customer -> nation edge (zero orphans — the
+    all-green audit path)."""
+    from ..functions.profile import fk_audit
+
+    def _mod_ne0(col, m: int):
+        v = col.cast(pa.int64())
+        return pc.not_equal(
+            pc.subtract(v, pc.multiply(pc.divide(v, pa.scalar(m)),
+                                       pa.scalar(m))),
+            pa.scalar(0),
+        )
+
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey"])
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey"])
+    orders = orders.map_batches(
+        lambda t: t.filter(_mod_ne0(t.column("o_orderkey"), 97)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    e1 = fk_audit(li, "l_orderkey", orders, "o_orderkey",
+                  "lineitem->orders")
+
+    cust = read_table(sf_dir, "customer", columns=["c_nationkey"])
+    nation = read_table(sf_dir, "nation", columns=["n_nationkey"])
+    e2 = fk_audit(cust, "c_nationkey", nation, "n_nationkey",
+                  "customer->nation")
+    return pa.concat_tables([e1, e2])

@@ -1194,3 +1194,28 @@ def test_select_cluster_representatives_tiebreak_and_empty(ray_session):
     }))
     kept3 = dd.select_cluster_representatives(docs, empty, length_score)
     assert sorted(kept3.to_pandas()["doc_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_fk_audit_semantics(ray_session):
+    """Orphan accounting: NULL FKs excluded (SQL constraint semantics),
+    parent-only keys never count, duplicate child rows of one orphan key
+    count as rows but one key, intact edge reports zero."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.profile import fk_audit
+
+    child = pa.table({"fk": pa.array([1, 1, 2, 3, None, 9, 9, 9],
+                                     pa.int64())})
+    parent = pa.table({"pk": pa.array([1, 2, 4, 5], pa.int64())})
+    out = fk_audit(rd.from_arrow(child).repartition(3), "fk",
+                   rd.from_arrow(parent).repartition(2), "pk", "c->p")
+    r = out.to_pylist()[0]
+    # non-null child rows: 7; orphans: fk=3 (1 row) + fk=9 (3 rows)
+    assert r == {"edge": "c->p", "n_child": 7,
+                 "n_orphan_rows": 4, "n_orphan_keys": 2}
+
+    ok = fk_audit(rd.from_arrow(parent), "pk",
+                  rd.from_arrow(parent), "pk", "self")
+    assert ok.to_pylist()[0] == {
+        "edge": "self", "n_child": 4, "n_orphan_rows": 0,
+        "n_orphan_keys": 0}
