@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_tables_events": demo.diff_tables_events,
         # referential-integrity audit (FK orphan detection across tables)
         "fk_audit_edges": demo.fk_audit_edges,
+        # fuzzy join at edit distance <= 1 (deletion-neighborhood blocking)
+        "fuzzy_join_customers": demo.fuzzy_join_customers,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -540,6 +542,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # Fuzzy join: the typo'd right side replays the same c_custkey % 4
+        # perturbation; levenshtein <= 1 is the ground truth the deletion
+        # blocking + exact verify must reproduce pair-for-pair.
+        "fuzzy_join_customers": """
+            WITH r AS (
+                SELECT c_custkey AS rid,
+                       CASE c_custkey % 4
+                         WHEN 0 THEN substr(c_name, 1, length(c_name)-1)
+                                     || 'X'
+                         WHEN 1 THEN c_name || 'Z'
+                         WHEN 2 THEN substr(c_name, 1, length(c_name)-1)
+                         ELSE 'QQQQ' || c_name
+                       END AS rname
+                FROM customer
+            ),
+            l AS (SELECT c_custkey AS lid, c_name AS lname FROM customer)
+            SELECT lid, rid FROM l, r
+            WHERE levenshtein(lname, rname) <= 1
         """,
         # FK orphan audit: edge 1 drops every 97th order from the parent
         # side so its lineitems dangle; edge 2 is intact (zero orphans).

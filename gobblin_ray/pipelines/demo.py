@@ -3291,3 +3291,47 @@ def fk_audit_edges(sf_dir: str):
     e2 = fk_audit(cust, "c_nationkey", nation, "n_nationkey",
                   "customer->nation")
     return pa.concat_tables([e1, e2])
+
+
+def fuzzy_join_customers(sf_dir: str):
+    """Edit-distance-<=-1 fuzzy join (functions/fuzzy.fuzzy_join_ed1,
+    FastSS deletion-neighborhood blocking): customer names joined against
+    a deterministically typo'd copy — c_custkey % 4 picks substitution /
+    insertion / deletion / far-miss, so all three ed-1 edit kinds and the
+    negative case are exercised; zero-padded TPC-H names also produce
+    legitimate CROSS matches (names differing in one digit), which the
+    blocking must find."""
+    from ..functions.fuzzy import fuzzy_join_ed1
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        return pa.table({"lid": t.column("c_custkey").cast(pa.int64()),
+                         "lname": t.column("c_name")})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        name = t.column("c_name")
+        if isinstance(name, pa.ChunkedArray):
+            name = name.combine_chunks()
+        key = t.column("c_custkey").cast(pa.int64())
+        m = pc.subtract(key, pc.multiply(pc.divide(key, pa.scalar(4)),
+                                         pa.scalar(4)))
+        drop_last = pc.utf8_slice_codeunits(name, 0, -1)
+        x = pa.array(np.full(t.num_rows, "X"), pa.string())
+        z = pa.array(np.full(t.num_rows, "Z"), pa.string())
+        q = pa.array(np.full(t.num_rows, "QQQQ"), pa.string())
+        sub = pc.binary_join_element_wise(drop_last, x, "")
+        ins = pc.binary_join_element_wise(name, z, "")
+        far = pc.binary_join_element_wise(q, name, "")
+        rname = pc.if_else(
+            pc.equal(m, pa.scalar(0)), sub,
+            pc.if_else(pc.equal(m, pa.scalar(1)), ins,
+                       pc.if_else(pc.equal(m, pa.scalar(2)), drop_last,
+                                  far)))
+        return pa.table({"rid": key, "rname": rname})
+
+    left = cust.map_batches(mk_left, batch_format="pyarrow",
+                            batch_size=None)
+    right = cust.map_batches(mk_right, batch_format="pyarrow",
+                             batch_size=None)
+    return fuzzy_join_ed1(left, "lid", "lname", right, "rid", "rname")

@@ -1219,3 +1219,46 @@ def test_fk_audit_semantics(ray_session):
     assert ok.to_pylist()[0] == {
         "edge": "self", "n_child": 4, "n_orphan_rows": 0,
         "n_orphan_keys": 0}
+
+
+def test_fuzzy_join_ed1_matches_bruteforce(ray_session):
+    """Deletion-neighborhood blocking + exact verify reproduces the full
+    brute-force DP edit-distance <= 1 pair set over random short strings
+    (empty strings, dup strings, inserts/deletes/substitutions, nulls)."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.fuzzy import fuzzy_join_ed1
+
+    def ed(a, b):
+        la, lb = len(a), len(b)
+        d = np.arange(lb + 1)
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = min(d[j] + 1, d[j - 1] + 1,
+                          prev + (a[i - 1] != b[j - 1]))
+                prev, d[j] = d[j], cur
+        return d[lb]
+
+    rng = np.random.default_rng(11)
+    alpha = np.array(list("abc"))
+
+    def rand_str():
+        n = int(rng.integers(0, 6))
+        return "".join(rng.choice(alpha, n))
+
+    ls = [rand_str() for _ in range(80)] + [None]
+    rs = [rand_str() for _ in range(80)] + [None, ""]
+    want = {(i, j) for i, a in enumerate(ls) for j, b in enumerate(rs)
+            if a is not None and b is not None and ed(a, b) <= 1}
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array(range(len(ls)), pa.int64()),
+        "ls": pa.array(ls, pa.string())})).repartition(3)
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array(range(len(rs)), pa.int64()),
+        "rs": pa.array(rs, pa.string())})).repartition(4)
+    out = fuzzy_join_ed1(left, "lid", "ls", right, "rid", "rs",
+                         num_partitions=8).to_pandas()
+    got = set(zip(out["lid"], out["rid"]))
+    assert got == want and len(out) == len(got)
