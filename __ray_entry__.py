@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_audit_edges": demo.fk_audit_edges,
         # fuzzy join at edit distance <= 1 (deletion-neighborhood blocking)
         "fuzzy_join_customers": demo.fuzzy_join_customers,
+        # BM25 ranked retrieval (inverted-index family scoring step)
+        "bm25_search_documents": demo.bm25_search_documents,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -542,6 +544,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # BM25: every float op mirrors bm25_topk's association exactly
+        # (left-assoc * and /, term contributions added in query order,
+        # idf rounded half-away to 8 digits on both sides, final score to
+        # 4); k1=1.2, b=0.75, Lucene +1 idf.
+        "bm25_search_documents": """
+            WITH tf AS (
+                SELECT doc_id,
+                       len(toks) AS dl,
+                       len(list_filter(toks, x -> x = 'hash')) AS tf1,
+                       len(list_filter(toks, x -> x = 'merge')) AS tf2,
+                       len(list_filter(toks, x -> x = 'dup')) AS tf3
+                FROM (SELECT doc_id,
+                             string_split(coalesce(text, ''), ' ') AS toks
+                      FROM documents)
+            ),
+            c AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n,
+                       CAST(sum(dl) AS DOUBLE)
+                           / CAST(count(*) AS DOUBLE) AS avgdl,
+                       CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS df1,
+                       CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS df2,
+                       CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END)
+                            AS DOUBLE) AS df3
+                FROM tf
+            )
+            SELECT doc_id,
+                   round(
+                       round(ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0), 8)
+                           * (tf1 * (1.2 + 1.0))
+                           / (tf1 + 1.2 * ((1.0 - 0.75)
+                                           + (0.75 * dl) / avgdl))
+                     + round(ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0), 8)
+                           * (tf2 * (1.2 + 1.0))
+                           / (tf2 + 1.2 * ((1.0 - 0.75)
+                                           + (0.75 * dl) / avgdl))
+                     + round(ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0), 8)
+                           * (tf3 * (1.2 + 1.0))
+                           / (tf3 + 1.2 * ((1.0 - 0.75)
+                                           + (0.75 * dl) / avgdl))
+                   , 4) AS score
+            FROM tf, c
+            ORDER BY score DESC, doc_id
+            LIMIT 20
         """,
         # Fuzzy join: the typo'd right side replays the same c_custkey % 4
         # perturbation; levenshtein <= 1 is the ground truth the deletion

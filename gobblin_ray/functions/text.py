@@ -1106,3 +1106,98 @@ def badwords_filter(words, text_col: str = "text"):
 
     run.__name__ = "badwords_filter"
     return run
+
+
+def bm25_topk(ds, query_terms: list[str], text_col: str = "text",
+              id_col: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+              topk: int = 20, digits: int = 4):
+    """Okapi BM25 ranked retrieval for one query termset (Robertson &
+    Zaragoza 2009; the +1 Lucene idf form ln(1 + (N-df+.5)/(df+.5)) so
+    every idf stays positive) — the ranking step over the inverted-index
+    family (build_inverted_index gives the index; this gives the scores).
+
+    Two passes, tfidf_top_terms' shape:
+    1. Stats: a per-batch combiner emits (term, partial_df) for the QUERY
+       terms only, plus sentinel rows carrying doc count and total token
+       count -> one O(|Q|) groupby exchange -> the driver derives idf_t
+       (math.log on |Q| scalars, libm-parity with SQL ln; rounded
+       half-away to 8 digits on BOTH sides so the libm question never
+       reaches the hash compare) and avgdl.
+    2. Score: per batch, |Q| vectorized equal+bincount passes give each
+       doc's tf vector; the BM25 sum accumulates in query-term order with
+       the exact association the oracle SQL spells out; half-away
+       rounding; per-block partial top-k -> tiny final sort on
+       (score desc, id asc). No shuffle beyond the O(|Q|) stats exchange
+       and the k-rows-per-block top-k.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.sorts import top_k
+
+    _N = "\x00__n_docs__"
+    _L = "\x00__total_len__"
+
+    def _split(t: pa.Table):
+        toks = pc.split_pattern(
+            t.column(text_col).fill_null(""), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False)
+        return toks, flat, parents
+
+    def partial_stats(t: pa.Table) -> pa.Table:
+        _, flat, parents = _split(t)
+        terms, vals = [], []
+        for q in query_terms:
+            m = pc.equal(flat, pa.scalar(q)).to_numpy(
+                zero_copy_only=False).astype(bool)
+            terms.append(q)
+            vals.append(int(np.unique(parents[m]).size))
+        terms += [_N, _L]
+        vals += [t.num_rows, int(len(flat))]
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "pdf": pa.array(vals, pa.int64())})
+
+    partial_stats.__name__ = "bm25_stats"
+    st = (ds.map_batches(partial_stats, batch_format="pyarrow",
+                         batch_size=None)
+          .groupby("term").aggregate(Sum("pdf", alias_name="v"))
+          .to_pandas())
+    sv = dict(zip(st["term"], st["v"]))
+    n_docs, total_len = int(sv[_N]), int(sv[_L])
+    avgdl = total_len / n_docs
+    p8 = float(10**8)
+
+    def _r8(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * p8 + 0.5), x) / p8
+
+    idf = [
+        _r8(math.log((n_docs - int(sv.get(q, 0)) + 0.5)
+                     / (int(sv.get(q, 0)) + 0.5) + 1.0))
+        for q in query_terms
+    ]
+    p10 = float(10**digits)
+
+    def score(t: pa.Table) -> pa.Table:
+        toks, flat, parents = _split(t)
+        n = t.num_rows
+        dl = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        denom_base = k1 * ((1.0 - b) + (b * dl) / avgdl)
+        s = np.zeros(n, np.float64)
+        for q, w in zip(query_terms, idf):
+            m = pc.equal(flat, pa.scalar(q)).to_numpy(
+                zero_copy_only=False).astype(bool)
+            tf = np.bincount(parents[m], minlength=n).astype(np.float64)
+            s = s + w * (tf * (k1 + 1.0)) / (tf + denom_base)
+        s = np.copysign(np.floor(np.abs(s) * p10 + 0.5), s) / p10
+        return pa.table({id_col: t.column(id_col),
+                         "score": pa.array(s, pa.float64())})
+
+    score.__name__ = "bm25_score"
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            batch_size=None)
+    return top_k(scored, topk, by=["score", id_col],
+                 descending=[True, False])

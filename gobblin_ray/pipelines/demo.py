@@ -3335,3 +3335,12 @@ def fuzzy_join_customers(sf_dir: str):
     right = cust.map_batches(mk_right, batch_format="pyarrow",
                              batch_size=None)
     return fuzzy_join_ed1(left, "lid", "lname", right, "rid", "rname")
+
+
+def bm25_search_documents(sf_dir: str):
+    """BM25 ranked retrieval (functions/text.bm25_topk): top-20 documents
+    for the termset [hash, merge, dup] — 'dup' is rare in the synthetic
+    corpus (high idf) so the ranking genuinely discriminates; ties break
+    on doc_id, mirrored in the oracle's ORDER BY."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tx.bm25_topk(ds, ["hash", "merge", "dup"], topk=20)
