@@ -267,10 +267,19 @@ def sweep_unreferenced(lake_dir: str, keep_files: set[str]) -> int:
 
 def vacuum(lake_dir: str, manifest: Manifest) -> int:
     """Delete base/delta files superseded by the committed manifest (and
-    stale staging dirs of committed epochs). Returns files removed."""
+    stale staging dirs of committed epochs). Returns files removed.
+    Tagged manifests (refs.py) PIN their files: a tag must survive the
+    run-path vacuum or named time travel silently breaks."""
     keep = {
         p for s in manifest.buckets.values() for p in bucket_files(lake_dir, s)
     }
+    from . import refs
+
+    store = CheckpointStore(lake_dir)
+    for e in refs.tagged_epochs(lake_dir):
+        if e != manifest.epoch and os.path.exists(store._path(e)):
+            for s in store.load(e).buckets.values():
+                keep.update(bucket_files(lake_dir, s))
     removed = sweep_unreferenced(lake_dir, keep)
     stage_root = os.path.join(lake_dir, STAGING_DIR)
     if os.path.isdir(stage_root):

@@ -75,6 +75,24 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--poll-interval", type=float, default=2.0)
         if name == "read":
             s.add_argument("--limit", type=int, default=5)
+            s.add_argument("--tag", default=None,
+                           help="read AS OF the named tag's manifest "
+                                "(metadata-only time travel by name)")
+
+    sp = sub.add_parser(
+        "tag", help="named refs over committed manifests (Iceberg tag "
+        "analog): a tag pins its manifest + files against vacuum and "
+        "rollback; read --tag NAME time-travels to it. No Ray session."
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("name", nargs="?", default=None,
+                    help="tag to create (omit with --list)")
+    sp.add_argument("--epoch", type=int, default=None,
+                    help="epoch to tag (default: head)")
+    sp.add_argument("--delete", action="store_true")
+    sp.add_argument("--force", action="store_true",
+                    help="overwrite an existing tag")
+    sp.add_argument("--list", action="store_true", dest="list_tags")
 
     sp = sub.add_parser(
         "lookup", help="point-lookup serving path: live rows for explicit "
@@ -341,6 +359,24 @@ def main(argv: list[str] | None = None) -> int:
             "deleted": rep.deleted, "trashed": rep.trashed,
             "retained": rep.retained, "dry_run": args.dry_run,
         }))
+        return 0
+
+    if args.cmd == "tag":
+        from . import refs
+
+        if args.list_tags:
+            print(json.dumps(refs.list_tags(args.lake_dir)))
+        elif args.delete:
+            if not args.name:
+                raise SystemExit("tag --delete needs a name")
+            refs.drop_tag(args.lake_dir, args.name)
+            print(json.dumps({"deleted": args.name}))
+        else:
+            if not args.name:
+                raise SystemExit("tag needs a name (or --list)")
+            print(json.dumps(refs.create_tag(
+                args.lake_dir, args.name, epoch=args.epoch,
+                force=args.force)))
         return 0
 
     if args.cmd == "vacuum":
@@ -640,7 +676,13 @@ def main(argv: list[str] | None = None) -> int:
             }))
         elif args.cmd == "read":
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
-            ds = eng.read_table()
+            manifest = None
+            if getattr(args, "tag", None):
+                from . import refs
+
+                manifest = eng.store.load(
+                    refs.resolve_tag(args.lake_dir, args.tag))
+            ds = eng.read_table(manifest=manifest)
             n = ds.count()
             rows = ds.take(args.limit)
             for r in rows:

@@ -303,7 +303,7 @@ def copy_lake(src_lake: str, dst_lake: str, num_units: int | None = None,
 
     out = {"files_listed": 0, "files_copied": 0, "bytes": 0, "subtrees": []}
     with FileJobLock(os.path.join(src_lake, "_locks")):
-        for sub in ("data", "_checkpoints", "_errors"):
+        for sub in ("data", "_checkpoints", "_errors", "_refs"):
             src = os.path.join(src_lake, sub)
             if not os.path.isdir(src):
                 continue

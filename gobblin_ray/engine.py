@@ -1821,6 +1821,10 @@ class CdcEngine:
                     if e < epoch:
                         os.remove(self.store._path(e))
                         removed_manifests += 1
+                # compliance beats pinning: tags on dropped manifests go
+                from . import refs
+
+                refs.prune_dangling_tags(lake_dir)
                 removed_files = ckpt.sweep_unreferenced(lake_dir, keep_files)
             return {
                 "epoch": epoch,

@@ -312,9 +312,15 @@ def vacuum_keep(lake_dir: str, keep_manifests: int) -> dict:
 
 
 def _vacuum_keep_locked(lake_dir: str, keep_manifests: int) -> dict:
+    from . import refs
+
     store = ckpt.CheckpointStore(lake_dir)
     epochs = store.committed_epochs()
-    kept_epochs = epochs[-keep_manifests:]
+    # tagged manifests are PINNED outside the newest-K window (Iceberg
+    # refs-block-expiration semantics)
+    pinned = refs.tagged_epochs(lake_dir)
+    kept_epochs = sorted(set(epochs[-keep_manifests:])
+                         | (pinned & set(epochs)))
     keep_files: set[str] = set()
     for e in kept_epochs:
         mf = store.load(e)
@@ -322,9 +328,10 @@ def _vacuum_keep_locked(lake_dir: str, keep_manifests: int) -> dict:
             keep_files.update(ckpt.bucket_files(lake_dir, s))
     removed_files = ckpt.sweep_unreferenced(lake_dir, keep_files)
     removed_manifests = 0
-    for e in epochs[:-keep_manifests]:
-        os.remove(store._path(e))
-        removed_manifests += 1
+    for e in epochs:
+        if e not in kept_epochs:
+            os.remove(store._path(e))
+            removed_manifests += 1
     return {
         "kept_epochs": kept_epochs,
         "removed_files": removed_files,
@@ -352,6 +359,16 @@ def rollback_to(lake_dir: str, epoch: int) -> dict:
         if epoch not in epochs:
             raise ValueError(
                 f"epoch {epoch} is not a committed manifest (have {epochs})"
+            )
+        from . import refs
+
+        blocking = {n: e for n, e in refs.list_tags(lake_dir).items()
+                    if e > epoch}
+        if blocking:
+            raise ValueError(
+                f"cannot roll back to epoch {epoch}: tags pin later "
+                f"epochs {blocking}; drop them first (Iceberg refs block "
+                "snapshot expiration)"
             )
         target = store.load(epoch)
         missing = [

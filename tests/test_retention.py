@@ -219,3 +219,64 @@ def test_vacuum_tolerates_foreign_entries(tmp_path, ray_session):
     removed = ckpt.vacuum(lake, eng.store.latest())  # must not raise
     assert removed >= 0
     assert os.path.exists(os.path.join(lake, "data", "strayfile"))  # not ours
+
+
+def test_tags_pin_manifests(tmp_path, ray_session):
+    """Iceberg-refs semantics: a tag pins its manifest + files through
+    both the run-path vacuum and vacuum_keep, blocks rollback past it,
+    and reads byte-identically by name; compliance-style dangling prune
+    and the name/epoch/duplicate guards all hold."""
+    from gobblin_ray import checkpoint as ckpt
+    from gobblin_ray import refs
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.synth import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    lake = str(tmp_path / "lake")
+    write_corpus(corpus, n_pages=60, n_events=600, shard_rows=200, seed=13)
+    cfg = EngineConfig(num_buckets=4, epoch_width=200, compact_every=2)
+    eng = CdcEngine(lake, f"{corpus}/events", cfg)
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(vacuum=False)
+    store = ckpt.CheckpointStore(lake)
+    epochs = store.committed_epochs()
+    assert len(epochs) >= 3
+    tagged_epoch = epochs[-3]
+
+    with pytest.raises(ValueError):
+        refs.create_tag(lake, "bad name!")
+    with pytest.raises(ValueError):
+        refs.create_tag(lake, "v1", epoch=10_000)
+    refs.create_tag(lake, "v1", epoch=tagged_epoch)
+    with pytest.raises(FileExistsError):
+        refs.create_tag(lake, "v1", epoch=epochs[-1])
+    assert refs.list_tags(lake) == {"v1": tagged_epoch}
+    want = eng.read_table_arrow(store.load(tagged_epoch))
+
+    # run-path vacuum keeps the tagged manifest's files
+    ckpt.vacuum(lake, store.latest())
+    assert eng.read_table_arrow(store.load(tagged_epoch)).equals(want)
+
+    # manifest retention keeps the tagged epoch outside the newest-K set
+    out = ret.vacuum_keep(lake, keep_manifests=1)
+    assert tagged_epoch in out["kept_epochs"]
+    assert store.committed_epochs() == sorted({tagged_epoch, epochs[-1]})
+    assert eng.read_table_arrow(store.load(tagged_epoch)).equals(want)
+
+    # rollback past a tag is blocked until the tag is dropped
+    head = epochs[-1]
+    refs.create_tag(lake, "head", epoch=head)
+    with pytest.raises(ValueError, match="pin later"):
+        ret.rollback_to(lake, tagged_epoch)
+    refs.drop_tag(lake, "head")
+    r = ret.rollback_to(lake, tagged_epoch)
+    assert r["rolled_back_to"] == tagged_epoch
+    assert eng.read_table_arrow(store.load(tagged_epoch)).equals(want)
+
+    # force retag + dangling prune
+    refs.create_tag(lake, "v1", force=True)  # head (== tagged_epoch now)
+    os.remove(store._path(tagged_epoch))
+    assert refs.prune_dangling_tags(lake) == ["v1"]
+    assert refs.list_tags(lake) == {}
+    with pytest.raises(KeyError):
+        refs.resolve_tag(lake, "v1")
