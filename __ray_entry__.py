@@ -161,6 +161,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join_customers": demo.fuzzy_join_customers,
         # BM25 ranked retrieval (inverted-index family scoring step)
         "bm25_search_documents": demo.bm25_search_documents,
+        # corpus drift monitor (per-term KL contributions, smoothed)
+        "corpus_drift_documents": demo.corpus_drift_documents,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -544,6 +546,43 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # Corpus drift: p * ln(p/q) with add-half smoothing, association
+        # mirrored; nl/nr/v are exact ints so the doubles agree bit-wise.
+        "corpus_drift_documents": """
+            WITH lt AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                           AS term
+                FROM documents WHERE doc_id % 2 = 0
+            ),
+            rt AS (
+                SELECT unnest(string_split(coalesce(text, ''), ' '))
+                           AS term
+                FROM documents WHERE doc_id % 2 = 1
+            ),
+            m AS (
+                SELECT term, CAST(sum(cl) AS BIGINT) AS cl,
+                       CAST(sum(cr) AS BIGINT) AS cr
+                FROM (
+                    SELECT term, 1 AS cl, 0 AS cr FROM lt
+                    UNION ALL
+                    SELECT term, 0, 1 FROM rt
+                ) GROUP BY term
+            ),
+            c AS (
+                SELECT CAST(sum(cl) AS BIGINT) AS nl,
+                       CAST(sum(cr) AS BIGINT) AS nr,
+                       count(*) AS v
+                FROM m
+            )
+            SELECT term,
+                   round((cl + 0.5) / (nl + 0.5 * v)
+                         * ln(((cl + 0.5) / (nl + 0.5 * v))
+                              / ((cr + 0.5) / (nr + 0.5 * v))), 6)
+                       AS kl_contrib
+            FROM m, c
+            ORDER BY kl_contrib DESC, term
+            LIMIT 20
         """,
         # BM25: every float op mirrors bm25_topk's association exactly
         # (left-assoc * and /, term contributions added in query order,

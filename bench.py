@@ -89,6 +89,10 @@ QUERY_NAMES = [
     "pagerank_documents",
     "mad_outliers_events",
     "skew_join_lineitem_orders",
+    "range_partition_events",
+    "fuzzy_join_customers",
+    "bm25_search_documents",
+    "fk_audit_edges",
 ]
 
 

@@ -261,3 +261,79 @@ def fk_audit(child, child_fk: str, parent, parent_key: str, edge: str):
         "n_orphan_keys": pa.array(
             [int(agg["n_orphan_keys"] or 0)], pa.int64()),
     })
+
+
+def divergence_topk(left, right, text_col: str = "text", k: int = 20,
+                    digits: int = 6):
+    """Corpus drift report: the top-``k`` tokens by smoothed per-term
+    KL-divergence contribution ``p * ln(p / q)`` of the LEFT corpus's
+    unigram distribution against the RIGHT's (add-half Jelinek-Mercer-ish
+    Laplace smoothing so unseen terms stay finite) — the data-drift
+    monitor an LLM ingest pipeline runs between yesterday's crawl and
+    today's before letting a mixture shift reach training.
+
+    Scale shape: per-batch combiners collapse each side to (term,
+    partial_count) — the one exchange carries O(vocab) rows, never
+    tokens; the merged (term, cl, cr) table is vocab-sized (word-level
+    vocab; same driver-fits assumption as tfidf_top_terms, documented
+    there); scoring is one vectorized pass; top-k is per-block partial.
+    Every float op mirrors the oracle SQL's association; contributions
+    round half-away to ``digits``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..stages.sorts import top_k
+
+    def _counts(side: int):
+        def run(t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t.column(text_col).fill_null(""), pattern=" ")
+            flat = pc.list_flatten(toks).combine_chunks()
+            g = pa.table({"term": flat}).group_by("term").aggregate(
+                [("term", "count")])
+            n = g.column("term_count").cast(pa.int64())
+            z = pa.array(np.zeros(g.num_rows, np.int64))
+            return pa.table({
+                "term": g.column("term"),
+                "cl": n if side == 0 else z,
+                "cr": z if side == 0 else n,
+            })
+
+        run.__name__ = f"unigram_counts[{side}]"
+        return run
+
+    merged = (
+        left.map_batches(_counts(0), batch_format="pyarrow",
+                         batch_size=None)
+        .union(right.map_batches(_counts(1), batch_format="pyarrow",
+                                 batch_size=None))
+        .groupby("term").aggregate(Sum("cl", alias_name="cl"),
+                                   Sum("cr", alias_name="cr"))
+    ).materialize()  # vocab-sized; read twice (scalars, then scoring)
+
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    tot = merged.aggregate(_Sum("cl", alias_name="nl"),
+                           _Sum("cr", alias_name="nr"),
+                           _Count(alias_name="v"))
+    nl, nr, v = int(tot["nl"]), int(tot["nr"]), int(tot["v"])
+    p10 = float(10**digits)
+
+    def score(t: pa.Table) -> pa.Table:
+        cl = t.column("cl").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cr = t.column("cr").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = (cl + 0.5) / (nl + 0.5 * v)
+        q = (cr + 0.5) / (nr + 0.5 * v)
+        d = p * np.log(p / q)
+        d = np.copysign(np.floor(np.abs(d) * p10 + 0.5), d) / p10
+        return pa.table({"term": t.column("term"),
+                         "kl_contrib": pa.array(d, pa.float64())})
+
+    score.__name__ = "kl_contrib"
+    scored = merged.map_batches(score, batch_format="pyarrow",
+                                batch_size=None)
+    return top_k(scored, k, by=["kl_contrib", "term"],
+                 descending=[True, False])

@@ -3344,3 +3344,29 @@ def bm25_search_documents(sf_dir: str):
     on doc_id, mirrored in the oracle's ORDER BY."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return tx.bm25_topk(ds, ["hash", "merge", "dup"], topk=20)
+
+
+def corpus_drift_documents(sf_dir: str):
+    """Corpus drift report (functions/profile.divergence_topk): top-20
+    tokens by smoothed KL contribution of the even-doc_id half of the
+    documents corpus against the odd half — the yesterday-vs-today crawl
+    drift monitor; the split is deterministic so the oracle replays it."""
+    from ..functions.profile import divergence_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _half(par: int):
+        def run(t: pa.Table) -> pa.Table:
+            v = t.column("doc_id").cast(pa.int64())
+            m = pc.subtract(v, pc.multiply(pc.divide(v, pa.scalar(2)),
+                                           pa.scalar(2)))
+            return t.filter(pc.equal(m, pa.scalar(par)))
+
+        run.__name__ = f"half[{par}]"
+        return run
+
+    left = ds.map_batches(_half(0), batch_format="pyarrow",
+                          batch_size=None)
+    right = ds.map_batches(_half(1), batch_format="pyarrow",
+                           batch_size=None)
+    return divergence_topk(left, right, "text", k=20)
