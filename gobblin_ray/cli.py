@@ -152,6 +152,23 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--dry-run", action="store_true")
 
     sp = sub.add_parser(
+        "view", help="engine-maintained incremental materialized views "
+        "(counting IVM over the CDC-out feed): --create seeds at head, "
+        "--refresh folds forward from the change feed without rescanning "
+        "the table (--recompute rebuilds when the feed window is gone), "
+        "--read/--list/--drop need no Ray session"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("name", nargs="?", default=None)
+    sp.add_argument("--create", action="store_true")
+    sp.add_argument("--kind", default="count_sum_by_host")
+    sp.add_argument("--refresh", action="store_true")
+    sp.add_argument("--recompute", action="store_true")
+    sp.add_argument("--read", action="store_true", dest="read_view")
+    sp.add_argument("--drop", action="store_true", dest="drop_view")
+    sp.add_argument("--list", action="store_true", dest="list_views")
+
+    sp = sub.add_parser(
         "vacuum", help="manifest-aware vacuum: keep the last K committed "
         "manifests (time travel window) and drop unreferenced data files"
     )
@@ -379,6 +396,25 @@ def main(argv: list[str] | None = None) -> int:
                 force=args.force)))
         return 0
 
+    if args.cmd == "view" and (args.list_views or args.read_view
+                               or args.drop_view):
+        from . import views
+
+        if args.list_views:
+            print(json.dumps(views.list_views(args.lake_dir)))
+        elif args.read_view:
+            if not args.name:
+                raise SystemExit("view --read needs a name")
+            t = views.read_view(args.lake_dir, args.name)
+            for r in t.to_pylist():
+                print(json.dumps(r))
+        else:
+            if not args.name:
+                raise SystemExit("view --drop needs a name")
+            views.drop_view(args.lake_dir, args.name)
+            print(json.dumps({"dropped": args.name}))
+        return 0
+
     if args.cmd == "vacuum":
         from .retention import vacuum_keep
 
@@ -517,7 +553,24 @@ def main(argv: list[str] | None = None) -> int:
 
     _ray_up(args.num_cpus)
     try:
-        if args.cmd == "bootstrap":
+        if args.cmd == "view":
+            from . import views
+
+            if not args.name:
+                raise SystemExit("view --create/--refresh need a name")
+            eng = CdcEngine(args.lake_dir, events_dir="",
+                            config=EngineConfig())
+            if args.create:
+                print(json.dumps(views.create_view(
+                    eng, args.name, args.kind)))
+            elif args.refresh:
+                print(json.dumps(views.refresh_view(
+                    eng, args.name, recompute=args.recompute)))
+            else:
+                raise SystemExit(
+                    "view needs one of --create/--refresh/--read/"
+                    "--drop/--list")
+        elif args.cmd == "bootstrap":
             cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
                                epoch_bytes=args.epoch_bytes)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)

@@ -303,7 +303,8 @@ def ivm_count_sum_view(base_state, changes, group_fn,
                        old_seq_col: str = "old_event_seq",
                        group_col: str = "grp",
                        n_col: str = "n_live",
-                       sum_col: str = "sum_seq"):
+                       sum_col: str = "sum_seq",
+                       base_is_state: bool = False):
     """Incremental materialized-view maintenance (IVM) over a CDC change
     feed: maintain a per-group ``(count of live rows, sum of seq_col)``
     view WITHOUT rescanning the table — the downstream-consumer shape
@@ -373,9 +374,25 @@ def ivm_count_sum_view(base_state, changes, group_fn,
         f.__name__ = "ivm_deltas" if sign_from_type else "ivm_base"
         return f
 
-    base_p = base_state.map_batches(
-        _partials(False), batch_format="pyarrow"
-    )
+    if base_is_state:
+        # base rows are ALREADY the view's (group, n, sum) state (a
+        # persisted snapshot being folded forward, views.py): each state
+        # row IS a partial — map it straight to the combiner schema
+        def _state_p(t: pa.Table) -> pa.Table:
+            return pa.table({
+                group_col: t.column(group_col),
+                "_dn": t.column(n_col).cast(pa.int64()),
+                "_ds": t.column(sum_col).cast(pa.int64()),
+            })
+
+        _state_p.__name__ = "ivm_state"
+        base_p = base_state.map_batches(
+            _state_p, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        base_p = base_state.map_batches(
+            _partials(False), batch_format="pyarrow"
+        )
     delta_p = changes.map_batches(
         _partials(True), batch_format="pyarrow"
     )

@@ -4,6 +4,8 @@ Mirrors the reference's end-to-end job tests
 (gobblin-runtime JobLauncherTestHelper.runTest:80-131, TaskContinuousTest)
 and exactly-once resume tests (CommitSequenceTest)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1279,3 +1281,68 @@ def test_drop_column_evolution(ray_session, corpus, oracle_df,
     assert eng.store.latest().column_renames == {}
     m2 = eng.rename_column("lang", "fetch_status")
     assert "fetch_status" in m2.base_schema().names
+
+
+def test_materialized_view_lifecycle(ray_session, corpus, tmp_path):
+    """Engine-maintained IVM view: seed mid-replay, fold forward from the
+    change feed only (no rescan), land EXACTLY on the head recompute;
+    idempotent re-refresh; crash-window stale state file swept; recompute
+    path; list/read/drop; duplicate/unknown guards."""
+    from gobblin_ray import views
+
+    d, meta = corpus
+    lake = str(tmp_path / "lake")
+    cfg = EngineConfig(num_buckets=8, epoch_width=EPOCH_W)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)  # stop mid-log
+
+    with pytest.raises(ValueError):
+        views.create_view(eng, "hosts", kind="nope")
+    out = views.create_view(eng, "hosts", kind="count_sum_by_host")
+    assert out["groups"] > 0
+    with pytest.raises(FileExistsError):
+        views.create_view(eng, "hosts", kind="count_sum_by_host")
+    seeded_at = out["folded_to"]
+
+    eng.run(vacuum=False)  # advance to head
+    assert eng.store.latest().epoch > seeded_at
+
+    # simulate a crash that wrote the new state but died before the meta
+    # flip: a stale epoch-suffixed file must be harmless (overwritten,
+    # then swept)
+    stale = views._state_path(lake, "hosts",
+                              eng.store.latest().epoch)
+    pq.write_table(pa.table({"grp": ["junk"],
+                             "n_live": pa.array([9], pa.int64()),
+                             "sum_seq": pa.array([9], pa.int64())}), stale)
+
+    r = views.refresh_view(eng, "hosts")
+    assert r["refreshed"] and r["folded_to"] == eng.store.latest().epoch
+
+    got = views.read_view(lake, "hosts").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    want, _ = views._seed_state(eng, "count_sum_by_host")
+    want = want.to_pandas().sort_values("grp").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # only the referenced state file remains
+    files = [f for f in os.listdir(views._vdir(lake, "hosts"))
+             if f.startswith("state-epoch=")]
+    assert len(files) == 1
+
+    # idempotent: nothing to fold
+    r2 = views.refresh_view(eng, "hosts")
+    assert not r2["refreshed"] and r2["groups"] == len(got)
+
+    # recompute path lands on the same state
+    r3 = views.refresh_view(eng, "hosts", recompute=True)
+    assert r3["refreshed"]
+    got3 = views.read_view(lake, "hosts").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got3, want)
+
+    assert "hosts" in views.list_views(lake)
+    views.drop_view(lake, "hosts")
+    assert views.list_views(lake) == {}
+    with pytest.raises(KeyError):
+        views.read_view(lake, "hosts")
