@@ -201,7 +201,7 @@ def fk_audit(child, child_fk: str, parent, parent_key: str, edge: str):
     Returns a one-row pyarrow Table:
     ``edge | n_child | n_orphan_rows | n_orphan_keys``.
     """
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Sum
 
     def child_comb(t: pa.Table) -> pa.Table:
         k = t.column(child_fk)
@@ -230,14 +230,21 @@ def fk_audit(child, child_fk: str, parent, parent_key: str, edge: str):
     ).union(parent.map_batches(
         parent_comb, batch_format="pyarrow", batch_size=None
     ))
-    g = u.groupby("k").aggregate(
-        Sum("n", alias_name="n"), Max("mark", alias_name="mark")
-    )
 
-    def roll(t: pa.Table) -> pa.Table:
-        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+    # per-key resolution happens INSIDE a bounded partition with a C++
+    # hash groupby — a Ray groupby on the raw key would sort-exchange
+    # O(distinct keys) groups (measured ~4 s per 600k-key exchange);
+    # keyed_map_groups keeps the exchange at num_partitions groups and
+    # each partition rolls straight up to three counters.
+    from ..stages.partition import keyed_map_groups
+
+    def part_roll(t: pa.Table) -> pa.Table:
+        g = t.group_by("k").aggregate([("n", "sum"), ("mark", "max")])
+        n = g.column("n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64)
         orphan = np.logical_and(
-            t.column("mark").to_numpy(zero_copy_only=False) == 0, n > 0
+            g.column("mark_max").to_numpy(zero_copy_only=False) == 0,
+            n > 0,
         )
         return pa.table({
             "n_child": pa.array([int(n.sum())], pa.int64()),
@@ -245,10 +252,10 @@ def fk_audit(child, child_fk: str, parent, parent_key: str, edge: str):
             "n_orphan_keys": pa.array([int(orphan.sum())], pa.int64()),
         })
 
-    roll.__name__ = "fk_rollup"
-    agg = g.map_batches(
-        roll, batch_format="pyarrow", batch_size=None
-    ).aggregate(
+    part_roll.__name__ = "fk_rollup"
+    rolled = keyed_map_groups(u, "k", part_roll, num_partitions=64,
+                              batch_format="pyarrow")
+    agg = rolled.aggregate(
         Sum("n_child", alias_name="n_child"),
         Sum("n_orphan_rows", alias_name="n_orphan_rows"),
         Sum("n_orphan_keys", alias_name="n_orphan_keys"),
