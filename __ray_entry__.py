@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic stratified sampling (stable holdout splits)
         "stratified_sample_events": demo.stratified_sample_events,
         "mixture_sample_documents": demo.mixture_sample_documents,
+        # weighted sampling w/o replacement (Efraimidis-Spirakis A-Res)
+        "weighted_sample_documents": demo.weighted_sample_documents,
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         "quantiles_by_event_type": demo.quantiles_by_event_type,
@@ -1117,6 +1119,23 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 50
         """,
         # the md5-prefix coin: first 8 hex chars as a u32 fraction
+        # A-Res weighted sample: same md5-prefix coin, u = (prefix+0.5)/2^32,
+        # key = pow(u, 1/w), w = length(text)+1; top-100 by (key desc, id)
+        "weighted_sample_documents": """
+            WITH k AS (
+                SELECT doc_id,
+                       CAST(length(coalesce(text, '')) + 1 AS BIGINT) AS w,
+                       pow((CAST(('0x' || substr(
+                                md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                AS BIGINT) + 0.5) / 4294967296.0,
+                           1.0 / (length(coalesce(text, '')) + 1))
+                           AS skey
+                FROM documents
+            )
+            SELECT doc_id, w FROM k
+            ORDER BY skey DESC, doc_id
+            LIMIT 100
+        """,
         "mixture_sample_documents": """
             WITH w AS (
                 SELECT doc_id, lang,

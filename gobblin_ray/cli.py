@@ -113,6 +113,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("lake_dir")
     sp.add_argument("--buckets", action="store_true",
                     help="include the per-bucket table")
+    sp.add_argument("--anomalies", action="store_true",
+                    help="Hampel-screen the per-epoch ingest volume "
+                         "(|events - median| > k*MAD over the committed "
+                         "manifest chain) — the feed-broke / feed-burst "
+                         "alarm")
+    sp.add_argument("--mad-k", type=float, default=3.5)
 
     sp = sub.add_parser(
         "changes", help="CDC-out snapshot diff between two committed "
@@ -527,6 +533,29 @@ def main(argv: list[str] | None = None) -> int:
                          "high_seq": s.high_seq}
                 for b, s in sorted(m.buckets.items())
             }
+        if args.anomalies:
+            # ingest-volume Hampel screen over the manifest chain: the
+            # replay epochs' event_count series (bootstrap epoch 0 is a
+            # snapshot load, not feed volume — excluded). MAD == 0 (a
+            # perfectly steady feed) flags ANY deviation.
+            import numpy as np
+
+            epochs = [e for e in store.committed_epochs() if e > 0]
+            series = [(e, store.load(e).event_count) for e in epochs]
+            vals = np.array([v for _, v in series], dtype=np.float64)
+            flagged = []
+            if len(vals) >= 3:
+                med = float(np.median(vals))
+                mad = float(np.median(np.abs(vals - med)))
+                for (e, v) in series:
+                    dev = abs(v - med)
+                    if (mad > 0 and dev > args.mad_k * mad) or (
+                            mad == 0 and dev > 0):
+                        flagged.append({
+                            "epoch": e, "events": int(v),
+                            "median": med, "mad": mad,
+                        })
+            out["ingest_anomalies"] = flagged
         print(json.dumps(out))
         return 0
 

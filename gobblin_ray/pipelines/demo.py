@@ -3370,3 +3370,23 @@ def corpus_drift_documents(sf_dir: str):
     right = ds.map_batches(_half(1), batch_format="pyarrow",
                            batch_size=None)
     return divergence_topk(left, right, "text", k=20)
+
+
+def weighted_sample_documents(sf_dir: str):
+    """Weighted sampling without replacement (stages/sorts.
+    weighted_sample_topk, Efraimidis-Spirakis A-Res): 100 documents drawn
+    proportional to text length (the sample-by-token-budget mixture
+    shape); the md5-prefix coin makes the draw reproducible and the
+    oracle replays pow(u, 1/w) row for row."""
+    from ..stages.sorts import weighted_sample_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.add(pc.utf8_length(pc.fill_null(t.column("text"), "")),
+                   pa.scalar(1)).cast(pa.int64())
+        return pa.table({"doc_id": t.column("doc_id").cast(pa.int64()),
+                         "w": w})
+
+    keyed = ds.map_batches(add_w, batch_format="pyarrow", batch_size=None)
+    return weighted_sample_topk(keyed, "doc_id", "w", k=100)

@@ -354,3 +354,44 @@ def read_range_pruned(out_dir: str, lo: float, hi: float):
         batch_format="pyarrow", batch_size=None,
     )
     return ds, files
+
+
+def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int):
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-Res: keep the k rows with the largest u^(1/w), u
+    uniform — inclusion probability proportional to weight): the LLM
+    data-mixture step "sample k documents proportional to quality/length"
+    made reproducible by drawing u from the same md5(id)-prefix coin as
+    ``mixture_sample_hash``, so the sample is identical across runs,
+    partitionings, and cluster sizes, and exactly SQL-replayable
+    (pow((md5 prefix + 0.5)/2^32, 1.0/w)).
+
+    Scale shape: per-batch key computation (md5 per row — the documented
+    Fingerprinter pattern, no Arrow kernel) + the per-block partial top-k
+    (``top_k``): k rows per block cross the exchange, never the table.
+    Weights must be > 0 (rows with w <= 0 or null are dropped — zero
+    weight means zero inclusion probability)."""
+    import hashlib
+
+    def key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w = t.column(weight_col)
+        ok = pc.and_(pc.is_valid(w),
+                     pc.greater(w.cast(pa.float64()), pa.scalar(0.0)))
+        if not pc.all(ok).as_py():
+            t = t.filter(ok)
+        ids = t.column(id_col).to_pylist()
+        u = (np.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+             for v in ids], dtype=np.float64,
+        ) + 0.5) / float(1 << 32)
+        w = t.column(weight_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "_skey", pa.array(np.power(u, 1.0 / w), pa.float64()))
+
+    key.__name__ = "ares_key"
+    keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    out = top_k(keyed, k, by=["_skey", id_col], descending=[True, False])
+    return out.drop_columns(["_skey"])
