@@ -85,6 +85,11 @@ class Manifest:
     # compaction land with current names and the map becomes inert for
     # them (apply_renames skips when the target name is present).
     column_renames: dict[str, str] = field(default_factory=dict)
+    # Persisted table constraints (Delta ADD CONSTRAINT analog, enforced
+    # in the reference's row-policy posture: violating EVENTS divert to
+    # the error sink instead of failing the write): {name: spec dict},
+    # see constraints.py for the spec grammar. Metadata-only DDL.
+    constraints: dict[str, dict] = field(default_factory=dict)
 
     def base_schema(self):
         """Deserialize the committed base schema (Arrow IPC round-trip)."""
@@ -118,6 +123,7 @@ class Manifest:
             "metrics": self.metrics,
             "bucket_hash": self.bucket_hash,
             "column_renames": self.column_renames,
+            "constraints": self.constraints,
             "buckets": {
                 str(b): vars(s) for b, s in sorted(self.buckets.items())
             },
@@ -137,6 +143,7 @@ class Manifest:
             metrics=d.get("metrics", {}),
             bucket_hash=d.get("bucket_hash", _LEGACY_BUCKET_HASH),
             column_renames=d.get("column_renames", {}),
+            constraints=d.get("constraints", {}),
         )
         m.buckets = {int(b): BucketState(**s) for b, s in d["buckets"].items()}
         return m

@@ -175,6 +175,26 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--list", action="store_true", dest="list_views")
 
     sp = sub.add_parser(
+        "constraint", help="persisted table constraints (Delta ADD "
+        "CONSTRAINT analog, row-policy enforcement: violating upsert "
+        "events quarantine to _errors/, redrivable): --add pre-scans the "
+        "live table Delta-style; --drop/--list are metadata-only"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("name", nargs="?", default=None)
+    sp.add_argument("--add", action="store_true")
+    sp.add_argument("--kind", choices=["not_null", "in_set", "range",
+                                       "regex"], default=None)
+    sp.add_argument("--column", default=None)
+    sp.add_argument("--values", nargs="+", default=None,
+                    help="in_set values")
+    sp.add_argument("--lo", type=float, default=None)
+    sp.add_argument("--hi", type=float, default=None)
+    sp.add_argument("--pattern", default=None, help="RE2 search pattern")
+    sp.add_argument("--drop", action="store_true", dest="drop_constraint")
+    sp.add_argument("--list", action="store_true", dest="list_constraints")
+
+    sp = sub.add_parser(
         "vacuum", help="manifest-aware vacuum: keep the last K committed "
         "manifests (time travel window) and drop unreferenced data files"
     )
@@ -421,6 +441,23 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"dropped": args.name}))
         return 0
 
+    if args.cmd == "constraint" and (args.list_constraints
+                                     or args.drop_constraint):
+        from .checkpoint import CheckpointStore as _CS
+        from .engine import CdcEngine as _E
+        from .engine import EngineConfig as _EC
+
+        if args.list_constraints:
+            m = _CS(args.lake_dir).latest()
+            print(json.dumps(m.constraints if m else {}))
+        else:
+            if not args.name:
+                raise SystemExit("constraint --drop needs a name")
+            eng = _E(args.lake_dir, events_dir="", config=_EC())
+            m = eng.drop_constraint(args.name)
+            print(json.dumps({"dropped": args.name, "epoch": m.epoch}))
+        return 0
+
     if args.cmd == "vacuum":
         from .retention import vacuum_keep
 
@@ -582,7 +619,25 @@ def main(argv: list[str] | None = None) -> int:
 
     _ray_up(args.num_cpus)
     try:
-        if args.cmd == "view":
+        if args.cmd == "constraint":
+            if not (args.add and args.name and args.kind and args.column):
+                raise SystemExit(
+                    "constraint --add needs NAME --kind --column")
+            spec = {"kind": args.kind, "column": args.column}
+            if args.values is not None:
+                spec["values"] = args.values
+            if args.lo is not None:
+                spec["lo"] = args.lo
+            if args.hi is not None:
+                spec["hi"] = args.hi
+            if args.pattern is not None:
+                spec["pattern"] = args.pattern
+            eng = CdcEngine(args.lake_dir, events_dir="",
+                            config=EngineConfig())
+            m = eng.add_constraint(args.name, spec)
+            print(json.dumps({"added": args.name, "epoch": m.epoch,
+                              "constraints": m.constraints}))
+        elif args.cmd == "view":
             from . import views
 
             if not args.name:

@@ -592,6 +592,28 @@ class CdcEngine:
             ds = ds.map_batches(_conv, batch_format="pyarrow",
                                 batch_size=None)
         ds = ds.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=None)
+        if manifest.constraints:
+            # persisted table constraints (constraints.py): violating
+            # UPSERT events quarantine like any row-policy failure;
+            # deletes are exempt (tombstones carry null content columns)
+            cons = dict(manifest.constraints)
+
+            def _enforce(t: pa.Table, _c=cons) -> pa.Table:
+                from .constraints import annotate_violations
+
+                idx = t.schema.get_field_index(_ERR_COL)
+                err = t.column(_ERR_COL).to_numpy(zero_copy_only=False)
+                err = np.array(err, dtype=object)
+                exempt = pc.fill_null(
+                    pc.equal(t.column("op"), pa.scalar("delete")), False
+                ).to_numpy(zero_copy_only=False).astype(bool)
+                err = annotate_violations(_c, t, err, exempt)
+                return t.set_column(idx, _ERR_COL,
+                                    pa.array(err, pa.string()))
+
+            _enforce.__name__ = "enforce_constraints"
+            ds = ds.map_batches(_enforce, batch_format="pyarrow",
+                                batch_size=None)
         ds = ds.map_batches(
             _BucketAndReduce(self.cfg.num_buckets, splan.hot_buckets),
             batch_format="pyarrow",
@@ -709,6 +731,7 @@ class CdcEngine:
             schema_fingerprint=schema_fingerprint(base_schema),
             schema_ipc=Manifest.encode_schema(base_schema),
             column_renames=dict(manifest.column_renames),
+            constraints=dict(manifest.constraints),
         )
         report = EpochReport(epoch.index, epoch.low_seq, epoch.high_seq)
         report.salted_buckets = execution["salted"]
@@ -1218,6 +1241,7 @@ class CdcEngine:
                 schema_ipc=Manifest.encode_schema(new_schema),
                 metrics=dict(m.metrics),
                 column_renames=ren,
+                constraints=dict(m.constraints),
             )
             for b, st in m.buckets.items():
                 manifest.buckets[b] = BucketState(
@@ -1302,6 +1326,7 @@ class CdcEngine:
                 schema_ipc=Manifest.encode_schema(new_schema),
                 metrics=dict(m.metrics),
                 column_renames=ren,
+                constraints=dict(m.constraints),
             )
             for b, s in m.buckets.items():
                 manifest.buckets[b] = BucketState(
@@ -1314,6 +1339,116 @@ class CdcEngine:
             self.store.commit(manifest)
             self.metrics.submit_event(
                 "ColumnRenamed", epoch=manifest.epoch, old=old, new=new,
+            )
+            return manifest
+
+    def add_constraint(self, name: str, spec: dict) -> "Manifest":
+        """Persist a table constraint (Delta ``ALTER TABLE ADD CONSTRAINT``
+        analog): validate the spec, verify the CURRENT live state already
+        satisfies it (Delta semantics — adding a constraint the table
+        violates is rejected, with the violation count), then commit a
+        new manifest at the same watermark carrying it. Subsequent epochs
+        quarantine violating upsert events to ``_errors/``
+        (constraints.py's posture note). Takes the job lock."""
+        import re as _re
+
+        from contextlib import nullcontext
+
+        from .constraints import _ok_mask, validate_spec
+        from .locks import FileJobLock
+
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$", name or ""):
+            raise ValueError(f"invalid constraint name {name!r}")
+        spec = validate_spec(spec)
+        lock = (FileJobLock(os.path.join(self.lake_dir, "_locks"))
+                if self.cfg.job_lock else nullcontext())
+        with lock:
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("add_constraint needs a bootstrapped lake")
+            if name in m.constraints:
+                raise ValueError(f"constraint {name!r} already exists")
+            if spec["column"] not in m.base_schema().names:
+                raise ValueError(
+                    f"no column {spec['column']!r} in "
+                    f"{m.base_schema().names}")
+            # Delta-style pre-scan: live rows must already satisfy it
+            from ray.data.aggregate import Sum
+
+            def count_bad(t: pa.Table) -> pa.Table:
+                bad = int((~_ok_mask(spec, t)).sum())
+                return pa.table({"_bad": pa.array([bad], pa.int64())})
+
+            count_bad.__name__ = "constraint_prescan"
+            agg = self.read_table(
+                manifest=m, columns=[spec["column"]]
+            ).map_batches(
+                count_bad, batch_format="pyarrow", batch_size=None
+            ).aggregate(Sum("_bad", alias_name="bad"))
+            bad = int(agg["bad"] or 0)
+            if bad:
+                raise ValueError(
+                    f"cannot add constraint {name!r}: {bad} live rows "
+                    "violate it (fix or purge them first)")
+            cons = dict(m.constraints)
+            cons[name] = spec
+            manifest = Manifest(
+                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                column_renames=dict(m.column_renames),
+                constraints=cons,
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
+                    rows=s.rows, events_applied=s.events_applied,
+                    events_epoch=0,  # a DDL applies no events
+                    delta_epochs=list(s.delta_epochs),
+                    delta_rows=s.delta_rows,
+                )
+            self.store.commit(manifest)
+            self.metrics.submit_event(
+                "ConstraintAdded", epoch=manifest.epoch,
+                constraint=name, kind=spec["kind"], column=spec["column"],
+            )
+            return manifest
+
+    def drop_constraint(self, name: str) -> "Manifest":
+        """Drop a persisted constraint (metadata-only; quarantined rows
+        stay in ``_errors/`` and become redrivable). Takes the job lock."""
+        from contextlib import nullcontext
+
+        from .locks import FileJobLock
+
+        lock = (FileJobLock(os.path.join(self.lake_dir, "_locks"))
+                if self.cfg.job_lock else nullcontext())
+        with lock:
+            m = self.store.latest()
+            if m is None or name not in m.constraints:
+                have = sorted(m.constraints) if m else []
+                raise ValueError(f"unknown constraint {name!r} (have {have})")
+            cons = {k: v for k, v in m.constraints.items() if k != name}
+            manifest = Manifest(
+                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                column_renames=dict(m.column_renames),
+                constraints=cons,
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
+                    rows=s.rows, events_applied=s.events_applied,
+                    events_epoch=0,
+                    delta_epochs=list(s.delta_epochs),
+                    delta_rows=s.delta_rows,
+                )
+            self.store.commit(manifest)
+            self.metrics.submit_event(
+                "ConstraintDropped", epoch=manifest.epoch, constraint=name,
             )
             return manifest
 
@@ -1402,6 +1537,7 @@ class CdcEngine:
             # every bucket was rewritten with CURRENT column names above,
             # so the stored-name rename map is spent
             column_renames={},
+            constraints=dict(m.constraints),
         )
         # events_epoch = 0: a migration applies no events, and salt_plan
         # reads this field as "events applied THIS epoch" — the epoch
@@ -1496,6 +1632,7 @@ class CdcEngine:
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
                 # untouched (clean) buckets keep pre-rename files on disk
                 column_renames=dict(m.column_renames),
+                constraints=dict(m.constraints),
             )
             for b, s in m.buckets.items():
                 manifest.buckets[b] = s
@@ -1757,6 +1894,7 @@ class CdcEngine:
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
                 # untouched buckets keep pre-rename files on disk
                 column_renames=dict(m.column_renames),
+                constraints=dict(m.constraints),
             )
             total_purged = 0
             for b, s in m.buckets.items():

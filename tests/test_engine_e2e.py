@@ -1346,3 +1346,85 @@ def test_materialized_view_lifecycle(ray_session, corpus, tmp_path):
     assert views.list_views(lake) == {}
     with pytest.raises(KeyError):
         views.read_view(lake, "hosts")
+
+def test_table_constraints_quarantine_and_redrive(ray_session,
+                                                  tmp_path_factory):
+    """Persisted constraints (Delta ADD CONSTRAINT, row-policy posture):
+    an in_set(lang) constraint added mid-replay quarantines later
+    corrupted upserts (deletes exempt: they carry null lang) so the final
+    state matches the FILTERED-feed oracle; dropping the constraint and
+    redriving converges to the FULL oracle over the corrupted corpus
+    (quarantine is lossless); DDL guards hold; the constraint survives in
+    every later manifest."""
+    from tests.oracle_util import oracle_final_state
+
+    d = str(tmp_path_factory.mktemp("cons_corpus"))
+    meta = synth.write_corpus(d, n_pages=120, n_events=1_200,
+                              shard_rows=300)
+    # corrupt lang -> 'xx' on every 5th UPSERT of the last two shards
+    langs = {"en", "es", "de", "fr", "zh"}
+    for s in meta["shards"][2:]:
+        pth = f"{d}/events/{s['file']}"
+        t = pq.read_table(pth)
+        ops = t.column("op").to_pylist()
+        lang = t.column("lang").to_pylist()
+        for i in range(0, len(lang), 5):
+            if ops[i] != "delete":
+                lang[i] = "xx"
+        t = t.set_column(t.schema.get_field_index("lang"), "lang",
+                         pa.array(lang, pa.string()))
+        pq.write_table(t, pth)
+
+    lake = str(tmp_path_factory.mktemp("cons_lake"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=300))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)  # clean prefix applied
+
+    # guards
+    with pytest.raises(ValueError, match="unknown constraint kind"):
+        eng.add_constraint("x", {"kind": "nope", "column": "lang"})
+    with pytest.raises(ValueError, match="no column"):
+        eng.add_constraint("x", {"kind": "not_null", "column": "zzz"})
+    with pytest.raises(ValueError, match="live rows"):
+        eng.add_constraint("seq_pos", {"kind": "range",
+                                       "column": "event_seq", "lo": 0})
+
+    eng.add_constraint("lang_set", {"kind": "in_set", "column": "lang",
+                                    "values": sorted(langs)})
+    with pytest.raises(ValueError, match="already exists"):
+        eng.add_constraint("lang_set", {"kind": "in_set", "column": "lang",
+                                        "values": ["en"]})
+    m0 = eng.store.latest()
+    assert "lang_set" in m0.constraints
+    assert m0.high_seq == eng.store.load(m0.epoch - 1).high_seq  # same wm
+
+    eng.run(vacuum=False)  # to head; 'xx' upserts quarantine
+    m1 = eng.store.latest()
+    assert "lang_set" in m1.constraints  # persisted through commits
+
+    pages = pq.read_table(f"{d}/pages.parquet")
+    evs_all, evs_filtered = [], []
+    for s in meta["shards"]:
+        t = pq.read_table(f"{d}/events/{s['file']}")
+        evs_all.append(t)
+        seq = t.column("event_seq").to_numpy(zero_copy_only=False)
+        ops = np.array(t.column("op").to_pylist(), dtype=object)
+        lang = np.array(t.column("lang").to_pylist(), dtype=object)
+        keep = (seq <= m0.high_seq) | (ops == "delete") | (lang != "xx")
+        evs_filtered.append(t.filter(pa.array(keep.astype(bool))))
+    assert sum(e.num_rows for e in evs_filtered) < sum(
+        e.num_rows for e in evs_all)  # the constraint really bit
+
+    assert_matches_oracle(engine_df(eng),
+                          oracle_final_state(pages, evs_filtered))
+
+    # drop + redrive: quarantine is lossless
+    eng.drop_constraint("lang_set")
+    assert "lang_set" not in eng.store.latest().constraints
+    r = eng.redrive_errors()
+    assert r["redriven"] > 0
+    assert_matches_oracle(engine_df(eng),
+                          oracle_final_state(pages, evs_all))
+    with pytest.raises(ValueError, match="unknown constraint"):
+        eng.drop_constraint("lang_set")

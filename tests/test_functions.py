@@ -1262,3 +1262,46 @@ def test_fuzzy_join_ed1_matches_bruteforce(ray_session):
                          num_partitions=8).to_pandas()
     got = set(zip(out["lid"], out["rid"]))
     assert got == want and len(out) == len(got)
+
+
+def test_constraint_kinds_and_null_semantics():
+    """Spec validation + per-kind vectorized checks: nulls fail every
+    kind, missing column fails all rows, exempt rows and already-failed
+    rows are never re-annotated, first name in sorted order wins."""
+    from gobblin_ray.constraints import (annotate_violations, validate_spec,
+                                         _ok_mask)
+
+    with pytest.raises(ValueError):
+        validate_spec({"kind": "in_set", "column": "c", "values": []})
+    with pytest.raises(ValueError):
+        validate_spec({"kind": "range", "column": "c"})
+    with pytest.raises(ValueError):
+        validate_spec({"kind": "regex", "column": "c", "pattern": "("})
+
+    t = pa.table({
+        "v": pa.array([1, 5, None, 50], pa.int64()),
+        "s": pa.array(["ok", "meh", None, "ok"], pa.string()),
+    })
+    assert list(_ok_mask({"kind": "not_null", "column": "v"}, t)) == \
+        [True, True, False, True]
+    assert list(_ok_mask({"kind": "range", "column": "v",
+                          "lo": 0, "hi": 10}, t)) == \
+        [True, True, False, False]
+    assert list(_ok_mask({"kind": "in_set", "column": "s",
+                          "values": ["ok"]}, t)) == \
+        [True, False, False, True]
+    assert list(_ok_mask({"kind": "regex", "column": "s",
+                          "pattern": "^ok$"}, t)) == \
+        [True, False, False, True]
+    assert list(_ok_mask({"kind": "not_null", "column": "zzz"}, t)) == \
+        [False] * 4
+
+    err = np.array([None, "prior", None, None], dtype=object)
+    exempt = np.array([False, False, True, False])
+    out = annotate_violations(
+        {"b_set": {"kind": "in_set", "column": "s", "values": ["ok"]},
+         "a_range": {"kind": "range", "column": "v", "lo": 0, "hi": 10}},
+        t, err, exempt)
+    # row0 passes both; row1 keeps its prior reason; row2 exempt;
+    # row3 fails both -> first sorted name (a_range) wins
+    assert list(out) == [None, "prior", None, "constraint:a_range"]
