@@ -563,6 +563,13 @@ def main(argv: list[str] | None = None) -> int:
             "max_deltas_per_bucket": max(deltas.values()) if deltas else 0,
             "metrics": m.metrics,
         }
+        from . import refs as _refs
+        from . import views as _views
+
+        out["constraints"] = m.constraints
+        out["tags"] = _refs.list_tags(args.lake_dir)
+        out["views"] = {n: v.get("folded_to")
+                        for n, v in _views.list_views(args.lake_dir).items()}
         if args.buckets:
             out["buckets"] = {
                 str(b): {"rows": s.rows, "base_epoch": s.base_epoch,
