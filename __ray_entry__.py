@@ -204,6 +204,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_planted": demo.dedup_minhash_planted,
         "dedup_cluster_best": demo.dedup_cluster_best,
         "dedup_ngram_planted": demo.dedup_ngram_planted,
+        # cross-table set-similarity join (Jaccard >= t record linkage)
+        "ssjoin_planted_pairs": demo.ssjoin_planted_pairs,
         "simhash_planted_pairs": demo.simhash_planted_pairs,
         "embedding_dup_planted": demo.embedding_dup_planted,
         # similarity search (extension set)
@@ -1604,6 +1606,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id
             FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_neardup.parquet')
             GROUP BY cluster_id
+        """,
+        "ssjoin_planted_pairs": """
+            SELECT match_doc AS a, doc_id AS b
+            FROM read_parquet(
+                '/tmp/gobblin_ray_fixtures/planted_ssjoin_right.parquet')
+            WHERE match_doc IS NOT NULL
         """,
         "simhash_planted_pairs": """
             SELECT x.doc_id AS a, y.doc_id AS b, CAST(0 AS BIGINT) AS hamming

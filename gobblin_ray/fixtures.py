@@ -25,6 +25,8 @@ FIXTURE_DIR = os.path.join(tempfile.gettempdir(), "gobblin_ray_fixtures")
 LANGID_PATH = os.path.join(FIXTURE_DIR, "planted_langid.parquet")
 NEARDUP_PATH = os.path.join(FIXTURE_DIR, "planted_neardup.parquet")
 SIMDUP_PATH = os.path.join(FIXTURE_DIR, "planted_simdup.parquet")
+SSJOIN_L_PATH = os.path.join(FIXTURE_DIR, "planted_ssjoin_left.parquet")
+SSJOIN_R_PATH = os.path.join(FIXTURE_DIR, "planted_ssjoin_right.parquet")
 EMBDUP_PATH = os.path.join(FIXTURE_DIR, "planted_embdup.parquet")
 KNN_BUCKETS_PATH = os.path.join(FIXTURE_DIR, "knn_lsh_buckets.parquet")
 SEMANTIC_PATH = os.path.join(FIXTURE_DIR, "planted_semantic.parquet")
@@ -665,3 +667,40 @@ def dedup_window_sidecar(sf_dir: str, gap_s: float,
                        pa.timestamp("us")),
     })
     return _write(t, path)
+
+
+def planted_ssjoin(lpath: str = SSJOIN_L_PATH,
+                   rpath: str = SSJOIN_R_PATH) -> tuple[str, str]:
+    """Cross-table similarity-join ground truth: the LEFT corpus holds
+    distinct base paragraphs; the RIGHT holds lightly edited copies of
+    some of them (5-gram Jaccard well above 0.7 to their source, margin
+    enforced) plus unrelated texts (well below to everything). Each right
+    row's ``match_doc`` stores the left id it must join to (null = no
+    match) — the oracle is a projection, no similarity math in SQL."""
+    left = [
+        (0, _PARA),
+        (1, _PARA2),
+        (2, _PARA3),
+        (3, "short unique note about nothing in particular worth keeping"),
+    ]
+    right = [
+        (100, _PARA + " extra tail words here", 0),
+        (101, _PARA.replace("quick", "swift"), 0),
+        (102, _PARA2.replace("interactive", "blazing"), 1),
+        (103, _PARA3.replace("consensus", "gossip")
+              .replace("raft", "scuttlebutt")
+              .replace("paxos", "epidemic broadcast")
+              .replace("leader", "peer").replace("log", "digest"), None),
+        (104, "completely different content about cooking pasta with "
+              "garlic and olive oil in a small kitchen by the sea", None),
+    ]
+    lt = pa.table({
+        "doc_id": pa.array([d[0] for d in left], pa.int64()),
+        "text": pa.array([d[1] for d in left], pa.string()),
+    })
+    rt = pa.table({
+        "doc_id": pa.array([d[0] for d in right], pa.int64()),
+        "text": pa.array([d[1] for d in right], pa.string()),
+        "match_doc": pa.array([d[2] for d in right], pa.int64()),
+    })
+    return _write(lt, lpath), _write(rt, rpath)

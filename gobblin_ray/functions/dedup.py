@@ -1572,3 +1572,72 @@ def dedup_minhash_incremental(
         write_partition, batch_format="pyarrow"
     ).materialize()
     return kept
+
+
+# ------------------------------------------------- cross-table similarity join
+
+_SSJOIN_OFFSET = np.int64(1) << np.int64(40)
+
+
+def similarity_join_jaccard(
+    left,
+    right,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    k_anchors: int = 4,
+    **kw,
+):
+    """Cross-TABLE set-similarity join: all (left, right) row pairs whose
+    character-shingle Jaccard is >= ``threshold`` — the record-linkage /
+    "which of today's crawl pages near-match yesterday's corpus" shape
+    (Bayardo et al. 2007 all-pairs family; the reference's join inventory
+    is exact-key only, SURVEY §2.5). Returns columns ``a`` (left id) and
+    ``b`` (right id), the exact Jaccard attached.
+
+    Built by COMPOSITION, not new machinery: the right side's ids shift
+    by 2^40, both sides union into one corpus, and the existing self-join
+    kernels run once — ``bottomk_shingle_pairs`` candidate generation
+    (bounded-partition, capped buckets) then ``verify_pairs_jaccard``
+    exact confirm (adaptive broadcast-vs-join attach). Pairs are emitted
+    (a < b), so a cross pair always lands as (left, right+offset); the
+    final filter keeps only cross-side pairs and removes the offset.
+    Requires non-negative int64 ids < 2^40 on both sides (asserted per
+    batch)."""
+
+    def _side(ds, off: int):
+        def run(t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).cast(pa.int64())
+            v = ids.to_numpy(zero_copy_only=False)
+            if len(v) and (v.min() < 0 or v.max() >= int(_SSJOIN_OFFSET)):
+                raise ValueError(
+                    "similarity_join_jaccard needs ids in [0, 2^40)")
+            if off:
+                ids = pc.add(ids, pa.scalar(off, pa.int64()))
+            return pa.table({id_col: ids, text_col: t.column(text_col)})
+
+        run.__name__ = f"ssjoin_side[{off > 0}]"
+        return ds.map_batches(run, batch_format="pyarrow", batch_size=None)
+
+    docs = _side(left, 0).union(_side(right, int(_SSJOIN_OFFSET)))
+    pairs = bottomk_shingle_pairs(
+        docs, text_col, id_col, k_anchors=k_anchors, shingle_k=shingle_k,
+        **kw,
+    )
+    confirmed = verify_pairs_jaccard(
+        pairs, docs, threshold, text_col, id_col, shingle_k=shingle_k
+    )
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (a < _SSJOIN_OFFSET) & (b >= _SSJOIN_OFFSET)
+        out = t.filter(pa.array(keep))
+        bb = pc.subtract(out.column("b").cast(pa.int64()),
+                         pa.scalar(int(_SSJOIN_OFFSET), pa.int64()))
+        return out.set_column(out.schema.get_field_index("b"), "b", bb)
+
+    cross_only.__name__ = "ssjoin_cross"
+    return confirmed.map_batches(cross_only, batch_format="pyarrow",
+                                 batch_size=None)

@@ -3390,3 +3390,22 @@ def weighted_sample_documents(sf_dir: str):
 
     keyed = ds.map_batches(add_w, batch_format="pyarrow", batch_size=None)
     return weighted_sample_topk(keyed, "doc_id", "w", k=100)
+
+
+def ssjoin_planted_pairs(sf_dir: str):
+    """Cross-table set-similarity join (functions/dedup.
+    similarity_join_jaccard, Jaccard >= 0.7 on 5-gram shingles) on the
+    planted left/right corpora: the pair set must be exactly the planted
+    (match_doc, doc_id) links — blocking recall AND exact-verify
+    precision are both on the hook."""
+    import ray.data as rd
+
+    from .. import fixtures as fx
+
+    lp, rp = fx.planted_ssjoin()
+    left = rd.read_parquet(lp)
+    right = rd.read_parquet(rp, columns=["doc_id", "text"])
+    out = dd.similarity_join_jaccard(left, right, threshold=0.7,
+                                     k_anchors=4, shingle_k=5,
+                                     concurrency=(1, 4))
+    return out.select_columns(["a", "b"])

@@ -1305,3 +1305,20 @@ def test_constraint_kinds_and_null_semantics():
     # row0 passes both; row1 keeps its prior reason; row2 exempt;
     # row3 fails both -> first sorted name (a_range) wins
     assert list(out) == [None, "prior", None, "constraint:a_range"]
+
+
+def test_ssjoin_rejects_out_of_range_ids(ray_session):
+    """The 2^40 id-offset trick is guarded: negative or >= 2^40 ids fail
+    loudly instead of silently colliding across sides."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.dedup import similarity_join_jaccard
+
+    bad = rd.from_arrow(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "text": pa.array(["abc def ghi jkl"], pa.string())}))
+    ok = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["abc def ghi jkl"], pa.string())}))
+    with pytest.raises(Exception, match="2\\^40"):
+        similarity_join_jaccard(bad, ok, concurrency=(1, 2)).count()
