@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed exact quantiles (histogram-refinement order stats)
         "quantiles_event_value": demo.quantiles_event_value,
         "quantiles_by_event_type": demo.quantiles_by_event_type,
+        "quantiles_disc_event_value": demo.quantiles_disc_event_value,
         # one-pass mergeable quantile sketch (KLL; exact when saturated)
         "quantiles_sketch_values": demo.quantiles_sketch_values,
         "quantiles_sketch_by_type": demo.quantiles_sketch_by_type,
@@ -496,6 +497,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT 0.9, round(quantile_cont(value, 0.9), 4) FROM events
             UNION ALL
             SELECT 0.99, round(quantile_cont(value, 0.99), 4) FROM events
+        """,
+        "quantiles_disc_event_value": """
+            SELECT 0.25 AS q, round(quantile_disc(value, 0.25), 4) AS qv FROM events
+            UNION ALL
+            SELECT 0.5, round(quantile_disc(value, 0.5), 4) FROM events
+            UNION ALL
+            SELECT 0.9, round(quantile_disc(value, 0.9), 4) FROM events
+            UNION ALL
+            SELECT 0.99, round(quantile_disc(value, 0.99), 4) FROM events
         """,
         "quantiles_by_event_type": """
             SELECT event_type, 0.5 AS q,

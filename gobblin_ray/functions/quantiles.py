@@ -78,10 +78,16 @@ def exact_quantiles(
     B: int = 1024,
     collect_threshold: int = 200_000,
     max_rounds: int = 12,
+    interpolation: str = "linear",
 ):
     """quantile_cont semantics: linear interpolation between the order
     statistics floor(h) and ceil(h), h = (n-1)*q (NaNs/NULLs excluded).
-    Returns a list of floats aligned with ``qs``."""
+    Returns a list of floats aligned with ``qs``.
+
+    ``interpolation="lower"`` gives SQL ``quantile_disc`` semantics
+    instead: the ACTUAL element at 1-based rank ceil(q*n) — a value that
+    exists in the data (what a percentile-based retention cutoff or
+    p99-latency SLO wants), same histogram-refinement scan either way."""
     from ray.data.aggregate import Count, Max, Min
 
     stats_ds = ds.map_batches(
@@ -102,9 +108,12 @@ def exact_quantiles(
     # ranks (0-based order statistics) every quantile needs
     need: set[int] = set()
     for q in qs:
-        h = (n - 1) * q
-        need.add(int(np.floor(h)))
-        need.add(int(np.ceil(h)))
+        if interpolation == "lower":
+            need.add(min(max(int(np.ceil(q * n)) - 1, 0), n - 1))
+        else:
+            h = (n - 1) * q
+            need.add(int(np.floor(h)))
+            need.add(int(np.ceil(h)))
     ranks = sorted(need)
 
     # state per rank: (interval lo, hi, #values below lo, #values in interval)
@@ -154,6 +163,10 @@ def exact_quantiles(
 
     out = []
     for q in qs:
+        if interpolation == "lower":
+            out.append(resolved[min(max(int(np.ceil(q * n)) - 1, 0),
+                                    n - 1)])
+            continue
         h = (n - 1) * q
         a, b = resolved[int(np.floor(h))], resolved[int(np.ceil(h))]
         frac = h - np.floor(h)

@@ -3409,3 +3409,19 @@ def ssjoin_planted_pairs(sf_dir: str):
                                      k_anchors=4, shingle_k=5,
                                      concurrency=(1, 4))
     return out.select_columns(["a", "b"])
+
+
+def quantiles_disc_event_value(sf_dir: str):
+    """Discrete quantiles (functions/quantiles.exact_quantiles with
+    interpolation="lower" — SQL quantile_disc parity): the ACTUAL data
+    element at rank ceil(q*n), the shape a p99-latency SLO or a
+    percentile retention cutoff needs (a value that exists)."""
+    from ..functions.quantiles import exact_quantiles
+
+    qs = [0.25, 0.5, 0.9, 0.99]
+    ds = read_table(sf_dir, "events", columns=["value"])
+    vals = exact_quantiles(ds, "value", qs, interpolation="lower")
+    return pa.table({
+        "q": pa.array(qs, pa.float64()),
+        "qv": pa.array(_duck_round(np.asarray(vals), 4), pa.float64()),
+    })
