@@ -93,6 +93,8 @@ QUERY_NAMES = [
     "fuzzy_join_customers",
     "bm25_search_documents",
     "fk_audit_edges",
+    "corpus_drift_documents",
+    "weighted_sample_documents",
 ]
 
 

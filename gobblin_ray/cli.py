@@ -69,6 +69,9 @@ def main(argv: list[str] | None = None) -> int:
                                 "in-flight epochs still commit, next run "
                                 "resumes from the clean watermark")
             s.add_argument("--no-vacuum", action="store_true")
+            s.add_argument("--refresh-views", action="store_true",
+                           help="fold registered materialized views to "
+                                "head after the run (before the vacuum)")
             s.add_argument("--follow", action="store_true",
                            help="continuous tailing: poll for log growth "
                                 "(stop by creating <lake>/_STOP)")
@@ -673,7 +676,8 @@ def main(argv: list[str] | None = None) -> int:
                                compact_every=args.compact_every,
                                compact_ratio=args.compact_ratio,
                                compact_age=args.compact_age,
-                               max_run_seconds=args.max_run_seconds)
+                               max_run_seconds=args.max_run_seconds,
+                               auto_refresh_views=args.refresh_views)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             t0 = time.time()
             if args.follow:

@@ -159,6 +159,8 @@ class EngineConfig:
     # analog, RecompactionConditionBasedOnDuration — epoch age is the
     # deterministic replay-side stand-in for wall-clock age)
     pipeline_epochs: int = 2  # overlapped epoch executions (ordered commits)
+    auto_refresh_views: bool = False  # fold registered materialized views
+    # to head after each run, before the vacuum (views.py window contract)
     commit_gate: bool = True  # TaskLevelPolicy/RowCountPolicy analog: assert
     # extracted == applied + diverted before promoting an epoch
     epoch_bytes: int | None = None  # size-based epoch planning: target log
@@ -946,6 +948,15 @@ class CdcEngine:
                 ep, fut = inflight.popleft()
                 manifest, report = self._commit_epoch(ep, manifest, fut.result())
                 reports.append(report)
+        if self.cfg.auto_refresh_views and reports:
+            # fold registered materialized views forward BEFORE the
+            # vacuum: the change feed needs the folded-from manifest's
+            # files, which the sweep below may remove (views.py window
+            # contract)
+            from . import views as _views
+
+            for name in _views.list_views(self.lake_dir):
+                _views.refresh_view(self, name)
         if vacuum and reports:
             ckpt.vacuum(self.lake_dir, manifest)
         if reports:

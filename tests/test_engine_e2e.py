@@ -1428,3 +1428,30 @@ def test_table_constraints_quarantine_and_redrive(ray_session,
                           oracle_final_state(pages, evs_all))
     with pytest.raises(ValueError, match="unknown constraint"):
         eng.drop_constraint("lang_set")
+
+
+def test_auto_refresh_views_on_run(ray_session, tmp_path_factory):
+    """run(auto_refresh_views=True) folds every registered view to the
+    head manifest BEFORE the vacuum (the window contract), landing on the
+    head recompute exactly even though the vacuum then removes the
+    folded-from files."""
+    from gobblin_ray import views
+
+    d = str(tmp_path_factory.mktemp("arv_corpus"))
+    synth.write_corpus(d, n_pages=80, n_events=800, shard_rows=400)
+    lake = str(tmp_path_factory.mktemp("arv_lake"))
+    cfg = EngineConfig(num_buckets=4, epoch_width=200,
+                       auto_refresh_views=True)
+    eng = CdcEngine(lake, f"{d}/events", cfg)
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=1, vacuum=False)
+    views.create_view(eng, "hosts", kind="count_sum_by_host")
+
+    eng.run()  # to head, WITH vacuum — refresh must happen first
+    head = eng.store.latest().epoch
+    assert views.list_views(lake)["hosts"]["folded_to"] == head
+    got = views.read_view(lake, "hosts").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    want, _ = views._seed_state(eng, "count_sum_by_host")
+    pd.testing.assert_frame_equal(
+        got, want.to_pandas().sort_values("grp").reset_index(drop=True))
