@@ -587,8 +587,21 @@ def main(argv: list[str] | None = None) -> int:
             # perfectly steady feed) flags ANY deviation.
             import numpy as np
 
-            epochs = [e for e in store.committed_epochs() if e > 0]
-            series = [(e, store.load(e).event_count) for e in epochs]
+            # maintenance/DDL epochs (compact, rebucket, purge, rename,
+            # constraints...) commit at the SAME watermark (low == high)
+            # and apply no feed events — including their 0s would raise
+            # permanent false feed-broke alarms and drag the median. A
+            # real feed epoch always spans (low < high); an EMPTY feed
+            # epoch with an advancing watermark stays in the series —
+            # that 0 is exactly the feed-broke signal this screen exists
+            # to raise.
+            series = []
+            for e in store.committed_epochs():
+                if e == 0:
+                    continue
+                me = store.load(e)
+                if me.low_seq < me.high_seq:
+                    series.append((e, me.event_count))
             vals = np.array([v for _, v in series], dtype=np.float64)
             flagged = []
             if len(vals) >= 3:

@@ -303,7 +303,9 @@ def copy_lake(src_lake: str, dst_lake: str, num_units: int | None = None,
 
     out = {"files_listed": 0, "files_copied": 0, "bytes": 0, "subtrees": []}
     with FileJobLock(os.path.join(src_lake, "_locks")):
-        for sub in ("data", "_checkpoints", "_errors", "_refs"):
+        # _views travels too: registered materialized-view state (meta +
+        # state parquet) is durable engine state a DR clone must serve
+        for sub in ("data", "_checkpoints", "_errors", "_refs", "_views"):
             src = os.path.join(src_lake, sub)
             if not os.path.isdir(src):
                 continue

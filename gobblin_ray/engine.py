@@ -732,6 +732,9 @@ class CdcEngine:
             num_buckets=manifest.num_buckets,
             schema_fingerprint=schema_fingerprint(base_schema),
             schema_ipc=Manifest.encode_schema(base_schema),
+            # run() already refused a non-current router, so this equals
+            # BUCKET_HASH_VERSION — carried explicitly for the invariant
+            bucket_hash=manifest.bucket_hash,
             column_renames=dict(manifest.column_renames),
             constraints=dict(manifest.constraints),
         )
@@ -1202,6 +1205,41 @@ class CdcEngine:
     # partition source field without a spec evolution).
     _PROTECTED_COLUMNS = frozenset({"url", "warc_ts", "event_seq", "is_deleted"})
 
+    @staticmethod
+    def _ddl_manifest(m: "Manifest", **overrides) -> "Manifest":
+        """Forward-copy a manifest for a metadata-only DDL commit (rename /
+        drop-column / add- / drop-constraint): SAME watermark, same bucket
+        layout and — critically — the same ``bucket_hash`` router stamp
+        (a DDL must never silently upgrade a legacy lake's router version:
+        run() refuses legacy routers, and re-stamping here would let the
+        next run route NEW events with the new hash onto buckets laid out
+        by the old one). Every metadata field is carried by ONE site so a
+        future Manifest field needs one edit, not five."""
+        manifest = Manifest(
+            epoch=overrides.pop("epoch", m.epoch + 1),
+            low_seq=m.high_seq, high_seq=m.high_seq,
+            num_buckets=m.num_buckets,
+            schema_fingerprint=overrides.pop(
+                "schema_fingerprint", m.schema_fingerprint),
+            schema_ipc=overrides.pop("schema_ipc", m.schema_ipc),
+            metrics=dict(m.metrics),
+            bucket_hash=m.bucket_hash,
+            column_renames=overrides.pop(
+                "column_renames", dict(m.column_renames)),
+            constraints=overrides.pop("constraints", dict(m.constraints)),
+        )
+        if overrides:
+            raise TypeError(f"unknown overrides {sorted(overrides)}")
+        for b, s in m.buckets.items():
+            manifest.buckets[b] = BucketState(
+                bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
+                rows=s.rows, events_applied=s.events_applied,
+                events_epoch=0,  # a DDL applies no events
+                delta_epochs=list(s.delta_epochs),
+                delta_rows=s.delta_rows,
+            )
+        return manifest
+
     def drop_column(self, name: str) -> "Manifest":
         """Metadata-only DROP COLUMN (Iceberg UpdateSchema.deleteColumn
         analog): commit a new manifest at the SAME watermark without the
@@ -1245,23 +1283,12 @@ class CdcEngine:
                 for k, v in m.column_renames.items()
             }
             ren[name] = tomb
-            manifest = Manifest(
-                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
+            manifest = self._ddl_manifest(
+                m, epoch=epoch,
                 schema_fingerprint=schema_fingerprint(new_schema),
                 schema_ipc=Manifest.encode_schema(new_schema),
-                metrics=dict(m.metrics),
                 column_renames=ren,
-                constraints=dict(m.constraints),
             )
-            for b, st in m.buckets.items():
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=st.high_seq, base_epoch=st.base_epoch,
-                    rows=st.rows, events_applied=st.events_applied,
-                    events_epoch=0,
-                    delta_epochs=list(st.delta_epochs),
-                    delta_rows=st.delta_rows,
-                )
             self.store.commit(manifest)
             self.metrics.submit_event(
                 "ColumnDropped", epoch=manifest.epoch, column=name,
@@ -1330,23 +1357,12 @@ class CdcEngine:
             }
             ren[old] = new
             ren = {k: v for k, v in ren.items() if k != v}
-            manifest = Manifest(
-                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
+            manifest = self._ddl_manifest(
+                m,
                 schema_fingerprint=schema_fingerprint(new_schema),
                 schema_ipc=Manifest.encode_schema(new_schema),
-                metrics=dict(m.metrics),
                 column_renames=ren,
-                constraints=dict(m.constraints),
             )
-            for b, s in m.buckets.items():
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
-                    rows=s.rows, events_applied=s.events_applied,
-                    events_epoch=0,  # a rename applies no events
-                    delta_epochs=list(s.delta_epochs),
-                    delta_rows=s.delta_rows,
-                )
             self.store.commit(manifest)
             self.metrics.submit_event(
                 "ColumnRenamed", epoch=manifest.epoch, old=old, new=new,
@@ -1403,22 +1419,7 @@ class CdcEngine:
                     "violate it (fix or purge them first)")
             cons = dict(m.constraints)
             cons[name] = spec
-            manifest = Manifest(
-                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
-                schema_fingerprint=m.schema_fingerprint,
-                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
-                column_renames=dict(m.column_renames),
-                constraints=cons,
-            )
-            for b, s in m.buckets.items():
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
-                    rows=s.rows, events_applied=s.events_applied,
-                    events_epoch=0,  # a DDL applies no events
-                    delta_epochs=list(s.delta_epochs),
-                    delta_rows=s.delta_rows,
-                )
+            manifest = self._ddl_manifest(m, constraints=cons)
             self.store.commit(manifest)
             self.metrics.submit_event(
                 "ConstraintAdded", epoch=manifest.epoch,
@@ -1441,22 +1442,7 @@ class CdcEngine:
                 have = sorted(m.constraints) if m else []
                 raise ValueError(f"unknown constraint {name!r} (have {have})")
             cons = {k: v for k, v in m.constraints.items() if k != name}
-            manifest = Manifest(
-                epoch=m.epoch + 1, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
-                schema_fingerprint=m.schema_fingerprint,
-                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
-                column_renames=dict(m.column_renames),
-                constraints=cons,
-            )
-            for b, s in m.buckets.items():
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=s.high_seq, base_epoch=s.base_epoch,
-                    rows=s.rows, events_applied=s.events_applied,
-                    events_epoch=0,
-                    delta_epochs=list(s.delta_epochs),
-                    delta_rows=s.delta_rows,
-                )
+            manifest = self._ddl_manifest(m, constraints=cons)
             self.store.commit(manifest)
             self.metrics.submit_event(
                 "ConstraintDropped", epoch=manifest.epoch, constraint=name,
@@ -1641,6 +1627,9 @@ class CdcEngine:
                 num_buckets=m.num_buckets,
                 schema_fingerprint=m.schema_fingerprint,
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                # compaction merges WITHIN buckets — the layout (and so
+                # the router stamp) is unchanged
+                bucket_hash=m.bucket_hash,
                 # untouched (clean) buckets keep pre-rename files on disk
                 column_renames=dict(m.column_renames),
                 constraints=dict(m.constraints),
@@ -1903,6 +1892,9 @@ class CdcEngine:
                 epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
                 num_buckets=B, schema_fingerprint=m.schema_fingerprint,
                 schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                # purge rewrites only the AFFECTED buckets — layout and
+                # router stamp unchanged
+                bucket_hash=m.bucket_hash,
                 # untouched buckets keep pre-rename files on disk
                 column_renames=dict(m.column_renames),
                 constraints=dict(m.constraints),
@@ -1986,7 +1978,9 @@ class CdcEngine:
             }
 
     def read_changes(self, from_epoch: int, to_epoch: int | None = None,
-                     include_before: bool = False):
+                     include_before: bool = False,
+                     columns: tuple[str, ...] = (),
+                     before_columns: tuple[str, ...] = ()):
         """CDC-out / snapshot diff between two committed manifests: one row
         per url whose LIVE state differs, tagged ``change_type`` in
         {insert, update, delete} — insert/update rows carry the NEW
@@ -1996,6 +1990,12 @@ class CdcEngine:
         ``from_epoch``; null on inserts) — what an incremental
         materialized-view consumer needs to retract an updated row's old
         contribution (see stages/aggregates.ivm_count_sum_view).
+        ``columns`` projects extra lake columns onto insert/update rows
+        (their NEW values; null on deletes), and ``before_columns`` adds
+        ``old_<col>`` before-images onto update/delete rows (null on
+        inserts) — together they let an IVM consumer maintain a view
+        grouped by a MUTABLE column: retract (old group, old seq), apply
+        (new group, new seq).
         The Gobblin analog is the snapshot-diff listing generalized to row
         granularity (FileBasedSource's prior-vs-current fs snapshot diff,
         gobblin-core/.../filebased/FileBasedSource.java) — the downstream-
@@ -2047,17 +2047,30 @@ class CdcEngine:
                 [apply_renames(pq.read_table(p), ren) for p in files], schema))
             return conform(t, schema).sort_by([("url", "ascending")])
 
+        base_names = set(schema.names)
+        reserved = {"url", "change_type", "warc_ts", "event_seq", "text"}
+        for c in tuple(columns) + tuple(before_columns):
+            if c not in base_names:
+                raise ValueError(f"no column {c!r} in {sorted(base_names)}")
+        columns = tuple(c for c in columns if c not in reserved)
+        before_columns = tuple(before_columns)
+
         fields = [
             ("url", pa.string()), ("change_type", pa.string()),
             ("warc_ts", pa.timestamp("us")), ("event_seq", pa.int64()),
             ("text", pa.string()),
         ]
+        fields += [(c, schema.field(c).type) for c in columns]
         if include_before:
             fields.append(("old_event_seq", pa.int64()))
+        fields += [(f"old_{c}", schema.field(c).type)
+                   for c in before_columns]
         out_schema = pa.schema(fields)
 
         def _emit(t: pa.Table, idx: np.ndarray, kind: str,
-                  old_seq=None) -> pa.Table:
+                  old_rows: pa.Table | None = None) -> pa.Table:
+            # old_rows: the OLD-side rows aligned 1:1 with idx (None on
+            # inserts, which have no before-image)
             sel = t.take(pa.array(idx))
             cols = {
                 "url": sel.column("url"),
@@ -2067,10 +2080,18 @@ class CdcEngine:
                 "text": (sel.column("text") if kind != "delete"
                          else pa.nulls(len(idx), pa.string())),
             }
+            for c in columns:
+                cols[c] = (sel.column(c) if kind != "delete"
+                           else pa.nulls(len(idx), schema.field(c).type))
             if include_before:
                 cols["old_event_seq"] = (
-                    pa.nulls(len(idx), pa.int64()) if old_seq is None
-                    else pa.array(np.asarray(old_seq, np.int64), pa.int64())
+                    pa.nulls(len(idx), pa.int64()) if old_rows is None
+                    else old_rows.column("event_seq").cast(pa.int64())
+                )
+            for c in before_columns:
+                cols[f"old_{c}"] = (
+                    pa.nulls(len(idx), schema.field(c).type)
+                    if old_rows is None else old_rows.column(c)
                 )
             return pa.table(cols, schema=out_schema)
 
@@ -2080,20 +2101,21 @@ class CdcEngine:
                 told, tnew = _live_sorted(row["old"]), _live_sorted(row["new"])
                 ou = told.column("url").to_numpy(zero_copy_only=False)
                 nu = tnew.column("url").to_numpy(zero_copy_only=False)
-                oseq_all = told.column("event_seq").to_numpy(
-                    zero_copy_only=False)
                 in_old = np.isin(nu, ou)
                 outs.append(_emit(tnew, np.flatnonzero(~in_old), "insert"))
                 gone = np.flatnonzero(~np.isin(ou, nu))
-                outs.append(_emit(told, gone, "delete", oseq_all[gone]))
+                outs.append(_emit(told, gone, "delete",
+                                  told.take(pa.array(gone))))
                 common = np.flatnonzero(in_old)
                 if len(common):
                     oi = np.searchsorted(ou, nu[common])
-                    oseq = oseq_all[oi]
+                    oseq = told.column("event_seq").to_numpy(
+                        zero_copy_only=False)[oi]
                     nseq = tnew.column("event_seq").to_numpy(
                         zero_copy_only=False)[common]
                     chg = oseq != nseq
-                    outs.append(_emit(tnew, common[chg], "update", oseq[chg]))
+                    outs.append(_emit(tnew, common[chg], "update",
+                                      told.take(pa.array(oi[chg]))))
             return (pa.concat_tables(outs) if outs
                     else conform(pa.table({}), out_schema))
 

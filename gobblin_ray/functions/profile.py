@@ -325,8 +325,6 @@ def divergence_topk(left, right, text_col: str = "text", k: int = 20,
                            _Sum("cr", alias_name="nr"),
                            _Count(alias_name="v"))
     nl, nr, v = int(tot["nl"]), int(tot["nr"]), int(tot["v"])
-    p10 = float(10**digits)
-
     def score(t: pa.Table) -> pa.Table:
         cl = t.column("cl").to_numpy(zero_copy_only=False).astype(
             np.float64)
@@ -334,8 +332,10 @@ def divergence_topk(left, right, text_col: str = "text", k: int = 20,
             np.float64)
         p = (cl + 0.5) / (nl + 0.5 * v)
         q = (cr + 0.5) / (nr + 0.5 * v)
+        from ..kernels import duck_round
+
         d = p * np.log(p / q)
-        d = np.copysign(np.floor(np.abs(d) * p10 + 0.5), d) / p10
+        d = duck_round(d, digits)
         return pa.table({"term": t.column("term"),
                          "kl_contrib": pa.array(d, pa.float64())})
 

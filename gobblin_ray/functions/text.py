@@ -397,8 +397,9 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
             score = t.column("tf").to_numpy(zero_copy_only=False) * np.log(
                 n_docs / t.column("df").to_numpy(zero_copy_only=False)
             )
-            p = 1e4  # DuckDB-parity round-half-away-from-zero to 4 digits
-            score = np.copysign(np.floor(np.abs(score) * p + 0.5), score) / p
+            from ..kernels import duck_round
+
+            score = duck_round(score, 4)  # DuckDB-parity half-away round
             out = t.to_pandas()
             out["score"] = score
             out = (
@@ -1168,18 +1169,16 @@ def bm25_topk(ds, query_terms: list[str], text_col: str = "text",
     sv = dict(zip(st["term"], st["v"]))
     n_docs, total_len = int(sv[_N]), int(sv[_L])
     avgdl = total_len / n_docs
-    p8 = float(10**8)
+    from ..kernels import duck_round
 
     def _r8(x: float) -> float:
-        return math.copysign(math.floor(abs(x) * p8 + 0.5), x) / p8
+        return float(duck_round(x, 8))
 
     idf = [
         _r8(math.log((n_docs - int(sv.get(q, 0)) + 0.5)
                      / (int(sv.get(q, 0)) + 0.5) + 1.0))
         for q in query_terms
     ]
-    p10 = float(10**digits)
-
     def score(t: pa.Table) -> pa.Table:
         toks, flat, parents = _split(t)
         n = t.num_rows
@@ -1192,7 +1191,7 @@ def bm25_topk(ds, query_terms: list[str], text_col: str = "text",
                 zero_copy_only=False).astype(bool)
             tf = np.bincount(parents[m], minlength=n).astype(np.float64)
             s = s + w * (tf * (k1 + 1.0)) / (tf + denom_base)
-        s = np.copysign(np.floor(np.abs(s) * p10 + 0.5), s) / p10
+        s = duck_round(s, digits)
         return pa.table({id_col: t.column(id_col),
                          "score": pa.array(s, pa.float64())})
 

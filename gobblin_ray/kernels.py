@@ -39,3 +39,16 @@ def runlength_join(group: np.ndarray, values: np.ndarray, sep: str,
     vals = pc.cast(pa.array(v), pa.string())
     la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
     return g[starts], counts, pc.binary_join(la, sep)
+
+
+def duck_round(v, digits: int) -> np.ndarray:
+    """DuckDB-bit-exact round: half AWAY from zero via the same double-op
+    sequence DuckDB uses (x*10^d, std::round, /10^d), so hash comparison
+    against an oracle matches to the last ULP. numpy ``rint`` is
+    banker's-rounding and diverges on exact halves — never use it on a
+    value that crosses an oracle hash. The ONE shared definition: every
+    operator that rounds for SQL parity must call this (a local copy that
+    later diverges silently breaks the oracle hash of every OTHER site)."""
+    v = np.asarray(v, np.float64)
+    p = float(10**digits)
+    return np.copysign(np.floor(np.abs(v) * p + 0.5), v) / p

@@ -27,12 +27,8 @@ from ..functions import text as tx
 from ..functions import similarity as sim
 
 
-def _duck_round(v: np.ndarray, digits: int) -> np.ndarray:
-    """DuckDB-bit-exact round: half away from zero via the same double-op
-    sequence DuckDB uses (x*10^d, std::round, /10^d) — so hash comparison
-    against the oracle matches to the last ULP."""
-    p = float(10**digits)
-    return np.copysign(np.floor(np.abs(v) * p + 0.5), v) / p
+from ..kernels import duck_round as _duck_round  # noqa: E402  (shared
+# DuckDB-parity half-away rounding — ONE definition, kernels.py)
 
 
 def _round_cols(cols: dict[str, int]):

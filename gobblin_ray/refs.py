@@ -45,29 +45,36 @@ def create_tag(lake_dir: str, name: str, epoch: int | None = None,
     """Tag a committed epoch (default: the head). Refuses to overwrite an
     existing tag unless ``force`` — retagging silently would un-pin the
     old epoch."""
+    from .locks import FileJobLock
+
     if not _NAME_RE.match(name or ""):
         raise ValueError(
             f"invalid tag name {name!r} (want [A-Za-z0-9][A-Za-z0-9._-]*,"
             " <= 64 chars)")
-    store = ckpt.CheckpointStore(lake_dir)
-    epochs = store.committed_epochs()
-    if not epochs:
-        raise ValueError("no committed manifests to tag")
-    epoch = epochs[-1] if epoch is None else int(epoch)
-    if epoch not in epochs:
-        raise ValueError(
-            f"epoch {epoch} is not a committed manifest (have {epochs})")
-    path = _tag_path(lake_dir, name)
-    if os.path.exists(path) and not force:
-        raise FileExistsError(
-            f"tag {name!r} already exists (epoch "
-            f"{resolve_tag(lake_dir, name)}); use force to retag")
-    os.makedirs(_refs_dir(lake_dir), exist_ok=True)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"name": name, "epoch": epoch}, f)
-    os.replace(tmp, path)
-    return {"name": name, "epoch": epoch}
+    # Job lock: the vacuums snapshot tagged_epochs() under this lock and
+    # then delete — a tag written between their snapshot and their sweep
+    # would report success yet dangle immediately. Serializing tag
+    # creation against maintenance closes that window.
+    with FileJobLock(os.path.join(lake_dir, "_locks")):
+        store = ckpt.CheckpointStore(lake_dir)
+        epochs = store.committed_epochs()
+        if not epochs:
+            raise ValueError("no committed manifests to tag")
+        epoch = epochs[-1] if epoch is None else int(epoch)
+        if epoch not in epochs:
+            raise ValueError(
+                f"epoch {epoch} is not a committed manifest (have {epochs})")
+        path = _tag_path(lake_dir, name)
+        if os.path.exists(path) and not force:
+            raise FileExistsError(
+                f"tag {name!r} already exists (epoch "
+                f"{resolve_tag(lake_dir, name)}); use force to retag")
+        os.makedirs(_refs_dir(lake_dir), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"name": name, "epoch": epoch}, f)
+        os.replace(tmp, path)
+        return {"name": name, "epoch": epoch}
 
 
 def list_tags(lake_dir: str) -> dict[str, int]:

@@ -304,7 +304,8 @@ def ivm_count_sum_view(base_state, changes, group_fn,
                        group_col: str = "grp",
                        n_col: str = "n_live",
                        sum_col: str = "sum_seq",
-                       base_is_state: bool = False):
+                       base_is_state: bool = False,
+                       old_group_fn=None):
     """Incremental materialized-view maintenance (IVM) over a CDC change
     feed: maintain a per-group ``(count of live rows, sum of seq_col)``
     view WITHOUT rescanning the table — the downstream-consumer shape
@@ -319,12 +320,82 @@ def ivm_count_sum_view(base_state, changes, group_fn,
     Groups whose maintained count reaches 0 drop out of the view, exactly
     as a recompute would.
 
+    Mutable group columns: with ``group_fn`` alone the group key must be
+    derived from IMMUTABLE columns (e.g. host from url — the feed keys
+    changes by url), because an update that MOVES a row between groups
+    cannot be retracted from its old group without the before-image.
+    Pass ``old_group_fn`` (reading the feed's ``old_<col>`` before-image
+    columns, ``CdcEngine.read_changes(before_columns=...)``) to handle a
+    mutable group column: every update/delete RETRACTS ``(-1, -old_seq)``
+    at the OLD group and every insert/update APPLIES ``(+1, +new_seq)``
+    at the NEW group — when the group did not move, the two contributions
+    net inside the same group, so this generalizes (not replaces) the
+    immutable-key algebra.
+
     Scale shape: both the base view and the deltas pre-aggregate INSIDE
     ``map_batches`` (per-batch combiner over O(groups-in-batch) rows), so
     the single groupby exchange moves O(distinct groups x blocks) partial
     rows — never the state or the feed itself. ``group_fn`` maps a pyarrow
     Table to the group-key Array (derive the key from immutable columns
     only — e.g. host from url — since the feed keys changes by url)."""
+
+    def _combine(tmp: pa.Table) -> pa.Table:
+        # per-batch combiner: collapse to one row per group; select
+        # output columns BY NAME (keys-first aggregate ordering is
+        # build-specific in pyarrow, not contractual)
+        agg = pa.TableGroupBy(tmp, group_col).aggregate(
+            [("_dn", "sum"), ("_ds", "sum")]
+        )
+        return pa.table({
+            group_col: agg.column(group_col),
+            "_dn": agg.column("_dn_sum"),
+            "_ds": agg.column("_ds_sum"),
+        })
+
+    def _deltas_moving(t: pa.Table) -> pa.Table:
+        """Delta partials for a MUTABLE group column (retract at the old
+        group, apply at the new — see the docstring's algebra)."""
+        import numpy as np
+
+        ct = t.column("change_type").to_numpy(zero_copy_only=False)
+        seq = pc.fill_null(t.column(seq_col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        old = pc.fill_null(t.column(old_seq_col), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        parts = []
+        # apply side: insert/update rows contribute (+1, +new_seq) at the
+        # NEW group (null group keys excluded, same as the base scan)
+        g_new = group_fn(t)
+        apply_m = pa.array((ct != "delete") & pc.is_valid(g_new).to_numpy(
+            zero_copy_only=False))
+        ta = t.filter(apply_m)
+        if ta.num_rows:
+            parts.append(pa.table({
+                group_col: group_fn(ta),
+                "_dn": pa.array(np.ones(ta.num_rows, np.int64)),
+                "_ds": pa.array(seq[apply_m.to_numpy(
+                    zero_copy_only=False)].astype(np.int64)),
+            }))
+        # retract side: update/delete rows contribute (-1, -old_seq) at
+        # the OLD group (the before-image columns)
+        g_old = old_group_fn(t)
+        retract_m = pa.array((ct != "insert") & pc.is_valid(
+            g_old).to_numpy(zero_copy_only=False))
+        tr = t.filter(retract_m)
+        if tr.num_rows:
+            parts.append(pa.table({
+                group_col: old_group_fn(tr),
+                "_dn": pa.array(np.full(tr.num_rows, -1, np.int64)),
+                "_ds": pa.array(-old[retract_m.to_numpy(
+                    zero_copy_only=False)].astype(np.int64)),
+            }))
+        if not parts:
+            return pa.table({group_col: pa.array([], g_new.type),
+                             "_dn": pa.array([], pa.int64()),
+                             "_ds": pa.array([], pa.int64())})
+        return _combine(pa.concat_tables(parts))
+
+    _deltas_moving.__name__ = "ivm_deltas_moving"
 
     def _partials(sign_from_type: bool):
         def f(t: pa.Table) -> pa.Table:
@@ -359,17 +430,7 @@ def ivm_count_sum_view(base_state, changes, group_fn,
             tmp = pa.table({group_col: g,
                             "_dn": pa.array(dn.astype(np.int64)),
                             "_ds": pa.array(dsum.astype(np.int64))})
-            # per-batch combiner: collapse to one row per group; select
-            # output columns BY NAME (keys-first aggregate ordering is
-            # build-specific in pyarrow, not contractual)
-            agg = pa.TableGroupBy(tmp, group_col).aggregate(
-                [("_dn", "sum"), ("_ds", "sum")]
-            )
-            return pa.table({
-                group_col: agg.column(group_col),
-                "_dn": agg.column("_dn_sum"),
-                "_ds": agg.column("_ds_sum"),
-            })
+            return _combine(tmp)
 
         f.__name__ = "ivm_deltas" if sign_from_type else "ivm_base"
         return f
@@ -394,7 +455,8 @@ def ivm_count_sum_view(base_state, changes, group_fn,
             _partials(False), batch_format="pyarrow"
         )
     delta_p = changes.map_batches(
-        _partials(True), batch_format="pyarrow"
+        _deltas_moving if old_group_fn is not None else _partials(True),
+        batch_format="pyarrow"
     )
     folded = base_p.union(delta_p).groupby(group_col).sum(["_dn", "_ds"])
 

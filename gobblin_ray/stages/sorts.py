@@ -230,9 +230,9 @@ def range_cut_points(ds, col: str, num_ranges: int, digits: int = 4,
     else:
         from ..functions.sketch import approx_quantiles
         vals = approx_quantiles(ds, col, qs, k=sketch_k)
-    p = float(10**digits)
-    return [float(np.copysign(np.floor(abs(v) * p + 0.5), v) / p)
-            for v in vals]
+    from ..kernels import duck_round
+
+    return [float(duck_round(v, digits)) for v in vals]
 
 
 def assign_range(cuts: list[float], col: str, out: str = "range_id"):

@@ -59,12 +59,26 @@ def _lang_of(t: pa.Table) -> pa.Array:
     return t.column("lang")
 
 
+def _old_lang_of(t: pa.Table) -> pa.Array:
+    return t.column("old_lang")
+
+
 VIEW_KINDS = {
-    # per-host (live pages, sum event_seq) — the crawl-coverage monitor
+    # per-host (live pages, sum event_seq) — the crawl-coverage monitor.
+    # host derives from url (the change-feed KEY, immutable), so the
+    # plain single-group fold algebra applies.
     "count_sum_by_host": {"group_fn": _host_of,
                           "columns": ["url", "event_seq"]},
-    # per-language live counts — the mixture monitor
+    # per-language live counts — the mixture monitor. lang is a MUTABLE
+    # column, so the fold needs the feed to carry the new value
+    # (feed_columns) and the before-image (feed_before_columns), and the
+    # two-sided retract/apply algebra (old_group_fn) — an update that
+    # moves a page between languages retracts from the old group and
+    # applies to the new (stages/aggregates.ivm_count_sum_view).
     "count_sum_by_lang": {"group_fn": _lang_of,
+                          "old_group_fn": _old_lang_of,
+                          "feed_columns": ["lang"],
+                          "feed_before_columns": ["lang"],
                           "columns": ["url", "lang", "event_seq"]},
 }
 
@@ -117,19 +131,26 @@ def _collect_state(ds) -> pa.Table:
         "grp": pa.array(df["grp"].astype(object), pa.string()),
         "n_live": pa.array(df["n_live"].astype("int64"), pa.int64()),
         "sum_seq": pa.array(df["sum_seq"].astype("int64"), pa.int64()),
-    })
+    }, schema=_STATE_SCHEMA)
 
 
-def _empty_changes():
+def _empty_changes(spec: dict):
+    """An empty change feed with the exact schema the kind's fold reads
+    (the base feed fields plus the kind's projected/new-value columns and
+    ``old_<col>`` before-images)."""
     import ray.data as rd
 
-    return rd.from_arrow(pa.table({
+    cols: dict[str, pa.Array] = {
         "url": pa.array([], pa.string()),
-        "lang": pa.array([], pa.string()),
         "event_seq": pa.array([], pa.int64()),
         "change_type": pa.array([], pa.string()),
         "old_event_seq": pa.array([], pa.int64()),
-    }))
+    }
+    for c in spec.get("feed_columns", ()):
+        cols.setdefault(c, pa.array([], pa.string()))
+    for c in spec.get("feed_before_columns", ()):
+        cols.setdefault(f"old_{c}", pa.array([], pa.string()))
+    return rd.from_arrow(pa.table(cols))
 
 
 def _seed_state(eng, kind: str) -> tuple[pa.Table, int]:
@@ -140,7 +161,8 @@ def _seed_state(eng, kind: str) -> tuple[pa.Table, int]:
     spec = VIEW_KINDS[kind]
     head = eng.store.latest()
     base = eng.read_table(manifest=head, columns=spec["columns"])
-    out = ivm_count_sum_view(base, _empty_changes(), spec["group_fn"])
+    out = ivm_count_sum_view(base, _empty_changes(spec), spec["group_fn"],
+                             old_group_fn=spec.get("old_group_fn"))
     return _collect_state(out), head.epoch
 
 
@@ -177,6 +199,26 @@ def create_view(eng, name: str, kind: str) -> dict:
     return {**meta, "groups": state.num_rows}
 
 
+def _window_gone(e: Exception) -> bool:
+    """True when an exception (or anything on its cause/context chain —
+    Ray Data wraps worker exceptions in RayTaskError/UserCodeException)
+    is the fold-window-gone signal: missing swept files or the
+    read_changes rebucket refusal."""
+    seen = set()
+    stack = [e]
+    while stack:
+        c = stack.pop()
+        if c is None or id(c) in seen:
+            continue
+        seen.add(id(c))
+        if isinstance(c, (FileNotFoundError, ValueError)):
+            return True
+        stack.extend([c.__cause__, c.__context__])
+    # RayTaskError reconstructed cross-process keeps only the formatted
+    # traceback text, not the cause objects
+    return "FileNotFoundError" in str(e)
+
+
 def refresh_view(eng, name: str, recompute: bool = False) -> dict:
     """Fold the view forward to the head manifest from the change feed
     (or rebuild from head state with ``recompute=True`` when the feed
@@ -195,17 +237,41 @@ def refresh_view(eng, name: str, recompute: bool = False) -> dict:
                 "groups": pq.read_metadata(
                     _state_path(lake, name, meta["folded_to"])).num_rows}
     spec = VIEW_KINDS[meta["kind"]]
+    recomputed = recompute
     if recompute:
         state, epoch = _seed_state(eng, meta["kind"])
     else:
-        base = rd.read_parquet(_state_path(lake, name, meta["folded_to"]))
-        changes = eng.read_changes(meta["folded_to"], include_before=True)
-        out = ivm_count_sum_view(base, changes, spec["group_fn"],
-                                 base_is_state=True)
-        state, epoch = _collect_state(out), head.epoch
+        try:
+            base = rd.read_parquet(
+                _state_path(lake, name, meta["folded_to"]))
+            changes = eng.read_changes(
+                meta["folded_to"], include_before=True,
+                columns=tuple(spec.get("feed_columns", ())),
+                before_columns=tuple(spec.get("feed_before_columns", ())),
+            )
+            out = ivm_count_sum_view(base, changes, spec["group_fn"],
+                                     base_is_state=True,
+                                     old_group_fn=spec.get("old_group_fn"))
+            state, epoch = _collect_state(out), head.epoch
+        except Exception as e:
+            # the documented window contract: the folded-from manifest's
+            # files were vacuumed (FileNotFoundError inside the diff
+            # tasks — Ray Data wraps it as
+            # RayTaskError(UserCodeException) with the original as the
+            # cause chain) or a rebucket intervened (read_changes raises
+            # ValueError on the driver). Fall back to the one-scan head
+            # recompute instead of failing — critically,
+            # auto_refresh_views runs AFTER the epochs committed, where
+            # raising would report a failed run despite durable commits
+            # and keep failing every run. Anything else re-raises.
+            if not _window_gone(e):
+                raise
+            state, epoch = _seed_state(eng, meta["kind"])
+            recomputed = True
     new_meta = {**meta, "folded_to": epoch}
     _write_state(lake, name, state, new_meta)
-    return {**new_meta, "refreshed": True, "groups": state.num_rows}
+    return {**new_meta, "refreshed": True, "recomputed": recomputed,
+            "groups": state.num_rows}
 
 
 def read_view(lake_dir: str, name: str) -> pa.Table:

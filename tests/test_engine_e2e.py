@@ -1135,12 +1135,20 @@ def test_lake_clone_and_resume(ray_session, corpus, oracle_df,
     eng.bootstrap(f"{d}/pages.parquet")
     eng.run(max_epochs=2, vacuum=False)
     mid_epoch = eng.store.latest().epoch
+    from gobblin_ray import views as _views
+
+    _views.create_view(eng, "hosts", kind="count_sum_by_host")
 
     out = copy_lake(src, dst)
     assert out["files_copied"] > 0 and "_checkpoints" in out["subtrees"]
+    assert "_views" in out["subtrees"]  # registered views are lake state
 
     clone = CdcEngine(dst, f"{d}/events", cfg)
     assert clone.store.latest().epoch == mid_epoch  # watermark traveled
+    assert "hosts" in _views.list_views(dst)  # the view traveled intact
+    pd.testing.assert_frame_equal(
+        _views.read_view(dst, "hosts").to_pandas(),
+        _views.read_view(src, "hosts").to_pandas())
     clone.run(vacuum=False)  # resumes at mid_epoch + 1, replays to head
     assert_matches_oracle(engine_df(clone), oracle_df)
     assert eng.store.latest().epoch == mid_epoch  # source untouched
@@ -1455,3 +1463,138 @@ def test_auto_refresh_views_on_run(ray_session, tmp_path_factory):
     want, _ = views._seed_state(eng, "count_sum_by_host")
     pd.testing.assert_frame_equal(
         got, want.to_pandas().sort_values("grp").reset_index(drop=True))
+
+
+def test_ddl_manifest_preserves_bucket_hash():
+    """DDL forward-copies (rename/drop-column/constraints) must carry the
+    SOURCE manifest's bucket_hash: a DDL on a legacy-router lake that
+    re-stamped the current version would let the next run() route new
+    events with the new hash onto buckets laid out by the old one —
+    wrong-bucket upserts invisible to the LWW merge."""
+    from gobblin_ray.checkpoint import BucketState, Manifest
+
+    m = Manifest(
+        epoch=5, low_seq=10, high_seq=10, num_buckets=4,
+        schema_fingerprint="f", schema_ipc="x",
+        bucket_hash="legacy-v0",
+        column_renames={"a": "b"}, constraints={"c": {"kind": "not_null",
+                                                      "column": "a"}},
+    )
+    m.buckets[0] = BucketState(
+        bucket=0, high_seq=10, base_epoch=1, rows=3, events_applied=7,
+        events_epoch=5, delta_epochs=[2, 3], delta_rows=2,
+    )
+    n = CdcEngine._ddl_manifest(m, constraints={})
+    assert n.bucket_hash == "legacy-v0"
+    assert n.epoch == 6 and n.low_seq == n.high_seq == 10
+    assert n.constraints == {} and n.column_renames == {"a": "b"}
+    b = n.buckets[0]
+    assert b.events_epoch == 0 and b.delta_epochs == [2, 3] and b.rows == 3
+    with pytest.raises(TypeError, match="unknown overrides"):
+        CdcEngine._ddl_manifest(m, nope=1)
+
+
+def test_lang_view_mutable_group_fold(ray_session, corpus, tmp_path):
+    """count_sum_by_lang groups by a MUTABLE column: the fold must carry
+    the feed's new-value and before-image lang columns and retract/apply
+    across group moves (an update that changes a url's language). The
+    incremental fold (NOT recompute) must land exactly on the head
+    recompute."""
+    from gobblin_ray import views
+
+    d, meta = corpus
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+    out = views.create_view(eng, "langs", kind="count_sum_by_lang")
+    seeded = out["folded_to"]
+
+    eng.run(vacuum=False)  # to head
+    # the fold only proves the two-sided algebra if some url MOVED groups
+    feed = eng.read_changes(seeded, include_before=True,
+                            columns=("lang",),
+                            before_columns=("lang",)).to_pandas()
+    upd = feed[feed["change_type"] == "update"]
+    assert (upd["old_lang"] != upd["lang"]).any()
+    # and the feed column contract holds: deletes carry before-images
+    # only, inserts carry new values only
+    dels = feed[feed["change_type"] == "delete"]
+    if len(dels):
+        assert dels["lang"].isna().all() and dels["old_lang"].notna().all()
+    ins = feed[feed["change_type"] == "insert"]
+    if len(ins):
+        assert ins["old_lang"].isna().all() and ins["lang"].notna().all()
+
+    r = views.refresh_view(eng, "langs")
+    assert r["refreshed"] and not r["recomputed"]
+    got = views.read_view(lake, "langs").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    want, _ = views._seed_state(eng, "count_sum_by_lang")
+    pd.testing.assert_frame_equal(
+        got, want.to_pandas().sort_values("grp").reset_index(drop=True))
+
+
+def test_view_refresh_recompute_fallback(ray_session, corpus, tmp_path):
+    """refresh_view falls back to the head recompute instead of raising
+    when the fold window is gone — swept folded-from files (compaction +
+    vacuum) and a rebucket in between. Critical for auto_refresh_views,
+    which runs AFTER the epochs committed: raising there reports a failed
+    run despite durable commits, on every subsequent run."""
+    from gobblin_ray import checkpoint as ckpt
+    from gobblin_ray import views
+
+    d, meta = corpus
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(max_epochs=2, vacuum=False)
+    views.create_view(eng, "hosts", kind="count_sum_by_host")
+
+    eng.run(vacuum=False)
+    eng.compact_now()  # rewrite bases -> the seed manifest's deltas die
+    ckpt.vacuum(lake, eng.store.latest())
+    r = views.refresh_view(eng, "hosts")
+    assert r["refreshed"] and r["recomputed"]
+    got = views.read_view(lake, "hosts").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    want, _ = views._seed_state(eng, "count_sum_by_host")
+    pd.testing.assert_frame_equal(
+        got, want.to_pandas().sort_values("grp").reset_index(drop=True))
+
+    # rebucket invalidates the feed window by contract (ValueError path)
+    eng.rebucket(16)
+    r2 = views.refresh_view(eng, "hosts")
+    assert r2["refreshed"] and r2["recomputed"]
+    got2 = views.read_view(lake, "hosts").to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_describe_anomalies_excludes_ddl_epochs(ray_session, corpus,
+                                                tmp_path, capsys):
+    """Maintenance/DDL epochs (same-watermark commits, event_count 0) must
+    not enter the Hampel ingest series: one `constraint --add` would
+    otherwise flag a permanent false feed-broke alarm and drag the
+    median."""
+    import json as _json
+
+    from gobblin_ray import cli
+
+    d, meta = corpus
+    lake = str(tmp_path / "lake")
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=8, epoch_width=EPOCH_W))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run(vacuum=False)
+    eng.add_constraint("seqpos", {"kind": "range", "column": "event_seq",
+                                  "lo": -1})
+    ddl_epoch = eng.store.latest().epoch
+    assert eng.store.load(ddl_epoch).event_count == 0
+
+    rc = cli.main(["describe", lake, "--anomalies"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(f["epoch"] != ddl_epoch for f in out["ingest_anomalies"])
