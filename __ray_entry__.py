@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_html_documents": demo.extract_html_documents,
         # distributed PageRank (iterative join+aggregate, integer-exact)
         "pagerank_documents": demo.pagerank_documents,
+        "bfs_documents": demo.bfs_documents,
         "triangle_documents": demo.triangle_documents,
         "badwords_filter_docs": demo.badwords_filter_docs,
         # distributed connected components (min-label propagation)
@@ -975,6 +976,22 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS r
                    FROM nodes n LEFT JOIN c3 c ON n.node = c.node)
             SELECT node AS doc_id, r AS pr FROM r3
+        """,
+        "bfs_documents": """
+            WITH RECURSIVE p AS (SELECT count(*) AS n FROM documents),
+            e AS (
+                SELECT doc_id AS s, (131 * doc_id + j.j) % p.n AS t
+                FROM documents, p, (SELECT unnest(range(0, 3)) AS j) j
+            ),
+            bfs(node, dist) AS (
+                SELECT doc_id, 0 FROM documents WHERE doc_id % 101 = 0
+                UNION
+                SELECT e.t, b.dist + 1 FROM bfs b JOIN e ON e.s = b.node
+                WHERE b.dist < 6
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(min(dist) AS BIGINT) AS dist
+            FROM bfs GROUP BY node
         """,
         "connected_components_documents": """
             WITH RECURSIVE nodes AS (SELECT doc_id AS v FROM documents),

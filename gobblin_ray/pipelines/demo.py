@@ -2888,6 +2888,41 @@ def pagerank_documents(sf_dir: str):
     )
 
 
+def bfs_documents(sf_dir: str):
+    """Multi-source BFS hop distances (functions/graph.bfs_distances)
+    over the planted expander link graph on documents (same edge rule as
+    pagerank_documents: doc -> (131*doc + j) % N for j in 0..2): sources
+    are every doc with doc_id % 101 == 0, distances are the exact MIN hop
+    count within max_depth=6. Integer-exact level-synchronous frontier
+    rounds, so the recursive-CTE oracle matches bit-for-bit; nodes not
+    reached within the cap are absent on both sides."""
+    from ..functions.graph import bfs_distances
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    n = docs.count()
+
+    def make_edges(t: pa.Table, n=n) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([d, d, d])
+        j = np.repeat(np.arange(3, dtype=np.int64), len(d))
+        dst = (131 * src + j) % n
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    def make_sources(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(d[d % 101 == 0], pa.int64())})
+
+    edges = docs.map_batches(make_edges, batch_format="pyarrow",
+                             batch_size=None)
+    sources = docs.map_batches(make_sources, batch_format="pyarrow",
+                               batch_size=None)
+    out = bfs_distances(edges, sources, max_depth=6, num_partitions=8)
+    return out.map_batches(
+        lambda t: t.rename_columns(["doc_id", "dist"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def connected_components_documents(sf_dir: str):
     """Distributed connected components (functions/graph.
     connected_components — min-label propagation, one groupby per round)

@@ -1322,3 +1322,53 @@ def test_ssjoin_rejects_out_of_range_ids(ray_session):
         "text": pa.array(["abc def ghi jkl"], pa.string())}))
     with pytest.raises(Exception, match="2\\^40"):
         similarity_join_jaccard(bad, ok, concurrency=(1, 2)).count()
+
+
+def test_bfs_distances_matches_brute_force(ray_session):
+    """Multi-source BFS on a crafted directed graph vs a driver-side BFS:
+    cycles, a node reachable two ways (min wins), an unreachable node, a
+    source that is also reachable from another source (dist stays 0), and
+    a max_depth cutoff."""
+    import collections
+
+    import ray.data as rd
+
+    from gobblin_ray.functions.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 0),        # cycle
+             (1, 3), (3, 4), (0, 4),        # 4 reachable at dist 2 via 0
+             (5, 6), (6, 5),                # separate cycle, src 5
+             (4, 5),                        # bridges the two
+             (7, 8)]                        # 7/8 unreachable from sources
+    sources = [0, 5]
+
+    def brute(max_depth):
+        adj = collections.defaultdict(list)
+        for s, t in edges:
+            adj[s].append(t)
+        dist = {s: 0 for s in sources}
+        frontier = list(sources)
+        for k in range(max_depth):
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = k + 1
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    e_ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], pa.int64()),
+        "dst": pa.array([b for _, b in edges], pa.int64()),
+    }))
+    s_ds = rd.from_arrow(pa.table({"node": pa.array(sources, pa.int64())}))
+
+    for depth in (1, 2, 16):
+        got = {r["node"]: r["dist"]
+               for r in bfs_distances(e_ds, s_ds, max_depth=depth,
+                                      num_partitions=3).take_all()}
+        assert got == brute(depth), f"depth={depth}"
+    full = brute(16)
+    assert 7 not in full and 8 not in full  # unreachable stays absent
+    assert full[5] == 0  # source beats the path through 4
