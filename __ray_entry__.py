@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fork_multicast_counts": demo.fork_multicast_counts,
         "time_partition_counts": demo.time_partition_counts,
         "partitioned_sink_counts": demo.partitioned_sink_counts,
+        "export_roundtrip_counts": demo.export_roundtrip_counts,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
         # grok parsing (§2.3) / config-driven assembly (§2.11)
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the driver-table scale variants run in bench.py)
         "text_quality_features": demo.text_quality_features,
         "repetition_signals_documents": demo.repetition_signals_documents,
+        "entropy_documents": demo.entropy_documents,
         "tfidf_top_terms_documents": demo.tfidf_top_terms_documents,
         "lm_score_documents": demo.lm_score_documents,
         # benchmark decontamination (eval k-gram span filter)
@@ -439,6 +441,14 @@ def oracle_sql() -> dict[str, str]:
         "time_partition_counts": """
             SELECT strftime(ts, '%Y-%m-%d') AS date_part, count(*) AS n
             FROM events GROUP BY 1
+        """,
+        "export_roundtrip_counts": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_csv,
+                   CAST(sum(event_id) AS BIGINT) AS sum_csv,
+                   CAST(count(*) AS BIGINT) AS n_jsonl,
+                   CAST(sum(event_id) AS BIGINT) AS sum_jsonl
+            FROM events GROUP BY event_type
         """,
         "partitioned_sink_counts": """
             SELECT event_type, count(*) AS n_rows
@@ -1275,6 +1285,20 @@ def oracle_sql() -> dict[str, str]:
         # Gopher repetition filters: exact per-(doc, gram) counts in SQL;
         # t[i:i+1] / t[i:i+2] slices are DuckDB's INCLUSIVE list slicing
         # (2- and 3-token grams), mirroring the dup_spans oracle.
+        "entropy_documents": """
+            WITH ch AS (
+                SELECT doc_id, unnest(string_split(text, '')) AS c
+                FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+            ),
+            cnt AS (
+                SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS k
+                FROM ch GROUP BY doc_id, c
+            )
+            SELECT doc_id,
+                   round(log2(sum(k)) - sum(k * log2(k)) / sum(k), 4) AS h
+            FROM cnt GROUP BY doc_id
+        """,
         "repetition_signals_documents": """
             WITH toks AS (
                 SELECT doc_id, string_split(text, ' ') AS t FROM documents

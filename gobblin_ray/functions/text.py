@@ -1200,3 +1200,76 @@ def bm25_topk(ds, query_terms: list[str], text_col: str = "text",
                             batch_size=None)
     return top_k(scored, topk, by=["score", id_col],
                  descending=[True, False])
+
+
+def char_entropy(id_col: str = "doc_id", text_col: str = "text",
+                 out: str = "h", digits: int = 4):
+    """Per-document Shannon character entropy in BITS (unigram codepoint
+    distribution): ``H = log2(n) - (sum_c k_c*log2(k_c)) / n`` — the
+    low-diversity / gibberish screen next to the repetition-signal family
+    (Rae et al. 2021 'Gopher' screens on symbol diversity; unigram
+    entropy is the oracle-checkable core; a keyboard-mash or
+    single-char-padded page scores far below natural text). Returns a
+    per-batch callable emitting (id_col, out); null/empty text rows are
+    DROPPED (they have no distribution — the SQL oracle's WHERE matches).
+
+    Vectorized per batch, no shuffle: ONE pass over the Arrow string
+    column's raw data buffer. ASCII batches (byte count == codepoint
+    count, the webtext common case) read codepoints straight from the
+    UTF-8 buffer zero-copy; any non-ASCII batch falls back to one
+    utf-32 decode of the batch's concatenated text. Per-doc counts via
+    np.unique over (doc_idx << 21 | codepoint) composite keys (codepoints
+    < 0x110000 fit 21 bits) + one reduceat — no per-doc Python.
+
+    DuckDB parity: the same ``log2(n) - sum(k*log2(k))/n`` expression,
+    ``round(.., digits)`` both sides (half-away, kernels.duck_round);
+    the engine sums per-doc contributions in ascending-codepoint order
+    while SQL's aggregate order is unspecified — both orders land on the
+    same rounded value (association error ~1e-15 against a 10^-digits
+    grid)."""
+    from ..kernels import duck_round
+
+    def run(t: pa.Table) -> pa.Table:
+        s = t.column(text_col)
+        # fill_null: a null text makes the AND null, and pc.all IGNORES
+        # nulls — the guard must see it as False or the filter is skipped
+        valid = pc.fill_null(pc.and_(pc.is_valid(s),
+                                     pc.greater(pc.utf8_length(s), 0)),
+                             False)
+        if not pc.all(valid).as_py():
+            t = t.filter(valid)
+            s = t.column(text_col)
+        n = t.num_rows
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             out: pa.array([], pa.float64())})
+        arr = s.combine_chunks()
+        off = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset: arr.offset + n + 1]
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]: off[-1]]
+        byte_lens = np.diff(off).astype(np.int64)
+        if (data < 128).all():  # ASCII fast path: bytes ARE codepoints
+            cp = data.astype(np.int64)
+            lens = byte_lens
+        else:
+            joined = "".join(arr.to_pylist())
+            cp = np.frombuffer(joined.encode("utf-32-le"),
+                               np.uint32).astype(np.int64)
+            lens = pc.utf8_length(arr).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        uniq, counts = np.unique((doc_idx << 21) | cp, return_counts=True)
+        doc_of = uniq >> 21
+        starts = np.flatnonzero(np.concatenate(
+            [[True], doc_of[1:] != doc_of[:-1]]))
+        k = counts.astype(np.float64)
+        sums = np.add.reduceat(k * np.log2(k), starts)
+        nn = lens.astype(np.float64)
+        h = duck_round(np.log2(nn) - sums / nn, digits)
+        return pa.table({
+            id_col: t.column(id_col).cast(pa.int64()),
+            out: pa.array(h, pa.float64()),
+        })
+
+    run.__name__ = "char_entropy"
+    return run

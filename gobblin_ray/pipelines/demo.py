@@ -330,6 +330,52 @@ def time_partition_counts(sf_dir: str):
     return parts.groupby("date_part").aggregate(Count(alias_name="n"))
 
 
+def export_roundtrip_counts(sf_dir: str):
+    """Text-format export sinks (stages/sink.export_csv / export_jsonl —
+    the SimpleDataWriter/CsvWriter line-oriented sink posture): stream
+    events' integer-safe columns out as a CSV directory AND a JSONL
+    directory (one file per block, distributed write), read each back
+    with the engine's csv/json sources, and aggregate per event_type
+    from EACH format. Counts and int64 sums survive the text round trip
+    exactly, so the oracle is one GROUP BY over the parquet duplicated
+    into both formats' columns."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_csv_source, read_json_source
+    from ..stages.sink import export_csv, export_jsonl
+
+    base = os.path.join(
+        "/tmp", f"gobblin_export_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    export_csv(ds, os.path.join(base, "csv"))
+    export_jsonl(ds, os.path.join(base, "jsonl"))
+
+    def agg(rt, n_name, s_name):
+        out = rt.groupby("event_type").aggregate(
+            Count(alias_name=n_name),
+            Sum("event_id", alias_name=s_name),
+        ).to_pandas()
+        return out.set_index("event_type")
+
+    csv_a = agg(read_csv_source(os.path.join(base, "csv")), "n_csv", "sum_csv")
+    jl_a = agg(read_json_source(os.path.join(base, "jsonl")),
+               "n_jsonl", "sum_jsonl")
+    j = csv_a.join(jl_a, how="outer").reset_index()
+    return pa.table({
+        "event_type": pa.array(j["event_type"].astype(object), pa.string()),
+        "n_csv": pa.array(j["n_csv"].to_numpy(np.int64), pa.int64()),
+        "sum_csv": pa.array(j["sum_csv"].to_numpy(np.int64), pa.int64()),
+        "n_jsonl": pa.array(j["n_jsonl"].to_numpy(np.int64), pa.int64()),
+        "sum_jsonl": pa.array(j["sum_jsonl"].to_numpy(np.int64), pa.int64()),
+    })
+
+
 def partitioned_sink_counts(sf_dir: str):
     """AsyncWriterManager / PartitionedDataWriter analog (SURVEY §2.2):
     stream events through the actor-pool Parquet sink partitioned by
@@ -904,6 +950,17 @@ def repetition_signals_documents(sf_dir: str):
     return out.select_columns(
         ["doc_id", "top_unigram_frac", "top_bigram_frac", "dup_trigram_frac"]
     )
+
+
+def entropy_documents(sf_dir: str):
+    """Per-document Shannon character entropy (functions/text.
+    char_entropy) — the symbol-diversity / gibberish quality screen next
+    to the repetition family: one zero-copy pass over the Arrow string
+    buffer per batch (ASCII fast path), per-doc codepoint counts via a
+    composite-key np.unique + reduceat, no shuffle."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(tx.char_entropy("doc_id", "text"),
+                          batch_format="pyarrow", batch_size=None)
 
 
 def tfidf_top_terms_documents(sf_dir: str):

@@ -303,3 +303,25 @@ def write_partitioned(
     )
     ds.write_datasink(sink)
     return sink.lineage
+
+
+def export_csv(ds, out_dir: str, **kw):
+    """Text-format export sink: CSV directory (one file per block —
+    Gobblin's SimpleDataWriter/CsvWriter posture, gobblin-core/.../writer/
+    SimpleDataWriter.java, where a job's sink is a line-oriented text
+    format rather than Parquet). Ray Data's native distributed writer —
+    each block streams to its own file, no driver materialization. Use
+    for interchange with line-oriented consumers; Parquet remains the
+    lake format (typed, compressed, prunable)."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_csv(out_dir, **kw)
+    return out_dir
+
+
+def export_jsonl(ds, out_dir: str, **kw):
+    """Text-format export sink: newline-delimited JSON directory (the
+    JsonWriter analog; same per-block distributed write as export_csv).
+    Ray Data writes one JSON object per row."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds.write_json(out_dir, **kw)
+    return out_dir

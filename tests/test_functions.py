@@ -1372,3 +1372,27 @@ def test_bfs_distances_matches_brute_force(ray_session):
     full = brute(16)
     assert 7 not in full and 8 not in full  # unreachable stays absent
     assert full[5] == 0  # source beats the path through 4
+
+
+def test_char_entropy_edge_cases():
+    """Unit entropy values, null/empty text dropped (incl. the pc.all-
+    ignores-nulls guard), unicode fallback path, sliced batches."""
+    from gobblin_ray.functions.text import char_entropy
+
+    f = char_entropy()
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["aaaa", "ab", "abcd", None, ""], pa.string()),
+    })
+    got = f(t).to_pydict()
+    assert got == {"doc_id": [0, 1, 2], "h": [0.0, 1.0, 2.0]}
+    # a slice whose window contains the null row must still drop it
+    assert f(t.slice(1, 3)).to_pydict() == {"doc_id": [1, 2],
+                                            "h": [1.0, 2.0]}
+    # all-invalid batch -> typed empty
+    e = f(t.slice(3, 2))
+    assert e.num_rows == 0 and e.schema.names == ["doc_id", "h"]
+    # non-ASCII batch takes the utf-32 fallback; 'héé' = {h:1, é:2}
+    u = f(pa.table({"doc_id": pa.array([7], pa.int64()),
+                    "text": pa.array(["héé"], pa.string())}))
+    assert u.to_pydict()["h"] == [0.9183]
