@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_join_orders_customers": demo.full_join_orders_customers,
         # per-key ordered analytics (lag / running sum window functions)
         "window_lag_running_sum": demo.window_lag_running_sum,
+        "ewma_user_value": demo.ewma_user_value,
         # lead / first_value / last_value / percent_rank / cume_dist
         "window_frame_events": demo.window_frame_events,
         # per-group distinct-count sketch (KMV per group)
@@ -1216,6 +1217,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(l.n_orders), 0) AS BIGINT) AS total_orders
             FROM l FULL JOIN r ON l.o_custkey = r.c_custkey
             GROUP BY 1
+        """,
+        "ewma_user_value": """
+            WITH RECURSIVE r AS (
+                SELECT user_id, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+                WHERE ts IS NOT NULL AND value IS NOT NULL
+            ),
+            ew(user_id, rn, s) AS (
+                SELECT user_id, rn, value FROM r WHERE rn = 1
+                UNION ALL
+                SELECT r.user_id, r.rn, (1.0 - 0.1) * ew.s + 0.1 * r.value
+                FROM ew JOIN r ON r.user_id = ew.user_id
+                             AND r.rn = ew.rn + 1
+            ),
+            last AS (SELECT user_id, max(rn) AS rn FROM ew GROUP BY user_id)
+            SELECT ew.user_id, CAST(ew.rn AS BIGINT) AS n_evt, ew.s AS ewma
+            FROM ew JOIN last USING (user_id, rn)
         """,
         "window_lag_running_sum": """
             SELECT event_id, user_id,

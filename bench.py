@@ -95,6 +95,10 @@ QUERY_NAMES = [
     "fk_audit_edges",
     "corpus_drift_documents",
     "weighted_sample_documents",
+    "bfs_documents",
+    "entropy_documents",
+    "export_roundtrip_counts",
+    "ewma_user_value",
 ]
 
 

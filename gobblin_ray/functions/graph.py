@@ -178,6 +178,7 @@ def bfs_distances(edges, sources, src_col: str = "src",
     """
     from ..schema import unify_additive
     from ..stages.joins import _co_partition
+    from ..stages.partition import keyed_map_groups
 
     edges = edges.repartition(num_partitions)
     dist = sources.map_batches(
@@ -222,18 +223,29 @@ def bfs_distances(edges, sources, src_col: str = "src",
             lambda g, k=k: relax(g.drop(columns=["_kp"]), k),
             batch_format="pandas",
         )
-        folded = dist.union(msgs).groupby(node_col).min("dist")
-        # re-pin the block count before materializing: the aggregate
-        # emits O(sort partitions) blocks and the union adds more every
-        # round — without the repartition each round's sort pays a
-        # growing per-block constant (measured: round wall 2s -> 158s by
-        # round 7 on a 500-node graph; flat ~1s/round with the pin)
-        dist = folded.map_batches(
-            lambda t: pa.table({
-                node_col: t.column(node_col).cast(pa.int64()),
-                "dist": t.column("min(dist)").cast(pa.int64()),
-            }),
-            batch_format="pyarrow", batch_size=None,
+        # fold: node is a HIGH-cardinality key, so never hand it to Ray's
+        # groupby (its sort exchange degenerates on O(nodes) groups —
+        # the repo-wide rule from the fuzzy-join A/B); route hash(node)
+        # through ONE bounded exchange and let pyarrow's C++ hash groupby
+        # resolve nodes inside each partition. Output is P blocks, which
+        # also keeps the per-round block count pinned (without a pin the
+        # round wall grew 2s -> 158s by round 7 on a 500-node graph).
+        def fold_min(t: pa.Table) -> pa.Table:
+            agg = pa.TableGroupBy(t, node_col).aggregate([("dist", "min")])
+            return pa.table({
+                node_col: agg.column(node_col).cast(pa.int64()),
+                "dist": agg.column("dist_min").cast(pa.int64()),
+            })
+
+        fold_min.__name__ = "bfs_fold_min"
+        # re-pin the block count before materializing: map_groups emits
+        # ~2x its input blocks and the union feeds them back in, so
+        # without the repartition the per-round sort pays a DOUBLING
+        # per-block constant (measured blocks 10 -> 568 and round wall
+        # 5s -> 34s by round 6 on a 500-node graph; flat with the pin)
+        dist = keyed_map_groups(
+            dist.union(msgs), node_col, fold_min,
+            num_partitions=num_partitions, batch_format="pyarrow",
         ).repartition(num_partitions).materialize()
         frontier = dist.map_batches(
             lambda t, kk=k + 1: t.filter(pc.equal(t.column("dist"), kk)),

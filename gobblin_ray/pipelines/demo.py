@@ -2235,6 +2235,37 @@ def window_lag_running_sum(sf_dir: str):
     )
 
 
+def ewma_user_value(sf_dir: str):
+    """Per-user EWMA of event value (stages/windows.ewma_by_key,
+    alpha=0.1), keeping each user's LAST smoothed state — the streaming
+    smoothed-metric / anomaly-baseline serving shape. The engine's step
+    evaluates exactly the oracle CTE's ``(1.0 - 0.1) * s + 0.1 * x``
+    float64 expression, so values are BIT-identical with no rounding.
+    Null ts/value rows are dropped on both sides (a null poisons the
+    recurrence)."""
+    from ..stages.windows import ewma_by_key
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+    ds = ds.map_batches(
+        cv.filter_expr(lambda t: pc.and_(
+            pc.is_valid(t.column("ts")), pc.is_valid(t.column("value")))),
+        batch_format="pyarrow", batch_size=None,
+    )
+    out = ewma_by_key(ds, "user_id", ["ts", "event_id"], "value",
+                      alpha=0.1, last_only=True)
+    out = out.map_batches(
+        lambda t: pa.table({
+            "user_id": t.column("user_id").cast(pa.int64()),
+            "n_evt": t.column("rn").cast(pa.int64()),
+            "ewma": t.column("ewma").cast(pa.float64()),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return out
+
+
 def distinct_users_per_type(sf_dir: str):
     """Per-group distinct-count sketch (functions/sketch.
     approx_distinct_by): distinct users per event_type with <= k hashes

@@ -624,3 +624,61 @@ def analytic_frame_values(ds, key: str, order_by: list[str], value_col: str,
 
     frame.__name__ = "analytic_frame"
     return keyed_map_groups(ds, key, frame, num_partitions=num_partitions)
+
+
+def ewma_by_key(ds, key: str, order_by: list[str], value_col: str,
+                alpha: float = 0.1, last_only: bool = False,
+                num_partitions: int = 64):
+    """Per-key exponential moving average (EWMA, the adjust-free
+    recurrence ``s_1 = x_1; s_t = (1-alpha)*s_{t-1} + alpha*x_t`` over
+    rows ordered by ``order_by``) — the streaming smoothed-metric /
+    anomaly-baseline shape (reference analog: the per-key state its
+    streaming runtime folds per record; EWMA is the canonical such fold).
+    Emits ``(key, rn, ewma)`` per row, or only each key's LAST row with
+    ``last_only=True`` (the "current smoothed state per key" serving
+    shape). NULL values must be filtered upstream (a NULL poisons the
+    SQL recurrence forever; the paired oracle's WHERE matches).
+
+    Float parity contract: each step evaluates EXACTLY the SQL
+    expression ``(1.0 - alpha) * s + alpha * x`` in float64 — same two
+    multiplies, same add, same literals — so results are BIT-IDENTICAL
+    to a recursive-CTE oracle with that expression, no rounding anywhere.
+
+    Scale shape: ONE bounded exchange on ``hash(key) % num_partitions``,
+    then per partition a rank-indexed vectorized scan: rows are bucketed
+    by their per-key rank once (bincount + stable argsort, O(n)), and
+    step j updates ALL rank-j rows across every key in one fancy-indexed
+    expression — total work O(rows), loop depth = max rows per key IN
+    THIS PARTITION (the count_triangles wedge-pass idiom), never a
+    per-row Python loop."""
+    import pandas as pd
+
+    from .partition import keyed_map_groups
+
+    a = float(alpha)
+
+    def smooth(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, *order_by], kind="mergesort")
+        x = g[value_col].to_numpy(dtype=np.float64)
+        pos = g.groupby(key, sort=False).cumcount().to_numpy()
+        s = x.copy()  # rank-0 rows: s_1 = x_1
+        n = len(g)
+        if n:
+            order_idx = np.argsort(pos, kind="stable")
+            cnt = np.bincount(pos)
+            start = np.cumsum(cnt) - cnt
+            for j in range(1, len(cnt)):
+                idx = order_idx[start[j]: start[j] + cnt[j]]
+                # sorted by (key, order): idx-1 is the SAME key's rank j-1
+                s[idx] = (1.0 - a) * s[idx - 1] + a * x[idx]
+        out = pd.DataFrame({
+            key: g[key].to_numpy(),
+            "rn": (pos + 1).astype(np.int64),
+            "ewma": s,
+        })
+        if last_only and n:
+            out = out.loc[out.groupby(key, sort=False)["rn"].idxmax()]
+        return out
+
+    smooth.__name__ = "ewma_by_key"
+    return keyed_map_groups(ds, key, smooth, num_partitions=num_partitions)

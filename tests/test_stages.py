@@ -1872,3 +1872,45 @@ def test_range_partitioned_export_prunes(ray_session, tmp_path):
     # sketch-based cuts (the 100-TB one-pass path) are monotone and usable
     acuts = range_cut_points(ds, "value", num_ranges=8, digits=4, exact=False)
     assert acuts == sorted(acuts) and len(acuts) == 7
+
+
+def test_ewma_by_key_bit_identical_to_sequential(ray_session):
+    """ewma_by_key on a randomized multi-key corpus vs a per-key
+    sequential recurrence using the same (1.0-a)*s + a*x float64 ops —
+    must be BIT-identical (the query's recursive-CTE oracle relies on
+    it); last_only keeps exactly each key's final state."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import ewma_by_key
+
+    rng = np.random.default_rng(11)
+    n, a = 3_000, 0.1
+    df = pd.DataFrame({
+        "k": rng.integers(0, 37, n),
+        "o": rng.permutation(n),
+        "x": np.round(rng.normal(10, 4, n), 3),
+    })
+    ds = rd.from_pandas(df).repartition(7)
+    got = ewma_by_key(ds, "k", ["o"], "x", alpha=a,
+                      num_partitions=5).to_pandas()
+
+    exp_rows = []
+    for k, g in df.sort_values(["k", "o"]).groupby("k"):
+        s = None
+        for rn, x in enumerate(g["x"].to_numpy(np.float64), start=1):
+            s = x if s is None else (1.0 - a) * s + a * x
+            exp_rows.append((k, rn, s))
+    exp = pd.DataFrame(exp_rows, columns=["k", "rn", "ewma"])
+    got = got.sort_values(["k", "rn"]).reset_index(drop=True)
+    exp = exp.sort_values(["k", "rn"]).reset_index(drop=True)
+    assert len(got) == n
+    assert (got["ewma"].to_numpy() == exp["ewma"].to_numpy()).all()  # bits
+
+    last = ewma_by_key(ds, "k", ["o"], "x", alpha=a, last_only=True,
+                       num_partitions=5).to_pandas()
+    exp_last = exp.loc[exp.groupby("k")["rn"].idxmax()]
+    m = last.sort_values("k").reset_index(drop=True)
+    e = exp_last.sort_values("k").reset_index(drop=True)
+    assert (m["rn"].to_numpy() == e["rn"].to_numpy()).all()
+    assert (m["ewma"].to_numpy() == e["ewma"].to_numpy()).all()
