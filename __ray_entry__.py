@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-key ordered analytics (lag / running sum window functions)
         "window_lag_running_sum": demo.window_lag_running_sum,
         "ewma_user_value": demo.ewma_user_value,
+        "ols_price_on_quantity": demo.ols_price_on_quantity,
+        "mode_user_per_type": demo.mode_user_per_type,
         # lead / first_value / last_value / percent_rank / cume_dist
         "window_frame_events": demo.window_frame_events,
         # per-group distinct-count sketch (KMV per group)
@@ -1217,6 +1219,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(sum(l.n_orders), 0) AS BIGINT) AS total_orders
             FROM l FULL JOIN r ON l.o_custkey = r.c_custkey
             GROUP BY 1
+        """,
+        "ols_price_on_quantity": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       sum(CAST(l_quantity AS DOUBLE)) AS sx,
+                       sum(l_extendedprice) AS sy,
+                       sum(CAST(l_quantity AS DOUBLE) * l_extendedprice)
+                           AS sxy,
+                       sum(CAST(l_quantity AS DOUBLE)
+                           * CAST(l_quantity AS DOUBLE)) AS sxx
+                FROM lineitem
+                WHERE l_quantity IS NOT NULL
+                  AND l_extendedprice IS NOT NULL
+                GROUP BY l_returnflag
+            )
+            SELECT l_returnflag,
+                   round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+                       AS slope,
+                   round((sy - ((n * sxy - sx * sy)
+                                / (n * sxx - sx * sx)) * sx) / n, 4)
+                       AS intercept,
+                   CAST(n AS BIGINT) AS n
+            FROM s
+        """,
+        "mode_user_per_type": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*) AS k
+                FROM events
+                WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ),
+            m AS (SELECT event_type, max(k) AS mk FROM c GROUP BY 1)
+            SELECT c.event_type,
+                   CAST(min(c.user_id) AS BIGINT) AS mode_user,
+                   CAST(m.mk AS BIGINT) AS n
+            FROM c JOIN m ON c.event_type = m.event_type AND c.k = m.mk
+            GROUP BY c.event_type, m.mk
         """,
         "ewma_user_value": """
             WITH RECURSIVE r AS (

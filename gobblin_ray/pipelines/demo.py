@@ -2133,6 +2133,46 @@ def corr_quantity_price(sf_dir: str):
     return pa.table({"r": pa.array(_duck_round(np.array([r]), 4), pa.float64())})
 
 
+def ols_price_on_quantity(sf_dir: str):
+    """Grouped OLS regression (stages/aggregates.ols_by_group): per
+    l_returnflag the slope/intercept of l_extendedprice on l_quantity —
+    the regr_slope/regr_intercept shape via decomposable sufficient
+    statistics (per-batch combiner, O(groups x blocks) exchange rows).
+    The oracle spells the SAME sums and closed form; x is a small int so
+    Σx/Σx² are float-exact and the denominator never cancels."""
+    from ..stages.aggregates import ols_by_group
+
+    ds = read_table(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = ols_by_group(ds, "l_returnflag", "l_quantity", "l_extendedprice")
+    return out.map_batches(
+        _round_cols({"slope": 4, "intercept": 4}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def mode_user_per_type(sf_dir: str):
+    """Deterministic grouped mode (stages/aggregates.mode_by_group): per
+    event_type the most frequent user_id, ties to the smallest id —
+    reproducible across partitionings, unlike SQL's tie-nondeterministic
+    mode(); the oracle ranks counts with the same (count desc, value
+    asc) spec."""
+    from ..stages.aggregates import mode_by_group
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    out = mode_by_group(ds, "event_type", "user_id", num_partitions=4)
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t.column("event_type"),
+            "mode_user": t.column("mode_user_id").cast(pa.int64()),
+            "n": t.column("n").cast(pa.int64()),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
 def stddev_value_by_type(sf_dir: str):
     """Sample standard deviation per group (Ray's mergeable Std aggregate
     == SQL stddev_samp)."""

@@ -198,6 +198,136 @@ def pearson_corr(ds, x_col: str, y_col: str) -> float:
     return float(cov / np.sqrt(vx * vy)) if vx > 0 and vy > 0 else float("nan")
 
 
+def ols_by_group(ds, key: str, x_col: str, y_col: str):
+    """Grouped simple linear regression (SQL ``regr_slope`` /
+    ``regr_intercept`` shape): per group the OLS fit of y on x via the
+    five sufficient statistics (n, Σx, Σy, Σxy, Σx²) — the same
+    decomposable-aggregate posture as pearson_corr, but grouped: each
+    block contributes one partial row per group (per-batch pyarrow
+    group_by combiner), the exchange carries O(groups x blocks) rows,
+    and the finish applies the closed form
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²)``,
+    ``intercept = (Σy − slope·Σx)/n``.
+    SQL parity: the oracle spells the SAME sums and closed form (not
+    DuckDB's regr_* internals, which use a different covar/var
+    arithmetic); rows with a null on either side are skipped. For stable
+    floats pick an x with small magnitude (center timestamps first —
+    n·Σx² − Σx² cancels catastrophically on raw epoch seconds)."""
+    import pyarrow.compute as pc
+
+    def partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ok = pc.and_(pc.is_valid(t.column(x_col)),
+                     pc.is_valid(t.column(y_col)))
+        t = t.filter(ok)
+        x = t.column(x_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t.column(y_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        tmp = pa.table({
+            key: t.column(key),
+            "_n": pa.array(np.ones(len(x), np.int64)),
+            "_sx": pa.array(x), "_sy": pa.array(y),
+            "_sxy": pa.array(x * y), "_sxx": pa.array(x * x),
+        })
+        agg = pa.TableGroupBy(tmp, key).aggregate(
+            [("_n", "sum"), ("_sx", "sum"), ("_sy", "sum"),
+             ("_sxy", "sum"), ("_sxx", "sum")]
+        )
+        return pa.table({
+            key: agg.column(key),
+            "_n": agg.column("_n_sum"), "_sx": agg.column("_sx_sum"),
+            "_sy": agg.column("_sy_sum"), "_sxy": agg.column("_sxy_sum"),
+            "_sxx": agg.column("_sxx_sum"),
+        })
+
+    partials.__name__ = "ols_partials"
+    folded = ds.map_batches(
+        partials, batch_format="pyarrow"
+    ).groupby(key).sum(["_n", "_sx", "_sy", "_sxy", "_sxx"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.column("sum(_n)").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        sx = t.column("sum(_sx)").to_numpy(zero_copy_only=False)
+        sy = t.column("sum(_sy)").to_numpy(zero_copy_only=False)
+        sxy = t.column("sum(_sxy)").to_numpy(zero_copy_only=False)
+        sxx = t.column("sum(_sxx)").to_numpy(zero_copy_only=False)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        intercept = (sy - slope * sx) / n
+        return pa.table({
+            key: t.column(key),
+            "slope": pa.array(slope, pa.float64()),
+            "intercept": pa.array(intercept, pa.float64()),
+            "n": pa.array(n.astype(np.int64), pa.int64()),
+        })
+
+    finish.__name__ = "ols_finish"
+    return folded.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
+def mode_by_group(ds, key: str, val: str, num_partitions: int = 16):
+    """Deterministic grouped MODE: per group the most frequent value,
+    ties broken by the SMALLEST value (SQL's ``mode()`` is
+    tie-nondeterministic — this spec is reproducible across
+    partitionings and expressible as exact SQL). Emits
+    ``(key, mode_<val>, n)`` with n = the winning frequency.
+
+    Scale shape: per-batch pyarrow group_by collapses each block to
+    O(distinct (key, val) pairs) partial counts, ONE bounded exchange on
+    hash(key) co-locates each group, and the per-partition resolve is a
+    vectorized lexsort + run-boundary argmax (count desc, value asc) —
+    never a per-group Python loop."""
+    import pyarrow.compute as pc
+
+    from .partition import keyed_map_groups
+
+    def partials(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = t.filter(pc.and_(pc.is_valid(t.column(key)),
+                             pc.is_valid(t.column(val))))
+        tmp = pa.table({
+            key: t.column(key), val: t.column(val),
+            "_c": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+        agg = pa.TableGroupBy(tmp, [key, val]).aggregate([("_c", "sum")])
+        return pa.table({
+            key: agg.column(key), val: agg.column(val),
+            "_c": agg.column("_c_sum"),
+        })
+
+    partials.__name__ = "mode_partials"
+
+    def resolve(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        agg = pa.TableGroupBy(t, [key, val]).aggregate([("_c", "sum")])
+        k = agg.column(key).to_numpy(zero_copy_only=False)
+        v = agg.column(val).to_numpy(zero_copy_only=False)
+        c = agg.column("_c_sum").to_numpy(zero_copy_only=False)
+        # per group: max count, then min value — lexsort so each group's
+        # winner is its FIRST run element
+        order = np.lexsort((v, -c, k))
+        k, v, c = k[order], v[order], c[order]
+        first = np.ones(len(k), bool)
+        first[1:] = k[1:] != k[:-1]
+        sel = np.flatnonzero(first)
+        return pa.table({
+            key: pa.array(k[sel]),
+            f"mode_{val}": pa.array(v[sel]),
+            "n": pa.array(c[sel].astype(np.int64), pa.int64()),
+        })
+
+    resolve.__name__ = "mode_resolve"
+    pre = ds.map_batches(partials, batch_format="pyarrow")
+    return keyed_map_groups(pre, key, resolve,
+                            num_partitions=num_partitions,
+                            batch_format="pyarrow")
+
+
 def string_agg_by(ds, key: str, val: str, sep: str = ",",
                   num_partitions: int = 64, out: str = "agg"):
     """Per-key sorted string aggregation (SQL ``string_agg(val, sep ORDER

@@ -1914,3 +1914,54 @@ def test_ewma_by_key_bit_identical_to_sequential(ray_session):
     e = exp_last.sort_values("k").reset_index(drop=True)
     assert (m["rn"].to_numpy() == e["rn"].to_numpy()).all()
     assert (m["ewma"].to_numpy() == e["ewma"].to_numpy()).all()
+
+
+def test_mode_by_group_deterministic_ties(ray_session):
+    """mode_by_group picks max count then SMALLEST value; identical
+    result across partitionings; null keys/values dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.aggregates import mode_by_group
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 4 + [None, "c"],
+        "v": [5, 5, 3, 3, 9, 9,        # a: tie 5/3/9 x2 -> smallest = 3
+              7, 7, 7, 1,              # b: 7 wins outright
+              2, None],                # null key / null value dropped
+    })
+    df["v"] = df["v"].astype("Int64")
+    for parts in (1, 3):
+        got = mode_by_group(
+            rd.from_pandas(df).repartition(4), "k", "v",
+            num_partitions=parts,
+        ).to_pandas().sort_values("k").reset_index(drop=True)
+        assert list(got["k"]) == ["a", "b"]
+        assert list(got["mode_v"]) == [3, 7]
+        assert list(got["n"]) == [2, 3]
+
+
+def test_ols_by_group_matches_closed_form(ray_session):
+    """ols_by_group vs numpy polyfit on a planted linear relation per
+    group (exact up to float noise), null rows skipped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.aggregates import ols_by_group
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, (a, b) in {"g1": (2.5, 10.0), "g2": (-1.0, 3.0)}.items():
+        x = rng.integers(1, 50, 400).astype(float)
+        y = a * x + b + rng.normal(0, 0.5, 400)
+        rows.append(pd.DataFrame({"k": g, "x": x, "y": y}))
+    df = pd.concat(rows, ignore_index=True)
+    df.loc[0, "y"] = np.nan  # skipped
+    got = ols_by_group(rd.from_pandas(df).repartition(5), "k", "x", "y") \
+        .to_pandas().set_index("k")
+    for g in ("g1", "g2"):
+        sub = df[(df["k"] == g) & df["y"].notna()]
+        slope, intercept = np.polyfit(sub["x"], sub["y"], 1)
+        assert abs(got.loc[g, "slope"] - slope) < 1e-8
+        assert abs(got.loc[g, "intercept"] - intercept) < 1e-8
+        assert got.loc[g, "n"] == len(sub)
