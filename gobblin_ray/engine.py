@@ -2052,8 +2052,16 @@ class CdcEngine:
         for c in tuple(columns) + tuple(before_columns):
             if c not in base_names:
                 raise ValueError(f"no column {c!r} in {sorted(base_names)}")
-        columns = tuple(c for c in columns if c not in reserved)
-        before_columns = tuple(before_columns)
+        # dedupe (a repeated name would put the same field in the schema
+        # twice, making the column unreadable); drop names the fixed feed
+        # already carries — including old_event_seq when include_before
+        # is on, which covers before_columns=("event_seq",)
+        columns = tuple(c for c in dict.fromkeys(columns)
+                        if c not in reserved)
+        before_columns = tuple(
+            c for c in dict.fromkeys(before_columns)
+            if not (include_before and c == "event_seq")
+        )
 
         fields = [
             ("url", pa.string()), ("change_type", pa.string()),

@@ -1244,6 +1244,11 @@ def char_entropy(id_col: str = "doc_id", text_col: str = "text",
             return pa.table({id_col: pa.array([], pa.int64()),
                              out: pa.array([], pa.float64())})
         arr = s.combine_chunks()
+        if not pa.types.is_string(arr.type):
+            # the buffer walk below assumes 32-bit offsets; large_string
+            # (64-bit offsets) would be silently misparsed — cast (cheap
+            # at bounded batch sizes; >2GB batches must be resized)
+            arr = arr.cast(pa.string())
         off = np.frombuffer(arr.buffers()[1], np.int32)[
             arr.offset: arr.offset + n + 1]
         data = np.frombuffer(arr.buffers()[2], np.uint8)[off[0]: off[-1]]

@@ -202,8 +202,12 @@ def create_view(eng, name: str, kind: str) -> dict:
 def _window_gone(e: Exception) -> bool:
     """True when an exception (or anything on its cause/context chain —
     Ray Data wraps worker exceptions in RayTaskError/UserCodeException)
-    is the fold-window-gone signal: missing swept files or the
-    read_changes rebucket refusal."""
+    is the fold-window-gone signal: missing swept files, or
+    read_changes' SPECIFIC rebucket refusal. Deliberately narrow — a
+    generic ValueError match would silently degrade every real fold
+    defect (ArrowInvalid is a ValueError subclass, as are cast errors
+    and read_changes' bad-column validation) into a permanent
+    recompute-on-every-refresh with no signal."""
     seen = set()
     stack = [e]
     while stack:
@@ -211,7 +215,9 @@ def _window_gone(e: Exception) -> bool:
         if c is None or id(c) in seen:
             continue
         seen.add(id(c))
-        if isinstance(c, (FileNotFoundError, ValueError)):
+        if isinstance(c, FileNotFoundError):
+            return True
+        if isinstance(c, ValueError) and "bucket migration" in str(c):
             return True
         stack.extend([c.__cause__, c.__context__])
     # RayTaskError reconstructed cross-process keeps only the formatted
@@ -233,7 +239,7 @@ def refresh_view(eng, name: str, recompute: bool = False) -> dict:
     if head is None:
         raise ValueError("lake has no committed manifests")
     if head.epoch <= meta["folded_to"] and not recompute:
-        return {**meta, "refreshed": False,
+        return {**meta, "refreshed": False, "recomputed": False,
                 "groups": pq.read_metadata(
                     _state_path(lake, name, meta["folded_to"])).num_rows}
     spec = VIEW_KINDS[meta["kind"]]

@@ -1527,6 +1527,17 @@ def test_lang_view_mutable_group_fold(ray_session, corpus, tmp_path):
     if len(ins):
         assert ins["old_lang"].isna().all() and ins["lang"].notna().all()
 
+    # repeated / feed-duplicated names must not produce duplicate schema
+    # fields (a doubled name makes the column unreadable); event_seq as a
+    # before-column is already carried as old_event_seq by include_before
+    dup = eng.read_changes(seeded, include_before=True,
+                           columns=("lang", "lang", "url"),
+                           before_columns=("event_seq", "lang", "lang"))
+    names = dup.schema().names
+    assert len(names) == len(set(names))
+    assert names.count("old_event_seq") == 1 and "lang" in names \
+        and "old_lang" in names
+
     r = views.refresh_view(eng, "langs")
     assert r["refreshed"] and not r["recomputed"]
     got = views.read_view(lake, "langs").to_pandas() \
@@ -1534,6 +1545,32 @@ def test_lang_view_mutable_group_fold(ray_session, corpus, tmp_path):
     want, _ = views._seed_state(eng, "count_sum_by_lang")
     pd.testing.assert_frame_equal(
         got, want.to_pandas().sort_values("grp").reset_index(drop=True))
+
+
+def test_window_gone_matching_is_narrow():
+    """_window_gone must match ONLY the fold-window-gone signals
+    (missing swept files, read_changes' rebucket refusal) — a generic
+    ValueError match would silently degrade every real fold defect
+    (ArrowInvalid, cast errors, bad-column validation) into a permanent
+    recompute-on-every-refresh with no signal."""
+    from gobblin_ray.views import _window_gone
+
+    assert _window_gone(FileNotFoundError("gone.parquet"))
+    assert _window_gone(ValueError(
+        "read_changes across a bucket migration: manifest 3 vs 7"))
+    # wrapped on the cause chain (Ray wraps worker exceptions)
+    wrapped = RuntimeError("task failed")
+    wrapped.__cause__ = FileNotFoundError("swept")
+    assert _window_gone(wrapped)
+    # cross-process RayTaskError keeps only the formatted text
+    assert _window_gone(RuntimeError(
+        "ray::fold() ...\nFileNotFoundError: [Errno 2] x.parquet"))
+    # real defects must NOT fall back
+    assert not _window_gone(ValueError("no column 'lang' in [...]"))
+    assert not _window_gone(pa.lib.ArrowInvalid("cast failed"))
+    clean = RuntimeError("task failed")
+    clean.__cause__ = ValueError("negative count in fold state")
+    assert not _window_gone(clean)
 
 
 def test_view_refresh_recompute_fallback(ray_session, corpus, tmp_path):

@@ -1396,3 +1396,8 @@ def test_char_entropy_edge_cases():
     u = f(pa.table({"doc_id": pa.array([7], pa.int64()),
                     "text": pa.array(["héé"], pa.string())}))
     assert u.to_pydict()["h"] == [0.9183]
+    # large_string has 64-bit offsets — the 32-bit buffer walk would
+    # silently misparse it; must cast, not corrupt
+    ls = f(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                     "text": pa.array(["aaaa", "ab"], pa.large_string())}))
+    assert ls.to_pydict() == {"doc_id": [0, 1], "h": [0.0, 1.0]}
