@@ -587,21 +587,26 @@ def main(argv: list[str] | None = None) -> int:
             # perfectly steady feed) flags ANY deviation.
             import numpy as np
 
-            # maintenance/DDL epochs (compact, rebucket, purge, rename,
-            # constraints...) commit at the SAME watermark (low == high)
-            # and apply no feed events — including their 0s would raise
-            # permanent false feed-broke alarms and drag the median. A
-            # real feed epoch always spans (low < high); an EMPTY feed
+            # maintenance epochs (compact, rebucket, purge, rename,
+            # constraints, error redrive...) commit with the watermark
+            # PINNED and apply no feed events — including their near-zero
+            # counts would raise permanent false feed-broke alarms and
+            # drag the median. A real feed epoch always ADVANCES the
+            # watermark (redrive commits low_seq=-1 like the first feed
+            # epoch, so low<high alone misclassifies it); an EMPTY feed
             # epoch with an advancing watermark stays in the series —
             # that 0 is exactly the feed-broke signal this screen exists
-            # to raise.
+            # to raise. If older manifests were vacuumed, the first
+            # visible epoch has no predecessor to compare against and is
+            # skipped rather than guessed.
             series = []
+            prev_high = None
             for e in store.committed_epochs():
-                if e == 0:
-                    continue
                 me = store.load(e)
-                if me.low_seq < me.high_seq:
+                if e != 0 and prev_high is not None \
+                        and me.high_seq > prev_high:
                     series.append((e, me.event_count))
+                prev_high = me.high_seq
             vals = np.array([v for _, v in series], dtype=np.float64)
             flagged = []
             if len(vals) >= 3:

@@ -2075,11 +2075,20 @@ class CdcEngine:
                    for c in before_columns]
         out_schema = pa.schema(fields)
 
+        # the only OLD-side columns the feed reads are event_seq (for
+        # old_event_seq) and the requested before-images — take() copies
+        # whole rows, so project before taking or the text payload rides
+        # along twice on update/delete-heavy diffs
+        old_need = list(dict.fromkeys(("event_seq",) + before_columns))
+
         def _emit(t: pa.Table, idx: np.ndarray, kind: str,
                   old_rows: pa.Table | None = None) -> pa.Table:
             # old_rows: the OLD-side rows aligned 1:1 with idx (None on
-            # inserts, which have no before-image)
+            # inserts, which have no before-image); on deletes t IS the
+            # old side, so sel doubles as the before-image — no second take
             sel = t.take(pa.array(idx))
+            if kind == "delete":
+                old_rows = sel
             cols = {
                 "url": sel.column("url"),
                 "change_type": pa.array([kind] * len(idx), pa.string()),
@@ -2112,8 +2121,7 @@ class CdcEngine:
                 in_old = np.isin(nu, ou)
                 outs.append(_emit(tnew, np.flatnonzero(~in_old), "insert"))
                 gone = np.flatnonzero(~np.isin(ou, nu))
-                outs.append(_emit(told, gone, "delete",
-                                  told.take(pa.array(gone))))
+                outs.append(_emit(told, gone, "delete"))
                 common = np.flatnonzero(in_old)
                 if len(common):
                     oi = np.searchsorted(ou, nu[common])
@@ -2122,8 +2130,9 @@ class CdcEngine:
                     nseq = tnew.column("event_seq").to_numpy(
                         zero_copy_only=False)[common]
                     chg = oseq != nseq
-                    outs.append(_emit(tnew, common[chg], "update",
-                                      told.take(pa.array(oi[chg]))))
+                    outs.append(_emit(
+                        tnew, common[chg], "update",
+                        told.select(old_need).take(pa.array(oi[chg]))))
             return (pa.concat_tables(outs) if outs
                     else conform(pa.table({}), out_schema))
 

@@ -47,9 +47,11 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
     (a phantom dst would materialize as a new node next round — semi-join
     edges against the node set upstream if the graph is dirty).
 
-    Scale notes: ``edges`` is re-tagged every iteration (the lineage
-    re-executes its synth/read each round) — persist edges to Parquet
-    once at real scale. The per-iteration groupby("_kp") partitions are
+    Scale notes: ``edges`` is materialized once up front so the lineage
+    (a synth/read chain) doesn't re-execute each round; the object store
+    spills if the edge table outgrows memory, and at real scale persist
+    edges to Parquet once instead. The per-iteration groupby("_kp")
+    partitions are
     bounded by hash(node) % P, never per-key; the dst-sum uses Ray's
     native combiner tree so only O(distinct dst per block) rows cross
     the second exchange."""
@@ -64,7 +66,7 @@ def pagerank(nodes, edges, node_col: str = "node", src_col: str = "src",
     # barrier cost is O(num_partitions) per round, not O(read splits)
     # compounding through the unions (measured 45s -> 8s on 5k nodes).
     nodes = nodes.repartition(num_partitions)
-    edges = edges.repartition(num_partitions)
+    edges = edges.repartition(num_partitions).materialize()
     ranks = nodes.map_batches(
         lambda t, s=scale: t.select([node_col]).append_column(
             "r", pa.array(np.full(t.num_rows, s, np.int64))),
@@ -180,7 +182,12 @@ def bfs_distances(edges, sources, src_col: str = "src",
     from ..stages.joins import _co_partition
     from ..stages.partition import keyed_map_groups
 
-    edges = edges.repartition(num_partitions)
+    # materialize the repartitioned edges ONCE: every one of up to
+    # max_depth rounds re-reads them inside _co_partition, and an
+    # unmaterialized lineage (a read + synth chain in bfs_documents)
+    # would re-execute per round; at real graph scale persist edges to
+    # Parquet instead (same contract as pagerank)
+    edges = edges.repartition(num_partitions).materialize()
     dist = sources.map_batches(
         lambda t: pa.table({
             node_col: t.column(node_col).cast(pa.int64()),

@@ -367,8 +367,12 @@ def export_roundtrip_counts(sf_dir: str):
     jl_a = agg(read_json_source(os.path.join(base, "jsonl")),
                "n_jsonl", "sum_jsonl")
     j = csv_a.join(jl_a, how="outer").reset_index()
+    # a NULL group key round-trips as NULL through both text formats
+    # (engine CSV dialect); pandas shows it as NaN — map back to None
+    # so the string cast below doesn't choke
+    keys = [None if pd.isna(x) else x for x in j["event_type"]]
     return pa.table({
-        "event_type": pa.array(j["event_type"].astype(object), pa.string()),
+        "event_type": pa.array(keys, pa.string()),
         "n_csv": pa.array(j["n_csv"].to_numpy(np.int64), pa.int64()),
         "sum_csv": pa.array(j["sum_csv"].to_numpy(np.int64), pa.int64()),
         "n_jsonl": pa.array(j["n_jsonl"].to_numpy(np.int64), pa.int64()),

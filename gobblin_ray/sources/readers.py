@@ -109,8 +109,17 @@ def read_date_partitioned(
 
 
 def read_csv_source(paths, **kw):
+    """CSV source. Default dialect matches the engine's export_csv sink:
+    an UNQUOTED empty field is NULL, a quoted ``""`` is the empty string
+    (the pyarrow default reads both as ``''``, silently merging NULL and
+    empty keys after a text round trip). DuckDB and pandas read unquoted
+    empty as NULL too, so external CSVs keep their usual semantics; pass
+    your own ``convert_options`` to override."""
+    import pyarrow.csv as pacsv
     import ray.data as rd
 
+    kw.setdefault("convert_options", pacsv.ConvertOptions(
+        strings_can_be_null=True, quoted_strings_can_be_null=False))
     return rd.read_csv(paths, **kw)
 
 

@@ -312,8 +312,22 @@ def export_csv(ds, out_dir: str, **kw):
     format rather than Parquet). Ray Data's native distributed writer —
     each block streams to its own file, no driver materialization. Use
     for interchange with line-oriented consumers; Parquet remains the
-    lake format (typed, compressed, prunable)."""
+    lake format (typed, compressed, prunable).
+
+    Engine CSV dialect: values are always quoted (``all_valid``) and
+    NULL is the unquoted empty field — so NULL vs empty-string survives
+    the text round trip through read_csv_source (the pyarrow default
+    dialect collapses both to ``''``). Pass your own
+    ``arrow_csv_args_fn`` to opt out for an external consumer
+    (WriteOptions is a Cython object that cannot pickle, hence the
+    worker-side factory rather than a plain kwarg)."""
     os.makedirs(out_dir, exist_ok=True)
+    if "arrow_csv_args_fn" not in kw:
+        def _dialect():
+            import pyarrow.csv as pacsv
+            return {"write_options":
+                    pacsv.WriteOptions(quoting_style="all_valid")}
+        kw["arrow_csv_args_fn"] = _dialect
     ds.write_csv(out_dir, **kw)
     return out_dir
 

@@ -134,10 +134,13 @@ def _collect_state(ds) -> pa.Table:
     }, schema=_STATE_SCHEMA)
 
 
-def _empty_changes(spec: dict):
+def _empty_changes(spec: dict, base_schema: pa.Schema):
     """An empty change feed with the exact schema the kind's fold reads
     (the base feed fields plus the kind's projected/new-value columns and
-    ``old_<col>`` before-images)."""
+    ``old_<col>`` before-images). Column types come from the LAKE schema —
+    read_changes projects ``schema.field(c).type``, so a hardcoded string
+    here would make the seed fold and the real refresh fold disagree on
+    typing for any kind whose feed column is non-string."""
     import ray.data as rd
 
     cols: dict[str, pa.Array] = {
@@ -147,9 +150,10 @@ def _empty_changes(spec: dict):
         "old_event_seq": pa.array([], pa.int64()),
     }
     for c in spec.get("feed_columns", ()):
-        cols.setdefault(c, pa.array([], pa.string()))
+        cols.setdefault(c, pa.array([], base_schema.field(c).type))
     for c in spec.get("feed_before_columns", ()):
-        cols.setdefault(f"old_{c}", pa.array([], pa.string()))
+        cols.setdefault(f"old_{c}",
+                        pa.array([], base_schema.field(c).type))
     return rd.from_arrow(pa.table(cols))
 
 
@@ -161,7 +165,8 @@ def _seed_state(eng, kind: str) -> tuple[pa.Table, int]:
     spec = VIEW_KINDS[kind]
     head = eng.store.latest()
     base = eng.read_table(manifest=head, columns=spec["columns"])
-    out = ivm_count_sum_view(base, _empty_changes(spec), spec["group_fn"],
+    out = ivm_count_sum_view(base, _empty_changes(spec, head.base_schema()),
+                             spec["group_fn"],
                              old_group_fn=spec.get("old_group_fn"))
     return _collect_state(out), head.epoch
 

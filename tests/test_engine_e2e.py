@@ -1635,3 +1635,18 @@ def test_describe_anomalies_excludes_ddl_epochs(ray_session, corpus,
     assert rc == 0
     out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(f["epoch"] != ddl_epoch for f in out["ingest_anomalies"])
+
+    # a redrive epoch commits low_seq=-1 with the watermark PINNED —
+    # like the first feed epoch's low_seq=-1 but NOT a feed epoch; it
+    # must also stay out of the Hampel series (low<high misclassified it)
+    import dataclasses as _dc
+
+    head = eng.store.load(ddl_epoch)
+    redrive_like = CdcEngine._ddl_manifest(head)
+    redrive_like = _dc.replace(redrive_like, low_seq=-1, event_count=2)
+    eng.store.commit(redrive_like)
+    rc = cli.main(["describe", lake, "--anomalies"])
+    assert rc == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(f["epoch"] != redrive_like.epoch
+               for f in out["ingest_anomalies"])

@@ -1965,3 +1965,27 @@ def test_ols_by_group_matches_closed_form(ray_session):
         assert abs(got.loc[g, "slope"] - slope) < 1e-8
         assert abs(got.loc[g, "intercept"] - intercept) < 1e-8
         assert got.loc[g, "n"] == len(sub)
+
+
+def test_csv_export_null_vs_empty_roundtrip(ray_session, tmp_path):
+    """The engine CSV dialect must keep NULL and '' distinct through the
+    export_csv -> read_csv_source round trip (the pyarrow default dialect
+    collapses both to '', silently merging two groups and breaking the
+    export_roundtrip_counts contract on null keys)."""
+    import ray.data as rd
+
+    from gobblin_ray.sources.readers import read_csv_source
+    from gobblin_ray.stages.sink import export_csv
+
+    t = pa.table({
+        "k": pa.array(["a", None, "", "x,y", '"q"'], pa.string()),
+        "v": pa.array([1, None, 3, 4, 5], pa.int64()),
+    })
+    out = str(tmp_path / "csv")
+    export_csv(rd.from_arrow(t), out)
+    back = read_csv_source(out).to_pandas().sort_values(
+        "v", na_position="first").reset_index(drop=True)
+    want = t.to_pandas().sort_values(
+        "v", na_position="first").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(back, want)
