@@ -305,6 +305,16 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--no-verify", action="store_true")
 
     sp = sub.add_parser(
+        "repair", help="anti-entropy verify/repair: compare per-bucket "
+        "content digests of a replica against its source (same layout, "
+        "same watermark) and rewrite only mismatched buckets from the "
+        "source's merged state; --dry-run is the pure verification job"
+    )
+    sp.add_argument("dst_lake", help="the lake to verify/repair")
+    sp.add_argument("--source", required=True, help="the reference lake")
+    sp.add_argument("--dry-run", action="store_true")
+
+    sp = sub.add_parser(
         "replicate", help="maintain a downstream replica lake purely from "
         "the primary's full-row change feed (cascaded CDC; distcp/"
         "ReplicationConfiguration analog). Idempotent per round."
@@ -471,6 +481,22 @@ def main(argv: list[str] | None = None) -> int:
         from .retention import rollback_to
 
         print(json.dumps(rollback_to(args.lake_dir, args.to_epoch)))
+        return 0
+
+    if args.cmd == "repair":
+        from .engine import CdcEngine as _Eng, EngineConfig as _Cfg
+        from .repair import repair as _repair
+
+        _ray_up(args.num_cpus)
+        t0 = time.time()
+        src = _Eng(args.source, events_dir="", config=_Cfg())
+        dst = _Eng(args.dst_lake, events_dir="", config=_Cfg())
+        out = _repair(src, dst, dry_run=args.dry_run)
+        out["sec"] = round(time.time() - t0, 3)
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()
         return 0
 
     if args.cmd == "replicate":

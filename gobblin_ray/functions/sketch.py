@@ -44,7 +44,10 @@ def hash_column_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     +0.0 so SQL equality semantics hold) — truncating to int would
     collapse distinct values."""
     typ = col.type if not isinstance(col, pa.ChunkedArray) else col.type
-    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+    if (pa.types.is_string(typ) or pa.types.is_large_string(typ)
+            or pa.types.is_binary(typ) or pa.types.is_large_binary(typ)):
+        # binary shares the string layout (offsets + data buffer), and
+        # stable_hash_u64 walks the buffers directly
         from ..engine import stable_hash_u64
 
         return stable_hash_u64(col)
