@@ -171,6 +171,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_documents": demo.bm25_search_documents,
         # corpus drift monitor (per-term KL contributions, smoothed)
         "corpus_drift_documents": demo.corpus_drift_documents,
+        # KMV/theta-sketch distinct set algebra (union/intersect/Jaccard
+        # of two corpora from O(k) signatures, no join)
+        "kmv_set_ops_documents": demo.kmv_set_ops_documents,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -574,6 +577,67 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # KMV set algebra: the sketch ITSELF replayed in SQL — same md5
+        # coin, same bottom-k signatures, same integer floor-division
+        # estimator (n = (k-1) * 2^64 // (h_(k) + 1)), so even the
+        # estimation-regime outputs match bit-for-bit.
+        "kmv_set_ops_documents": """
+            WITH a AS (
+                SELECT DISTINCT CAST(('0x' || substr(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+                FROM documents WHERE doc_id % 3 <> 0
+            ),
+            b AS (
+                SELECT DISTINCT CAST(('0x' || substr(
+                    md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+                FROM documents WHERE doc_id % 2 <> 0
+            ),
+            ka AS (SELECT h FROM a ORDER BY h LIMIT 256),
+            kb AS (SELECT h FROM b ORDER BY h LIMIT 256),
+            ku AS (
+                SELECT h FROM (
+                    SELECT DISTINCT h FROM (
+                        SELECT h FROM ka UNION ALL SELECT h FROM kb
+                    )
+                ) ORDER BY h LIMIT 256
+            ),
+            s AS (
+                SELECT (SELECT count(*) FROM ka) AS ca,
+                       (SELECT max(h) FROM ka) AS ma,
+                       (SELECT count(*) FROM kb) AS cb,
+                       (SELECT max(h) FROM kb) AS mb,
+                       (SELECT count(*) FROM ku) AS cu,
+                       (SELECT max(h) FROM ku) AS mu,
+                       (SELECT count(*) FROM ku
+                        WHERE h IN (SELECT h FROM ka)
+                          AND h IN (SELECT h FROM kb)) AS ni,
+                       CAST('18446744073709551616' AS HUGEINT) AS f
+            ),
+            e AS (
+                SELECT cu, ni,
+                       CASE WHEN ca < 256 THEN CAST(ca AS HUGEINT)
+                            ELSE (255 * f) // (CAST(ma AS HUGEINT) + 1)
+                       END AS n_left,
+                       CASE WHEN cb < 256 THEN CAST(cb AS HUGEINT)
+                            ELSE (255 * f) // (CAST(mb AS HUGEINT) + 1)
+                       END AS n_right,
+                       CASE WHEN cu < 256 THEN CAST(cu AS HUGEINT)
+                            ELSE (255 * f) // (CAST(mu AS HUGEINT) + 1)
+                       END AS n_union
+                FROM s
+            )
+            SELECT CAST(256 AS BIGINT) AS k,
+                   CAST(n_left AS BIGINT) AS n_left,
+                   CAST(n_right AS BIGINT) AS n_right,
+                   CAST(n_union AS BIGINT) AS n_union,
+                   CAST(CASE WHEN cu = 0 THEN 0
+                             ELSE (CAST(ni AS HUGEINT) * n_union) // cu
+                        END AS BIGINT) AS n_intersect,
+                   CAST(CASE WHEN cu = 0 THEN 0
+                             ELSE (ni * 1000000) // cu
+                        END AS BIGINT) AS jaccard_ppm
+            FROM e
         """,
         # Corpus drift: p * ln(p/q) with add-half smoothing, association
         # mirrored; nl/nr/v are exact ints so the doubles agree bit-wise.

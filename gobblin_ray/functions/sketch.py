@@ -184,6 +184,95 @@ def heavy_hitters(ds, column: str, k: int = 8192, top_n: int = 20):
     })
 
 
+def _md5_prefix_u64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """First 16 hex chars of md5(str(value)) as uint64 — the engine's
+    SQL-replayable coin (DuckDB: CAST(('0x' || substr(md5(CAST(v AS
+    VARCHAR)),1,16)) AS UBIGINT)), same family as the weighted-sample
+    and stratified-sample coins. Per-value hashlib in Python — callers
+    dedup the batch first so cost is O(distinct per block); production
+    sketches use the vectorized ``hash_column_u64`` coin instead."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+         for v in col.to_pylist()],
+        dtype=np.uint64,
+    )
+
+
+def kmv_bottom_k(ds, column: str, k: int, coin: str = "stable") -> np.ndarray:
+    """The GLOBAL bottom-k distinct hash signature of ``ds[column]`` —
+    the mergeable KMV/theta sketch STATE (not just a cardinality): a
+    proper Ray aggregation tree where each block contributes its own
+    bottom-k of distinct hashes and only one ≤ k array reaches the
+    driver. ``coin="stable"`` uses the vectorized Arrow-buffer hash;
+    ``coin="md5"`` the SQL-replayable md5-prefix coin."""
+    from ray.data.aggregate import AggregateFn
+
+    hash_fn = hash_column_u64 if coin == "stable" else _md5_prefix_u64
+    empty = np.empty(0, dtype=np.uint64)
+    agg = AggregateFn(
+        init=lambda _k: empty,
+        accumulate_block=lambda acc, block: _bottom_k(
+            np.concatenate(
+                [acc, hash_fn(block.column(column).drop_null().unique())]
+            ),
+            k,
+        ),
+        merge=lambda a, b: _bottom_k(np.concatenate([a, b]), k),
+        finalize=lambda acc: acc,
+        name="kmv_bk",
+    )
+    return ds.aggregate(agg)["kmv_bk"]
+
+
+def kmv_set_ops(left, right, column: str, k: int = 256,
+                coin: str = "stable") -> dict:
+    """Distinct-set operations between two datasets WITHOUT a join — the
+    DataSketches theta-sketch union/intersection posture: how many
+    distinct keys does each corpus hold, how many in the union, how many
+    in common, at O(k) driver state and one aggregation tree per side
+    (yesterday-vs-today crawl overlap at 100 TB without shuffling either
+    side). Reference analog: none (Gobblin ships no sketches); this
+    extends the repo's KMV family (approx_distinct) to set algebra.
+
+    Estimator (integer-exact so the md5 coin replays bit-identically in
+    SQL): per side the bottom-k distinct-hash signature; the union
+    signature is bottom-k of the merged signatures. Saturated regime
+    (fewer than k distinct survive) is EXACT. Estimation regime:
+    ``n = (k-1) * 2^64 // (h_(k) + 1)`` (floor division, the +1 because
+    hashes are uniform on [0, 2^64)); the intersection counts union-
+    signature members present in BOTH sides' signatures (n_i), giving
+    ``jaccard_ppm = n_i * 1e6 // |K_U|`` and ``n_intersect = n_i *
+    n_union // |K_U|``. Standard KMV error ~1/sqrt(k) on union;
+    intersection error grows as the true Jaccard shrinks (documented
+    theta-sketch behavior).
+
+    Returns ``{"k", "n_left", "n_right", "n_union", "n_intersect",
+    "jaccard_ppm"}``, all integers."""
+    F = 1 << 64
+
+    def _est(sig: np.ndarray) -> int:
+        if len(sig) < k:
+            return int(len(sig))
+        return (k - 1) * F // (int(sig.max()) + 1)
+
+    ka = kmv_bottom_k(left, column, k, coin)
+    kb = kmv_bottom_k(right, column, k, coin)
+    ku = _bottom_k(np.concatenate([ka, kb]), k)
+    c = int(len(ku))
+    n_union = _est(ku)
+    n_i = int((np.isin(ku, ka) & np.isin(ku, kb)).sum())
+    return {
+        "k": int(k),
+        "n_left": _est(ka),
+        "n_right": _est(kb),
+        "n_union": n_union,
+        "n_intersect": (n_i * n_union // c) if c else 0,
+        "jaccard_ppm": (n_i * 1_000_000 // c) if c else 0,
+    }
+
+
 def approx_distinct_by(ds, group_col: str, column: str, k: int = 4096):
     """PER-GROUP distinct count via the same KMV bottom-k sketch: one
     groupby exchange whose per-group payload is <= k hashes (each group's

@@ -3588,3 +3588,36 @@ def quantiles_disc_event_value(sf_dir: str):
         "q": pa.array(qs, pa.float64()),
         "qv": pa.array(_duck_round(np.asarray(vals), 4), pa.float64()),
     })
+
+
+def kmv_set_ops_documents(sf_dir: str):
+    """Theta-sketch-style distinct set algebra (functions/sketch.
+    kmv_set_ops): cardinality of two overlapping document corpora
+    (doc_id % 3 != 0 vs doc_id % 2 != 0 — deterministic so the oracle
+    replays the split), their union, intersection and Jaccard — all from
+    two O(k) bottom-k signatures, no join, nothing but 2k hashes on the
+    driver. The md5-prefix coin and integer-exact floor-division
+    estimator make every output replay bit-identically in SQL; k=256 is
+    small enough that the estimation regime (not just the saturated-
+    exact one) is exercised at every test scale."""
+    from ..functions.sketch import kmv_set_ops
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def _mod_filter(m: int):
+        def run(t: pa.Table) -> pa.Table:
+            v = t.column("doc_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return t.filter(pa.array(v % m != 0))
+
+        run.__name__ = f"mod{m}_nonzero"
+        return run
+
+    left = ds.map_batches(_mod_filter(3), batch_format="pyarrow",
+                          batch_size=None)
+    right = ds.map_batches(_mod_filter(2), batch_format="pyarrow",
+                           batch_size=None)
+    out = kmv_set_ops(left, right, "doc_id", k=256, coin="md5")
+    return pa.table({c: pa.array([out[c]], pa.int64())
+                     for c in ("k", "n_left", "n_right", "n_union",
+                               "n_intersect", "jaccard_ppm")})

@@ -1401,3 +1401,39 @@ def test_char_entropy_edge_cases():
     ls = f(pa.table({"doc_id": pa.array([0, 1], pa.int64()),
                      "text": pa.array(["aaaa", "ab"], pa.large_string())}))
     assert ls.to_pydict() == {"doc_id": [0, 1], "h": [0.0, 1.0]}
+
+
+def test_kmv_set_ops_regimes(ray_session):
+    """kmv_set_ops: saturated regime is EXACT for every output; the
+    estimation regime lands within the ~1/sqrt(k) KMV envelope; results
+    are identical across block layouts (mergeable signature) and both
+    coins agree in the saturated regime."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.sketch import kmv_set_ops
+
+    # saturated: 300 vs 280 distinct with 180 common, k large
+    a = pa.table({"v": pa.array(list(range(0, 300)), pa.int64())})
+    b = pa.table({"v": pa.array(list(range(120, 400)), pa.int64())})
+    for coin in ("stable", "md5"):
+        out = kmv_set_ops(rd.from_arrow(a).repartition(7),
+                          rd.from_arrow(b).repartition(3),
+                          "v", k=4096, coin=coin)
+        assert (out["n_left"], out["n_right"], out["n_union"],
+                out["n_intersect"]) == (300, 280, 400, 180), coin
+        assert out["jaccard_ppm"] == 180 * 1_000_000 // 400
+
+    # estimation: 60k vs 60k distinct, 20k common, k=512
+    rng = np.random.default_rng(7)
+    left_ids = np.arange(0, 60_000)
+    right_ids = np.arange(40_000, 100_000)
+    la = pa.table({"v": pa.array(rng.permutation(left_ids), pa.int64())})
+    rb = pa.table({"v": pa.array(rng.permutation(right_ids), pa.int64())})
+    est = kmv_set_ops(rd.from_arrow(la).repartition(9),
+                      rd.from_arrow(rb).repartition(4), "v", k=512)
+    assert abs(est["n_union"] - 100_000) < 100_000 * 0.2
+    assert abs(est["n_intersect"] - 20_000) < 20_000 * 0.5
+    # block-layout invariance: same signature whatever the partitioning
+    est2 = kmv_set_ops(rd.from_arrow(la).repartition(2),
+                       rd.from_arrow(rb).repartition(11), "v", k=512)
+    assert est == est2
