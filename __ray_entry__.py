@@ -174,6 +174,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # KMV/theta-sketch distinct set algebra (union/intersect/Jaccard
         # of two corpora from O(k) signatures, no join)
         "kmv_set_ops_documents": demo.kmv_set_ops_documents,
+        # exact windowed distinct count (hourly unique users; hot windows
+        # split across partitions via the pair-hash exchange)
+        "window_distinct_users": demo.window_distinct_users,
+        # cohort retention (first-seen-day cohorts x active day offsets)
+        "cohort_retention_events": demo.cohort_retention_events,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -577,6 +582,35 @@ def oracle_sql() -> dict[str, str]:
                 FROM events e
                 WHERE value IS NOT NULL AND NOT isnan(value)
             ) GROUP BY range_id
+        """,
+        # Cohort retention: distinct (user, day) activity, first-seen day
+        # per user, per-(cohort, offset) distinct-user counts; identical
+        # epoch-day floor arithmetic on both sides
+        "cohort_retention_events": """
+            WITH a AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            ),
+            f AS (SELECT user_id, min(d) AS d0 FROM a GROUP BY user_id)
+            SELECT f.d0 AS cohort_day,
+                   CAST(a.d - f.d0 AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # Windowed exact distinct: the engine floors epoch micros to the
+        # hour; make_timestamp replays the identical arithmetic (hour
+        # widths divide the epoch origin, so time_bucket would agree too)
+        "window_distinct_users": """
+            SELECT make_timestamp(
+                       (epoch_us(ts) // 3600000000) * 3600000000
+                   ) AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            GROUP BY 1
         """,
         # KMV set algebra: the sketch ITSELF replayed in SQL — same md5
         # coin, same bottom-k signatures, same integer floor-division

@@ -3621,3 +3621,28 @@ def kmv_set_ops_documents(sf_dir: str):
     return pa.table({c: pa.array([out[c]], pa.int64())
                      for c in ("k", "n_left", "n_right", "n_union",
                                "n_intersect", "jaccard_ppm")})
+
+
+def window_distinct_users(sf_dir: str):
+    """Hourly unique users (stages/windows.distinct_count_by_window):
+    exact distinct user_id per tumbling 1-hour event-time window — the
+    streaming-analytics staple, computed with per-batch pair combiners
+    and one bounded pair-hash exchange (a hot window's key set is SPLIT
+    across partitions, never collected in one task)."""
+    from ..stages.windows import distinct_count_by_window
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    return distinct_count_by_window(ds, "ts", "user_id", width_s=3600)
+
+
+def cohort_retention_events(sf_dir: str):
+    """Cohort retention (stages/windows.cohort_retention): users grouped
+    by first-seen day, counted again at each later active day-offset —
+    per-batch (user, day) pair combiners, ONE bounded key exchange, a
+    vectorized first-seen/offset fold per partition. Days are int64
+    epoch-day indices so the oracle replays the identical floor
+    arithmetic."""
+    from ..stages.windows import cohort_retention
+
+    ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
+    return cohort_retention(ds, "ts", "user_id")

@@ -682,3 +682,156 @@ def ewma_by_key(ds, key: str, order_by: list[str], value_col: str,
 
     smooth.__name__ = "ewma_by_key"
     return keyed_map_groups(ds, key, smooth, num_partitions=num_partitions)
+
+
+def distinct_count_by_window(ds, ts_col: str, key_col: str, width_s: int,
+                             num_partitions: int = 64):
+    """EXACT distinct keys per tumbling event-time window — the streaming
+    "hourly unique users" staple (the reference computes this as a Hive
+    COUNT(DISTINCT) over its time-partitioned output; Flink as a keyed
+    window dedup + count). A plain groupby(window).count_distinct would
+    ship every raw row to the window's partition and hold the full key
+    set of a hot window in one task; this shape never does either.
+
+    Scale shape: per-batch the (window, key) pairs are deduped with
+    pyarrow's C++ hash groupby (the combiner — repeated keys inside a
+    window collapse before anything moves), then ONE bounded exchange on
+    ``hash(window, key) % num_partitions`` splits every window's key set
+    across partitions (a hot window is split, not hotspotted); each
+    partition dedups its disjoint pair slice and emits per-window partial
+    counts, and because pairs are partition-disjoint the final is a tiny
+    Sum groupby over O(windows x P) rows. Null ts or null key rows drop
+    (SQL COUNT(DISTINCT) semantics; a null ts has no window).
+
+    Returns ``(window_start timestamp[us], n_distinct int64)``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.sketch import _splitmix64, hash_column_u64
+    from .partition import keyed_map_groups
+
+    width_us = int(width_s) * 1_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(ts_col)),
+                             pc.is_valid(t.column(key_col))))
+        us = t.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        w = (us // width_us) * width_us
+        p = pa.table({"window_us": pa.array(w),
+                      "k": t.column(key_col)})
+        # combiner: within-batch distinct pairs, vectorized C++
+        p = pa.TableGroupBy(p, ["window_us", "k"]).aggregate([])
+        with np.errstate(over="ignore"):
+            ph = _splitmix64(
+                p.column("window_us").to_numpy(zero_copy_only=False)
+                .view(np.uint64) * np.uint64(1099511628211)
+                + hash_column_u64(p.column("k")))
+        return p.append_column("_ph", pa.array(ph.astype(np.int64)))
+
+    pairs.__name__ = "window_key_pairs"
+
+    def count_partial(g: pa.Table) -> pa.Table:
+        d = pa.TableGroupBy(
+            g.select(["window_us", "k"]), ["window_us", "k"]).aggregate([])
+        agg = pa.TableGroupBy(d, "window_us").aggregate([("k", "count")])
+        return pa.table({
+            "window_us": agg.column("window_us").cast(pa.int64()),
+            "n": agg.column("k_count").cast(pa.int64()),
+        })
+
+    count_partial.__name__ = "distinct_partial"
+    parts = keyed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        "_ph", count_partial, num_partitions=num_partitions,
+        batch_format="pyarrow")
+    out = parts.groupby("window_us").aggregate(Sum("n", alias_name="nd"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start": t.column("window_us").cast(pa.int64())
+            .cast(pa.timestamp("us")),
+            "n_distinct": t.column("nd").cast(pa.int64()),
+        })
+
+    finish.__name__ = "window_finish"
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def cohort_retention(ds, ts_col: str, key_col: str,
+                     num_partitions: int = 64):
+    """Cohort retention analysis — the product-analytics staple the
+    funnel composition doesn't cover: group every key (user) into the
+    cohort of its FIRST-seen day, then count how many of each cohort
+    were active again k days later. Returns ``(cohort_day, day_offset,
+    n_users)`` with days as int64 epoch-day indices (floor(epoch_us /
+    86_400e6) — the oracle replays the identical arithmetic; callers
+    render dates at the edge).
+
+    Scale shape: per-batch combiner dedups (key, day) activity pairs
+    with pyarrow's C++ hash groupby; ONE bounded exchange on
+    ``hash(key) % num_partitions`` co-locates each key's day set (the
+    same partitioning the session/as-of family uses — one key's days
+    fit a worker); inside each partition one lexsort derives first-seen
+    day and offsets for every key vectorized, collapsing to per-
+    (cohort, offset) partial counts. Keys are partition-disjoint, so
+    the finish is a tiny Sum groupby over O(cohorts x offsets x P)
+    rows. Null ts / null key rows drop.
+    """
+    from ray.data.aggregate import Sum
+
+    from .partition import keyed_map_groups
+
+    day_us = 86_400_000_000
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column(ts_col)),
+                             pc.is_valid(t.column(key_col))))
+        us = t.column(ts_col).cast(pa.timestamp("us")).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        p = pa.table({"k": t.column(key_col),
+                      "day": pa.array(us // day_us)})
+        return pa.TableGroupBy(p, ["k", "day"]).aggregate([])
+
+    pairs.__name__ = "activity_pairs"
+
+    def fold(g: pa.Table) -> pa.Table:
+        k = g.column("k").to_numpy(zero_copy_only=False)
+        d = g.column("day").to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, k))
+        ks, dsrt = k[order], d[order]
+        # partition-level pair dedup (the batch combiner can't see
+        # across batches): adjacent equal (k, day) after the lexsort
+        keep = np.r_[True, (ks[1:] != ks[:-1]) | (dsrt[1:] != dsrt[:-1])]
+        ks, dsrt = ks[keep], dsrt[keep]
+        first = np.r_[True, ks[1:] != ks[:-1]]
+        starts = np.flatnonzero(first)
+        runs = np.diff(np.r_[starts, len(ks)])
+        d0 = np.repeat(dsrt[starts], runs)
+        off = dsrt - d0
+        part = pa.table({"cohort_day": pa.array(d0),
+                         "day_offset": pa.array(off)})
+        agg = pa.TableGroupBy(part, ["cohort_day", "day_offset"]) \
+            .aggregate([("day_offset", "count")])
+        return pa.table({
+            "cohort_day": agg.column("cohort_day").cast(pa.int64()),
+            "day_offset": agg.column("day_offset").cast(pa.int64()),
+            "n": agg.column("day_offset_count").cast(pa.int64()),
+        })
+
+    fold.__name__ = "cohort_fold"
+    parts = keyed_map_groups(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        "k", fold, num_partitions=num_partitions, batch_format="pyarrow")
+    out = parts.groupby(["cohort_day", "day_offset"]).aggregate(
+        Sum("n", alias_name="n_users"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_day": t.column("cohort_day").cast(pa.int64()),
+            "day_offset": t.column("day_offset").cast(pa.int64()),
+            "n_users": t.column("n_users").cast(pa.int64()),
+        })
+
+    finish.__name__ = "cohort_finish"
+    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)

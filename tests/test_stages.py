@@ -1989,3 +1989,83 @@ def test_csv_export_null_vs_empty_roundtrip(ray_session, tmp_path):
         "v", na_position="first").reset_index(drop=True)
     import pandas as pd
     pd.testing.assert_frame_equal(back, want)
+
+
+def test_distinct_count_by_window_exact(ray_session):
+    """Windowed exact distinct vs a pandas oracle on crafted data with
+    repeated keys inside windows, a key spanning windows, nulls, and a
+    hot window; invariant across partitionings."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import distinct_count_by_window
+
+    rng = np.random.default_rng(11)
+    n = 5000
+    base = pd.Timestamp("2026-01-01").value // 1000  # us
+    us = base + rng.integers(0, 6 * 3600, n) * 1_000_000
+    uid = rng.integers(0, 120, n)
+    uid[::50] = 7  # hot user everywhere
+    df = pd.DataFrame({
+        "ts": pd.to_datetime(us, unit="us"),
+        "user_id": uid.astype("int64"),
+    })
+    df.loc[0, "ts"] = pd.NaT
+    df.loc[1, "user_id"] = pd.NA
+    df["user_id"] = df["user_id"].astype("Int64")
+
+    valid = df.dropna()
+    ts_us = valid["ts"].astype("int64") // 1000  # pandas int64 is ns
+    w = (ts_us // 3_600_000_000) * 3_600_000_000
+    want = (pd.DataFrame({"w": w, "u": valid["user_id"]})
+            .drop_duplicates().groupby("w").size())
+
+    for parts in (3, 17):
+        got = distinct_count_by_window(
+            rd.from_pandas(df).repartition(parts), "ts", "user_id",
+            3600, num_partitions=8).to_pandas()
+        got = got.sort_values("window_start").reset_index(drop=True)
+        got_us = got["window_start"].astype("int64").to_numpy()
+        if got["window_start"].dtype == "datetime64[ns]":
+            got_us = got_us // 1000
+        assert list(got_us) == list(want.index)
+        assert list(got["n_distinct"]) == list(want.values)
+
+
+def test_cohort_retention_matches_bruteforce(ray_session):
+    """cohort_retention vs a pandas oracle: multi-day keys, repeated
+    activity in a day collapses, single-day keys land at offset 0 only,
+    null rows drop; invariant across partitionings."""
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import cohort_retention
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    base = pd.Timestamp("2026-02-01").value // 1000
+    us = base + rng.integers(0, 14, n) * 86_400_000_000 \
+        + rng.integers(0, 86_400, n) * 1_000_000
+    uid = rng.integers(0, 80, n)
+    df = pd.DataFrame({"ts": pd.to_datetime(us, unit="us"),
+                       "user_id": uid.astype("int64")})
+    df.loc[5, "ts"] = pd.NaT
+
+    valid = df.dropna()
+    d = (valid["ts"].astype("int64") // 1000 // 86_400_000_000)
+    a = pd.DataFrame({"u": valid["user_id"], "d": d}).drop_duplicates()
+    d0 = a.groupby("u")["d"].min().rename("d0")
+    j = a.join(d0, on="u")
+    want = (j.assign(off=j["d"] - j["d0"])
+            .groupby(["d0", "off"]).size().reset_index(name="n")
+            .sort_values(["d0", "off"]).reset_index(drop=True))
+
+    for parts in (2, 13):
+        got = cohort_retention(
+            rd.from_pandas(df).repartition(parts), "ts", "user_id",
+            num_partitions=6).to_pandas()
+        got = got.sort_values(["cohort_day", "day_offset"]) \
+            .reset_index(drop=True)
+        assert list(got["cohort_day"]) == list(want["d0"])
+        assert list(got["day_offset"]) == list(want["off"])
+        assert list(got["n_users"]) == list(want["n"])
