@@ -179,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": demo.window_distinct_users,
         # cohort retention (first-seen-day cohorts x active day offsets)
         "cohort_retention_events": demo.cohort_retention_events,
+        # CDC feed-integrity audit (planted seq gaps + duplicate bursts;
+        # bounded seq-window exchange, O(windows) driver stitch)
+        "feed_audit_integrity": demo.feed_audit_integrity,
         # CSV / JSON source parity (§2.1, §2.3)
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
@@ -599,6 +602,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Feed-integrity audit over the planted feed: duplicates via
+        # GROUP BY ... HAVING count(*)>1; gaps via the lag window over
+        # distinct seqs — the engine's window-stitched distributed result
+        # must equal this whole-feed sequential definition exactly.
+        "feed_audit_integrity": """
+            WITH feed AS (
+                SELECT partition_id, seq
+                FROM read_parquet('/tmp/gobblin_ray_fixtures/planted_feed.parquet')
+            ),
+            dups AS (
+                SELECT partition_id, 'dup' AS kind, seq AS seq_start,
+                       seq AS seq_end, CAST(count(*) AS BIGINT) AS n
+                FROM feed GROUP BY partition_id, seq HAVING count(*) > 1
+            ),
+            d AS (SELECT DISTINCT partition_id, seq FROM feed),
+            lagged AS (
+                SELECT partition_id, seq,
+                       lag(seq) OVER (PARTITION BY partition_id ORDER BY seq)
+                           AS prev
+                FROM d
+            ),
+            gaps AS (
+                SELECT partition_id, 'gap' AS kind, prev + 1 AS seq_start,
+                       seq - 1 AS seq_end, seq - prev - 1 AS n
+                FROM lagged WHERE prev IS NOT NULL AND seq > prev + 1
+            )
+            SELECT * FROM dups UNION ALL SELECT * FROM gaps
         """,
         # Windowed exact distinct: the engine floors epoch micros to the
         # hour; make_timestamp replays the identical arithmetic (hour

@@ -36,6 +36,7 @@ LOOKUP_ORACLE_PATH = os.path.join(FIXTURE_DIR, "lookup_oracle.parquet")
 PROJ_ORACLE_PATH = os.path.join(FIXTURE_DIR, "projected_read_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
+FEED_AUDIT_PATH = os.path.join(FIXTURE_DIR, "planted_feed.parquet")
 
 
 def _write(table: pa.Table, path: str) -> str:
@@ -704,3 +705,49 @@ def planted_ssjoin(lpath: str = SSJOIN_L_PATH,
         "match_doc": pa.array([d[2] for d in right], pa.int64()),
     })
     return _write(lt, lpath), _write(rt, rpath)
+
+
+def planted_feed(path: str = FEED_AUDIT_PATH) -> str:
+    """A CDC change feed with PLANTED sequence-integrity defects, for the
+    feed-integrity audit (stages/quality.feed_integrity_audit).
+
+    Five feed partitions, each a dense ``seq`` range [0, 2000) with known
+    holes (dropped events) and duplicate bursts (producer retries) removed
+    or injected so the audit's expected output is SQL-computable from the
+    data itself (lag-window gaps + HAVING count(*)>1 dups). Defects are
+    placed relative to the audit's seq-window size of 256 to exercise every
+    distributed code path: interior gaps, a gap crossing one window
+    boundary, a gap swallowing two ENTIRE windows (multi-window driver
+    stitch), adjacent duplicates, and a duplicate exactly on a window
+    boundary. Row order is shuffled with a fixed seed (the audit must not
+    depend on input order).
+    """
+    n = 2000
+    parts: list[tuple[int, set[int], dict[int, int]]] = [
+        # (partition_id, missing seqs, {seq: total copies})
+        (0, set(range(100, 103)), {50: 3}),
+        (1, set(range(255, 259)), {600: 2}),          # crosses 255|256
+        (2, set(range(512, 1024)), {}),               # windows 2,3 missing
+        (3, set(), {10: 2, 11: 2}),
+        (4, {1, 1998}, {1024: 2}),                    # dup on boundary
+    ]
+    pid_col: list[int] = []
+    seq_col: list[int] = []
+    for pid, missing, dups in parts:
+        for s in range(n):
+            if s in missing:
+                continue
+            for _ in range(dups.get(s, 1)):
+                pid_col.append(pid)
+                seq_col.append(s)
+    rng = np.random.default_rng(20260820)
+    order = rng.permutation(len(seq_col))
+    pid_a = np.asarray(pid_col, dtype=np.int64)[order]
+    seq_a = np.asarray(seq_col, dtype=np.int64)[order]
+    payload = [f"p{p}-s{s}" for p, s in zip(pid_a, seq_a)]
+    t = pa.table({
+        "partition_id": pa.array(pid_a),
+        "seq": pa.array(seq_a),
+        "payload": pa.array(payload, pa.string()),
+    })
+    return _write(t, path)

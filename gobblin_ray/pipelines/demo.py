@@ -3646,3 +3646,24 @@ def cohort_retention_events(sf_dir: str):
 
     ds = read_table(sf_dir, "events", columns=["ts", "user_id"])
     return cohort_retention(ds, "ts", "user_id")
+
+
+def feed_audit_integrity(sf_dir: str):
+    """CDC feed-integrity audit (stages/quality.feed_integrity_audit):
+    sequence gaps and duplicate bursts in a change feed with planted
+    defects (fixtures.planted_feed) — the row-level completeness check a
+    Gobblin ingest fleet runs against Kafka audit counts
+    (gobblin-compaction/.../verify/CompactionAuditCountVerifier.java).
+    window=256 so the planted defects exercise interior gaps, a
+    boundary-crossing gap, a two-whole-windows gap (driver stitch), and a
+    duplicate sitting exactly on a window boundary."""
+    import ray.data
+
+    from ..fixtures import planted_feed
+    from ..stages.quality import feed_integrity_audit
+
+    path = planted_feed()
+    ds = ray.data.read_parquet(path, columns=["partition_id", "seq"])
+    return feed_integrity_audit(
+        ds, "partition_id", "seq", window=256, num_partitions=16
+    )

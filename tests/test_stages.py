@@ -2069,3 +2069,43 @@ def test_cohort_retention_matches_bruteforce(ray_session):
         assert list(got["cohort_day"]) == list(want["d0"])
         assert list(got["day_offset"]) == list(want["off"])
         assert list(got["n_users"]) == list(want["n"])
+
+
+def test_feed_integrity_audit_matches_sequential(ray_session):
+    """The window-stitched distributed audit must equal the whole-feed
+    sequential definition (sorted distinct seqs: diff>1 = gap; run
+    counts>1 = dup), for window sizes that slice the planted defects
+    every way: gaps interior to a window, crossing one boundary, and
+    swallowing whole windows (driver stitch)."""
+    import numpy as np
+    import ray.data as rd
+
+    from gobblin_ray.fixtures import planted_feed
+    from gobblin_ray.stages.quality import feed_integrity_audit
+
+    path = planted_feed()
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    pid = t.column("partition_id").to_numpy()
+    seq = t.column("seq").to_numpy()
+
+    want = set()
+    for p in np.unique(pid):
+        s = np.sort(seq[pid == p])
+        uniq, counts = np.unique(s, return_counts=True)
+        for v, c in zip(uniq[counts > 1], counts[counts > 1]):
+            want.add((int(p), "dup", int(v), int(v), int(c)))
+        d = np.diff(uniq)
+        for i in np.flatnonzero(d > 1):
+            want.add((int(p), "gap", int(uniq[i]) + 1,
+                      int(uniq[i + 1]) - 1, int(d[i]) - 1))
+
+    for window in (64, 256, 1 << 20):  # 1<<20: everything interior
+        ds = rd.read_parquet(path, columns=["partition_id", "seq"])
+        got_rows = feed_integrity_audit(
+            ds, "partition_id", "seq", window=window, num_partitions=8
+        ).take_all()
+        got = {(r["partition_id"], r["kind"], r["seq_start"],
+                r["seq_end"], r["n"]) for r in got_rows}
+        assert got == want, f"window={window}"
+        assert len(got_rows) == len(got)  # no duplicated findings
