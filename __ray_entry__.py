@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distributed PageRank (iterative join+aggregate, integer-exact)
         "pagerank_documents": demo.pagerank_documents,
         "bfs_documents": demo.bfs_documents,
+        # redirect-chain resolution: pointer doubling over a planted
+        # functional graph (chains to 130 hops -> >=8 doubling rounds)
+        "redirect_resolution": demo.redirect_resolution,
         "triangle_documents": demo.triangle_documents,
         "badwords_filter_docs": demo.badwords_filter_docs,
         # distributed connected components (min-label propagation)
@@ -1134,6 +1137,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(node AS BIGINT) AS doc_id,
                    CAST(min(dist) AS BIGINT) AS dist
             FROM bfs GROUP BY node
+        """,
+        # Redirect resolution: the sequential recursive-CTE walk of the
+        # planted functional graph; final hop = the max-hops frontier row
+        # per node (arg_max). The engine's log-rounds pointer doubling
+        # must equal this linear walk exactly, hops included.
+        "redirect_resolution": """
+            WITH RECURSIVE e AS (
+                SELECT src, dst FROM read_parquet(
+                    '/tmp/gobblin_ray_fixtures/planted_redirects.parquet')
+            ),
+            r(node, ptr, hops) AS (
+                SELECT src, dst, CAST(1 AS BIGINT) FROM e
+                UNION ALL
+                SELECT r.node, e.dst, r.hops + 1
+                FROM r JOIN e ON e.src = r.ptr
+            )
+            SELECT node, arg_max(ptr, hops) AS final_dst,
+                   max(hops) AS hops
+            FROM r GROUP BY node
         """,
         "connected_components_documents": """
             WITH RECURSIVE nodes AS (SELECT doc_id AS v FROM documents),

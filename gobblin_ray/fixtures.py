@@ -751,3 +751,49 @@ def planted_feed(path: str = FEED_AUDIT_PATH) -> str:
         "payload": pa.array(payload, pa.string()),
     })
     return _write(t, path)
+
+
+REDIRECTS_PATH = os.path.join(FIXTURE_DIR, "planted_redirects.parquet")
+
+
+def planted_redirects(path: str = REDIRECTS_PATH) -> str:
+    """An ACYCLIC functional redirect graph (each src has exactly one
+    outgoing edge) with PLANTED chain shapes, for pointer-jumping chain
+    resolution (functions/graph.resolve_chains).
+
+    Shapes: one long chain of 130 hops (forces >= 8 doubling rounds), a
+    fan of chains with every length 1..20, a convergent tree whose leaves
+    drain into the long chain at varied depths, and duplicate-destination
+    aliases. Acyclic so the DuckDB recursive-CTE oracle terminates; the
+    cycle path is covered by the pytest unit test instead. Row order is
+    shuffled with a fixed seed (resolution must not depend on input
+    order).
+    """
+    src: list[int] = []
+    dst: list[int] = []
+    # long chain 1000 -> 1001 -> ... -> 1130 (1130 terminal)
+    for i in range(1000, 1130):
+        src.append(i)
+        dst.append(i + 1)
+    # chains of every length L = 1..20: 10_000*L + k -> +1 ... -> terminal
+    for L in range(1, 21):
+        base = 10_000 * L
+        for k in range(L):
+            src.append(base + k)
+            dst.append(base + k + 1)
+    # convergent tree: 200 leaves drain into the long chain at varied
+    # depths (leaf 5000+j -> 1000 + (j*7 % 130))
+    for j in range(200):
+        src.append(5000 + j)
+        dst.append(1000 + (j * 7) % 130)
+    # aliases: many srcs -> one shared mid-chain node
+    for j in range(50):
+        src.append(7000 + j)
+        dst.append(1064)
+    rng = np.random.default_rng(20260821)
+    order = rng.permutation(len(src))
+    t = pa.table({
+        "src": pa.array(np.asarray(src, np.int64)[order]),
+        "dst": pa.array(np.asarray(dst, np.int64)[order]),
+    })
+    return _write(t, path)

@@ -358,3 +358,150 @@ def count_triangles(edges, a_col: str = "a", b_col: str = "b",
     total = partials.aggregate(Sum(on="n", alias_name="triangles"))
     val = int((total or {}).get("triangles") or 0)
     return rd.from_arrow(pa.table({"triangles": pa.array([val], pa.int64())}))
+
+
+def resolve_chains(edges, src_col: str = "src", dst_col: str = "dst",
+                   max_rounds: int = 20, num_partitions: int = 32,
+                   on_cycle: str = "null"):
+    """Resolve every node of a FUNCTIONAL graph (each src has exactly one
+    outgoing edge) to its terminal destination by distributed pointer
+    jumping — the redirect-chain resolution a web-crawl CDC pipeline runs
+    so the lake keys on canonical final urls, not hop-by-hop 301 targets.
+
+    Returns a Dataset ``(node, final_dst, hops)``: for every src in
+    ``edges``, the end of its redirect chain and the number of edges
+    walked. Nodes on (or draining into) a CYCLE have no terminal;
+    ``on_cycle='null'`` emits them with null final_dst/hops,
+    ``on_cycle='raise'`` raises.
+
+    Reference analog: none (Gobblin has no graph operators) — beyond-
+    reference addition alongside pagerank / bfs / connected_components.
+
+    Scale shape: classic pointer doubling (Wyllie 1979 list ranking) —
+    each round every unresolved pointer jumps to its pointer's pointer,
+    so a chain of length L resolves in ceil(log2 L)+1 rounds, each round
+    ONE bounded co-partition exchange (state keyed on ptr joined against
+    state keyed on node, partitions = hash % P, never per-key dispatch)
+    with payload 4 ints/row. The state table is O(srcs) and materialized
+    per round (required iterative state, same posture as bfs_distances'
+    distance table); resolved rows stop crossing the exchange. Driver
+    state: one unresolved COUNT per round.
+
+    Precondition: ``src_col`` values are unique (functional graph). A
+    duplicated src would make the per-partition lookup multiply rows;
+    dedup upstream (e.g. LWW on the redirect feed) first.
+    """
+    from ..schema import unify_additive
+    from ..stages.joins import _co_partition
+
+    if on_cycle not in ("null", "raise"):
+        raise ValueError(f"on_cycle must be 'null'|'raise', got {on_cycle!r}")
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column(src_col).cast(pa.int64()),
+            "ptr": t.column(dst_col).cast(pa.int64()),
+            "hops": pa.array(np.ones(t.num_rows, np.int64)),
+            "done": pa.array(np.zeros(t.num_rows, np.int8)),
+        })
+
+    state = (
+        edges.map_batches(init, batch_format="pyarrow", batch_size=None)
+        .repartition(num_partitions).materialize()
+    )
+    # an acyclic chain over n edges is at most n hops long, and doubling
+    # resolves distance d in ceil(log2 d)+1 rounds — so after
+    # ceil(log2 n)+2 rounds anything still active is provably ON or
+    # DRAINING INTO a cycle; don't burn the remaining max_rounds on it
+    n_edges = state.count()
+    rounds = min(max_rounds,
+                 int(np.ceil(np.log2(max(n_edges, 2)))) + 2)
+
+    l_schema = pa.schema([
+        ("node", pa.int64()), ("ptr", pa.int64()),
+        ("hops", pa.int64()), ("done", pa.int8()),
+    ])
+    r_schema = pa.schema([
+        ("rnode", pa.int64()), ("rptr", pa.int64()),
+        ("rhops", pa.int64()), ("rdone", pa.int8()),
+    ])
+    union_schema = unify_additive(l_schema, r_schema).append(
+        pa.field("_side", pa.string())
+    )
+
+    def as_rhs(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["rnode", "rptr", "rhops", "rdone"])
+
+    def take_done(t: pa.Table, want: int) -> pa.Table:
+        return t.filter(pc.equal(t.column("done"), want))
+
+    def jump(g: pd.DataFrame) -> pa.Table:
+        l = g[g["_side"] == "l"]
+        r = g[g["_side"] == "r"]
+        m = l[["node", "ptr", "hops"]].merge(
+            r[["rnode", "rptr", "rhops", "rdone"]],
+            left_on="ptr", right_on="rnode", how="left",
+        )
+        found = m["rnode"].notna().to_numpy()
+        ptr = m["ptr"].to_numpy(np.int64)
+        hops = m["hops"].to_numpy(np.int64)
+        rptr = m["rptr"].to_numpy(na_value=0).astype(np.int64)
+        rhops = m["rhops"].to_numpy(na_value=0).astype(np.int64)
+        rdone = m["rdone"].to_numpy(na_value=0).astype(np.int64)
+        return pa.table({
+            "node": pa.array(m["node"].to_numpy(np.int64)),
+            "ptr": pa.array(np.where(found, rptr, ptr)),
+            "hops": pa.array(hops + np.where(found, rhops, 0)),
+            "done": pa.array(
+                np.where(found, rdone, 1).astype(np.int8)),
+        })
+
+    for _ in range(rounds):
+        active = state.map_batches(
+            lambda t: take_done(t, 0), batch_format="pyarrow",
+            batch_size=None,
+        )
+        if active.count() == 0:
+            break
+        finished = state.map_batches(
+            lambda t: take_done(t, 1), batch_format="pyarrow",
+            batch_size=None,
+        )
+        both = _co_partition(
+            [(active, "l", "ptr", ["ptr"]),
+             (state.map_batches(as_rhs, batch_format="pyarrow",
+                                batch_size=None), "r", "rnode", ["rnode"])],
+            union_schema, num_partitions,
+        )
+        jumped = both.groupby("_kp").map_groups(
+            lambda g: jump(g.drop(columns=["_kp"])), batch_format="pandas",
+        )
+        # re-pin blocks before materializing (map_groups ~doubles block
+        # count per round; the bfs-measured degeneration without a pin)
+        state = (
+            finished.union(jumped)
+            .repartition(num_partitions).materialize()
+        )
+    else:
+        leftover = state.map_batches(
+            lambda t: take_done(t, 0), batch_format="pyarrow",
+            batch_size=None,
+        ).count()
+        if leftover and on_cycle == "raise":
+            raise ValueError(
+                f"resolve_chains: {leftover} nodes unresolved after "
+                f"{rounds} rounds — cycle in the redirect graph"
+            )
+
+    def finish(t: pa.Table) -> pa.Table:
+        done = pc.equal(t.column("done"), 1)
+        return pa.table({
+            "node": t.column("node"),
+            "final_dst": pc.if_else(done, t.column("ptr"),
+                                    pa.scalar(None, pa.int64())),
+            "hops": pc.if_else(done, t.column("hops"),
+                               pa.scalar(None, pa.int64())),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow",
+                             batch_size=None)

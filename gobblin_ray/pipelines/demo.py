@@ -3667,3 +3667,21 @@ def feed_audit_integrity(sf_dir: str):
     return feed_integrity_audit(
         ds, "partition_id", "seq", window=256, num_partitions=16
     )
+
+
+def redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution over the planted functional graph
+    (fixtures.planted_redirects): every src resolves to its terminal
+    destination via distributed pointer jumping
+    (functions/graph.resolve_chains) — the canonical-final-url mapping a
+    web-crawl CDC pipeline applies before keying its lake. Chain lengths
+    up to 130 force >= 8 doubling rounds; the oracle is the sequential
+    recursive-CTE walk."""
+    import ray.data
+
+    from ..fixtures import planted_redirects
+    from ..functions.graph import resolve_chains
+
+    path = planted_redirects()
+    edges = ray.data.read_parquet(path)
+    return resolve_chains(edges, "src", "dst", num_partitions=16)

@@ -1437,3 +1437,58 @@ def test_kmv_set_ops_regimes(ray_session):
     est2 = kmv_set_ops(rd.from_arrow(la).repartition(2),
                        rd.from_arrow(rb).repartition(11), "v", k=512)
     assert est == est2
+
+
+def test_resolve_chains_cycles_and_brute_force(ray_session):
+    """Pointer doubling must match a sequential walk on a mixed graph:
+    plain chains resolve (final dst + exact hop counts); a self-loop, a
+    3-cycle, and a chain DRAINING into the cycle all come back with null
+    final_dst/hops under on_cycle='null', and raise under 'raise'."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+
+    from gobblin_ray.functions.graph import resolve_chains
+
+    edges = {
+        # chain 1 -> 2 -> 3 -> 4 (4 terminal)
+        1: 2, 2: 3, 3: 4,
+        # self-loop
+        10: 10,
+        # 3-cycle 20 -> 21 -> 22 -> 20, plus a drain 30 -> 31 -> 20
+        20: 21, 21: 22, 22: 20, 30: 31, 31: 20,
+        # alias into the chain
+        40: 2,
+    }
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(list(edges), pa.int64()),
+        "dst": pa.array(list(edges.values()), pa.int64()),
+    }))
+
+    got = {r["node"]: (r["final_dst"], r["hops"])
+           for r in resolve_chains(ds, num_partitions=4).take_all()}
+
+    def walk(n):
+        hops = 0
+        seen = set()
+        while n in edges:
+            if n in seen:
+                return (None, None)
+            seen.add(n)
+            n = edges[n]
+            hops += 1
+            if hops > len(edges) + 1:
+                return (None, None)
+        return (n, hops)
+
+    want = {s: walk(s) for s in edges}
+    assert got == want
+    assert got[1] == (4, 3) and got[40] == (4, 3)
+    assert got[10] == (None, None) and got[30] == (None, None)
+
+    ds2 = rd.from_arrow(pa.table({
+        "src": pa.array(list(edges), pa.int64()),
+        "dst": pa.array(list(edges.values()), pa.int64()),
+    }))
+    with pytest.raises(ValueError, match="cycle"):
+        resolve_chains(ds2, num_partitions=4, on_cycle="raise").take_all()
