@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": demo.window_distinct_users,
         # cohort retention (first-seen-day cohorts x active day offsets)
         "cohort_retention_events": demo.cohort_retention_events,
+        # hourly gap-fill + forward-fill resample per event_type
+        "resample_ffill_events": demo.resample_ffill_events,
         # CDC feed-integrity audit (planted seq gaps + duplicate bursts;
         # bounded seq-window exchange, O(windows) driver stitch)
         "feed_audit_integrity": demo.feed_audit_integrity,
@@ -605,6 +607,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Gap-fill + forward-fill resample: per-bucket observation is the
+        # last-by-(ts, value) row (a total order, so ties are
+        # deterministic); the dense hourly grid comes from range(lo, hi)
+        # per key and the fill from last_value IGNORE NULLS — the engine's
+        # searchsorted fill must reproduce this exactly.
+        "resample_ffill_events": """
+            WITH obs AS (
+                SELECT event_type, (epoch_us(ts) // 3600000000) AS b,
+                       list(value ORDER BY ts DESC, value DESC)[1] AS v
+                FROM events
+                WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                  AND value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            span AS (
+                SELECT event_type, min(b) lo, max(b) hi FROM obs GROUP BY 1
+            ),
+            grid AS (
+                SELECT event_type, unnest(range(lo, hi + 1)) AS b FROM span
+            ),
+            j AS (
+                SELECT g.event_type, g.b, o.v
+                FROM grid g LEFT JOIN obs o
+                  ON g.event_type = o.event_type AND g.b = o.b
+            )
+            SELECT event_type, make_timestamp(b * 3600000000) AS bucket_ts,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value
+            FROM j
         """,
         # Feed-integrity audit over the planted feed: duplicates via
         # GROUP BY ... HAVING count(*)>1; gaps via the lag window over

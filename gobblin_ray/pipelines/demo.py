@@ -3685,3 +3685,16 @@ def redirect_resolution(sf_dir: str):
     path = planted_redirects()
     edges = ray.data.read_parquet(path)
     return resolve_chains(edges, "src", "dst", num_partitions=16)
+
+
+def resample_ffill_events(sf_dir: str):
+    """Hourly gap-fill + forward-fill of the events value series per
+    event_type (stages/windows.resample_ffill): dense epoch-aligned
+    hourly grid per type from first to last observation, carrying the
+    last-at-or-before value (ties per bucket broken by max value so the
+    result is a total order the SQL oracle reproduces exactly)."""
+    from ..stages.windows import resample_ffill
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
+    return resample_ffill(ds, "event_type", "ts", "value",
+                          every_s=3600, num_partitions=8)

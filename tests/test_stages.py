@@ -2109,3 +2109,50 @@ def test_feed_integrity_audit_matches_sequential(ray_session):
                 r["seq_end"], r["n"]) for r in got_rows}
         assert got == want, f"window={window}"
         assert len(got_rows) == len(got)  # no duplicated findings
+
+
+def test_resample_ffill_matches_pandas(ray_session):
+    """Randomized parity: the one-exchange searchsorted fill must equal
+    pandas' per-key resample().ffill() on an irregular multi-key series
+    with duplicate timestamps inside buckets and multi-bucket gaps."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import resample_ffill
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    keys = rng.choice(["a", "b", "c", "longtail"], size=n,
+                      p=[0.5, 0.3, 0.15, 0.05])
+    base = np.int64(1_700_000_000_000_000)
+    # sparse, gappy: hours 0..400 with holes; duplicate ts on purpose
+    ts = base + rng.integers(0, 400, n) * 3_600_000_000 \
+        + rng.integers(0, 3, n) * 60_000_000
+    val = np.round(rng.normal(size=n), 3)
+    df = pd.DataFrame({
+        "k": keys, "ts": pd.to_datetime(ts, unit="us"), "v": val,
+    })
+
+    ds = rd.from_pandas(df)
+    got = (
+        resample_ffill(ds, "k", "ts", "v", every_s=3600, num_partitions=4)
+        .to_pandas().sort_values(["k", "bucket_ts"]).reset_index(drop=True)
+    )
+
+    # sequential oracle: per (key, hour) last-by-(ts, v); hourly grid; ffill
+    o = df.copy()
+    o["h"] = o["ts"].dt.floor("h")
+    o = o.sort_values(["k", "h", "ts", "v"]).groupby(["k", "h"], as_index=False).last()
+    parts = []
+    for k, g in o.groupby("k"):
+        g = g.set_index("h").resample("1h").ffill()
+        parts.append(pd.DataFrame({
+            "k": k, "bucket_ts": g.index, "v": g["v"].to_numpy(),
+        }))
+    want = (
+        pd.concat(parts).sort_values(["k", "bucket_ts"])
+        .reset_index(drop=True)
+    )
+    want["bucket_ts"] = want["bucket_ts"].astype("datetime64[us]")
+    pd.testing.assert_frame_equal(got, want)
