@@ -99,6 +99,9 @@ QUERY_NAMES = [
     "entropy_documents",
     "export_roundtrip_counts",
     "ewma_user_value",
+    "feed_audit_events",
+    "redirect_chains_documents",
+    "resample_ffill_events",
 ]
 
 

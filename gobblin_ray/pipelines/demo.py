@@ -3698,3 +3698,55 @@ def resample_ffill_events(sf_dir: str):
     ds = read_table(sf_dir, "events", columns=["event_type", "ts", "value"])
     return resample_ffill(ds, "event_type", "ts", "value",
                           every_s=3600, num_partitions=8)
+
+
+def feed_audit_events(sf_dir: str):
+    """Bench-scale feed-integrity audit: derive a 32-partition dense feed
+    from event_id (partition = id % 32, seq = id // 32 — dense per
+    partition by construction) and audit it
+    (stages/quality.feed_integrity_audit). Times the full-table shape:
+    projection, one bounded window exchange, vectorized run-length audit,
+    O(windows) driver stitch. Correctness is oracled by the planted-feed
+    query; this entry is the throughput surface."""
+    from ..stages.quality import feed_integrity_audit
+
+    ds = read_table(sf_dir, "events", columns=["event_id"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").cast(pa.int64())
+        # sparse planted gaps (drop every 997th id) so the audit's
+        # finding path is exercised, not just the clean-feed scan
+        drop = pc.subtract(eid, pc.multiply(pc.divide(eid, 997), 997))
+        eid = eid.filter(pc.not_equal(drop, 0))
+        div = pc.divide(eid, 32)  # non-negative ids: trunc == floor
+        return pa.table({
+            "partition_id": pc.subtract(eid, pc.multiply(div, 32)),
+            "seq": div.cast(pa.int64()),
+        })
+
+    feed = ds.map_batches(derive, batch_format="pyarrow", batch_size=None)
+    return feed_integrity_audit(feed, "partition_id", "seq",
+                                window=1 << 14, num_partitions=32)
+
+
+def redirect_chains_documents(sf_dir: str):
+    """Bench-scale pointer doubling: synthesize a functional graph from
+    doc_ids (doc d -> d+1 except every 64th, giving chains of length up
+    to 63 -> ~8 doubling rounds) and resolve every node to its chain
+    terminal (functions/graph.resolve_chains). Correctness is oracled by
+    the planted-redirects query; this entry is the throughput surface."""
+    from ..functions.graph import resolve_chains
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t.column("doc_id").cast(pa.int64())
+        nxt = pc.add(d, 1)
+        rem = pc.subtract(nxt, pc.multiply(pc.divide(nxt, 64), 64))
+        keep = pc.not_equal(rem, 0)
+        d = d.filter(keep)
+        return pa.table({"src": d, "dst": pc.add(d, 1)})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow",
+                           batch_size=None)
+    return resolve_chains(edges, "src", "dst", num_partitions=32)
