@@ -184,6 +184,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention_events": demo.cohort_retention_events,
         # hourly gap-fill + forward-fill resample per event_type
         "resample_ffill_events": demo.resample_ffill_events,
+        # per-user event-type transition matrix (Markov / clickstream)
+        "transition_counts_events": demo.transition_counts_events,
         # CDC feed-integrity audit (planted seq gaps + duplicate bursts;
         # bounded seq-window exchange, O(windows) driver stitch)
         "feed_audit_integrity": demo.feed_audit_integrity,
@@ -607,6 +609,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Transition matrix: the SQL lag window over the same total order
+        # (ts, event_id) — the engine's per-partition shift-compare +
+        # combiner-collapsed partials must sum to this exactly.
+        "transition_counts_events": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL AND event_type IS NOT NULL
+            )
+            SELECT prev AS from_state, event_type AS to_state,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
         """,
         # Gap-fill + forward-fill resample: per-bucket observation is the
         # last-by-(ts, value) row (a total order, so ties are

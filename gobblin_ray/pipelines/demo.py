@@ -3750,3 +3750,17 @@ def redirect_chains_documents(sf_dir: str):
     edges = ds.map_batches(mk_edges, batch_format="pyarrow",
                            batch_size=None)
     return resolve_chains(edges, "src", "dst", num_partitions=32)
+
+
+def transition_counts_events(sf_dir: str):
+    """Per-user event-type transition counts (stages/windows.
+    transition_counts): consecutive event pairs per user ordered by
+    (ts, event_id) — the Markov / clickstream transition matrix. The
+    combiner collapses each partition to O(|types|^2) partials before the
+    tiny global sum."""
+    from ..stages.windows import transition_counts
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ds, "user_id", ["ts", "event_id"],
+                             "event_type", num_partitions=16)

@@ -931,3 +931,75 @@ def resample_ffill(ds, key: str, ts_col: str, value_col: str,
         ds, key, fill, num_partitions=num_partitions,
         batch_format="pandas", pre=project,
     )
+
+
+def transition_counts(ds, key: str, order_by: list[str], state_col: str,
+                      num_partitions: int = 32):
+    """Per-key state-transition counts (the Markov-chain / clickstream
+    building block): order each key's events by ``order_by`` (a total
+    order — include a unique tiebreaker), pair every event with its
+    predecessor's ``state_col``, and count (from_state, to_state) pairs
+    across all keys.
+
+    Reference analog: none in Gobblin (sequence analytics live downstream
+    in Hive/Pinot) — beyond-reference addition in the windowed-analytics
+    family alongside funnel_rollup / analytic_lag_cumsum.
+
+    Scale shape: ONE bounded exchange on ``hash(key) % P``; inside each
+    partition a vectorized lexsort + shift-compare yields the pairs and a
+    pyarrow C++ group_by collapses them to partial counts, so only
+    O(|states|^2) rows per partition leave for the final (tiny,
+    LOW-cardinality) global sum — the combiner-before-groupby posture.
+    Null key / order / state rows are dropped at the tag stage.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from .partition import keyed_map_groups
+
+    def pre(t: pa.Table) -> pa.Table:
+        for c in (key, state_col, *order_by):
+            t = t.filter(pc.is_valid(t.column(c)))
+        return t.select([key, *order_by, state_col])
+
+    def pairs(g: pd.DataFrame) -> pa.Table:
+        if len(g) == 0:
+            return pa.table({
+                "from_state": pa.array([], pa.string()),
+                "to_state": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        cols = [g[c].to_numpy() for c in reversed(order_by)]
+        kvals = g[key].to_numpy()
+        order = np.lexsort((*cols, kvals))
+        k = kvals[order]
+        s = g[state_col].to_numpy()[order]
+        same = k[1:] == k[:-1]
+        t = pa.table({
+            "from_state": pa.array(s[:-1][same], pa.string()),
+            "to_state": pa.array(s[1:][same], pa.string()),
+        })
+        agg = pa.TableGroupBy(t, ["from_state", "to_state"]).aggregate(
+            [([], "count_all")]
+        )
+        return pa.table({
+            "from_state": agg.column("from_state"),
+            "to_state": agg.column("to_state"),
+            "n": agg.column("count_all").cast(pa.int64()),
+        })
+
+    partials = keyed_map_groups(
+        ds, key, pairs, num_partitions=num_partitions,
+        batch_format="pandas", pre=pre,
+    )
+    # final rollup key is |states|^2 — LOW cardinality, native groupby ok
+    out = partials.groupby(["from_state", "to_state"]).aggregate(
+        Sum(on="n", alias_name="n")
+    )
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("n"), "n",
+                            t.column("n").cast(pa.int64()))
+
+    return out.map_batches(to_i64, batch_format="pyarrow", batch_size=None)

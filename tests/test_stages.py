@@ -2156,3 +2156,40 @@ def test_resample_ffill_matches_pandas(ray_session):
     )
     want["bucket_ts"] = want["bucket_ts"].astype("datetime64[us]")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_transition_counts_matches_bruteforce(ray_session):
+    """Randomized parity vs a sequential pandas lag: per-key ordered
+    pairs with duplicate timestamps broken by the unique tiebreaker."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import transition_counts
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n).astype(str),
+        "ts": rng.integers(0, 300, n),        # many duplicate ts per key
+        "uid": np.arange(n),                  # unique tiebreaker
+        "state": rng.choice(["a", "b", "c", "d"], n),
+    })
+
+    got = (
+        transition_counts(rd.from_pandas(df), "k", ["ts", "uid"], "state",
+                          num_partitions=4)
+        .to_pandas().sort_values(["from_state", "to_state"])
+        .reset_index(drop=True)
+    )
+
+    o = df.sort_values(["k", "ts", "uid"])
+    o["prev"] = o.groupby("k")["state"].shift(1)
+    want = (
+        o.dropna(subset=["prev"]).groupby(["prev", "state"])
+        .size().reset_index(name="n")
+        .rename(columns={"prev": "from_state", "state": "to_state"})
+        .sort_values(["from_state", "to_state"]).reset_index(drop=True)
+    )
+    want["n"] = want["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, want)
