@@ -190,6 +190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded seq-window exchange, O(windows) driver stitch)
         "feed_audit_integrity": demo.feed_audit_integrity,
         # CSV / JSON source parity (§2.1, §2.3)
+        # WARC crawl-archive source (Content-Length record walking)
+        "warc_source_pages": demo.warc_source_pages,
         "csv_source_region": demo.csv_source_region,
         "orc_source_region": demo.orc_source_region,
         "ungzip_roundtrip": demo.ungzip_roundtrip,
@@ -609,6 +611,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_users
             FROM a JOIN f USING (user_id)
             GROUP BY 1, 2
+        """,
+        # WARC source: the sidecar parquet holds the expected parse of
+        # every response record, written at fixture-synthesis time (the
+        # planted-ground-truth pattern) — the engine's Content-Length
+        # record walk must reproduce it byte-for-byte.
+        "warc_source_pages": """
+            SELECT url, warc_date, text
+            FROM read_parquet(
+                '/tmp/gobblin_ray_fixtures/planted_warc_oracle.parquet')
         """,
         # Transition matrix: the SQL lag window over the same total order
         # (ts, event_id) — the engine's per-partition shift-compare +

@@ -797,3 +797,63 @@ def planted_redirects(path: str = REDIRECTS_PATH) -> str:
         "dst": pa.array(np.asarray(dst, np.int64)[order]),
     })
     return _write(t, path)
+
+
+WARC_DIR = os.path.join(FIXTURE_DIR, "planted_warc")
+WARC_SIDECAR_PATH = os.path.join(FIXTURE_DIR, "planted_warc_oracle.parquet")
+
+
+def planted_warc(out_dir: str = WARC_DIR,
+                 sidecar: str = WARC_SIDECAR_PATH) -> tuple[str, str]:
+    """Deterministic mini web archive for the WARC source
+    (sources/warc.read_warc): 3 files x ~40 records with the defects a
+    parser must survive — a payload CONTAINING the record magic
+    ``WARC/1.0\\r\\n`` (a by-length walker must not trip; a magic-scanner
+    would), payloads with bare CRLFs and CRLFCRLF, an empty payload, and
+    interleaved non-response records (warcinfo/request) the default
+    filter drops. Returns (warc_dir, sidecar_parquet): the sidecar holds
+    the expected (url, warc_date, text) of every RESPONSE record — the
+    planted ground truth the DuckDB oracle reads."""
+    os.makedirs(out_dir, exist_ok=True)
+    exp_url: list[str] = []
+    exp_date: list[str] = []
+    exp_text: list[str] = []
+
+    def rec(rtype: str, payload: bytes, url: str | None = None,
+            date: str | None = None) -> bytes:
+        h = [b"WARC/1.0"]
+        h.append(b"WARC-Type: " + rtype.encode())
+        if url is not None:
+            h.append(b"WARC-Target-URI: " + url.encode())
+        if date is not None:
+            h.append(b"WARC-Date: " + date.encode())
+        h.append(b"Content-Length: " + str(len(payload)).encode())
+        return b"\r\n".join(h) + b"\r\n\r\n" + payload + b"\r\n\r\n"
+
+    for f in range(3):
+        parts = [rec("warcinfo", b"software: planted-fixture")]
+        for i in range(40):
+            url = f"https://warc{f}.example/page{i:03d}"
+            date = f"2026-02-{(i % 28) + 1:02d}T0{f}:00:00Z"
+            if i % 7 == 0:
+                text = f"page {i} embeds WARC/1.0\r\n magic and\r\n\r\nblanks"
+            elif i % 11 == 0:
+                text = ""
+            else:
+                text = f"file {f} page {i} body " + "x" * (i * 3)
+            parts.append(rec("request", b"GET /page HTTP/1.1",
+                             url=url, date=date))
+            parts.append(rec("response", text.encode(), url=url, date=date))
+            exp_url.append(url)
+            exp_date.append(date)
+            exp_text.append(text)
+        with open(os.path.join(out_dir, f"crawl-{f:02d}.warc"), "wb") as fh:
+            fh.write(b"".join(parts))
+
+    t = pa.table({
+        "url": pa.array(exp_url, pa.string()),
+        "warc_date": pa.array(exp_date, pa.string()),
+        "text": pa.array(exp_text, pa.string()),
+    })
+    _write(t, sidecar)
+    return out_dir, sidecar

@@ -3764,3 +3764,26 @@ def transition_counts_events(sf_dir: str):
                     columns=["user_id", "ts", "event_id", "event_type"])
     return transition_counts(ds, "user_id", ["ts", "event_id"],
                              "event_type", num_partitions=16)
+
+
+def warc_source_pages(sf_dir: str):
+    """WARC archive source parity (sources/warc.read_warc over the
+    planted mini-archive, fixtures.planted_warc): response records
+    parsed by Content-Length walking — payloads embedding the record
+    magic, CRLF runs, and empty bodies must all round-trip; warcinfo /
+    request records are filtered. Oracled against the sidecar ground
+    truth written at fixture-synthesis time."""
+    from ..fixtures import planted_warc
+    from ..sources.warc import read_warc
+
+    warc_dir, _ = planted_warc()
+    ds = read_warc(warc_dir, record_type="response", payload_as="text")
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "warc_date": t.column("warc_date"),
+            "text": t.column("payload"),
+        })
+
+    return ds.map_batches(shape, batch_format="pyarrow", batch_size=None)

@@ -1492,3 +1492,36 @@ def test_resolve_chains_cycles_and_brute_force(ray_session):
     }))
     with pytest.raises(ValueError, match="cycle"):
         resolve_chains(ds2, num_partitions=4, on_cycle="raise").take_all()
+
+
+def test_warc_parser_format_edges(ray_session):
+    """The Content-Length walker must survive payloads embedding the
+    record magic / CRLF runs / empty bodies, filter non-response
+    records, and RAISE on truncation (work-unit contract)."""
+    import os
+
+    import pytest
+
+    from gobblin_ray.fixtures import WARC_DIR, planted_warc
+    from gobblin_ray.sources.warc import parse_warc_bytes, read_warc
+
+    warc_dir, _ = planted_warc()
+    ds = read_warc(warc_dir, record_type="response", payload_as="text")
+    rows = ds.take_all()
+    assert len(rows) == 120
+    by_url = {r["url"]: r["payload"] for r in rows}
+    assert by_url["https://warc0.example/page000"] == \
+        "page 0 embeds WARC/1.0\r\n magic and\r\n\r\nblanks"
+    assert by_url["https://warc1.example/page011"] == ""
+
+    # keep-all mode includes warcinfo + request records
+    all_rows = read_warc(warc_dir, record_type=None).take_all()
+    assert len(all_rows) == 243
+
+    # truncation raises with the file offset
+    p = os.path.join(WARC_DIR, "crawl-00.warc")
+    data = open(p, "rb").read()
+    with pytest.raises(ValueError, match="WARC parse error"):
+        parse_warc_bytes(data[:-3], "t")
+    with pytest.raises(ValueError, match="record magic"):
+        parse_warc_bytes(b"GZIP" + data, "t")
