@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -50,7 +51,12 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--buckets", type=int, default=16)
             s.add_argument("--epoch-width", type=int, default=100_000)
         if name == "bootstrap":
-            s.add_argument("--pages", required=True, help="pages snapshot parquet")
+            s.add_argument("--pages", required=False,
+                           help="pages snapshot parquet (file or shard dir)")
+            s.add_argument("--warc-dir", required=False,
+                           help="bootstrap straight from a WARC archive "
+                                "dir (crawl on-ramp: parse + tag-strip + "
+                                "snapshot, then bootstrap)")
         if name in ("bootstrap", "run"):
             s.add_argument("--epoch-bytes", type=int, default=None,
                            help="size-based epoch planning target (bytes)")
@@ -712,7 +718,19 @@ def main(argv: list[str] | None = None) -> int:
             cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
                                epoch_bytes=args.epoch_bytes)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
-            m = eng.bootstrap(args.pages)
+            pages = args.pages
+            if args.warc_dir:
+                if pages:
+                    raise SystemExit("bootstrap: pass --pages OR --warc-dir")
+                from .sources.warc import warc_to_pages
+
+                pages = warc_to_pages(
+                    args.warc_dir,
+                    os.path.join(args.lake_dir, "_snapshot_from_warc"),
+                )
+            elif not pages:
+                raise SystemExit("bootstrap: pass --pages or --warc-dir")
+            m = eng.bootstrap(pages)
             print(json.dumps({"epoch": m.epoch, "rows": sum(s.rows for s in m.buckets.values())}))
         elif args.cmd == "run":
             cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,

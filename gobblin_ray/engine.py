@@ -406,8 +406,20 @@ class CdcEngine:
         if self.store.is_applied(0):
             return self.store.load(0)
 
+        # pages_path may be one parquet file or a sharded directory (the
+        # WARC on-ramp writes a distributed dir); read_schema wants a file
+        schema_file = pages_path
+        if os.path.isdir(pages_path):
+            shards = sorted(
+                f for f in os.listdir(pages_path) if f.endswith(".parquet")
+            )
+            if not shards:
+                raise FileNotFoundError(
+                    f"no .parquet shards in snapshot dir {pages_path!r}"
+                )
+            schema_file = os.path.join(pages_path, shards[0])
         base_schema = unify_additive(
-            pq.read_schema(pages_path),
+            pq.read_schema(schema_file),
             pa.schema([("event_seq", pa.int64()), ("is_deleted", pa.bool_())]),
         )
         lake_dir, B, schema = self.lake_dir, self.cfg.num_buckets, base_schema

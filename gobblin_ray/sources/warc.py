@@ -136,3 +136,42 @@ def read_warc(paths, record_type: str | None = "response",
     parse.__name__ = "parse_warc"
     return rd.read_binary_files(paths, include_paths=True, **read_kw) \
         .map_batches(parse, batch_format="pyarrow", batch_size=None)
+
+
+def warc_to_pages(warc_dir: str, out_path: str) -> str:
+    """Shape a WARC archive into the engine's pages-snapshot schema
+    ``(url, warc_ts timestamp[us], html binary, text string, lang
+    string)`` and write it as the bootstrap parquet — the crawl→lake
+    on-ramp (Gobblin's source→converter→writer job shape: FileBasedSource
+    listing + format extractor + ParquetHdfsDataWriter). ``html`` keeps
+    the raw payload bytes; ``text`` is the tag-stripped utf-8 view
+    (functions/text.strip_html); ``lang`` is left null for the langid
+    stage downstream. Duplicate urls inside the archive are fine — the
+    engine's bootstrap LWW-reduces the snapshot.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.text import strip_html
+
+    ds = read_warc(warc_dir, record_type="response", payload_as="binary")
+
+    extract = strip_html("_raw", out="text")
+
+    def shape(t: pa.Table) -> pa.Table:
+        ts = pc.strptime(
+            pc.replace_substring_regex(
+                t.column("warc_date"), pattern=r"Z$", replacement=""),
+            format="%Y-%m-%dT%H:%M:%S", unit="us",
+        )
+        out = pa.table({
+            "url": t.column("url"),
+            "warc_ts": ts,
+            "html": t.column("payload"),
+            "_raw": t.column("payload").cast(pa.string()),
+            "lang": pa.nulls(t.num_rows, pa.string()),
+        })
+        return extract(out).drop_columns(["_raw"])
+
+    ds.map_batches(shape, batch_format="pyarrow", batch_size=None) \
+        .write_parquet(out_path)
+    return out_path

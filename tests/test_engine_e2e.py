@@ -1744,3 +1744,37 @@ def test_repair_comparability_guards():
         _check_comparable(mk(), mk(high=99))
     with pytest.raises(ValueError, match="identical current base schemas"):
         _check_comparable(mk(), mk(ipc=other))
+
+
+def test_bootstrap_from_warc_archive(ray_session, tmp_path_factory):
+    """Crawl on-ramp: a lake bootstrapped straight from a WARC archive
+    (parse responses by Content-Length, tag-strip, snapshot, bootstrap)
+    serves exactly the archive's pages — urls complete, text equal to
+    the whitespace-collapsed payloads, lang null, and the snapshot dir
+    readable as a sharded directory."""
+    import re as _re
+
+    import pyarrow.parquet as pq
+
+    from gobblin_ray.fixtures import planted_warc
+    from gobblin_ray.sources.warc import warc_to_pages
+
+    warc_dir, sidecar = planted_warc()
+    lake = str(tmp_path_factory.mktemp("warc_lake"))
+    snap = warc_to_pages(warc_dir, os.path.join(lake, "_snapshot"))
+    assert os.path.isdir(snap)  # sharded dir, not one file
+
+    eng = CdcEngine(lake, None,
+                    EngineConfig(num_buckets=4, epoch_width=1000))
+    m = eng.bootstrap(snap)
+    assert m.epoch == 0
+
+    got = {r["url"]: r for r in eng.read_table().take_all()}
+    side = pq.read_table(sidecar).to_pylist()
+    assert len(got) == len(side) == 120
+    for want in side:
+        row = got[want["url"]]
+        collapsed = _re.sub(r"\s+", " ", want["text"]).strip()
+        assert row["text"] == collapsed
+        assert row["lang"] is None
+        assert row["html"] == want["text"].encode()
