@@ -237,6 +237,25 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("name")
 
     sp = sub.add_parser(
+        "update", help="in-place UPDATE ... WHERE DML (Delta UpdateCommand "
+        "analog): set constant column values on rows matching a simple "
+        "predicate; LWW identity protected, constraints enforced, only "
+        "matched buckets rewritten. The general computed-assignment form "
+        "is the engine API CdcEngine.update_where."
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--set", nargs=2, action="append", metavar=("COL", "VALUE"),
+                    required=True, help="column + constant (repeatable); "
+                    "VALUE casts to the column type, 'null' sets NULL")
+    wg = sp.add_mutually_exclusive_group(required=True)
+    wg.add_argument("--where-null", metavar="COL",
+                    help="match rows where COL IS NULL")
+    wg.add_argument("--where-equals", nargs=2, metavar=("COL", "VALUE"),
+                    help="match rows where COL = VALUE (cast to col type)")
+    wg.add_argument("--where-contains", nargs=2, metavar=("COL", "SUBSTR"),
+                    help="match rows where string COL contains SUBSTR")
+
+    sp = sub.add_parser(
         "purge", help="compliance purge (gobblin-compliance purger analog): "
         "remove every row for the given keys from the lake — live rows, "
         "tombstones and, by default, all older manifests/files, so time "
@@ -783,6 +802,35 @@ def main(argv: list[str] | None = None) -> int:
                 "schema": [f.name for f in m.base_schema()],
                 "column_renames": m.column_renames,
             }))
+        elif args.cmd == "update":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            eng = CdcEngine(args.lake_dir, None, EngineConfig())
+
+            def predicate(t: pa.Table):
+                if args.where_null:
+                    return pc.is_null(t.column(args.where_null))
+                if args.where_equals:
+                    col, val = args.where_equals
+                    c = t.column(col)
+                    return pc.equal(
+                        c, pa.scalar(val, pa.string()).cast(c.type))
+                col, sub = args.where_contains
+                return pc.match_substring(t.column(col), sub)
+
+            sets = list(args.set)
+
+            def assign(matched: pa.Table) -> dict:
+                out = {}
+                for col, val in sets:
+                    ftype = matched.schema.field(col).type
+                    v = None if val == "null" else val
+                    out[col] = pa.array([v] * matched.num_rows,
+                                        pa.string()).cast(ftype)
+                return out
+
+            print(json.dumps(eng.update_where(predicate, assign)))
         elif args.cmd == "purge":
             keys = list(args.url)
             if args.keys_file:

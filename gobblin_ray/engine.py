@@ -1802,6 +1802,179 @@ class CdcEngine:
                 "source_rows": t.num_rows, "redriven": report.events,
                 "still_diverted": report.errors, "unreplayable": unreplayable}
 
+    def update_where(self, predicate, assign,
+                     assign_columns: list[str] | None = None) -> dict:
+        """In-place UPDATE ... WHERE DML over the lake — the Delta Lake
+        UpdateCommand / Iceberg copy-on-write UPDATE analog, and the
+        maintenance-side complement of the CDC ingest path (backfill a
+        derived column, fix a bad load, enrich rows computed from their
+        own content — e.g. language-ID over a WARC-bootstrapped lake
+        whose ``lang`` is null).
+
+        ``predicate``: ``pa.Table -> BooleanArray`` over the bucket's
+        merged LIVE rows (tombstones are never updated — they carry only
+        LWW identity). ``assign``: ``pa.Table (matched rows) -> dict[col,
+        pa.Array]`` of replacement values, vectorized. Identity columns
+        (url / warc_ts / event_seq / is_deleted) are protected: an
+        update must NOT move a row's LWW position — later CDC events win
+        or lose against an updated row exactly as before, and replay
+        (``high_seq``) is untouched. Table constraints are enforced
+        Delta-style: any violating assignment fails the WHOLE command
+        before promote (an interactive DML is not a draining feed — the
+        quarantine posture is wrong here, contrast constraints.py).
+
+        Scale shape: one merge+filter+rewrite task per bucket, but only
+        buckets with >= 1 matched row stage a new base (an update also
+        folds their outstanding deltas — same compaction side effect as
+        purge); untouched buckets keep their files. Driver state is
+        O(buckets) lineage. Takes the job lock.
+        """
+        import ray.data as rd
+
+        from .constraints import _ok_mask
+        from .locks import FileJobLock
+        from .merge import merge_bases
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("update_where needs a bootstrapped lake")
+            file_map = self.bucket_file_map(m)
+            specs = [{"bucket": b, "files": fs}
+                     for b, fs in sorted(file_map.items()) if fs]
+            epoch = m.epoch + 1
+            schema = m.base_schema()
+            lake_dir = self.lake_dir
+            ren = dict(m.column_renames)
+            cons = dict(m.constraints)
+            protected = self._PROTECTED_COLUMNS
+
+            def update_bucket(batch: pa.Table) -> pa.Table:
+                rows = []
+                for spec in batch.to_pylist():
+                    bucket = int(spec["bucket"])
+                    t = merge_bases(
+                        [apply_renames(pq.read_table(p), ren)
+                         for p in spec["files"]], schema
+                    )
+                    t = conform(t, schema)
+                    live = pc.invert(
+                        pc.fill_null(t.column("is_deleted"), False))
+                    hit = pc.fill_null(pc.cast(predicate(t), pa.bool_()),
+                                       False)
+                    mask = pc.and_(hit, live)
+                    if isinstance(mask, pa.ChunkedArray):
+                        mask = mask.combine_chunks()
+                    n_hit = int(pc.sum(pc.cast(mask, pa.int64())).as_py())
+                    if n_hit == 0:
+                        rows.append({"bucket": bucket, "rows": t.num_rows,
+                                     "updated": 0})
+                        continue
+                    matched = t.filter(mask)
+                    new_vals = assign(matched)
+                    out = t
+                    for col, arr in new_vals.items():
+                        if col in protected:
+                            raise ValueError(
+                                f"update_where: {col!r} is an LWW-identity "
+                                "column — updating it would move rows' "
+                                "replay position; write CDC events instead"
+                            )
+                        if col not in out.column_names:
+                            raise ValueError(
+                                f"update_where: unknown column {col!r}")
+                        idx = out.schema.get_field_index(col)
+                        field_t = out.schema.field(col).type
+                        def one_chunk(x, typ):
+                            # ChunkedArray.combine_chunks returns an
+                            # Array on this pyarrow; normalize either way
+                            if isinstance(x, pa.ChunkedArray):
+                                x = x.combine_chunks()
+                            if isinstance(x, pa.ChunkedArray):
+                                x = (x.chunk(0) if x.num_chunks
+                                     else pa.array([], typ))
+                            return x
+
+                        arr = one_chunk(arr, field_t).cast(field_t)
+                        if len(arr) != n_hit:
+                            raise ValueError(
+                                f"update_where: assign returned {len(arr)} "
+                                f"values for {n_hit} matched rows ({col})"
+                            )
+                        base = one_chunk(out.column(col), field_t)
+                        repl = pc.replace_with_mask(base, mask, arr)
+                        out = out.set_column(idx, col, repl)
+                    # Delta-style constraint enforcement on the rows the
+                    # DML produced (only matched rows can newly violate)
+                    upd = out.filter(mask)
+                    for name, spec_c in cons.items():
+                        ok = _ok_mask(spec_c, upd)
+                        if not bool(np.all(ok)):
+                            raise ValueError(
+                                f"update_where violates constraint "
+                                f"{name!r} ({spec_c}) on "
+                                f"{int((~ok).sum())} rows — command "
+                                "aborted, nothing promoted"
+                            )
+                    ckpt.atomic_write_table(
+                        out.sort_by([("url", "ascending")]),
+                        ckpt.staging_path(lake_dir, epoch, bucket),
+                    )
+                    rows.append({"bucket": bucket, "rows": out.num_rows,
+                                 "updated": n_hit})
+                return pa.Table.from_pylist(
+                    rows,
+                    schema=pa.schema([
+                        ("bucket", pa.int32()), ("rows", pa.int64()),
+                        ("updated", pa.int64()),
+                    ]),
+                )
+
+            update_bucket.__name__ = "update_bucket"
+            lineage = (
+                rd.from_items(specs)
+                .map_batches(update_bucket, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all()
+            )  # O(buckets) rows
+            touched = [int(r["bucket"]) for r in lineage if r["updated"]]
+            total = sum(int(r["updated"]) for r in lineage)
+            if not touched:
+                return {"epoch": m.epoch, "updated": 0, "buckets": 0}
+            ckpt.promote(lake_dir, epoch, touched)
+            manifest = Manifest(
+                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                bucket_hash=m.bucket_hash,
+                column_renames=dict(m.column_renames),
+                constraints=dict(m.constraints),
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = s
+            for r in lineage:
+                b = int(r["bucket"])
+                if not int(r["updated"]):
+                    continue
+                old = m.buckets[b]
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
+                    rows=int(r["rows"]),
+                    events_applied=old.events_applied, events_epoch=0,
+                )
+            manifest.metrics["updated_rows"] = (
+                int(manifest.metrics.get("updated_rows", 0)) + total
+            )
+            self.store.commit(manifest)
+            self.metrics.inc("dml_updated_rows", total)
+            self.metrics.submit_event(
+                "UpdateWhere", epoch=epoch, updated=total,
+                buckets=len(touched),
+            )
+            return {"epoch": epoch, "updated": total,
+                    "buckets": len(touched)}
+
     def purge_keys(self, urls: list[str], drop_history: bool = True) -> dict:
         """Compliance purge — GDPR right-to-be-forgotten over the lake
         (reference analog: gobblin-modules/gobblin-compliance purger;

@@ -1778,3 +1778,69 @@ def test_bootstrap_from_warc_archive(ray_session, tmp_path_factory):
         assert row["text"] == collapsed
         assert row["lang"] is None
         assert row["html"] == want["text"].encode()
+
+
+def test_update_where_dml(ray_session, corpus, oracle_df, tmp_path_factory):
+    """UPDATE ... WHERE: matched live rows get the computed assignment,
+    unmatched rows and tombstones are untouched, LWW identity
+    (warc_ts/event_seq) and high_seq are preserved, identity columns are
+    protected, a constraint violation aborts the whole command, and a
+    no-match update commits nothing."""
+    import pyarrow.compute as pc
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("upd_lake"))
+    eng = replay(d, lake)
+    m0 = eng.store.latest()
+
+    def predicate(t):
+        return pc.match_substring(t.column("text"), "spark")
+
+    def assign(matched):
+        # computed from the rows' own content: lang tagged by length
+        ln = pc.utf8_length(matched.column("text"))
+        return {"lang": pc.if_else(pc.greater(ln, 50),
+                                   pa.scalar("xx-long"),
+                                   pa.scalar("xx-short"))}
+
+    rep = eng.update_where(predicate, assign)
+    assert rep["updated"] > 0
+    m1 = eng.store.latest()
+    assert m1.epoch == m0.epoch + 1 and m1.high_seq == m0.high_seq
+
+    got = {r["url"]: r for r in eng.read_table().take_all()}
+    want = oracle_df.set_index("url")
+    assert len(got) == len(want)
+    n_matched = 0
+    for url, row in got.items():
+        w = want.loc[url]
+        assert row["event_seq"] == w["event_seq"]   # LWW identity kept
+        if "spark" in w["text"]:
+            n_matched += 1
+            exp = "xx-long" if len(w["text"]) > 50 else "xx-short"
+            assert row["lang"] == exp
+        else:
+            assert row["lang"] == w["lang"]
+    assert n_matched == rep["updated"]
+
+    # identity columns protected
+    import pytest
+    with pytest.raises(Exception, match="LWW-identity"):
+        eng.update_where(predicate, lambda t: {
+            "event_seq": pa.array([0] * t.num_rows, pa.int64())})
+
+    # constraint enforcement aborts the whole DML before promote
+    eng.add_constraint("langset", {"kind": "in_set", "column": "lang",
+                                   "values": ["en", "es", "de", "fr", "zh",
+                                              "xx-long", "xx-short"]})
+    ep_before = eng.store.latest().epoch
+    with pytest.raises(Exception, match="constraint"):
+        eng.update_where(predicate, lambda t: {
+            "lang": pa.array(["forbidden"] * t.num_rows, pa.string())})
+    assert eng.store.latest().epoch == ep_before  # nothing promoted
+
+    # no-match predicate: no epoch committed
+    rep2 = eng.update_where(
+        lambda t: pc.match_substring(t.column("text"), "zzz-never"),
+        assign)
+    assert rep2 == {"epoch": ep_before, "updated": 0, "buckets": 0}
