@@ -256,6 +256,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="match rows where string COL contains SUBSTR")
 
     sp = sub.add_parser(
+        "delete", help="in-place DELETE ... WHERE DML (Delta DeleteCommand "
+        "analog; purge is the by-key compliance variant): drop live rows "
+        "matching a simple predicate; watermark unchanged, later events "
+        "re-insert, older manifests keep the rows until vacuum."
+    )
+    sp.add_argument("lake_dir")
+    wg = sp.add_mutually_exclusive_group(required=True)
+    wg.add_argument("--where-null", metavar="COL")
+    wg.add_argument("--where-equals", nargs=2, metavar=("COL", "VALUE"))
+    wg.add_argument("--where-contains", nargs=2, metavar=("COL", "SUBSTR"))
+
+    sp = sub.add_parser(
         "purge", help="compliance purge (gobblin-compliance purger analog): "
         "remove every row for the given keys from the lake — live rows, "
         "tombstones and, by default, all older manifests/files, so time "
@@ -831,6 +843,24 @@ def main(argv: list[str] | None = None) -> int:
                 return out
 
             print(json.dumps(eng.update_where(predicate, assign)))
+        elif args.cmd == "delete":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            eng = CdcEngine(args.lake_dir, None, EngineConfig())
+
+            def predicate(t: pa.Table):
+                if args.where_null:
+                    return pc.is_null(t.column(args.where_null))
+                if args.where_equals:
+                    col, val = args.where_equals
+                    c = t.column(col)
+                    return pc.equal(
+                        c, pa.scalar(val, pa.string()).cast(c.type))
+                col, sub = args.where_contains
+                return pc.match_substring(t.column(col), sub)
+
+            print(json.dumps(eng.delete_where(predicate)))
         elif args.cmd == "purge":
             keys = list(args.url)
             if args.keys_file:

@@ -1975,6 +1975,117 @@ class CdcEngine:
             return {"epoch": epoch, "updated": total,
                     "buckets": len(touched)}
 
+    def delete_where(self, predicate) -> dict:
+        """In-place DELETE ... WHERE DML — the predicate-form sibling of
+        ``update_where`` (Delta DeleteCommand analog; ``purge_keys`` is
+        the by-key compliance variant that also drops history).
+
+        Matched LIVE rows are removed from the bucket's fresh base
+        (tombstones and unmatched rows are kept; outstanding deltas fold
+        in, same compaction side effect as purge). The watermark is
+        unchanged — replay-suppressed events stay suppressed, and LATER
+        events for a deleted url legitimately re-insert it
+        (delete-as-of-now semantics, exactly purge's posture). Older
+        manifests keep the rows for time travel until vacuum. Only
+        buckets with >= 1 match are rewritten; O(buckets) driver state;
+        takes the job lock.
+        """
+        import ray.data as rd
+
+        from .locks import FileJobLock
+        from .merge import merge_bases
+
+        with FileJobLock(os.path.join(self.lake_dir, "_locks")):
+            m = self.store.latest()
+            if m is None:
+                raise ValueError("delete_where needs a bootstrapped lake")
+            file_map = self.bucket_file_map(m)
+            specs = [{"bucket": b, "files": fs}
+                     for b, fs in sorted(file_map.items()) if fs]
+            epoch = m.epoch + 1
+            schema = m.base_schema()
+            lake_dir = self.lake_dir
+            ren = dict(m.column_renames)
+
+            def delete_bucket(batch: pa.Table) -> pa.Table:
+                rows = []
+                for spec in batch.to_pylist():
+                    bucket = int(spec["bucket"])
+                    t = merge_bases(
+                        [apply_renames(pq.read_table(p), ren)
+                         for p in spec["files"]], schema
+                    )
+                    t = conform(t, schema)
+                    live = pc.invert(
+                        pc.fill_null(t.column("is_deleted"), False))
+                    hit = pc.fill_null(pc.cast(predicate(t), pa.bool_()),
+                                       False)
+                    mask = pc.and_(hit, live)
+                    n_hit = int(pc.sum(pc.cast(mask, pa.int64())).as_py())
+                    if n_hit == 0:
+                        rows.append({"bucket": bucket, "rows": t.num_rows,
+                                     "deleted": 0})
+                        continue
+                    kept = t.filter(pc.invert(mask))
+                    ckpt.atomic_write_table(
+                        kept.sort_by([("url", "ascending")]),
+                        ckpt.staging_path(lake_dir, epoch, bucket),
+                    )
+                    rows.append({"bucket": bucket, "rows": kept.num_rows,
+                                 "deleted": n_hit})
+                return pa.Table.from_pylist(
+                    rows,
+                    schema=pa.schema([
+                        ("bucket", pa.int32()), ("rows", pa.int64()),
+                        ("deleted", pa.int64()),
+                    ]),
+                )
+
+            delete_bucket.__name__ = "delete_bucket"
+            lineage = (
+                rd.from_items(specs)
+                .map_batches(delete_bucket, batch_format="pyarrow",
+                             batch_size=1)
+                .take_all()
+            )
+            touched = [int(r["bucket"]) for r in lineage if r["deleted"]]
+            total = sum(int(r["deleted"]) for r in lineage)
+            if not touched:
+                return {"epoch": m.epoch, "deleted": 0, "buckets": 0}
+            ckpt.promote(lake_dir, epoch, touched)
+            manifest = Manifest(
+                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+                num_buckets=m.num_buckets,
+                schema_fingerprint=m.schema_fingerprint,
+                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+                bucket_hash=m.bucket_hash,
+                column_renames=dict(m.column_renames),
+                constraints=dict(m.constraints),
+            )
+            for b, s in m.buckets.items():
+                manifest.buckets[b] = s
+            for r in lineage:
+                b = int(r["bucket"])
+                if not int(r["deleted"]):
+                    continue
+                old = m.buckets[b]
+                manifest.buckets[b] = BucketState(
+                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
+                    rows=int(r["rows"]),
+                    events_applied=old.events_applied, events_epoch=0,
+                )
+            manifest.metrics["dml_deleted_rows"] = (
+                int(manifest.metrics.get("dml_deleted_rows", 0)) + total
+            )
+            self.store.commit(manifest)
+            self.metrics.inc("dml_deleted_rows", total)
+            self.metrics.submit_event(
+                "DeleteWhere", epoch=epoch, deleted=total,
+                buckets=len(touched),
+            )
+            return {"epoch": epoch, "deleted": total,
+                    "buckets": len(touched)}
+
     def purge_keys(self, urls: list[str], drop_history: bool = True) -> dict:
         """Compliance purge — GDPR right-to-be-forgotten over the lake
         (reference analog: gobblin-modules/gobblin-compliance purger;

@@ -1844,3 +1844,36 @@ def test_update_where_dml(ray_session, corpus, oracle_df, tmp_path_factory):
         lambda t: pc.match_substring(t.column("text"), "zzz-never"),
         assign)
     assert rep2 == {"epoch": ep_before, "updated": 0, "buckets": 0}
+
+
+def test_delete_where_dml(ray_session, corpus, oracle_df, tmp_path_factory):
+    """DELETE ... WHERE drops exactly the matched live rows, keeps the
+    watermark, leaves unmatched rows byte-identical, no-ops when nothing
+    matches, and time travel still sees the rows in the prior manifest."""
+    import pyarrow.compute as pc
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("del_lake"))
+    eng = replay(d, lake)
+    m0 = eng.store.latest()
+
+    rep = eng.delete_where(
+        lambda t: pc.match_substring(t.column("text"), "spark"))
+    assert rep["deleted"] > 0
+    m1 = eng.store.latest()
+    assert m1.epoch == m0.epoch + 1 and m1.high_seq == m0.high_seq
+
+    got = {r["url"]: r for r in eng.read_table().take_all()}
+    keep = oracle_df[~oracle_df["text"].str.contains("spark")]
+    assert set(got) == set(keep["url"])
+    assert len(oracle_df) - len(keep) == rep["deleted"]
+    for row in keep.itertuples(index=False):
+        assert got[row.url]["event_seq"] == row.event_seq
+
+    # time travel: the pre-delete manifest still serves the full table
+    before = eng.read_table(manifest=m0).take_all()
+    assert len(before) == len(oracle_df)
+
+    rep2 = eng.delete_where(
+        lambda t: pc.match_substring(t.column("text"), "zzz-never"))
+    assert rep2 == {"epoch": m1.epoch, "deleted": 0, "buckets": 0}
