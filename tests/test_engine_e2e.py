@@ -1877,3 +1877,34 @@ def test_delete_where_dml(ray_session, corpus, oracle_df, tmp_path_factory):
     rep2 = eng.delete_where(
         lambda t: pc.match_substring(t.column("text"), "zzz-never"))
     assert rep2 == {"epoch": m1.epoch, "deleted": 0, "buckets": 0}
+
+
+def test_view_refresh_after_dml(ray_session, corpus, tmp_path_factory):
+    """Incremental materialized views fold DML epochs too: update_where /
+    delete_where commit no CDC events, but the view's change feed is the
+    manifest snapshot diff — a refresh after DML must converge to the
+    same state a full recompute gives."""
+    import pyarrow.compute as pc
+
+    from gobblin_ray.views import create_view, read_view, refresh_view
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("view_dml_lake"))
+    eng = replay(d, lake)
+    create_view(eng, "hostcounts", "count_sum_by_host")
+    base = {r["grp"]: (r["n_live"], r["sum_seq"])
+            for r in read_view(lake, "hostcounts").to_pylist()}
+    assert base
+
+    # DELETE a slice, then refresh: incremental fold must equal recompute
+    eng.delete_where(
+        lambda t: pc.match_substring(t.column("text"), "spark"))
+    rep = refresh_view(eng, "hostcounts")
+    assert rep["refreshed"] and rep["folded_to"] == eng.store.latest().epoch
+    inc = {r["grp"]: (r["n_live"], r["sum_seq"])
+           for r in read_view(lake, "hostcounts").to_pylist()}
+    rep2 = refresh_view(eng, "hostcounts", recompute=True)
+    full = {r["grp"]: (r["n_live"], r["sum_seq"])
+            for r in read_view(lake, "hostcounts").to_pylist()}
+    assert inc == full
+    assert inc != base  # the delete actually moved counts
