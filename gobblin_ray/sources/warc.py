@@ -175,3 +175,55 @@ def warc_to_pages(warc_dir: str, out_path: str) -> str:
     ds.map_batches(shape, batch_format="pyarrow", batch_size=None) \
         .write_parquet(out_path)
     return out_path
+
+
+def write_warc(ds, out_dir: str, url_col: str = "url",
+               date_col: str = "warc_date", payload_col: str = "payload",
+               warc_type: str = "response"):
+    """WARC export sink — the corpus-interchange complement of
+    ``read_warc`` (ship a cleaned/deduped text corpus back out in the
+    crawl world's container format). One ``.warc`` file per block,
+    streamed by the workers (no driver materialization), with
+    content-fingerprint file names so a retried task overwrites its own
+    output idempotently (the same naming rule as the parquet sink).
+    Returns a lineage Dataset ``(path, records, bytes)`` — consume it to
+    drive the write. Null payloads write as empty records; ``date_col``
+    values must already be WARC-style ISO8601 strings.
+    """
+    import hashlib
+    import os
+
+    def write_block(t: pa.Table) -> pa.Table:
+        urls = t.column(url_col).to_pylist()
+        dates = t.column(date_col).to_pylist()
+        pay = t.column(payload_col).to_pylist()
+        frames = []
+        for u, d, p in zip(urls, dates, pay):
+            if p is None:
+                p = b""
+            elif isinstance(p, str):
+                p = p.encode()
+            h = [b"WARC/1.0", b"WARC-Type: " + warc_type.encode()]
+            if u is not None:
+                h.append(b"WARC-Target-URI: " + u.encode())
+            if d is not None:
+                h.append(b"WARC-Date: " + d.encode())
+            h.append(b"Content-Length: " + str(len(p)).encode())
+            frames.append(b"\r\n".join(h) + b"\r\n\r\n" + p + b"\r\n\r\n")
+        data = b"".join(frames)
+        name = f"part-{hashlib.sha256(data).hexdigest()[:16]}.warc"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        os.replace(tmp, path)
+        return pa.table({
+            "path": pa.array([path], pa.string()),
+            "records": pa.array([t.num_rows], pa.int64()),
+            "bytes": pa.array([len(data)], pa.int64()),
+        })
+
+    write_block.__name__ = "write_warc_block"
+    os.makedirs(out_dir, exist_ok=True)
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None)

@@ -1525,3 +1525,32 @@ def test_warc_parser_format_edges(ray_session):
         parse_warc_bytes(data[:-3], "t")
     with pytest.raises(ValueError, match="record magic"):
         parse_warc_bytes(b"GZIP" + data, "t")
+
+
+def test_warc_write_read_roundtrip(ray_session, tmp_path):
+    """write_warc -> read_warc round-trips records exactly, including
+    empty payloads, CRLF-bearing payloads, and payloads embedding the
+    record magic."""
+    import ray.data as rd
+
+    from gobblin_ray.sources.warc import read_warc, write_warc
+
+    rows = [
+        {"url": f"https://x.example/{i}",
+         "warc_date": f"2026-03-{i + 1:02d}T00:00:00Z",
+         "payload": p}
+        for i, p in enumerate([
+            "plain body", "", "has\r\nCRLF and\r\n\r\nblank",
+            "embeds WARC/1.0\r\n magic", "unicode ünïcødé",
+        ])
+    ]
+    out = str(tmp_path / "out_warc")
+    lineage = write_warc(rd.from_items(rows), out,
+                         payload_col="payload").take_all()
+    assert sum(r["records"] for r in lineage) == len(rows)
+
+    back = read_warc(out, record_type="response",
+                     payload_as="text").take_all()
+    got = {(r["url"], r["warc_date"], r["payload"]) for r in back}
+    want = {(r["url"], r["warc_date"], r["payload"]) for r in rows}
+    assert got == want
