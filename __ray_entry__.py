@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_ffill_events": demo.resample_ffill_events,
         # per-user event-type transition matrix (Markov / clickstream)
         "transition_counts_events": demo.transition_counts_events,
+        # 2-D Z-order LAYOUT stats (Morton interleave -> equal-width
+        # z-range files with BOTH-axis zone maps; pruned read in pytest;
+        # zorder_cluster_events above is the per-row z-KEY variant)
+        "zorder_layout_events": demo.zorder_layout_events,
         # CDC feed-integrity audit (planted seq gaps + duplicate bursts;
         # bounded seq-window exchange, O(windows) driver stitch)
         "feed_audit_integrity": demo.feed_audit_integrity,
@@ -620,6 +624,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, text
             FROM read_parquet(
                 '/tmp/gobblin_ray_fixtures/planted_warc_oracle.parquet')
+        """,
+        # Z-order: the oracle replays the exact linear-quantization
+        # float64 expression and the UNROLLED Morton bit-interleave, so
+        # per-file counts and both-axis zone maps match bit-for-bit.
+        "zorder_layout_events": """
+            WITH src AS (
+                SELECT CAST(value AS DOUBLE) AS x,
+                       CAST(user_id AS DOUBLE) AS y
+                FROM events
+                WHERE value IS NOT NULL AND NOT isnan(value)
+                  AND user_id IS NOT NULL
+            ),
+            mm AS (SELECT min(x) xmin, max(x) xmax,
+                          min(y) ymin, max(y) ymax FROM src),
+            q AS (
+                SELECT x, y,
+                    CAST(least(floor((x - xmin) * 256.0 /
+                        (CASE WHEN xmax = xmin THEN 1.0
+                              ELSE xmax - xmin END)), 255.0)
+                        AS BIGINT) AS xq,
+                    CAST(least(floor((y - ymin) * 256.0 /
+                        (CASE WHEN ymax = ymin THEN 1.0
+                              ELSE ymax - ymin END)), 255.0)
+                        AS BIGINT) AS yq
+                FROM src, mm
+            ),
+            z AS (SELECT x, y,
+                  (((xq >> 0) & 1) * 1 + ((yq >> 0) & 1) * 2
+                    + ((xq >> 1) & 1) * 4 + ((yq >> 1) & 1) * 8
+                    + ((xq >> 2) & 1) * 16 + ((yq >> 2) & 1) * 32
+                    + ((xq >> 3) & 1) * 64 + ((yq >> 3) & 1) * 128
+                    + ((xq >> 4) & 1) * 256 + ((yq >> 4) & 1) * 512
+                    + ((xq >> 5) & 1) * 1024 + ((yq >> 5) & 1) * 2048
+                    + ((xq >> 6) & 1) * 4096 + ((yq >> 6) & 1) * 8192
+                    + ((xq >> 7) & 1) * 16384 + ((yq >> 7) & 1) * 32768) AS zc
+                  FROM q)
+            SELECT zc >> 12 AS file_id, CAST(count(*) AS BIGINT) AS n_rows,
+                   min(x) AS x_min, max(x) AS x_max,
+                   min(y) AS y_min, max(y) AS y_max
+            FROM z GROUP BY 1
         """,
         # Transition matrix: the SQL lag window over the same total order
         # (ts, event_id) — the engine's per-partition shift-compare +

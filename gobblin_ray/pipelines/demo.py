@@ -3787,3 +3787,33 @@ def warc_source_pages(sf_dir: str):
         })
 
     return ds.map_batches(shape, batch_format="pyarrow", batch_size=None)
+
+
+def zorder_layout_events(sf_dir: str):
+    """2-D Z-order clustering of events on (value, user_id)
+    (stages/sorts.zorder_export): linear 8-bit axis quantization ->
+    Morton interleave -> 16 equal-width z-range files with BOTH axes'
+    zone maps. Returns the O(files) stats manifest; the oracle replays
+    the exact quantization floats and the unrolled bit-interleave in
+    SQL, so every file's row count and two-axis min/max must match
+    bit-for-bit. The pruned read (either-axis predicate opens a strict
+    subset of files) is exercised by the pytest."""
+    import shutil
+
+    from ..stages.sorts import zorder_export
+
+    ds = read_table(sf_dir, "events", columns=["value", "user_id"])
+    out_dir = "/tmp/gobblin_ray_fixtures/zorder_export_events"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    stats = zorder_export(ds, "value", "user_id", out_dir, num_files=16)
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "file_id": t.column("file_id"),
+            "n_rows": t.column("rows"),
+            "x_min": t.column("x_min"), "x_max": t.column("x_max"),
+            "y_min": t.column("y_min"), "y_max": t.column("y_max"),
+        })
+
+    return stats.map_batches(shape, batch_format="pyarrow",
+                             batch_size=None)

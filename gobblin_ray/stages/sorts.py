@@ -395,3 +395,144 @@ def weighted_sample_topk(ds, id_col: str, weight_col: str, k: int):
     keyed = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
     out = top_k(keyed, k, by=["_skey", id_col], descending=[True, False])
     return out.drop_columns(["_skey"])
+
+
+def _morton16(xq: "np.ndarray", yq: "np.ndarray") -> "np.ndarray":
+    """Interleave two 8-bit quantized axes into a 16-bit Morton (Z-order)
+    code, fully vectorized (classic bit-spread)."""
+    import numpy as np
+
+    def spread(v):
+        v = v.astype(np.uint32)
+        v = (v | (v << 4)) & np.uint32(0x0F0F)
+        v = (v | (v << 2)) & np.uint32(0x3333)
+        v = (v | (v << 1)) & np.uint32(0x5555)
+        return v
+
+    return (spread(xq) | (spread(yq) << np.uint32(1))).astype(np.int64)
+
+
+def zorder_export(ds, x_col: str, y_col: str, out_dir: str,
+                  num_files: int = 16):
+    """Two-dimensional Z-ORDER clustering + pruning-ready export — the
+    Delta/Iceberg ``OPTIMIZE ZORDER BY (x, y)`` layout primitive and the
+    2-D generalization of ``range_partitioned_export`` (which prunes on
+    ONE axis only): each axis is linearly quantized to 8 bits over its
+    global [min, max], the two codes interleave into a 16-bit Morton
+    code, rows co-locate by equal-width z-range (``z >> (16 -
+    log2(num_files))``), and each file carries min/max ZONE MAPS FOR
+    BOTH axes — so a predicate on EITHER column prunes files.
+
+    Determinism/SQL-parity: the quantization is the exact float64
+    expression ``least(floor((v - vmin) * 256 / (vmax - vmin)), 255)``
+    and the Morton interleave is a finite bit-op sum, so the whole
+    assignment replays bit-identically in DuckDB (the oracle does).
+    Linear quantization is the SQL-replayable default; heavily-skewed
+    axes want equi-frequency codes (swap in ``range_cut_points`` ranks —
+    same export path), documented trade-off. Null/NaN on either axis is
+    excluded (no cell). num_files must be a power of two <= 65536.
+
+    Returns the O(files) stats manifest as a Dataset: (file_id, rows,
+    x_min, x_max, y_min, y_max) plus the paths in ``_zorder.json``.
+    """
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Max, Min
+
+    if num_files & (num_files - 1) or not 1 <= num_files <= 1 << 16:
+        raise ValueError("num_files must be a power of two in [1, 65536]")
+    shift = 16 - int(np.log2(num_files))
+
+    def clean(t: pa.Table) -> pa.Table:
+        x = pc.cast(t.column(x_col), pa.float64())
+        y = pc.cast(t.column(y_col), pa.float64())
+        keep = pc.and_(
+            pc.and_(pc.is_valid(x), pc.invert(pc.is_nan(x))),
+            pc.and_(pc.is_valid(y), pc.invert(pc.is_nan(y))),
+        )
+        return pa.table({"x": x, "y": y}).filter(keep)
+
+    cleaned = ds.map_batches(clean, batch_format="pyarrow",
+                             batch_size=None)
+    stats = cleaned.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    xmin, xmax = float(stats["min(x)"]), float(stats["max(x)"])
+    ymin, ymax = float(stats["min(y)"]), float(stats["max(y)"])
+    xspan = (xmax - xmin) or 1.0
+    yspan = (ymax - ymin) or 1.0
+
+    def tag(t: pa.Table) -> pa.Table:
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        y = t.column("y").to_numpy(zero_copy_only=False)
+        xq = np.minimum(np.floor((x - xmin) * 256.0 / xspan), 255.0)
+        yq = np.minimum(np.floor((y - ymin) * 256.0 / yspan), 255.0)
+        z = _morton16(xq.astype(np.uint32), yq.astype(np.uint32))
+        return t.append_column("_z", pa.array(z)).append_column(
+            "file_id", pa.array(z >> shift))
+
+    def write_cell(t: pa.Table) -> pa.Table:
+        fid = int(t.column("file_id")[0].as_py())
+        body = t.sort_by([("_z", "ascending")])
+        path = os.path.join(out_dir, f"z-{fid:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(body.drop_columns(["_z", "file_id"]), tmp,
+                       compression="zstd")
+        os.replace(tmp, path)
+        x = body.column("x").to_numpy(zero_copy_only=False)
+        y = body.column("y").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "file_id": pa.array([fid], pa.int64()),
+            "path": pa.array([path], pa.string()),
+            "rows": pa.array([body.num_rows], pa.int64()),
+            "x_min": pa.array([float(x.min())], pa.float64()),
+            "x_max": pa.array([float(x.max())], pa.float64()),
+            "y_min": pa.array([float(y.min())], pa.float64()),
+            "y_max": pa.array([float(y.max())], pa.float64()),
+        })
+
+    write_cell.__name__ = "write_zorder_cell"
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = (
+        cleaned.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("file_id")
+        .map_groups(write_cell, batch_format="pyarrow")
+        .take_all()
+    )  # O(files) rows
+    manifest = sorted(manifest, key=lambda r: r["file_id"])
+    with open(os.path.join(out_dir, "_zorder.json"), "w") as fh:
+        json.dump({"x_col": x_col, "y_col": y_col, "num_files": num_files,
+                   "x_minmax": [xmin, xmax], "y_minmax": [ymin, ymax],
+                   "files": manifest}, fh)
+    import ray.data as rd
+
+    return rd.from_items(manifest)
+
+
+def read_zorder_pruned(out_dir: str, x_range=None, y_range=None):
+    """Zone-map file pruning over a ``zorder_export`` layout: open ONLY
+    the files whose per-file min/max intersects the given inclusive
+    range(s) on either or both axes — the read half that makes 2-D
+    clustering pay. Returns (dataset, files_opened, files_total); the
+    residual filter still applies (zone maps prune files, not rows)."""
+    import json
+    import os
+
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, "_zorder.json")) as fh:
+        meta = json.load(fh)
+    files = meta["files"]
+    picked = []
+    for f in files:
+        if x_range and (f["x_max"] < x_range[0] or f["x_min"] > x_range[1]):
+            continue
+        if y_range and (f["y_max"] < y_range[0] or f["y_min"] > y_range[1]):
+            continue
+        picked.append(f["path"])
+    if not picked:
+        return None, 0, len(files)
+    return rd.read_parquet(picked), len(picked), len(files)

@@ -2193,3 +2193,40 @@ def test_transition_counts_matches_bruteforce(ray_session):
     )
     want["n"] = want["n"].astype("int64")
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_zorder_pruned_read_both_axes(ray_session, tmp_path):
+    """Z-order pays on the read: a predicate on EITHER axis must open a
+    strict subset of files via the zone maps, and the pruned read plus
+    residual filter must return exactly the brute-force rows."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.sorts import read_zorder_pruned, zorder_export
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    df = pd.DataFrame({
+        "x": rng.uniform(0, 1000, n),
+        "y": rng.uniform(0, 1000, n),
+    })
+    out = str(tmp_path / "zorder")
+    stats = zorder_export(rd.from_pandas(df), "x", "y", out,
+                          num_files=16).take_all()
+    assert sum(r["rows"] for r in stats) == n
+
+    for axis, rng_q in (("x", (100.0, 200.0)), ("y", (850.0, 900.0))):
+        kw = {f"{axis}_range": rng_q}
+        ds, opened, total = read_zorder_pruned(out, **kw)
+        assert 0 < opened < total, f"no pruning on {axis}"
+        got = ds.to_pandas()
+        got = got[(got[axis] >= rng_q[0]) & (got[axis] <= rng_q[1])]
+        want = df[(df[axis] >= rng_q[0]) & (df[axis] <= rng_q[1])]
+        assert len(got) == len(want)
+        assert np.isclose(got[axis].sum(), want[axis].sum())
+
+    # both-axis predicate prunes at least as hard as either alone
+    ds, opened_xy, total = read_zorder_pruned(
+        out, x_range=(100.0, 200.0), y_range=(850.0, 900.0))
+    assert opened_xy < total
