@@ -32,6 +32,25 @@ def _ray_up(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _simple_predicate(args):
+    """Shared --where-null / --where-equals / --where-contains predicate
+    builder for the update/delete DML subcommands."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def predicate(t: pa.Table):
+        if args.where_null:
+            return pc.is_null(t.column(args.where_null))
+        if args.where_equals:
+            col, val = args.where_equals
+            c = t.column(col)
+            return pc.equal(c, pa.scalar(val, pa.string()).cast(c.type))
+        col, sub = args.where_contains
+        return pc.match_substring(t.column(col), sub)
+
+    return predicate
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gobblin_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -816,21 +835,9 @@ def main(argv: list[str] | None = None) -> int:
             }))
         elif args.cmd == "update":
             import pyarrow as pa
-            import pyarrow.compute as pc
 
             eng = CdcEngine(args.lake_dir, None, EngineConfig())
-
-            def predicate(t: pa.Table):
-                if args.where_null:
-                    return pc.is_null(t.column(args.where_null))
-                if args.where_equals:
-                    col, val = args.where_equals
-                    c = t.column(col)
-                    return pc.equal(
-                        c, pa.scalar(val, pa.string()).cast(c.type))
-                col, sub = args.where_contains
-                return pc.match_substring(t.column(col), sub)
-
+            predicate = _simple_predicate(args)
             sets = list(args.set)
 
             def assign(matched: pa.Table) -> dict:
@@ -844,23 +851,8 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(eng.update_where(predicate, assign)))
         elif args.cmd == "delete":
-            import pyarrow as pa
-            import pyarrow.compute as pc
-
             eng = CdcEngine(args.lake_dir, None, EngineConfig())
-
-            def predicate(t: pa.Table):
-                if args.where_null:
-                    return pc.is_null(t.column(args.where_null))
-                if args.where_equals:
-                    col, val = args.where_equals
-                    c = t.column(col)
-                    return pc.equal(
-                        c, pa.scalar(val, pa.string()).cast(c.type))
-                col, sub = args.where_contains
-                return pc.match_substring(t.column(col), sub)
-
-            print(json.dumps(eng.delete_where(predicate)))
+            print(json.dumps(eng.delete_where(_simple_predicate(args))))
         elif args.cmd == "purge":
             keys = list(args.url)
             if args.keys_file:

@@ -1802,8 +1802,47 @@ class CdcEngine:
                 "source_rows": t.num_rows, "redriven": report.events,
                 "still_diverted": report.errors, "unreplayable": unreplayable}
 
-    def update_where(self, predicate, assign,
-                     assign_columns: list[str] | None = None) -> dict:
+    def _commit_maintenance_epoch(self, m, epoch: int, lineage,
+                                  touched_key: str, metric_key: str) -> int:
+        """Shared commit tail of the predicate DML family (update/delete):
+        promote the touched buckets' staged bases and commit a manifest at
+        the SAME watermark — layout, router stamp, renames and constraints
+        carried forward; untouched buckets keep their files. ``lineage``
+        rows carry (bucket, rows, <touched_key>); returns the total count.
+        (checkpoint.sweep_unreferenced records why this must live once:
+        near-identical commit blocks diverge on fixes.)"""
+        touched = [int(r["bucket"]) for r in lineage if r[touched_key]]
+        total = sum(int(r[touched_key]) for r in lineage)
+        ckpt.promote(self.lake_dir, epoch, touched)
+        manifest = Manifest(
+            epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
+            num_buckets=m.num_buckets,
+            schema_fingerprint=m.schema_fingerprint,
+            schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
+            bucket_hash=m.bucket_hash,
+            column_renames=dict(m.column_renames),
+            constraints=dict(m.constraints),
+        )
+        for b, s in m.buckets.items():
+            manifest.buckets[b] = s
+        for r in lineage:
+            b = int(r["bucket"])
+            if not int(r[touched_key]):
+                continue
+            old = m.buckets[b]
+            manifest.buckets[b] = BucketState(
+                bucket=b, high_seq=old.high_seq, base_epoch=epoch,
+                rows=int(r["rows"]),
+                events_applied=old.events_applied, events_epoch=0,
+            )
+        manifest.metrics[metric_key] = (
+            int(manifest.metrics.get(metric_key, 0)) + total
+        )
+        self.store.commit(manifest)
+        self.metrics.inc(metric_key, total)
+        return total
+
+    def update_where(self, predicate, assign) -> dict:
         """In-place UPDATE ... WHERE DML over the lake — the Delta Lake
         UpdateCommand / Iceberg copy-on-write UPDATE analog, and the
         maintenance-side complement of the CDC ingest path (backfill a
@@ -1938,36 +1977,10 @@ class CdcEngine:
                 .take_all()
             )  # O(buckets) rows
             touched = [int(r["bucket"]) for r in lineage if r["updated"]]
-            total = sum(int(r["updated"]) for r in lineage)
             if not touched:
                 return {"epoch": m.epoch, "updated": 0, "buckets": 0}
-            ckpt.promote(lake_dir, epoch, touched)
-            manifest = Manifest(
-                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
-                schema_fingerprint=m.schema_fingerprint,
-                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
-                bucket_hash=m.bucket_hash,
-                column_renames=dict(m.column_renames),
-                constraints=dict(m.constraints),
-            )
-            for b, s in m.buckets.items():
-                manifest.buckets[b] = s
-            for r in lineage:
-                b = int(r["bucket"])
-                if not int(r["updated"]):
-                    continue
-                old = m.buckets[b]
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
-                    rows=int(r["rows"]),
-                    events_applied=old.events_applied, events_epoch=0,
-                )
-            manifest.metrics["updated_rows"] = (
-                int(manifest.metrics.get("updated_rows", 0)) + total
-            )
-            self.store.commit(manifest)
-            self.metrics.inc("dml_updated_rows", total)
+            total = self._commit_maintenance_epoch(
+                m, epoch, lineage, "updated", "dml_updated_rows")
             self.metrics.submit_event(
                 "UpdateWhere", epoch=epoch, updated=total,
                 buckets=len(touched),
@@ -2049,36 +2062,10 @@ class CdcEngine:
                 .take_all()
             )
             touched = [int(r["bucket"]) for r in lineage if r["deleted"]]
-            total = sum(int(r["deleted"]) for r in lineage)
             if not touched:
                 return {"epoch": m.epoch, "deleted": 0, "buckets": 0}
-            ckpt.promote(lake_dir, epoch, touched)
-            manifest = Manifest(
-                epoch=epoch, low_seq=m.high_seq, high_seq=m.high_seq,
-                num_buckets=m.num_buckets,
-                schema_fingerprint=m.schema_fingerprint,
-                schema_ipc=m.schema_ipc, metrics=dict(m.metrics),
-                bucket_hash=m.bucket_hash,
-                column_renames=dict(m.column_renames),
-                constraints=dict(m.constraints),
-            )
-            for b, s in m.buckets.items():
-                manifest.buckets[b] = s
-            for r in lineage:
-                b = int(r["bucket"])
-                if not int(r["deleted"]):
-                    continue
-                old = m.buckets[b]
-                manifest.buckets[b] = BucketState(
-                    bucket=b, high_seq=old.high_seq, base_epoch=epoch,
-                    rows=int(r["rows"]),
-                    events_applied=old.events_applied, events_epoch=0,
-                )
-            manifest.metrics["dml_deleted_rows"] = (
-                int(manifest.metrics.get("dml_deleted_rows", 0)) + total
-            )
-            self.store.commit(manifest)
-            self.metrics.inc("dml_deleted_rows", total)
+            total = self._commit_maintenance_epoch(
+                m, epoch, lineage, "deleted", "dml_deleted_rows")
             self.metrics.submit_event(
                 "DeleteWhere", epoch=epoch, deleted=total,
                 buckets=len(touched),

@@ -411,11 +411,14 @@ def resolve_chains(edges, src_col: str = "src", dst_col: str = "dst",
     )
     # an acyclic chain over n edges is at most n hops long, and doubling
     # resolves distance d in ceil(log2 d)+1 rounds — so after
-    # ceil(log2 n)+2 rounds anything still active is provably ON or
-    # DRAINING INTO a cycle; don't burn the remaining max_rounds on it
+    # ceil(log2 n)+2 rounds anything still active is PROVABLY on or
+    # draining into a cycle; don't burn the remaining max_rounds on it.
+    # If max_rounds is the binding term instead, leftovers are merely
+    # UNRESOLVED (chains longer than 2^(max_rounds-1) exist) — the error
+    # message below distinguishes the two.
     n_edges = state.count()
-    rounds = min(max_rounds,
-                 int(np.ceil(np.log2(max(n_edges, 2)))) + 2)
+    log_bound = int(np.ceil(np.log2(max(n_edges, 2)))) + 2
+    rounds = min(max_rounds, log_bound)
 
     l_schema = pa.schema([
         ("node", pa.int64()), ("ptr", pa.int64()),
@@ -488,9 +491,16 @@ def resolve_chains(edges, src_col: str = "src", dst_col: str = "dst",
             batch_size=None,
         ).count()
         if leftover and on_cycle == "raise":
+            if rounds >= log_bound:
+                raise ValueError(
+                    f"resolve_chains: {leftover} nodes unresolved after "
+                    f"{rounds} rounds — cycle in the redirect graph"
+                )
             raise ValueError(
                 f"resolve_chains: {leftover} nodes unresolved after "
-                f"{rounds} rounds — cycle in the redirect graph"
+                f"{rounds} rounds — max_rounds={max_rounds} is below the "
+                f"provable bound {log_bound}; raise it to distinguish "
+                "long chains from cycles"
             )
 
     def finish(t: pa.Table) -> pa.Table:

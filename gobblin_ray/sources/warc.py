@@ -189,6 +189,12 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
     Returns a lineage Dataset ``(path, records, bytes)`` — consume it to
     drive the write. Null payloads write as empty records; ``date_col``
     values must already be WARC-style ISO8601 strings.
+
+    Content-addressed caveat (same contract as the parquet sink): two
+    BYTE-IDENTICAL blocks collapse into one file — the lineage then
+    over-counts records vs a read-back. Distinct records always survive;
+    if the dataset may contain whole blocks of duplicated rows, dedupe
+    upstream (the engine's exact-dedup stage) before exporting.
     """
     import hashlib
     import os

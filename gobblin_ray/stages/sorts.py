@@ -457,9 +457,19 @@ def zorder_export(ds, x_col: str, y_col: str, out_dir: str,
         )
         return pa.table({"x": x, "y": y}).filter(keep)
 
+    # materialize once: the min/max aggregate AND the tag+write pass both
+    # consume it — an unmaterialized lineage would re-execute the full
+    # upstream scan twice and could quantize against different rows than
+    # it writes (breaking zone-map bit-parity) under nondeterministic
+    # upstreams
     cleaned = ds.map_batches(clean, batch_format="pyarrow",
-                             batch_size=None)
+                             batch_size=None).materialize()
     stats = cleaned.aggregate(Min("x"), Max("x"), Min("y"), Max("y"))
+    if not stats or stats.get("min(x)") is None or stats.get("min(y)") is None:
+        raise ValueError(
+            "zorder_export: no rows left after the null/NaN filter — "
+            "nothing to cluster"
+        )
     xmin, xmax = float(stats["min(x)"]), float(stats["max(x)"])
     ymin, ymax = float(stats["min(y)"]), float(stats["max(y)"])
     xspan = (xmax - xmin) or 1.0

@@ -870,6 +870,7 @@ def resample_ffill(ds, key: str, ts_col: str, value_col: str,
 
     E = int(every_s) * 1_000_000  # bucket width in microseconds
 
+
     def project(t: pa.Table) -> pa.Table:
         keep = pc.and_(
             pc.and_(pc.is_valid(t.column(key)), pc.is_valid(t.column(ts_col))),
@@ -882,16 +883,21 @@ def resample_ffill(ds, key: str, ts_col: str, value_col: str,
             "_v": t.column(value_col).cast(pa.float64()),
         })
 
-    def fill(g: pd.DataFrame) -> pa.Table:
-        ts = g["_us"].to_numpy(np.int64)
+    def fill(g: pa.Table) -> pa.Table:
+        # pyarrow batches so the key column KEEPS its Arrow type — the
+        # empty-group branch must emit the same schema as populated
+        # groups or Ray's block unification fails on numeric keys
+        ktype = g.schema.field(key).type
+        ts = g.column("_us").to_numpy(zero_copy_only=False)
         if len(ts) == 0:
             return pa.table({
-                key: pa.array([], pa.string()),
+                key: pa.array([], ktype),
                 "bucket_ts": pa.array([], pa.timestamp("us")),
                 value_col: pa.array([], pa.float64()),
             })
-        v = g["_v"].to_numpy(np.float64)
-        kraw = g[key].to_numpy()
+        ts = ts.astype(np.int64)
+        v = g.column("_v").to_numpy(zero_copy_only=False).astype(np.float64)
+        kraw = g.column(key).to_numpy(zero_copy_only=False)
         # dense key index so composites never overflow
         uk, kidx = np.unique(kraw, return_inverse=True)
         b = ts // E  # bucket index (floor division, epoch-aligned)
@@ -922,14 +928,14 @@ def resample_ffill(ds, key: str, ts_col: str, value_col: str,
         gcomp = gkey * span + (gbucket - base)
         pos = np.searchsorted(ocomp, gcomp, side="right") - 1
         return pa.table({
-            key: pa.array(uk[gkey]),
+            key: pa.array(uk[gkey], ktype),
             "bucket_ts": pa.array(gbucket * E).cast(pa.timestamp("us")),
             value_col: pa.array(ov[pos]),
         })
 
     return keyed_map_groups(
         ds, key, fill, num_partitions=num_partitions,
-        batch_format="pandas", pre=project,
+        batch_format="pyarrow", pre=project,
     )
 
 
@@ -961,7 +967,12 @@ def transition_counts(ds, key: str, order_by: list[str], state_col: str,
     def pre(t: pa.Table) -> pa.Table:
         for c in (key, state_col, *order_by):
             t = t.filter(pc.is_valid(t.column(c)))
-        return t.select([key, *order_by, state_col])
+        t = t.select([key, *order_by, state_col])
+        # states coerce to string (the output's from/to type) so numeric
+        # state columns are total, matching CAST(... AS VARCHAR) in SQL
+        idx = t.schema.get_field_index(state_col)
+        return t.set_column(idx, state_col,
+                            pc.cast(t.column(state_col), pa.string()))
 
     def pairs(g: pd.DataFrame) -> pa.Table:
         if len(g) == 0:

@@ -2230,3 +2230,28 @@ def test_zorder_pruned_read_both_axes(ray_session, tmp_path):
     ds, opened_xy, total = read_zorder_pruned(
         out, x_range=(100.0, 200.0), y_range=(850.0, 900.0))
     assert opened_xy < total
+
+
+def test_resample_ffill_int_keys_empty_partitions(ray_session):
+    """Numeric keys + num_partitions >> distinct keys: empty hash
+    partitions must emit the SAME schema as populated ones (the
+    round-3 review's dtype-clash finding)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from gobblin_ray.stages.windows import resample_ffill
+
+    rng = np.random.default_rng(5)
+    n = 500
+    base = np.int64(1_700_000_000_000_000)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n),  # int64 keys, only 3 distinct
+        "ts": pd.to_datetime(
+            base + rng.integers(0, 48, n) * 3_600_000_000, unit="us"),
+        "v": rng.normal(size=n),
+    })
+    got = resample_ffill(rd.from_pandas(df), "k", "ts", "v",
+                         every_s=3600, num_partitions=16).to_pandas()
+    assert got["k"].dtype.kind == "i"
+    assert len(got) > 0 and got["v"].notna().all()
