@@ -1908,3 +1908,48 @@ def test_view_refresh_after_dml(ray_session, corpus, tmp_path_factory):
             for r in read_view(lake, "hostcounts").to_pylist()}
     assert inc == full
     assert inc != base  # the delete actually moved counts
+
+
+def test_update_where_crash_window_resumes(ray_session, corpus,
+                                           tmp_path_factory):
+    """Two-phase safety for DML: crash AFTER promote but BEFORE the
+    manifest commit leaves the lake serving the old state (readers only
+    follow committed manifests); re-running the same update converges to
+    exactly-once effect (same updated count, correct final state)."""
+    import pyarrow.compute as pc
+    import pytest
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("updcrash_lake"))
+    eng = replay(d, lake)
+    m0 = eng.store.latest()
+    before = {r["url"]: r["lang"] for r in eng.read_table().take_all()}
+
+    def predicate(t):
+        return pc.match_substring(t.column("text"), "spark")
+
+    def assign(matched):
+        return {"lang": pa.array(["xx"] * matched.num_rows, pa.string())}
+
+    real_commit = eng.store.commit
+
+    def boom(manifest):
+        raise RuntimeError("injected crash between promote and commit")
+
+    eng.store.commit = boom
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.update_where(predicate, assign)
+    eng.store.commit = real_commit
+
+    # nothing committed: readers still serve the pre-DML state
+    assert eng.store.latest().epoch == m0.epoch
+    mid = {r["url"]: r["lang"] for r in eng.read_table().take_all()}
+    assert mid == before
+
+    # rerun converges exactly-once
+    rep = eng.update_where(predicate, assign)
+    assert rep["updated"] > 0
+    after = {r["url"]: r["lang"] for r in eng.read_table().take_all()}
+    n_changed = sum(1 for u in after if after[u] != before[u])
+    assert n_changed == rep["updated"]
+    assert all(after[u] == "xx" for u in after if after[u] != before[u])
