@@ -135,6 +135,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="newline-delimited file of urls")
 
     sp = sub.add_parser(
+        "fsck", help="metadata-only lake integrity audit: manifest chain "
+        "contiguity + monotone watermark, every head-referenced file "
+        "exists with a readable parquet footer and rename-mapped schema, "
+        "base/delta layout sanity; reports orphan + staging debris. "
+        "Reads footers only — no Ray session, no data scan."
+    )
+    sp.add_argument("lake_dir")
+
+    sp = sub.add_parser(
         "describe", help="manifest lineage: epoch chain, per-bucket "
         "base/delta layout, compaction debt, metrics (no Ray session)"
     )
@@ -623,6 +632,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from .checkpoint import CheckpointStore
     from .engine import CdcEngine, EngineConfig
+
+    if args.cmd == "fsck":
+        from .fsck import fsck
+
+        rep = fsck(args.lake_dir)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
 
     if args.cmd == "describe":
         store = CheckpointStore(args.lake_dir)

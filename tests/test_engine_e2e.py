@@ -1953,3 +1953,40 @@ def test_update_where_crash_window_resumes(ray_session, corpus,
     n_changed = sum(1 for u in after if after[u] != before[u])
     assert n_changed == rep["updated"]
     assert all(after[u] == "xx" for u in after if after[u] != before[u])
+
+
+def test_fsck_detects_damage(ray_session, corpus, tmp_path_factory):
+    """fsck: green on a healthy lake; a deleted referenced file, a stray
+    data file, and a truncated parquet each surface as structured issues
+    (and stray files count as orphans, not failures)."""
+    import glob
+    import shutil
+
+    from gobblin_ray.fsck import fsck
+
+    d, meta = corpus
+    lake = str(tmp_path_factory.mktemp("fsck_lake"))
+    replay(d, lake)
+    rep = fsck(lake)
+    assert rep["ok"], rep["issues"]
+    assert rep["files_checked"] > 0 and rep["orphans"] == 0
+
+    files = sorted(glob.glob(os.path.join(lake, "data", "*", "*.parquet")))
+    victim, corruptee = files[0], files[-1]
+
+    # stray file -> orphan count, still ok
+    stray = os.path.join(os.path.dirname(victim), "base-epoch999999.parquet")
+    shutil.copyfile(victim, stray)
+    rep = fsck(lake)
+    assert rep["ok"] and rep["orphans"] == 1
+    os.remove(stray)
+
+    # truncated footer -> unreadable_footer
+    data = open(corruptee, "rb").read()
+    open(corruptee, "wb").write(data[: len(data) // 2])
+    # deleted referenced file -> missing_file
+    os.remove(victim)
+    rep = fsck(lake)
+    assert not rep["ok"]
+    kinds = {i["kind"] for i in rep["issues"]}
+    assert "missing_file" in kinds and "unreadable_footer" in kinds
