@@ -190,6 +190,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # z-range files with BOTH-axis zone maps; pruned read in pytest;
         # zorder_cluster_events above is the per-row z-KEY variant)
         "zorder_layout_events": demo.zorder_layout_events,
+        # ANALYZE TABLE: per-column stats in one streaming pass
+        # (per-block partials -> #columns-cardinality groupby fold)
+        "table_stats_documents": demo.table_stats_documents,
         # CDC feed-integrity audit (planted seq gaps + duplicate bursts;
         # bounded seq-window exchange, O(windows) driver stitch)
         "feed_audit_integrity": demo.feed_audit_integrity,
@@ -624,6 +627,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, warc_date, text
             FROM read_parquet(
                 '/tmp/gobblin_ray_fixtures/planted_warc_oracle.parquet')
+        """,
+        # ANALYZE TABLE: exact per-column stats (the KMV NDV estimate
+        # rides the engine's `analyze` pass but is excluded here so the
+        # oracle stays exact). LENGTH counts codepoints on both sides;
+        # string min/max compare bytewise on both sides; avg is the
+        # same double division, rounded with the shared duck_round.
+        "table_stats_documents": """
+            SELECT * FROM (
+                SELECT 'doc_id' AS col, COUNT(*) AS n_rows,
+                       COUNT(*) - COUNT(doc_id) AS n_nulls,
+                       CAST(MIN(doc_id) AS VARCHAR) AS min_s,
+                       CAST(MAX(doc_id) AS VARCHAR) AS max_s,
+                       CAST(NULL AS DOUBLE) AS avg_len
+                FROM documents
+                UNION ALL
+                SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                       MIN(lang), MAX(lang),
+                       ROUND(AVG(LENGTH(lang)), 4)
+                FROM documents
+                UNION ALL
+                SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                       CAST(MIN(n_chars) AS VARCHAR),
+                       CAST(MAX(n_chars) AS VARCHAR),
+                       CAST(NULL AS DOUBLE)
+                FROM documents
+                UNION ALL
+                SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                       MIN(source), MAX(source),
+                       ROUND(AVG(LENGTH(source)), 4)
+                FROM documents
+                UNION ALL
+                SELECT 'text', COUNT(*), COUNT(*) - COUNT(text),
+                       MIN(text), MAX(text),
+                       ROUND(AVG(LENGTH(text)), 4)
+                FROM documents
+            ) ORDER BY col
         """,
         # Z-order: the oracle replays the exact linear-quantization
         # float64 expression and the UNROLLED Morton bit-interleave, so

@@ -106,6 +106,23 @@ def main(argv: list[str] | None = None) -> int:
             s.add_argument("--tag", default=None,
                            help="read AS OF the named tag's manifest "
                                 "(metadata-only time travel by name)")
+            s.add_argument("--ts-min", default=None,
+                           help="only rows with warc_ts >= this (ISO); "
+                                "prunes buckets/files via the footer zone "
+                                "map (free after `analyze`)")
+            s.add_argument("--ts-max", default=None,
+                           help="only rows with warc_ts <= this (ISO)")
+
+    sp = sub.add_parser(
+        "analyze", help="ANALYZE TABLE: one streaming pass computes "
+        "per-column stats (rows/nulls/min/max/avg-len/KMV distinct) over "
+        "the merge-on-read head plus a per-file warc_ts zone map from "
+        "parquet footers, persisted to _stats/stats.json at the head "
+        "epoch; read --ts-min/--ts-max then prunes for free"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--ndv-k", type=int, default=1024,
+                    help="KMV sketch size (exact below this many distinct)")
 
     sp = sub.add_parser(
         "tag", help="named refs over committed manifests (Iceberg tag "
@@ -671,6 +688,12 @@ def main(argv: list[str] | None = None) -> int:
         out["tags"] = _refs.list_tags(args.lake_dir)
         out["views"] = {n: v.get("folded_to")
                         for n, v in _views.list_views(args.lake_dir).items()}
+        from . import stats as _stats
+
+        st = _stats.load_stats(args.lake_dir)
+        out["stats"] = None if st is None else {
+            "epoch": st["epoch"], "fresh": st["epoch"] == m.epoch,
+        }
         if args.buckets:
             out["buckets"] = {
                 str(b): {"rows": s.rows, "base_epoch": s.base_epoch,
@@ -978,14 +1001,35 @@ def main(argv: list[str] | None = None) -> int:
 
                 manifest = eng.store.load(
                     refs.resolve_tag(args.lake_dir, args.tag))
-            ds = eng.read_table(manifest=manifest)
+            report: dict = {}
+            ds = eng.read_table(
+                manifest=manifest,
+                ts_min=getattr(args, "ts_min", None),
+                ts_max=getattr(args, "ts_max", None),
+                prune_report=report,
+            )
             n = ds.count()
             rows = ds.take(args.limit)
             for r in rows:
                 r.pop("html", None)
                 r["text"] = (r.get("text") or "")[:60]
                 print(json.dumps(r, default=str))
-            print(json.dumps({"live_rows": n}))
+            print(json.dumps({"live_rows": n, **report}))
+        elif args.cmd == "analyze":
+            from . import stats as statsmod
+
+            eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+            st = statsmod.analyze(eng, ndv_k=args.ndv_k)
+            print(json.dumps(
+                {
+                    "epoch": st["epoch"],
+                    "live_rows": st["live_rows"],
+                    "columns": st["columns"],
+                    "zone_map_files": sum(
+                        len(v) for v in st["ts_zone_map"].values()
+                    ),
+                }, default=str, indent=1,
+            ))
     finally:
         import ray
 

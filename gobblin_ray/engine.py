@@ -87,6 +87,14 @@ _HASH_CHUNK_BYTES = 1 << 18  # 256 KB of string data per numpy temporary —
 # 0.36 s for the old pandas-siphash + object boxing path)
 
 
+def _ts_us(v) -> int:
+    """Any reasonable timestamp literal (datetime, numpy datetime64, ISO
+    string, pa scalar) -> epoch microseconds, for the pruned-read window."""
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    return int(pa.scalar(v).cast(pa.timestamp("us")).cast(pa.int64()).as_py())
+
+
 def stable_hash_u64(values: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """Deterministic (cross-process, seed-independent) uint64 hash of a
     string column, computed directly on the zero-copy Arrow buffers — no
@@ -1071,6 +1079,9 @@ class CdcEngine:
         columns: list[str] | None = None,
         predicate=None,
         predicate_columns: list[str] | None = None,
+        ts_min=None,
+        ts_max=None,
+        prune_report: dict | None = None,
     ):
         """The lake's live rows as a Dataset — the merge-on-read reader:
         one task per bucket LWW-merges base + outstanding deltas in memory
@@ -1093,13 +1104,64 @@ class CdcEngine:
         files pre-merge on a non-key column is wrong (an old base row
         passing the filter would beat a newer delta row that fails it
         and resurrect overwritten state). Post-merge it runs distributed,
-        per bucket, before any downstream exchange."""
+        per bucket, before any downstream exchange.
+
+        ``ts_min`` / ``ts_max``: restrict the result to rows with
+        ``warc_ts`` in the closed range, AND prune storage with the
+        footer zone map (stats.zone_ranges — free when ``analyze`` ran
+        at this epoch): a whole BUCKET is skipped when its file range is
+        disjoint from the window (buckets are self-contained, so every
+        version of its urls disappears together — the merged winner
+        would fail the range filter anyway); an individual FILE is
+        skipped only when ``file_max < ts_min`` (max-side prune: any row
+        the skipped file's newer-version/tombstone would have beaten has
+        an even older warc_ts and is caught by the post-merge filter;
+        min-side file pruning is UNSAFE — see stats.py for the
+        tombstone-resurrection counterexample). ``prune_report``, if
+        given, is filled with {buckets_total, buckets_read, files_total,
+        files_read} so callers and tests can observe the skip."""
         import ray.data as rd
 
         manifest = manifest or self.store.latest()
         schema = manifest.base_schema()
         ren = dict(manifest.column_renames)
         file_map = self.bucket_file_map(manifest)
+        lo_us = _ts_us(ts_min) if ts_min is not None else None
+        hi_us = _ts_us(ts_max) if ts_max is not None else None
+        if lo_us is not None or hi_us is not None:
+            from . import stats as statsmod
+
+            ranges = statsmod.zone_ranges(self, manifest)
+            total_b = len(file_map)
+            total_f = sum(len(v) for v in file_map.values())
+            kept: dict[int, list[str]] = {}
+            for b, files in file_map.items():
+                ents = {e["path"]: e for e in ranges.get(b, [])}
+                es = [ents.get(p) for p in files]
+                known = all(e is not None and e["min_us"] is not None
+                            for e in es)
+                if known:
+                    bmin = min(e["min_us"] for e in es)
+                    bmax = max(e["max_us"] for e in es)
+                    if (lo_us is not None and bmax < lo_us) or (
+                            hi_us is not None and bmin > hi_us):
+                        continue  # bucket disjoint from the window
+                keep = files
+                if lo_us is not None:
+                    keep = [
+                        p for p, e in zip(files, es)
+                        if not (e is not None and e["max_us"] is not None
+                                and e["max_us"] < lo_us)
+                    ]
+                if keep:
+                    kept[b] = keep
+            file_map = kept
+            if prune_report is not None:
+                prune_report.update(
+                    buckets_total=total_b, buckets_read=len(file_map),
+                    files_total=total_f,
+                    files_read=sum(len(v) for v in file_map.values()),
+                )
         specs = [{"files": files} for files in file_map.values() if files]
         identity = ["url", "warc_ts", "event_seq", "is_deleted"]
         if columns is not None:
@@ -1132,6 +1194,15 @@ class CdcEngine:
                     [_read_pruned(p) for p in files], schema,
                 )
                 live = live_rows(merged)
+                if lo_us is not None or hi_us is not None:
+                    ts = live.column("warc_ts").cast(pa.int64())
+                    mask = None
+                    if lo_us is not None:
+                        mask = pc.greater_equal(ts, lo_us)
+                    if hi_us is not None:
+                        m2 = pc.less_equal(ts, hi_us)
+                        mask = m2 if mask is None else pc.and_(mask, m2)
+                    live = live.filter(pc.fill_null(mask, False))
                 if predicate is not None:
                     live = live.filter(
                         pc.fill_null(pa.array(predicate(live)), False)

@@ -3817,3 +3817,31 @@ def zorder_layout_events(sf_dir: str):
 
     return stats.map_batches(shape, batch_format="pyarrow",
                              batch_size=None)
+
+
+def table_stats_documents(sf_dir: str):
+    """ANALYZE TABLE over documents (stats.column_stats): per-column
+    rows / nulls / min / max / avg-length in ONE streaming pass — each
+    block folds to #columns tiny partial rows, a #columns-cardinality
+    groupby folds those, O(#columns) rows reach the driver. Gobblin
+    analog: the dataset profiler feeding compaction planning
+    (gobblin-compaction dataset-size estimation); Hive ANALYZE TABLE.
+    The KMV distinct estimate rides the same pass (engine `analyze`
+    CLI) but is excluded here so the SQL oracle stays exact."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ..stats import column_stats
+
+    schema = pq.read_schema(os.path.join(sf_dir, "documents.parquet"))
+    out = column_stats(read_table(sf_dir, "documents"), schema)
+    idx = out.schema.get_field_index("avg_len")
+    rounded = [
+        None if v is None else float(_duck_round(np.array([v]), 4)[0])
+        for v in out.column("avg_len").to_pylist()
+    ]
+    out = out.set_column(idx, "avg_len", pa.array(rounded, pa.float64()))
+    return out.select(
+        ["col", "n_rows", "n_nulls", "min_s", "max_s", "avg_len"]
+    )
