@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
                                 "map (free after `analyze`)")
             s.add_argument("--ts-max", default=None,
                            help="only rows with warc_ts <= this (ISO)")
+            s.add_argument("--where-equals", nargs=2, default=None,
+                           metavar=("COL", "VALUE"),
+                           help="equality predicate; prunes whole "
+                                "buckets via the Bloom sidecar when "
+                                "`analyze --bloom-cols COL` ran")
 
     sp = sub.add_parser(
         "analyze", help="ANALYZE TABLE: one streaming pass computes "
@@ -123,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("lake_dir")
     sp.add_argument("--ndv-k", type=int, default=1024,
                     help="KMV sketch size (exact below this many distinct)")
+    sp.add_argument("--bloom-cols", default=None,
+                    help="comma-separated columns to (re)build the "
+                         "per-file Bloom sidecar for (incremental: "
+                         "already-indexed files are reused)")
 
     sp = sub.add_parser(
         "tag", help="named refs over committed manifests (Iceberg tag "
@@ -1002,10 +1011,26 @@ def main(argv: list[str] | None = None) -> int:
                 manifest = eng.store.load(
                     refs.resolve_tag(args.lake_dir, args.tag))
             report: dict = {}
+            eq = None
+            we = getattr(args, "where_equals", None)
+            if we:
+                import pyarrow as pa
+
+                col, raw = we
+                m = eng.store.latest() if manifest is None else manifest
+                typ = m.base_schema().field(col).type if (
+                    col in m.base_schema().names) else None
+                val: object = raw
+                if typ is not None and pa.types.is_integer(typ):
+                    val = int(raw)
+                elif typ is not None and pa.types.is_floating(typ):
+                    val = float(raw)
+                eq = {col: val}
             ds = eng.read_table(
                 manifest=manifest,
                 ts_min=getattr(args, "ts_min", None),
                 ts_max=getattr(args, "ts_max", None),
+                eq=eq,
                 prune_report=report,
             )
             n = ds.count()
@@ -1020,16 +1045,21 @@ def main(argv: list[str] | None = None) -> int:
 
             eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
             st = statsmod.analyze(eng, ndv_k=args.ndv_k)
-            print(json.dumps(
-                {
-                    "epoch": st["epoch"],
-                    "live_rows": st["live_rows"],
-                    "columns": st["columns"],
-                    "zone_map_files": sum(
-                        len(v) for v in st["ts_zone_map"].values()
-                    ),
-                }, default=str, indent=1,
-            ))
+            out = {
+                "epoch": st["epoch"],
+                "live_rows": st["live_rows"],
+                "columns": st["columns"],
+                "zone_map_files": sum(
+                    len(v) for v in st["ts_zone_map"].values()
+                ),
+            }
+            if args.bloom_cols:
+                from . import index as idxmod
+
+                out["bloom"] = idxmod.build_bloom_index(
+                    eng, [c.strip() for c in args.bloom_cols.split(",")]
+                )
+            print(json.dumps(out, default=str, indent=1))
     finally:
         import ray
 

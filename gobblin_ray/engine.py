@@ -1081,6 +1081,7 @@ class CdcEngine:
         predicate_columns: list[str] | None = None,
         ts_min=None,
         ts_max=None,
+        eq: dict | None = None,
         prune_report: dict | None = None,
     ):
         """The lake's live rows as a Dataset — the merge-on-read reader:
@@ -1119,13 +1120,45 @@ class CdcEngine:
         min-side file pruning is UNSAFE — see stats.py for the
         tombstone-resurrection counterexample). ``prune_report``, if
         given, is filled with {buckets_total, buckets_read, files_total,
-        files_read} so callers and tests can observe the skip."""
+        files_read} so callers and tests can observe the skip.
+
+        ``eq``: {column: value} equality predicates (SQL ``=``: a null
+        probe never matches). Filtered post-merge like ``predicate``,
+        AND pruned per BUCKET via the Bloom sidecar (index.py, built by
+        ``analyze --bloom-cols``/`build_bloom_index`): a bucket none of
+        whose files can contain the value cannot produce a merged row
+        with it (winners are file rows verbatim). Never per-file (same
+        resurrection hazard as min-side ts pruning); fails open when
+        the index is missing or stale for a file."""
         import ray.data as rd
 
         manifest = manifest or self.store.latest()
         schema = manifest.base_schema()
         ren = dict(manifest.column_renames)
         file_map = self.bucket_file_map(manifest)
+        if eq:
+            unknown = [c for c in eq if c not in schema.names]
+            if unknown:
+                raise ValueError(
+                    f"unknown eq columns {unknown}; have {schema.names}"
+                )
+            from . import index as idxmod
+
+            total_b = len(file_map)
+            total_f = sum(len(v) for v in file_map.values())
+            for c, v in eq.items():
+                skip = idxmod.prunable_buckets(self, manifest, c, v)
+                if skip:
+                    file_map = {
+                        b: f for b, f in file_map.items() if b not in skip
+                    }
+            if prune_report is not None:
+                prune_report.update(
+                    bloom_buckets_total=total_b,
+                    bloom_buckets_read=len(file_map),
+                    bloom_files_total=total_f,
+                    bloom_files_read=sum(len(v) for v in file_map.values()),
+                )
         lo_us = _ts_us(ts_min) if ts_min is not None else None
         hi_us = _ts_us(ts_max) if ts_max is not None else None
         if lo_us is not None or hi_us is not None:
@@ -1165,7 +1198,8 @@ class CdcEngine:
         specs = [{"files": files} for files in file_map.values() if files]
         identity = ["url", "warc_ts", "event_seq", "is_deleted"]
         if columns is not None:
-            want = list(columns) + list(predicate_columns or [])
+            want = (list(columns) + list(predicate_columns or [])
+                    + list(eq or {}))
             unknown = [c for c in want if c not in schema.names]
             if unknown:
                 raise ValueError(f"unknown columns {unknown}; have {schema.names}")
@@ -1203,6 +1237,11 @@ class CdcEngine:
                         m2 = pc.less_equal(ts, hi_us)
                         mask = m2 if mask is None else pc.and_(mask, m2)
                     live = live.filter(pc.fill_null(mask, False))
+                if eq:
+                    for c, v in eq.items():
+                        live = live.filter(pc.fill_null(
+                            pc.equal(live.column(c), pa.scalar(v)), False
+                        ))
                 if predicate is not None:
                     live = live.filter(
                         pc.fill_null(pa.array(predicate(live)), False)
