@@ -117,6 +117,11 @@ def main(argv: list[str] | None = None) -> int:
                            help="equality predicate; prunes whole "
                                 "buckets via the Bloom sidecar when "
                                 "`analyze --bloom-cols COL` ran")
+            s.add_argument("--shard", nargs=2, type=int, default=None,
+                           metavar=("I", "M"),
+                           help="read bucket shard i of m: an exact, "
+                                "disjoint, unbiased 1/m sample of the "
+                                "url population at 1/m of the read cost")
 
     sp = sub.add_parser(
         "analyze", help="ANALYZE TABLE: one streaming pass computes "
@@ -394,6 +399,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("dst_lake")
     sp.add_argument("--units", type=int, default=None)
     sp.add_argument("--no-verify", action="store_true")
+    sp.add_argument("--link", action="store_true",
+                    help="zero-copy clone via hardlinks (instant dev "
+                         "branch; safe because every write in this "
+                         "codebase is tmp+rename, never in-place). "
+                         "No Ray session.")
 
     sp = sub.add_parser(
         "repair", help="anti-entropy verify/repair: compare per-bucket "
@@ -612,8 +622,14 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "clone":
-        from .copy import copy_lake
+        from .copy import copy_lake, link_lake
 
+        if args.link:
+            t0 = time.time()
+            out = link_lake(args.src_lake, args.dst_lake)
+            out["sec"] = round(time.time() - t0, 3)
+            print(json.dumps(out))
+            return 0
         _ray_up(args.num_cpus)
         t0 = time.time()
         out = copy_lake(args.src_lake, args.dst_lake, num_units=args.units,
@@ -1026,11 +1042,13 @@ def main(argv: list[str] | None = None) -> int:
                 elif typ is not None and pa.types.is_floating(typ):
                     val = float(raw)
                 eq = {col: val}
+            shard = getattr(args, "shard", None)
             ds = eng.read_table(
                 manifest=manifest,
                 ts_min=getattr(args, "ts_min", None),
                 ts_max=getattr(args, "ts_max", None),
                 eq=eq,
+                bucket_shard=tuple(shard) if shard else None,
                 prune_report=report,
             )
             n = ds.count()

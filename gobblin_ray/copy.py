@@ -316,3 +316,49 @@ def copy_lake(src_lake: str, dst_lake: str, num_units: int | None = None,
             out["bytes"] += r.get("bytes", 0)
             out["subtrees"].append(sub)
     return out
+
+
+def link_lake(src_lake: str, dst_lake: str) -> dict:
+    """Zero-copy lake clone via hardlinks — the instant dev-branch /
+    test-sandbox variant of ``copy_lake`` (Iceberg's metadata-level
+    shallow clone posture, done at the filesystem layer).
+
+    Correctness rests on the repo-wide write discipline: every file
+    mutation anywhere in this codebase is tmp + ``os.replace`` (never an
+    in-place write) — a replace on either side DETACHES its directory
+    entry from the shared inode instead of mutating it, so compaction,
+    purge, vacuum, DML or retention on one lake can never corrupt the
+    other; vacuum merely unlinks its own name (the inode lives until the
+    last link drops). Same source-lock + subtree policy as ``copy_lake``
+    (``_locks``/``_staging``/``_metrics`` excluded). Cross-device links
+    fall back to a byte copy per file (EXDEV). No Ray session: O(files)
+    metadata ops.
+    """
+    from .locks import FileJobLock
+
+    out = {"files_linked": 0, "files_copied": 0, "subtrees": []}
+    with FileJobLock(os.path.join(src_lake, "_locks")):
+        for sub in ("data", "_checkpoints", "_errors", "_refs", "_views",
+                    "_stats"):
+            src = os.path.join(src_lake, sub)
+            if not os.path.isdir(src):
+                continue
+            for root, _dirs, files in os.walk(src):
+                rel_root = os.path.relpath(root, src_lake)
+                dst_root = os.path.join(dst_lake, rel_root)
+                os.makedirs(dst_root, exist_ok=True)
+                for fn in files:
+                    if fn.endswith(".tmp"):
+                        continue
+                    sp = os.path.join(root, fn)
+                    dp = os.path.join(dst_root, fn)
+                    if os.path.exists(dp):
+                        os.remove(dp)
+                    try:
+                        os.link(sp, dp)
+                        out["files_linked"] += 1
+                    except OSError:
+                        shutil.copy2(sp, dp)
+                        out["files_copied"] += 1
+            out["subtrees"].append(sub)
+    return out

@@ -1082,6 +1082,7 @@ class CdcEngine:
         ts_min=None,
         ts_max=None,
         eq: dict | None = None,
+        bucket_shard: tuple[int, int] | None = None,
         prune_report: dict | None = None,
     ):
         """The lake's live rows as a Dataset — the merge-on-read reader:
@@ -1136,6 +1137,25 @@ class CdcEngine:
         schema = manifest.base_schema()
         ren = dict(manifest.column_renames)
         file_map = self.bucket_file_map(manifest)
+        if bucket_shard is not None:
+            # TABLESAMPLE / external-sharding primitive: buckets with
+            # ``b % m == i``. The url router is a uniform content hash,
+            # so the m shards are m disjoint, exhaustive, UNBIASED
+            # samples of the url population — an exact 1/m sample costs
+            # 1/m of the read, zero extra compute, and is reproducible
+            # across runs/cluster sizes (contrast row-level TABLESAMPLE,
+            # which still scans everything). All versions of a url stay
+            # in one shard, so the LWW merge inside the shard is exact.
+            i, mmod = bucket_shard
+            if not (isinstance(mmod, int) and 0 <= i < mmod):
+                raise ValueError(f"bucket_shard must be (i, m), 0<=i<m; "
+                                 f"got {bucket_shard}")
+            file_map = {b: f for b, f in file_map.items() if b % mmod == i}
+            if prune_report is not None:
+                prune_report.update(
+                    shard_buckets=len(file_map),
+                    shard_frac=1.0 / mmod,
+                )
         if eq:
             unknown = [c for c in eq if c not in schema.names]
             if unknown:
