@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental_runs": demo.dedup_incremental_runs,
         "dedup_neardup_incremental": demo.dedup_neardup_incremental,
         "cdc_replay_mini": demo.cdc_replay_mini,
+        # zone-map pruned merge-on-read (fails itself if nothing pruned)
+        "cdc_pruned_read_mini": demo.cdc_pruned_read_mini,
         "point_lookup_urls": demo.point_lookup_urls,
         "projected_read_cdc": demo.projected_read_cdc,
         "snapshot_diff_changes": demo.snapshot_diff_changes,
@@ -2177,6 +2179,17 @@ def oracle_sql() -> dict[str, str]:
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_replay_oracle.parquet')
+        """,
+        # pruned read: the same independent sequential-replay oracle,
+        # filtered in SQL to the window the engine read with storage
+        # pruning (the cut is a parameter sidecar written by the query)
+        "cdc_pruned_read_mini": """
+            SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_pruned_oracle.parquet')
+            WHERE warc_ts >= (
+                SELECT ts_cut FROM
+                read_parquet('/tmp/gobblin_ray_fixtures/cdc_pruned_cut.parquet')
+            )
         """,
         # time travel: the same sequential-replay oracle as cdc_replay_mini,
         # sliced at the mid manifest's high_seq watermark

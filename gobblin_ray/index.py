@@ -191,14 +191,20 @@ def build_bloom_index(eng, columns: list[str], k: int = 7,
     }
 
 
-def load_bloom(lake_dir: str) -> dict[tuple[str, str], dict] | None:
-    """The sidecar as {(relpath, col): row}, or None if never built."""
+def load_bloom(lake_dir: str,
+               col: str | None = None) -> dict[tuple[str, str], dict] | None:
+    """The sidecar as {(relpath, col): row}, or None if never built.
+
+    ``col`` pushes a row filter into the parquet scan — a probe loads
+    only that column's bitsets (the sidecar is O(files x columns x
+    bits/8) on disk; at fleet scale a reader must not page all of it)."""
     path = bloom_path(lake_dir)
     if not os.path.exists(path):
         return None
+    filters = [("col", "==", col)] if col is not None else None
     return {
         (r["path"], r["col"]): r
-        for r in pq.read_table(path).to_pylist()
+        for r in pq.read_table(path, filters=filters).to_pylist()
     }
 
 
@@ -210,7 +216,7 @@ def prunable_buckets(eng, manifest, col: str, value) -> set[int] | None:
     """
     if value is None:
         return None
-    idx = load_bloom(eng.lake_dir)
+    idx = load_bloom(eng.lake_dir, col=col)
     if idx is None:
         return None
     base = os.path.abspath(eng.lake_dir)

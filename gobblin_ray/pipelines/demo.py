@@ -3845,3 +3845,71 @@ def table_stats_documents(sf_dir: str):
     return out.select(
         ["col", "n_rows", "n_nulls", "min_s", "max_s", "avg_len"]
     )
+
+
+def cdc_pruned_read_mini(sf_dir: str):
+    """Zone-map pruned merge-on-read, value-oracled end to end: replay
+    the mini CDC lake, ANALYZE it (stats.py persists per-file warc_ts
+    footer ranges at the head epoch), then read only rows with
+    ``warc_ts >= cut`` — the reader must SKIP the storage the window
+    excludes (wholly-older bases/deltas, max-side file prune; the guard
+    below fails the query if nothing was pruned, so this row stays
+    meaningful) while returning EXACTLY the sequential-replay oracle
+    filtered to the same window. The cut travels to the oracle via a
+    one-row parameter sidecar (same pattern as knn_lsh's buckets)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .. import stats as statsmod
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import FIXTURE_DIR, cdc_oracle_sidecar
+    from ..synth import write_corpus
+
+    scale = 1 if "0.001" in sf_dir else 4
+    n_pages, n_events = 200 * scale, 2_000 * scale
+    root = tempfile.mkdtemp(prefix="cdc_pruned_")
+    corpus = f"{root}/corpus"
+    write_corpus(corpus, n_pages=n_pages, n_events=n_events,
+                 shard_rows=1_000)
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        # compaction would fold old deltas into FRESH bases (recent file
+        # mtimes, full ts range) and leave nothing for the zone map to
+        # prune at this corpus size — keep the delta chain for the demo
+        EngineConfig(num_buckets=8, epoch_width=1_000, compact_every=64),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run()
+    statsmod.analyze(eng)
+
+    # synth event time is T0 + (n_pages + seq) seconds (5% late events
+    # halved): cut at the 3/4 mark so bootstrap bases and early-epoch
+    # deltas fall wholly below it
+    cut = np.datetime64("2026-01-01T00:00:00", "us") + np.timedelta64(
+        int(n_pages + (3 * n_events) // 4), "s"
+    ).astype("timedelta64[us]")
+    report: dict = {}
+    ds = eng.read_table(ts_min=cut, prune_report=report)
+    if not report["files_read"] < report["files_total"]:
+        raise RuntimeError(f"zone-map prune had no effect: {report}")
+
+    cdc_oracle_sidecar(
+        corpus, path=f"{FIXTURE_DIR}/cdc_pruned_oracle.parquet"
+    )
+    pq.write_table(
+        pa.table({"ts_cut": pa.array([cut], pa.timestamp("us"))}),
+        f"{FIXTURE_DIR}/cdc_pruned_cut.parquet",
+    )
+
+    def _digest(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        vals = [
+            None if v is None else hashlib.md5(v).hexdigest()
+            for v in batch.column("html").to_pylist()
+        ]
+        idx = batch.column_names.index("html")
+        return batch.set_column(idx, "html_md5", pa.array(vals, pa.string()))
+
+    return ds.map_batches(_digest, batch_format="pyarrow")

@@ -152,12 +152,14 @@ def column_stats(ds, schema: pa.Schema, columns: list[str] | None = None,
         nulls = int(pc.sum(g.column("nulls")).as_py() or 0)
         nbytes = int(pc.sum(g.column("bytes")).as_py() or 0)
         sum_len = pc.sum(g.column("sum_len")).as_py()
+        # vectorized flatten: the group holds one ≤ndv_k-element list per
+        # BLOCK of the input — bounded bytes through the exchange, but at
+        # ~10^6 blocks the per-column fold input is blocks x k values;
+        # keep it in Arrow/numpy (no Python loop), and at that scale add
+        # a per-partition pre-fold stage before this groupby.
+        flat = pc.list_flatten(g.column("kmv"))
         kmv = _bottom_k(
-            np.asarray(
-                [v for sub in g.column("kmv").to_pylist() for v in sub],
-                dtype=np.uint64,
-            ),
-            ndv_k,
+            flat.to_numpy(zero_copy_only=False).astype(np.uint64), ndv_k
         )
         ndv = float(kmv_estimate(kmv, ndv_k)) if len(kmv) else 0.0
         min_s = max_s = None
