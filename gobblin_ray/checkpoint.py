@@ -61,6 +61,15 @@ class BucketState:
     delta_epochs: list = field(default_factory=list)
     delta_rows: int = 0  # rows across outstanding delta files (the
     # RecompactionCondition file-ratio input; 0 after a compaction)
+    # Per-file warc_ts zone map captured AT WRITE TIME (Iceberg posture:
+    # the manifest carries file stats, so pruned reads never re-open
+    # footers): {"base": [min_us, max_us], "<delta_epoch>": [...]}.
+    # Optional — maintenance paths that rewrite files without ranges
+    # (rebucket/DML/purge/repair/forced compact) leave entries absent
+    # and readers fall back to a footer scan FOR THOSE FILES ONLY
+    # (stats.zone_ranges); absent can only mean less pruning, never a
+    # wrong read.
+    ts_ranges: dict = field(default_factory=dict)
 
 
 @dataclass

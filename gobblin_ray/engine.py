@@ -87,6 +87,21 @@ _HASH_CHUNK_BYTES = 1 << 18  # 256 KB of string data per numpy temporary —
 # 0.36 s for the old pandas-siphash + object boxing path)
 
 
+def _ts_range_us(tbl: pa.Table) -> tuple[int | None, int | None]:
+    """[min, max] of warc_ts in epoch-us for the manifest zone map, or
+    (None, None) when the table is empty / all-null."""
+    if tbl.num_rows == 0 or "warc_ts" not in tbl.column_names:
+        return None, None
+    col = tbl.column("warc_ts")
+    if col.null_count == len(col):
+        return None, None
+    mm = pc.min_max(col)
+    return (
+        int(mm["min"].cast(pa.int64()).as_py()),
+        int(mm["max"].cast(pa.int64()).as_py()),
+    )
+
+
 def _ts_us(v) -> int:
     """Any reasonable timestamp literal (datetime, numpy datetime64, ISO
     string, pa scalar) -> epoch microseconds, for the pruned-read window."""
@@ -362,6 +377,9 @@ class _MergeBucket:
         ckpt.atomic_write_table(
             merged, ckpt.staging_path(self.lake_dir, self.epoch, bucket, kind)
         )
+        # zone map at write time (tombstones included — the max-side
+        # prune proof needs deletes visible in the file's range)
+        tmn, tmx = _ts_range_us(merged)
         return pa.table(
             {
                 "bucket": pa.array([bucket], pa.int32()),
@@ -369,6 +387,8 @@ class _MergeBucket:
                 "events": pa.array([n_events], pa.int64()),
                 "errors": pa.array([errors.num_rows], pa.int64()),
                 "kind": pa.array([kind], pa.string()),
+                "ts_min": pa.array([tmn], pa.int64()),
+                "ts_max": pa.array([tmx], pa.int64()),
             }
         )
 
@@ -446,10 +466,13 @@ class CdcEngine:
             # Snapshot may itself contain duplicate urls: LWW-reduce it.
             tbl = merge_base_with_events(None, _as_insert_events(tbl), schema)
             ckpt.atomic_write_table(tbl, ckpt.staging_path(lake_dir, 0, bucket))
+            tmn, tmx = _ts_range_us(tbl)
             return pa.table(
                 {
                     "bucket": pa.array([bucket], pa.int32()),
                     "rows": pa.array([tbl.num_rows], pa.int64()),
+                    "ts_min": pa.array([tmn], pa.int64()),
+                    "ts_max": pa.array([tmx], pa.int64()),
                 }
             )
 
@@ -478,9 +501,14 @@ class CdcEngine:
         )
         for r in lineage:
             b = int(r["bucket"])
+            rng = (
+                [int(r["ts_min"]), int(r["ts_max"])]
+                if r.get("ts_min") is not None else None
+            )
             manifest.buckets[b] = BucketState(
                 bucket=b, high_seq=-1, base_epoch=0, rows=int(r["rows"]),
                 events_applied=0, events_epoch=0,
+                ts_ranges={"base": rng} if rng else {},
             )
         # Buckets that received no snapshot rows still get a watermark row.
         for b in range(B):
@@ -764,15 +792,24 @@ class CdcEngine:
             r = touched.get(b)
             if r is not None:
                 n_ev, n_err = int(r["events"]), int(r["errors"])
+                rng = (
+                    [int(r["ts_min"]), int(r["ts_max"])]
+                    if r.get("ts_min") is not None
+                    and r.get("ts_max") is not None else None
+                )
                 if r["kind"] == "base":
                     base_epoch, deltas = epoch.index, []
                     rows = int(r["rows"])
                     delta_rows = 0
+                    ts_ranges = {"base": rng} if rng else {}
                 else:
                     base_epoch = prev.base_epoch
                     deltas = prev.delta_epochs + [epoch.index]
                     rows = prev.rows + int(r["rows"])
                     delta_rows = prev.delta_rows + int(r["rows"])
+                    ts_ranges = dict(prev.ts_ranges)
+                    if rng:
+                        ts_ranges[str(epoch.index)] = rng
                 new.buckets[b] = BucketState(
                     bucket=b,
                     high_seq=epoch.high_seq,
@@ -782,6 +819,7 @@ class CdcEngine:
                     events_epoch=n_ev,
                     delta_epochs=deltas,
                     delta_rows=delta_rows,
+                    ts_ranges=ts_ranges,
                 )
                 report.events += n_ev
                 report.errors += n_err
@@ -798,6 +836,7 @@ class CdcEngine:
                     events_epoch=0,
                     delta_epochs=list(prev.delta_epochs),
                     delta_rows=prev.delta_rows,
+                    ts_ranges=dict(prev.ts_ranges),
                 )
         new.event_count = report.events
         new.error_count = report.errors

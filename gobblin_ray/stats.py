@@ -363,20 +363,65 @@ def load_stats(lake_dir: str, epoch: int | None = None) -> dict | None:
 
 
 def zone_ranges(eng, manifest) -> dict[int, list[dict]]:
-    """Per-file ts ranges for pruned reads: the persisted zone map when
-    fresh (epoch match → free), else a live footer scan."""
-    st = load_stats(eng.lake_dir, epoch=manifest.epoch)
-    if st is not None:
-        base = os.path.abspath(eng.lake_dir)
-        return {
-            int(b): [
-                {
-                    "path": os.path.join(base, e["path"]),
-                    "min_us": e["min_us"],
-                    "max_us": e["max_us"],
-                }
-                for e in entries
-            ]
-            for b, entries in st["ts_zone_map"].items()
-        }
-    return file_ts_ranges(eng.bucket_file_map(manifest))
+    """Per-file ts ranges for pruned reads, cheapest source first:
+
+    1. The MANIFEST's write-time ranges (BucketState.ts_ranges — the
+       Iceberg posture: captured while the epoch's table was in memory,
+       zero read cost, always as fresh as the manifest itself).
+    2. For files the manifest lacks (pre-upgrade lakes; maintenance
+       rewrites — rebucket/DML/purge/repair/forced compact): the
+       persisted ANALYZE zone map when epoch-fresh.
+    3. For whatever is still missing: a live footer scan of JUST those
+       files.  A file unresolved even then gets an infinite range
+       (never pruned) — fallbacks only ever cost pruning, not
+       correctness."""
+    from . import checkpoint as ckpt
+
+    file_map = eng.bucket_file_map(manifest)
+    out: dict[int, list[dict]] = {}
+    missing: dict[int, list[str]] = {}
+    for b, files in file_map.items():
+        s = manifest.buckets[b]
+        known: dict[str, list] = {}
+        if s.base_epoch >= 0:
+            rng = s.ts_ranges.get("base")
+            if rng:
+                known[ckpt.base_path(eng.lake_dir, b, s.base_epoch)] = rng
+        for e in s.delta_epochs:
+            rng = s.ts_ranges.get(str(e))
+            if rng:
+                known[ckpt.delta_path(eng.lake_dir, b, e)] = rng
+        ents = []
+        for p in files:
+            rng = known.get(p)
+            if rng:
+                ents.append(
+                    {"path": p, "min_us": int(rng[0]), "max_us": int(rng[1])}
+                )
+            else:
+                missing.setdefault(b, []).append(p)
+        out[b] = ents
+    if missing:
+        st = load_stats(eng.lake_dir, epoch=manifest.epoch)
+        side: dict[str, dict] = {}
+        if st is not None:
+            base = os.path.abspath(eng.lake_dir)
+            side = {
+                os.path.join(base, e["path"]): e
+                for entries in st["ts_zone_map"].values() for e in entries
+            }
+        still: dict[int, list[str]] = {}
+        for b, files in missing.items():
+            for p in files:
+                e = side.get(p)
+                if e is not None:
+                    out[b].append(
+                        {"path": p, "min_us": e["min_us"],
+                         "max_us": e["max_us"]}
+                    )
+                else:
+                    still.setdefault(b, []).append(p)
+        if still:
+            for b, entries in file_ts_ranges(still).items():
+                out[b].extend(entries)
+    return out

@@ -157,3 +157,40 @@ def test_column_stats_empty_and_allnull(ray_session):
     assert rows["a"]["ndv"] == 0.0 and rows["a"]["avg_len"] is None
     assert rows["b"]["min_s"] == "1" and rows["b"]["max_s"] == "2"
     assert rows["b"]["ndv"] == 2.0
+
+
+def test_manifest_zone_map_matches_footers(lake):
+    # write-time ranges (BucketState.ts_ranges) must agree exactly with
+    # what a footer scan reads back — same files, same [min,max]
+    m = lake.store.latest()
+    mr = statsmod.zone_ranges(lake, m)
+    fr = statsmod.file_ts_ranges(lake.bucket_file_map(m))
+    assert set(mr) == set(fr)
+    for b in fr:
+        a = {e["path"]: (e["min_us"], e["max_us"]) for e in mr[b]}
+        f = {e["path"]: (e["min_us"], e["max_us"]) for e in fr[b]}
+        assert a == f
+    # and they really are carried by the manifest (no sidecar needed):
+    # every live file resolves from ts_ranges alone
+    for b, files in lake.bucket_file_map(m).items():
+        s = m.buckets[b]
+        keys = (["base"] if s.base_epoch >= 0 else []) + [
+            str(e) for e in s.delta_epochs
+        ]
+        assert len([k for k in keys if s.ts_ranges.get(k)]) == len(files)
+
+
+def test_maintenance_rewrite_falls_back_per_file(lake, head_df):
+    # forced compaction rewrites bases WITHOUT write-time ranges: the
+    # zone map must fall back to footers for exactly those files and a
+    # pruned read must stay correct (LAST: mutates the shared lake)
+    lake.compact_now()
+    m = lake.store.latest()
+    zr = statsmod.zone_ranges(lake, m)
+    live = {p for fs in lake.bucket_file_map(m).values() for p in fs}
+    got = {e["path"] for v in zr.values() for e in v}
+    assert got == live
+    lo, hi, want = _window(head_df, 0.5, None)
+    res = statsmod._collect(lake.read_table(ts_min=lo)).to_pandas()
+    assert len(res) == len(want)
+    assert sorted(res["url"]) == sorted(want["url"])
