@@ -102,6 +102,7 @@ QUERY_NAMES = [
     "feed_audit_events",
     "redirect_chains_documents",
     "resample_ffill_events",
+    "table_stats_documents",
 ]
 
 
