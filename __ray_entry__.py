@@ -254,6 +254,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_planted": demo.kmeans_clusters_planted,
         "semantic_dedup_planted": demo.semantic_dedup_planted,
         "classifier_score_embeddings": demo.classifier_score_embeddings,
+        "lr_train_embeddings": demo.lr_train_embeddings,
+        "pca_embeddings": demo.pca_embeddings,
+        "bpe_train_documents": demo.bpe_train_documents,
         "quantize_embeddings": demo.quantize_embeddings,
         # multimodal (extension set; image decode is REAL Netpbm bytes,
         # audio decode is REAL PCM WAV via the stdlib wave module)
@@ -2058,6 +2061,22 @@ def oracle_sql() -> dict[str, str]:
                        CAST(embedding AS DOUBLE[]), {_w_lit}::DOUBLE[]
                    ) + 0.25))), 6) AS score
             FROM embeddings
+        """,
+        # the training-op oracles are independent sequential replays of the
+        # same deterministic (fixed-point-accumulation) algorithms, written
+        # as sidecar parquet by fixtures.{lr,pca,bpe}_oracle_sidecar —
+        # the same pattern as knn_lsh's bucket sidecar / the CDC oracle
+        "lr_train_embeddings": """
+            SELECT dim_idx, weight
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/lr_train_oracle.parquet')
+        """,
+        "pca_embeddings": """
+            SELECT vec_id, pc1, pc2
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/pca_oracle.parquet')
+        """,
+        "bpe_train_documents": """
+            SELECT "rank", "left", "right", pair_count
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/bpe_oracle.parquet')
         """,
         # INT8 scalar quantization: half-up rounding spelled floor(z + 0.5)
         # on BOTH sides (numpy rint is banker's; DuckDB round is half-away)

@@ -857,3 +857,97 @@ def planted_warc(out_dir: str = WARC_DIR,
     })
     _write(t, sidecar)
     return out_dir, sidecar
+
+
+# ---------------------------------------------------------- training oracles
+
+LR_ORACLE_PATH = os.path.join(FIXTURE_DIR, "lr_train_oracle.parquet")
+PCA_ORACLE_PATH = os.path.join(FIXTURE_DIR, "pca_oracle.parquet")
+BPE_ORACLE_PATH = os.path.join(FIXTURE_DIR, "bpe_oracle.parquet")
+
+
+def lr_oracle_sidecar(sf_dir: str, iters: int = 12, lr: float = 0.5,
+                      path: str = LR_ORACLE_PATH) -> str:
+    """Sequential fixed-point logistic-regression replay over the
+    embeddings table (y = label < 5): the independent oracle for the
+    distributed ``train.logreg_train`` (bit-identical by the exact-integer
+    accumulation design — see functions/train.py docstring)."""
+    import pyarrow.parquet as _pq
+
+    from .functions.train import logreg_train_sequential
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["embedding", "label"])
+    emb = t.column("embedding").combine_chunks()
+    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(t.num_rows, len(emb[0]))
+    y = (t.column("label").to_numpy(zero_copy_only=False) < 5).astype(
+        np.float64
+    )
+    w, bias, = logreg_train_sequential(mat, y, iters=iters, lr=lr)
+    out = pa.table({
+        "dim_idx": pa.array(
+            list(range(len(w))) + [-1], pa.int64()
+        ),
+        "weight": pa.array(list(w) + [bias], pa.float64()),
+    })
+    return _write(out, path)
+
+
+def pca_oracle_sidecar(sf_dir: str, k: int = 2,
+                       path: str = PCA_ORACLE_PATH) -> str:
+    """Sequential one-pass PCA replay (quantized integer moments → shared
+    eigh/sign canonicalization → ordered-accumulation projection): the
+    independent oracle for ``train.pca_fit``/``pca_project``."""
+    import pyarrow.parquet as _pq
+
+    from .functions.train import (
+        _det_matvec,
+        _moment_partials,
+        _principal_components,
+    )
+    from .kernels import duck_round
+
+    scale = 2 ** 16
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    emb = t.column("embedding").combine_chunks()
+    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(t.num_rows, len(emb[0]))
+    n, s, ss = _moment_partials(mat, scale)
+    mean, comps = _principal_components(n, s, ss, scale, k)
+    centered = mat - mean
+    cols = {"vec_id": t.column("vec_id")}
+    for i in range(k):
+        cols[f"pc{i + 1}"] = pa.array(
+            duck_round(_det_matvec(centered, comps[i]), 6)
+        )
+    return _write(pa.table(cols), path)
+
+
+def bpe_oracle_sidecar(sf_dir: str, n_merges: int = 40,
+                       path: str = BPE_ORACLE_PATH) -> str:
+    """Independent word recount (pure-Python split + Counter over the raw
+    parquet) feeding the SAME published merge loop: the oracle for the
+    distributed word-count half of ``train.bpe_train``."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import bpe_merge_loop
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["text"])
+    counts: Counter = Counter()
+    for s in t.column("text").to_pylist():
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    merges = bpe_merge_loop(dict(counts), n_merges)
+    out = pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })
+    return _write(out, path)

@@ -1,0 +1,346 @@
+"""Distributed model FITTING for training-data curation — the missing half
+of the classifier story (``similarity.logistic_score`` is inference; this
+module trains the models the curation pipeline scores with):
+
+- ``logreg_train``: full-batch logistic-regression gradient descent where
+  each iteration is ONE ``map_batches`` pass emitting per-block
+  fixed-point gradient sums (int64) that the driver reduces exactly —
+  the GPT-3 WebText-quality-filter training shape.
+- ``pca_fit`` / ``pca_project``: one-pass distributed PCA from mergeable
+  second-moment sufficient statistics (n, Σx, Σxxᵀ), eigendecomposition
+  on the driver (dim×dim — tiny), projection as a broadcast matmul.
+- ``bpe_train``: byte-pair-encoding tokenizer training (Sennrich et al.
+  2016 shape): distributed word-frequency aggregation (combiner + one
+  vocabulary-sized groupby exchange), then the classic merge loop on the
+  driver over the compressed word-count dictionary (vocab ≪ corpus).
+
+Determinism is a design requirement, not an accident — these ops are
+value-oracled against independent sequential replays:
+
+- Gradient/moment sums are accumulated in **fixed-point int64** (each
+  sample's contribution is quantized once, integer addition is exact and
+  associative), so ANY partitioning of the data produces bit-identical
+  sums. At 2^32 scaling a single int64 partial safely holds ~2^30
+  samples; beyond that, lower the scale or add a second carry limb.
+- Dot products against the weight/component vectors use an **ordered
+  elementwise accumulation** (``_det_matvec``: dim-many vectorized
+  column FMAs in fixed order) instead of BLAS ``gemv``, whose internal
+  blocking may reassociate float sums differently for different batch
+  heights. dim-cost is O(dim) numpy ops per batch — negligible at
+  embedding dims.
+
+Reference analogs: Gobblin ships curation/scoring as converter chains fed
+by trained artifacts (gobblin-modules' classifier-style converters); the
+training itself is what a user runs beside the ingest — here it is a
+first-class distributed op.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _det_matvec(mat: np.ndarray, w: np.ndarray) -> np.ndarray:
+    """X @ w with a FIXED left-to-right accumulation order over columns,
+    identical for any batch height (BLAS gemv may reassociate)."""
+    z = np.zeros(mat.shape[0], np.float64)
+    for d in range(mat.shape[1]):
+        z += mat[:, d] * w[d]
+    return z
+
+
+def _vec_matrix(t: pa.Table, vec_col: str) -> np.ndarray:
+    col = t.column(vec_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dim = len(col[0]) if len(col) else 0
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), dim)
+
+
+# ------------------------------------------------------------ logistic regression
+
+def _logreg_partials(mat: np.ndarray, y: np.ndarray, w: np.ndarray,
+                     bias: float, scale: float):
+    """One block's exact-integer gradient partials under weights ``w``.
+
+    Returns (n, gq[dim+1] int64) where gq[:dim] is the quantized
+    Σ x_i·(σ(z_i)−y_i) and gq[dim] the bias gradient Σ (σ(z_i)−y_i).
+    Quantization happens PER SAMPLE so integer block sums are independent
+    of how rows are blocked."""
+    z = _det_matvec(mat, w) + bias
+    r = 1.0 / (1.0 + np.exp(-z)) - y  # residual, per sample
+    contrib = np.concatenate([mat * r[:, None], r[:, None]], axis=1)
+    gq = np.rint(contrib * scale).astype(np.int64).sum(axis=0)
+    return mat.shape[0], gq
+
+
+def logreg_train(
+    ds,
+    vec_col: str = "embedding",
+    y_col: str = "y",
+    iters: int = 12,
+    lr: float = 0.5,
+    scale: float = float(2 ** 32),
+    l2: float = 0.0,
+):
+    """Full-batch logistic regression over a Dataset of (vector, 0/1
+    label) rows. Each iteration: one ``map_batches`` pass emits a single
+    (n, gradient) row per block — O(blocks × dim) driver traffic — the
+    driver reduces the exact integer partials, takes a GD step, and the
+    next iteration broadcasts the new weights through the task closure
+    (dim floats; for huge dims use ``ray.put``).
+
+    The feature Dataset is materialized once so the iteration loop
+    re-reads object-store blocks instead of re-running the upstream
+    pipeline (the standard iterative-ML posture; at cluster scale the
+    blocks live sharded across nodes).
+
+    Returns (weights[dim], bias, losses[iters]) — deterministic for any
+    partitioning of ``ds`` (see module docstring)."""
+    ds = ds.materialize()
+    dim = len(ds.take(1)[0][vec_col])
+    w = np.zeros(dim, np.float64)
+    bias = 0.0
+    losses: list[float] = []
+
+    for _ in range(iters):
+        w_now, b_now = w.copy(), bias
+
+        def grad_block(t: pa.Table) -> pa.Table:
+            mat = _vec_matrix(t, vec_col)
+            y = t.column(y_col).to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            n, gq = _logreg_partials(mat, y, w_now, b_now, scale)
+            # per-sample quantized log-loss rides the same exact-sum path
+            z = _det_matvec(mat, w_now) + b_now
+            ll = np.logaddexp(0.0, z) - y * z
+            lq = int(np.rint(ll * scale).astype(np.int64).sum())
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "g": pa.array([gq.tolist()], pa.list_(pa.int64())),
+                "loss_q": pa.array([lq], pa.int64()),
+            })
+
+        grad_block.__name__ = "logreg_grad"
+        parts = ds.map_batches(
+            grad_block, batch_format="pyarrow", batch_size=None
+        ).take_all()
+        n = sum(int(p["n"]) for p in parts)
+        gq = np.zeros(dim + 1, np.int64)
+        for p in parts:
+            gq += np.asarray(p["g"], np.int64)
+        g = gq.astype(np.float64) / scale / n
+        losses.append(sum(int(p["loss_q"]) for p in parts) / scale / n)
+        w = w - lr * (g[:dim] + l2 * w)
+        bias = bias - lr * g[dim]
+    return w, bias, losses
+
+
+def logreg_train_sequential(
+    mat: np.ndarray,
+    y: np.ndarray,
+    iters: int = 12,
+    lr: float = 0.5,
+    scale: float = float(2 ** 32),
+    l2: float = 0.0,
+):
+    """Independent sequential replay of the SAME fixed-point GD (oracle
+    side): one numpy pass per iteration over the full matrix. Bit-equal
+    to ``logreg_train`` on any partitioning by construction."""
+    mat = np.asarray(mat, np.float64)
+    y = np.asarray(y, np.float64)
+    dim = mat.shape[1]
+    w = np.zeros(dim, np.float64)
+    bias = 0.0
+    for _ in range(iters):
+        n, gq = _logreg_partials(mat, y, w, bias, scale)
+        g = gq.astype(np.float64) / scale / n
+        w = w - lr * (g[:dim] + l2 * w)
+        bias = bias - lr * g[dim]
+    return w, bias
+
+
+# ------------------------------------------------------------------------- PCA
+
+def _moment_partials(mat: np.ndarray, scale: int):
+    """Quantize features once (int64 at ``scale``), then exact integer
+    moments: n, Σxq, Σ xq·xqᵀ. Identical for any row blocking."""
+    xq = np.rint(mat * scale).astype(np.int64)
+    return mat.shape[0], xq.sum(axis=0), xq.T @ xq
+
+
+def _principal_components(n: int, s: np.ndarray, ss: np.ndarray,
+                          scale: int, k: int):
+    """Moments → (mean, top-k sign-canonical components). Driver-side and
+    shared with the sequential oracle: identical integer moments feed the
+    same in-process LAPACK eigh, so both sides see identical floats."""
+    mean = s.astype(np.float64) / (n * scale)
+    exx = ss.astype(np.float64) / (n * scale * scale)
+    cov = exx - np.outer(mean, mean)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    comps = vecs[:, ::-1][:, :k].T.copy()  # (k, dim), by eigenvalue desc
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))  # first index on ties
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps
+
+
+def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
+            scale: int = 2 ** 16):
+    """One-pass distributed PCA: per-block integer moment partials (a
+    single map_batches emitting one (n, Σx, Σxxᵀ) row per block —
+    O(blocks × dim²) driver traffic, dim²=4k ints at dim 64), exact
+    integer reduce, dim×dim eigh on the driver. int64 holds dim-64
+    moments at 2^16 scaling up to ~2^25 rows per partial and ~2^63 total;
+    for 10^10-row fits lower the scale or reduce partials pairwise."""
+    def moments(t: pa.Table) -> pa.Table:
+        n, s, ss = _moment_partials(_vec_matrix(t, vec_col), scale)
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "s": pa.array([s.tolist()], pa.list_(pa.int64())),
+            "ss": pa.array([ss.reshape(-1).tolist()], pa.list_(pa.int64())),
+        })
+
+    moments.__name__ = "pca_moments"
+    parts = ds.map_batches(
+        moments, batch_format="pyarrow", batch_size=None
+    ).take_all()
+    dim = int(np.sqrt(len(parts[0]["ss"])))
+    n = sum(int(p["n"]) for p in parts)
+    s = np.zeros(dim, np.int64)
+    ss = np.zeros((dim, dim), np.int64)
+    for p in parts:
+        s += np.asarray(p["s"], np.int64)
+        ss += np.asarray(p["ss"], np.int64).reshape(dim, dim)
+    return _principal_components(n, s, ss, scale, k)
+
+
+def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
+                id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Project rows onto fitted components: (x − mean)·compᵢ per batch,
+    ordered-accumulation dots (deterministic vs the sequential oracle).
+    (mean, comps) are broadcast ONCE via ``ray.put`` and fetched in each
+    actor's ``__init__``. Returns (id_col, pc1..pck)."""
+    import ray
+
+    pref = ray.put((np.asarray(mean, np.float64),
+                    np.asarray(comps, np.float64)))
+
+    class _Project:
+        def __init__(self):
+            self.mean, self.comps = ray.get(pref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = _vec_matrix(t, vec_col) - self.mean
+            cols = {id_col: t.column(id_col)}
+            for i in range(self.comps.shape[0]):
+                cols[f"pc{i + 1}"] = pa.array(
+                    _det_matvec(mat, self.comps[i])
+                )
+            return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _Project, batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 8),
+    )
+
+
+# ------------------------------------------------------------------------- BPE
+
+def word_counts(ds, text_col: str = "text"):
+    """Distributed word-frequency table: per-batch ``value_counts``
+    combiner (explode once, count locally) then ONE vocabulary-sized
+    ``groupby(word)`` exchange. Tokenization = split on single space
+    (the corpus convention shared by every text kernel here)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        vc = toks.value_counts()
+        if isinstance(vc, pa.ChunkedArray):
+            vc = vc.combine_chunks()
+        return pa.table({
+            "word": vc.field("values"),
+            "c": vc.field("counts"),
+        })
+
+    partial.__name__ = "word_count_partial"
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("word")
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+
+def bpe_merge_loop(counts: dict[str, int], n_merges: int):
+    """The classic BPE merge loop (Sennrich et al. 2016, alg. 1) over a
+    word→count dictionary: repeatedly merge the most frequent adjacent
+    symbol pair (ties: lexicographically smallest (left, right)).
+    Driver-side by design — the dictionary is vocabulary-sized, not
+    corpus-sized. O(merges × vocab × word_len) rescan; production BPE
+    keeps an incremental pair index, unnecessary at these vocab sizes.
+    Returns [(rank, left, right, pair_count)]."""
+    words: list[tuple[tuple[str, ...], int]] = [
+        (tuple(w) + ("</w>",), c) for w, c in sorted(counts.items())
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in words:
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        # highest count; ties resolved to the lexicographically SMALLEST
+        # (left, right) pair — deterministic across runs and replays
+        (left, right), cnt = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merged = left + right
+        out = []
+        for sym, c in words:
+            res, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(sym[i])
+                    i += 1
+            out.append((tuple(res), c))
+        words = out
+        merges.append((rank, left, right, int(cnt)))
+    return merges
+
+
+def bpe_train(ds, text_col: str = "text", n_merges: int = 40,
+              min_count: int = 1, max_vocab: int | None = None):
+    """Distributed BPE tokenizer training: exact distributed word counts
+    (one exchange), then the merge loop over the compressed dictionary.
+    ``min_count``/``max_vocab`` bound the driver dictionary at web scale
+    (rare-word mass is irrelevant to early merges); selection is
+    deterministic (count desc, word asc). Returns an Arrow table
+    (rank, left, right, pair_count)."""
+    rows = word_counts(ds, text_col).take_all()
+    counts = {r["word"]: int(r["count"]) for r in rows
+              if int(r["count"]) >= min_count}
+    if max_vocab is not None and len(counts) > max_vocab:
+        keep = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        counts = dict(keep[:max_vocab])
+    merges = bpe_merge_loop(counts, n_merges)
+    return pa.table({
+        "rank": pa.array([m[0] for m in merges], pa.int64()),
+        "left": pa.array([m[1] for m in merges], pa.string()),
+        "right": pa.array([m[2] for m in merges], pa.string()),
+        "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+    })

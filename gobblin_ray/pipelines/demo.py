@@ -3913,3 +3913,64 @@ def cdc_pruned_read_mini(sf_dir: str):
         return batch.set_column(idx, "html_md5", pa.array(vals, pa.string()))
 
     return ds.map_batches(_digest, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- distributed training
+
+def lr_train_embeddings(sf_dir: str):
+    """Distributed quality-classifier TRAINING (the fitting half of
+    ``classifier_score_embeddings``): full-batch logistic regression over
+    the embeddings table, y = label < 5. Each GD iteration is one
+    map_batches pass emitting exact fixed-point gradient partials
+    (functions/train.py); bit-identical to the sequential oracle sidecar
+    for ANY partitioning, so weights compare un-rounded."""
+    from ..fixtures import lr_oracle_sidecar
+    from ..functions import train as tr
+
+    lr_oracle_sidecar(sf_dir)
+    ds = read_table(sf_dir, "embeddings", columns=["embedding", "label"])
+
+    def add_y(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "y",
+            pc.cast(pc.less(t.column("label"), pa.scalar(5)), pa.float64()),
+        )
+
+    add_y.__name__ = "label_lt5"
+    ds = ds.map_batches(add_y, batch_format="pyarrow", batch_size=None)
+    w, bias, _losses = tr.logreg_train(ds, iters=12, lr=0.5)
+    return pa.table({
+        "dim_idx": pa.array(list(range(len(w))) + [-1], pa.int64()),
+        "weight": pa.array(list(w) + [bias], pa.float64()),
+    })
+
+
+def pca_embeddings(sf_dir: str):
+    """One-pass distributed PCA over the embeddings table: integer-moment
+    sufficient statistics -> driver eigh -> broadcast projection onto the
+    top-2 sign-canonical components (functions/train.py)."""
+    from ..fixtures import pca_oracle_sidecar
+    from ..functions import train as tr
+
+    pca_oracle_sidecar(sf_dir, k=2)
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps = tr.pca_fit(ds, k=2)
+    out = tr.pca_project(ds, mean, comps)
+    return out.map_batches(
+        _round_cols({"pc1": 6, "pc2": 6}),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+
+def bpe_train_documents(sf_dir: str):
+    """Distributed BPE tokenizer training over the documents corpus:
+    exact distributed word counts (combiner + one vocabulary-sized
+    exchange), classic merge loop on the compressed dictionary
+    (functions/train.py; Sennrich et al. 2016). Returns the first 40
+    merge rules with their pair counts."""
+    from ..fixtures import bpe_oracle_sidecar
+    from ..functions import train as tr
+
+    bpe_oracle_sidecar(sf_dir, n_merges=40)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return tr.bpe_train(ds, n_merges=40)

@@ -1,0 +1,115 @@
+"""Distributed training ops (functions/train.py): partitioning-invariance
+(the fixed-point accumulation contract), learning sanity, and the classic
+planted BPE example."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from gobblin_ray.functions import train as tr
+
+
+def _emb_ds(n=200, dim=8, seed=3):
+    rng = np.random.default_rng(seed)
+    w_true = rng.standard_normal(dim)
+    x = rng.standard_normal((n, dim))
+    y = (x @ w_true > 0).astype(np.float64)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+        "y": pa.array(y),
+    })
+    return t, y
+
+
+def test_logreg_partition_invariant_and_learns(ray_session):
+    t, y = _emb_ds()
+    w7, b7, losses = tr.logreg_train(
+        rd.from_arrow(t).repartition(7), iters=20, lr=1.5
+    )
+    w2, b2, _ = tr.logreg_train(
+        rd.from_arrow(t).repartition(2), iters=20, lr=1.5
+    )
+    # bit-identical across partitionings (exact integer gradient sums)
+    assert w7.tobytes() == w2.tobytes() and b7 == b2
+    # learns: monotone-ish loss decrease and better-than-chance accuracy
+    assert losses[-1] < losses[0]
+    emb = t.column("embedding").combine_chunks()
+    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(t.num_rows, 8)
+    acc = float(((tr._det_matvec(mat, w7) + b7 > 0) == (y > 0.5)).mean())
+    assert acc > 0.8
+
+
+def test_logreg_matches_sequential_replay(ray_session):
+    t, y = _emb_ds(n=150, dim=5, seed=11)
+    wd, bd, _ = tr.logreg_train(
+        rd.from_arrow(t).repartition(4), iters=5, lr=0.5
+    )
+    emb = t.column("embedding").combine_chunks()
+    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+    mat = mat.reshape(150, 5)
+    ws, bs = tr.logreg_train_sequential(mat, y, iters=5, lr=0.5)
+    assert wd.tobytes() == ws.tobytes() and bd == bs
+
+
+def test_pca_recovers_dominant_direction(ray_session):
+    rng = np.random.default_rng(7)
+    d = 6
+    direction = rng.standard_normal(d)
+    direction /= np.linalg.norm(direction)
+    x = (rng.standard_normal((400, 1)) * 2.0) @ direction[None, :]
+    x += rng.standard_normal((400, d)) * 0.05
+    t = pa.table({
+        "vec_id": pa.array(range(400), pa.int64()),
+        "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+    })
+    mean, comps = tr.pca_fit(rd.from_arrow(t).repartition(5), k=2)
+    assert abs(float(comps[0] @ direction)) > 0.99
+    # sign canonicalization: the largest-|v| element is positive
+    for i in range(2):
+        assert comps[i][int(np.argmax(np.abs(comps[i])))] > 0
+    # partitioning invariance of the fit (exact integer moments)
+    mean3, comps3 = tr.pca_fit(rd.from_arrow(t).repartition(3), k=2)
+    assert mean.tobytes() == mean3.tobytes()
+    assert comps.tobytes() == comps3.tobytes()
+    # projection round-trips the variance ordering: pc1 var >= pc2 var
+    proj = tr.pca_project(
+        rd.from_arrow(t), mean, comps
+    ).to_pandas()
+    assert proj["pc1"].var() >= proj["pc2"].var()
+    assert len(proj) == 400
+
+
+def test_bpe_planted_merges(ray_session):
+    # Sennrich et al. 2016's worked example: with </w> end markers over
+    # {low x5, lower x2, newest x6, widest x3} the top pair is
+    # ('e','s') (count 9), then ('es','t') (9), then ('est','</w>') (9)
+    # — ties broken lexicographically — then ('l','o') (7), ('lo','w') (7).
+    docs = ["low low low low low", "lower lower widest widest widest",
+            "newest newest newest newest newest newest"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    got = tr.bpe_train(ds, n_merges=5).to_pylist()
+    pairs = [(m["left"], m["right"]) for m in got]
+    assert pairs == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                     ("l", "o"), ("lo", "w")]
+    assert [m["pair_count"] for m in got] == [9, 9, 9, 7, 7]
+    # partitioning invariance: counts are exact integers either way
+    got2 = tr.bpe_train(ds.repartition(3), n_merges=5).to_pylist()
+    assert got2 == got
+
+
+def test_bpe_min_count_and_max_vocab_bound_the_dictionary(ray_session):
+    docs = ["aa aa aa bb bb cc"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    # min_count=2 drops the singleton 'cc'; its chars never merge
+    got = tr.bpe_train(ds, n_merges=2, min_count=2).to_pylist()
+    syms = {m["left"] for m in got} | {m["right"] for m in got}
+    assert "c" not in syms
+    # max_vocab=1 keeps only the most frequent word ('aa', count 3):
+    # pairs (a,a) and (a,</w>) tie at 3, lexicographic tie-break picks
+    # (a,</w>) since '<' sorts below 'a'
+    got1 = tr.bpe_train(ds, n_merges=1, max_vocab=1).to_pylist()
+    assert (got1[0]["left"], got1[0]["right"]) == ("a", "</w>")
+    assert got1[0]["pair_count"] == 3
