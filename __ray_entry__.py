@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lr_train_embeddings": demo.lr_train_embeddings,
         "pca_embeddings": demo.pca_embeddings,
         "bpe_train_documents": demo.bpe_train_documents,
+        "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
         # multimodal (extension set; image decode is REAL Netpbm bytes,
         # audio decode is REAL PCM WAV via the stdlib wave module)
@@ -2077,6 +2078,24 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_documents": """
             SELECT "rank", "left", "right", pair_count
             FROM read_parquet('/tmp/gobblin_ray_fixtures/bpe_oracle.parquet')
+        """,
+        # deterministic shuffle-and-shard: the md5 coin (the repo's shared
+        # SQL-reproducible randomness source) orders rows and picks shards;
+        # the Ray side's rows are read back FROM the written shard files
+        "shuffle_shard_documents": """
+            SELECT shard_id,
+                   row_number() OVER (
+                       PARTITION BY shard_id ORDER BY coin, doc_id
+                   ) - 1 AS position,
+                   doc_id
+            FROM (
+                SELECT doc_id,
+                       md5(CAST(doc_id AS VARCHAR) || ':7') AS coin,
+                       CAST(('0x' || substr(
+                           md5(CAST(doc_id AS VARCHAR) || ':7'), 1, 8
+                       )) AS BIGINT) % 8 AS shard_id
+                FROM documents
+            )
         """,
         # INT8 scalar quantization: half-up rounding spelled floor(z + 0.5)
         # on BOTH sides (numpy rint is banker's; DuckDB round is half-away)

@@ -3974,3 +3974,24 @@ def bpe_train_documents(sf_dir: str):
     bpe_oracle_sidecar(sf_dir, n_merges=40)
     ds = read_table(sf_dir, "documents", columns=["text"])
     return tr.bpe_train(ds, n_merges=40)
+
+
+def shuffle_shard_documents(sf_dir: str):
+    """Deterministic shuffle-and-shard export over the documents corpus
+    (stages/sink.shuffle_shard_export): md5-coin order, 8 shards, one
+    file per shard; the returned (shard_id, position, doc_id) rows are
+    read back FROM the written files, so the oracle checks landed file
+    content and order, not intent."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..stages.sink import shuffle_shard_export
+
+    out = os.path.join(tempfile.gettempdir(),
+                       "gobblin_ray_sidecar", "shuffle_shards")
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    return shuffle_shard_export(
+        ds, out, n_shards=8, key_col="doc_id", salt=":7"
+    )

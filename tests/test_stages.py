@@ -2255,3 +2255,49 @@ def test_resample_ffill_int_keys_empty_partitions(ray_session):
                          every_s=3600, num_partitions=16).to_pandas()
     assert got["k"].dtype.kind == "i"
     assert len(got) > 0 and got["v"].notna().all()
+
+
+def test_shuffle_shard_export_properties(ray_session, tmp_path):
+    """Shards are disjoint + exhaustive, within-shard order is the coin
+    order, and a rerun (any partitioning) rewrites byte-identical files."""
+    import hashlib
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.sink import shuffle_shard_export
+
+    t = pa.table({"doc_id": pa.array(range(300), pa.int64()),
+                  "text": pa.array([f"d{i}" for i in range(300)])})
+    out = str(tmp_path / "shards")
+    res = shuffle_shard_export(
+        rd.from_arrow(t).repartition(5), out, n_shards=4,
+        key_col="doc_id", salt=":x",
+    ).take_all()
+    ids = sorted(r["doc_id"] for r in res)
+    assert ids == list(range(300))  # exhaustive, disjoint
+    # within-shard order == md5 coin order
+    by_shard: dict[int, list] = {}
+    for r in sorted(res, key=lambda r: (r["shard_id"], r["position"])):
+        by_shard.setdefault(r["shard_id"], []).append(r["doc_id"])
+    for sid, got in by_shard.items():
+        want = sorted(
+            got, key=lambda k: (hashlib.md5(f"{k}:x".encode()).hexdigest(), k)
+        )
+        assert got == want
+    # extra columns ride along; rerun from a different partitioning is
+    # byte-identical (deterministic shuffle contract)
+    digests = {
+        f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(out))
+    }
+    shuffle_shard_export(
+        rd.from_arrow(t).repartition(2), out, n_shards=4,
+        key_col="doc_id", salt=":x",
+    ).take_all()
+    digests2 = {
+        f: hashlib.md5(open(os.path.join(out, f), "rb").read()).hexdigest()
+        for f in sorted(os.listdir(out))
+    }
+    assert digests == digests2
