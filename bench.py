@@ -103,6 +103,10 @@ QUERY_NAMES = [
     "redirect_chains_documents",
     "resample_ffill_events",
     "table_stats_documents",
+    "lr_train_embeddings",
+    "pca_embeddings",
+    "bpe_train_documents",
+    "shuffle_shard_documents",
 ]
 
 
