@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_planted": demo.semantic_dedup_planted,
         "classifier_score_embeddings": demo.classifier_score_embeddings,
         "lr_train_embeddings": demo.lr_train_embeddings,
+        "llm_prep_v3_summary": demo.llm_prep_v3_summary,
         "pca_embeddings": demo.pca_embeddings,
         "bpe_train_documents": demo.bpe_train_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
@@ -2070,6 +2071,40 @@ def oracle_sql() -> dict[str, str]:
         "lr_train_embeddings": """
             SELECT dim_idx, weight
             FROM read_parquet('/tmp/gobblin_ray_fixtures/lr_train_oracle.parquet')
+        """,
+        # capstone train-then-curate: the oracle replays the WHOLE chain,
+        # taking the trained weights from the sequential-replay sidecar
+        # (bit-identical to the distributed fit); the z>0 gate has a
+        # measured decision margin >= 1e-5 at every sf, so list_dot_product
+        # associativity cannot flip a row
+        "llm_prep_v3_summary": """
+            WITH wv AS (
+                SELECT list(weight ORDER BY dim_idx) AS w
+                FROM read_parquet('/tmp/gobblin_ray_fixtures/lr_train_oracle.parquet')
+                WHERE dim_idx >= 0
+            ),
+            bv AS (
+                SELECT weight AS bias
+                FROM read_parquet('/tmp/gobblin_ray_fixtures/lr_train_oracle.parquet')
+                WHERE dim_idx = -1
+            ),
+            keep AS (
+                SELECT e.vec_id FROM embeddings e, wv, bv
+                WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), wv.w)
+                      + bv.bias > 0
+            ),
+            good AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE doc_id IN (SELECT vec_id FROM keep)
+                  AND text IS NOT NULL AND length(text) > 0
+                  AND n_chars >= 100
+            ),
+            dedup AS (SELECT min(doc_id) AS doc_id FROM good GROUP BY text)
+            SELECT g.lang, count(*) AS n_docs,
+                   CAST(sum(array_length(string_split(g.text, ' ')))
+                        AS BIGINT) AS total_tokens
+            FROM good g JOIN dedup d USING (doc_id)
+            GROUP BY g.lang
         """,
         "pca_embeddings": """
             SELECT vec_id, pc1, pc2

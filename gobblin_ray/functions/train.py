@@ -72,6 +72,9 @@ def _logreg_partials(mat: np.ndarray, y: np.ndarray, w: np.ndarray,
     Σ x_i·(σ(z_i)−y_i) and gq[dim] the bias gradient Σ (σ(z_i)−y_i).
     Quantization happens PER SAMPLE so integer block sums are independent
     of how rows are blocked."""
+    if mat.shape[0] == 0:  # empty block: zero partial of the right width
+        return 0, np.zeros(len(w) + 1, np.int64)
+    mat = mat.reshape(mat.shape[0], len(w))
     z = _det_matvec(mat, w) + bias
     r = 1.0 / (1.0 + np.exp(-z)) - y  # residual, per sample
     contrib = np.concatenate([mat * r[:, None], r[:, None]], axis=1)
@@ -103,7 +106,10 @@ def logreg_train(
     Returns (weights[dim], bias, losses[iters]) — deterministic for any
     partitioning of ``ds`` (see module docstring)."""
     ds = ds.materialize()
-    dim = len(ds.take(1)[0][vec_col])
+    head = ds.take(1)
+    if not head:
+        raise ValueError("logreg_train: empty dataset")
+    dim = len(head[0][vec_col])
     w = np.zeros(dim, np.float64)
     bias = 0.0
     losses: list[float] = []
@@ -212,6 +218,9 @@ def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
     parts = ds.map_batches(
         moments, batch_format="pyarrow", batch_size=None
     ).take_all()
+    parts = [p for p in parts if int(p["n"])]
+    if not parts:
+        raise ValueError("pca_fit: empty dataset")
     dim = int(np.sqrt(len(parts[0]["ss"])))
     n = sum(int(p["n"]) for p in parts)
     s = np.zeros(dim, np.int64)
@@ -238,7 +247,8 @@ def pca_project(ds, mean: np.ndarray, comps: np.ndarray,
             self.mean, self.comps = ray.get(pref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mat = _vec_matrix(t, vec_col) - self.mean
+            mat = _vec_matrix(t, vec_col)
+            mat = mat.reshape(t.num_rows, len(self.mean)) - self.mean
             cols = {id_col: t.column(id_col)}
             for i in range(self.comps.shape[0]):
                 cols[f"pc{i + 1}"] = pa.array(

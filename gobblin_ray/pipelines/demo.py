@@ -3995,3 +3995,81 @@ def shuffle_shard_documents(sf_dir: str):
     return shuffle_shard_export(
         ds, out, n_shards=8, key_col="doc_id", salt=":7"
     )
+
+
+def llm_prep_v3_summary(sf_dir: str):
+    """Capstone train-then-curate composition (the GPT-3 quality-filter
+    loop end to end): (1) TRAIN the LR quality classifier distributed
+    (fixed-point GD, functions/train.py) on the labeled embeddings;
+    (2) score every vector with the trained weights and keep ids with
+    z > 0 (decision margin ≥ 1e-5 at every sf — ulp-safe); (3) filter the
+    documents corpus to kept ids (broadcast semi join; at corpus scale
+    swap for the partitioned semi join on id), apply the quality gate,
+    exact-dedup, and roll up tokens per lang. ONE SQL oracle replays the
+    whole chain, reading the trained weights from the sequential-replay
+    sidecar (bit-identical to the distributed fit by the fixed-point
+    contract)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures import lr_oracle_sidecar
+    from ..functions import train as tr
+    from ..stages.joins import semi_join
+
+    lr_oracle_sidecar(sf_dir)
+    emb = read_table(sf_dir, "embeddings",
+                     columns=["vec_id", "embedding", "label"])
+
+    def add_y(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "y",
+            pc.cast(pc.less(t.column("label"), pa.scalar(5)), pa.float64()),
+        )
+
+    add_y.__name__ = "label_lt5"
+    w, bias, _ = tr.logreg_train(
+        emb.map_batches(add_y, batch_format="pyarrow", batch_size=None),
+        iters=12, lr=0.5,
+    )
+
+    def keep_ids(t: pa.Table) -> pa.Table:
+        mat = tr._vec_matrix(t, "embedding")
+        z = tr._det_matvec(mat, w) + bias
+        return pa.table({"vec_id": t.column("vec_id").filter(
+            pa.array(z > 0)
+        )})
+
+    keep_ids.__name__ = "classifier_gate"
+    kept_ids = [
+        r["vec_id"]
+        for r in emb.map_batches(
+            keep_ids, batch_format="pyarrow", batch_size=None
+        ).take_all()
+    ]
+
+    docs = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
+    )
+    docs = semi_join(docs, "doc_id", kept_ids)
+
+    def gates(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.is_valid(t.column("text")),
+                pc.greater(pc.utf8_length(
+                    t.column("text").fill_null("")), pa.scalar(0)),
+            ),
+            pc.greater_equal(t.column("n_chars"), pa.scalar(100)),
+        )
+        return t.filter(keep).select(["doc_id", "lang", "text"])
+
+    gates.__name__ = "quality_gate"
+    kept = dd.dedup_exact_by_hash(
+        docs.map_batches(gates, batch_format="pyarrow", batch_size=None),
+        "text", "doc_id",
+    )
+    counted = kept.map_batches(
+        tx.token_count("text"), batch_format="pyarrow", batch_size=None
+    )
+    return counted.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
+    )

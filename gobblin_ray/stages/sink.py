@@ -429,5 +429,5 @@ def shuffle_shard_export(
         ]
 
     return rd.from_items(
-        [{"path": f} for f in files], override_num_blocks=len(files)
+        [{"path": f} for f in files], override_num_blocks=max(1, len(files))
     ).flat_map(read_back)
