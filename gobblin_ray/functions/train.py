@@ -82,6 +82,38 @@ def _logreg_partials(mat: np.ndarray, y: np.ndarray, w: np.ndarray,
     return mat.shape[0], gq
 
 
+def _combine_int_partials(parts_ds, list_cols: list[str],
+                          combine_blocks: int):
+    """Distributed tree-reduce of integer partial rows: repartition the
+    per-block partials to ``combine_blocks`` blocks and sum each block's
+    int64 vectors locally, so the driver sees O(combine_blocks) rows
+    instead of O(input_blocks). Exact for any grouping (integer sums are
+    associative) — the scale path when input blocks number ~10^5+."""
+    def combine(t: pa.Table) -> pa.Table:
+        cols: dict = {"n": pa.array(
+            [int(pc.sum(t.column("n")).as_py() or 0)], pa.int64()
+        )}
+        for name in list_cols:
+            col = t.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            width = len(col[0]) if len(col) else 0
+            flat = col.values.to_numpy(zero_copy_only=False)
+            summed = flat.reshape(len(col), width).sum(axis=0)
+            cols[name] = pa.array([summed.tolist()], pa.list_(pa.int64()))
+        for name in t.column_names:
+            if name not in cols:  # scalar int partials (e.g. loss_q)
+                cols[name] = pa.array(
+                    [int(pc.sum(t.column(name)).as_py() or 0)], pa.int64()
+                )
+        return pa.table(cols)
+
+    combine.__name__ = "combine_partials"
+    return parts_ds.repartition(combine_blocks).map_batches(
+        combine, batch_format="pyarrow", batch_size=None
+    )
+
+
 def logreg_train(
     ds,
     vec_col: str = "embedding",
@@ -90,6 +122,7 @@ def logreg_train(
     lr: float = 0.5,
     scale: float = float(2 ** 32),
     l2: float = 0.0,
+    combine_blocks: int | None = None,
 ):
     """Full-batch logistic regression over a Dataset of (vector, 0/1
     label) rows. Each iteration: one ``map_batches`` pass emits a single
@@ -134,9 +167,12 @@ def logreg_train(
             })
 
         grad_block.__name__ = "logreg_grad"
-        parts = ds.map_batches(
+        parts_ds = ds.map_batches(
             grad_block, batch_format="pyarrow", batch_size=None
-        ).take_all()
+        )
+        if combine_blocks is not None:
+            parts_ds = _combine_int_partials(parts_ds, ["g"], combine_blocks)
+        parts = [p for p in parts_ds.take_all() if p["g"]]
         n = sum(int(p["n"]) for p in parts)
         gq = np.zeros(dim + 1, np.int64)
         for p in parts:
@@ -199,7 +235,7 @@ def _principal_components(n: int, s: np.ndarray, ss: np.ndarray,
 
 
 def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
-            scale: int = 2 ** 16):
+            scale: int = 2 ** 16, combine_blocks: int | None = None):
     """One-pass distributed PCA: per-block integer moment partials (a
     single map_batches emitting one (n, Σx, Σxxᵀ) row per block —
     O(blocks × dim²) driver traffic, dim²=4k ints at dim 64), exact
@@ -207,6 +243,12 @@ def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
     moments at 2^16 scaling up to ~2^25 rows per partial and ~2^63 total;
     for 10^10-row fits lower the scale or reduce partials pairwise."""
     def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # no zero-width rows (they'd ragged the combine)
+            return pa.table({
+                "n": pa.array([], pa.int64()),
+                "s": pa.array([], pa.list_(pa.int64())),
+                "ss": pa.array([], pa.list_(pa.int64())),
+            })
         n, s, ss = _moment_partials(_vec_matrix(t, vec_col), scale)
         return pa.table({
             "n": pa.array([n], pa.int64()),
@@ -215,10 +257,15 @@ def pca_fit(ds, vec_col: str = "embedding", k: int = 2,
         })
 
     moments.__name__ = "pca_moments"
-    parts = ds.map_batches(
+    parts_ds = ds.map_batches(
         moments, batch_format="pyarrow", batch_size=None
-    ).take_all()
-    parts = [p for p in parts if int(p["n"])]
+    )
+    if combine_blocks is not None:
+        # the ss partial is dim² ints per block (~32 KB at dim 64): at
+        # 10^5+ blocks the driver take_all is GBs — tree-combine first
+        parts_ds = _combine_int_partials(parts_ds, ["s", "ss"],
+                                         combine_blocks)
+    parts = [p for p in parts_ds.take_all() if int(p["n"])]
     if not parts:
         raise ValueError("pca_fit: empty dataset")
     dim = int(np.sqrt(len(parts[0]["ss"])))

@@ -113,3 +113,23 @@ def test_bpe_min_count_and_max_vocab_bound_the_dictionary(ray_session):
     got1 = tr.bpe_train(ds, n_merges=1, max_vocab=1).to_pylist()
     assert (got1[0]["left"], got1[0]["right"]) == ("a", "</w>")
     assert got1[0]["pair_count"] == 3
+
+
+def test_tree_combined_partials_match_direct(ray_session):
+    """combine_blocks (the 10^5+-block scale path) is exact: tree-reduced
+    integer partials give bit-identical fits to the direct driver sum."""
+    t, _y = _emb_ds(n=180, dim=6, seed=21)
+    ds = rd.from_arrow(t).repartition(9)
+    w_direct, b_direct, _ = tr.logreg_train(ds, iters=4, lr=0.7)
+    w_tree, b_tree, _ = tr.logreg_train(
+        ds, iters=4, lr=0.7, combine_blocks=3
+    )
+    assert w_direct.tobytes() == w_tree.tobytes() and b_direct == b_tree
+
+    t2 = t.select(["vec_id", "embedding"])
+    mean_d, comps_d = tr.pca_fit(rd.from_arrow(t2).repartition(9), k=2)
+    mean_t, comps_t = tr.pca_fit(
+        rd.from_arrow(t2).repartition(9), k=2, combine_blocks=3
+    )
+    assert mean_d.tobytes() == mean_t.tobytes()
+    assert comps_d.tobytes() == comps_t.tobytes()
