@@ -433,6 +433,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="replica bucket count (independent of primary)")
 
     sp = sub.add_parser(
+        "shard", help="deterministic shuffle-and-shard export of a parquet "
+        "file/dir into N training shards (md5-coin order, byte-identical "
+        "rerun; stages/sink.shuffle_shard_export)"
+    )
+    sp.add_argument("in_path", help="parquet file or directory")
+    sp.add_argument("out_dir")
+    sp.add_argument("--shards", type=int, default=16)
+    sp.add_argument("--key", required=True,
+                    help="unique row key column the shuffle coin hashes")
+    sp.add_argument("--salt", default="",
+                    help="coin salt: vary to get a different permutation")
+    sp.add_argument("--columns", default=None,
+                    help="comma-separated output column subset")
+
+    sp = sub.add_parser(
         "query", help="run one operator pipeline from the demo library "
         "(EmbeddedGobblin one-shot job analog)"
     )
@@ -477,6 +492,34 @@ def main(argv: list[str] | None = None) -> int:
                 "sec": round(time.time() - t0, 3),
                 "head": json.loads(df.head(args.limit).to_json(
                     orient="records", date_format="iso")),
+            }))
+        finally:
+            import ray
+
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "shard":
+        from .stages.sink import shuffle_shard_export
+
+        _ray_up(args.num_cpus)
+        try:
+            import ray.data as rd
+
+            t0 = time.time()
+            ds = rd.read_parquet(args.in_path)
+            cols = (
+                [c.strip() for c in args.columns.split(",")]
+                if args.columns else None
+            )
+            lineage = shuffle_shard_export(
+                ds, args.out_dir, n_shards=args.shards, key_col=args.key,
+                salt=args.salt, columns=cols,
+            )
+            rows = lineage.count()
+            print(json.dumps({
+                "out_dir": args.out_dir, "shards": args.shards,
+                "rows": int(rows), "sec": round(time.time() - t0, 3),
             }))
         finally:
             import ray

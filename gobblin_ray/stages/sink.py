@@ -372,6 +372,9 @@ def shuffle_shard_export(
     shuffle-partitioner instead of a semantic one."""
     import numpy as np
 
+    if columns is not None and key_col not in columns:
+        # the key column is the lineage/read-back identity — always kept
+        columns = list(columns) + [key_col]
     os.makedirs(out_dir, exist_ok=True)
 
     def add_coin(t: pa.Table) -> pa.Table:
