@@ -258,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_prep_v3_summary": demo.llm_prep_v3_summary,
         "pca_embeddings": demo.pca_embeddings,
         "bpe_train_documents": demo.bpe_train_documents,
+        "bpe_apply_documents": demo.bpe_apply_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
         # multimodal (extension set; image decode is REAL Netpbm bytes,
@@ -2113,6 +2114,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train_documents": """
             SELECT "rank", "left", "right", pair_count
             FROM read_parquet('/tmp/gobblin_ray_fixtures/bpe_oracle.parquet')
+        """,
+        "bpe_apply_documents": """
+            SELECT lang, n_docs, total_bpe_tokens
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/bpe_apply_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

@@ -951,3 +951,52 @@ def bpe_oracle_sidecar(sf_dir: str, n_merges: int = 40,
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
     return _write(out, path)
+
+
+BPE_APPLY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "bpe_apply_oracle.parquet")
+
+
+def bpe_apply_oracle_sidecar(sf_dir: str, n_merges: int = 40,
+                             path: str = BPE_APPLY_ORACLE_PATH) -> str:
+    """Sequential replay of train-then-encode: independent pure-Python
+    word recount -> the published merge loop -> the published greedy
+    encoder over each row's words (cached per distinct word) -> per-lang
+    (n_docs, total_bpe_tokens). Oracles the distributed
+    ``train.bpe_apply`` composition."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import bpe_encode_word, bpe_merge_loop
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["lang", "text"])
+    counts: Counter = Counter()
+    rows = list(zip(t.column("lang").to_pylist(),
+                    t.column("text").to_pylist()))
+    for _lang, s in rows:
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    merges = bpe_merge_loop(dict(counts), n_merges)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    cache: dict[str, int] = {}
+
+    def ntok(w: str) -> int:
+        if w not in cache:
+            cache[w] = len(bpe_encode_word(w, ranks))
+        return cache[w]
+
+    agg: dict[str, list[int]] = {}
+    for lang, s in rows:
+        tot = sum(ntok(w) for w in (s or "").split(" ") if w)
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += 1
+        a[1] += tot
+    langs = sorted(agg)
+    out = pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([agg[g][0] for g in langs], pa.int64()),
+        "total_bpe_tokens": pa.array([agg[g][1] for g in langs], pa.int64()),
+    })
+    return _write(out, path)

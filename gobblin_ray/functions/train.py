@@ -401,3 +401,92 @@ def bpe_train(ds, text_col: str = "text", n_merges: int = 40,
         "right": pa.array([m[2] for m in merges], pa.string()),
         "pair_count": pa.array([m[3] for m in merges], pa.int64()),
     })
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE encode of one word under trained merge ranks (the
+    classic lowest-rank-first application, shared by the distributed
+    encoder and the sequential oracle): repeatedly merge the present
+    pair with the smallest rank until none applies."""
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_i, best_rank = -1, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_i, best_rank = i, r
+        if best_rank is None:
+            break
+        merged = sym[best_i] + sym[best_i + 1]
+        # merge ALL occurrences of this pair left-to-right
+        out, i = [], 0
+        while i < len(sym):
+            if (i + 1 < len(sym) and sym[i] + sym[i + 1] == merged
+                    and ranks.get((sym[i], sym[i + 1])) == best_rank):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_apply(ds, merges, text_col: str = "text",
+              group_col: str | None = None):
+    """Apply trained BPE merges to a corpus: per-row subword token counts
+    (plus optional per-group rollup downstream). The merge table is
+    broadcast ONCE via ``ray.put``; each batch explodes to words and
+    encodes only its DISTINCT words (the word cache — the standard
+    tokenizer-at-scale trick: distinct words per batch ≪ word
+    occurrences), then scatters counts back to rows. Per-distinct-word
+    Python encode is the documented trade-off (greedy BPE is inherently
+    sequential per word; the cache bounds it by vocabulary, not corpus).
+
+    Returns the input rows with an ``n_bpe_tokens`` int64 column."""
+    import ray
+
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges.column("left").to_pylist(),
+                         merges.column("right").to_pylist()))
+    else:
+        pairs = [(m[1], m[2]) for m in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    rref = ray.put(ranks)
+
+    class _Encode:
+        def __init__(self):
+            self.ranks = ray.get(rref)
+            self.cache: dict[str, int] = {}
+
+        def _tokens(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(bpe_encode_word(w, self.ranks))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t.column(text_col).fill_null(""), pattern=" "
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            counts = np.zeros(t.num_rows, np.int64)
+            if len(flat):
+                words = flat.to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(words, return_inverse=True)
+                per_word = np.array(
+                    [self._tokens(w) if w else 0 for w in uniq], np.int64
+                )
+                np.add.at(counts, parents, per_word[inv])
+            return t.append_column("n_bpe_tokens", pa.array(counts))
+
+    return ds.map_batches(
+        _Encode, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8),
+    )

@@ -4073,3 +4073,24 @@ def llm_prep_v3_summary(sf_dir: str):
     return counted.groupby("lang").aggregate(
         Count(alias_name="n_docs"), Sum("n_tokens", alias_name="total_tokens")
     )
+
+
+def bpe_apply_documents(sf_dir: str):
+    """Train-then-tokenize composition (the apply half of
+    ``bpe_train_documents``): train 40 BPE merges distributed, broadcast
+    the merge table once, encode every document with the per-batch
+    distinct-word cache (functions/train.bpe_apply), roll up subword
+    token totals per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures import bpe_apply_oracle_sidecar
+    from ..functions import train as tr
+
+    bpe_apply_oracle_sidecar(sf_dir, n_merges=40)
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    merges = tr.bpe_train(ds, n_merges=40)
+    out = tr.bpe_apply(ds, merges)
+    return out.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
+    )

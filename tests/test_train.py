@@ -133,3 +133,26 @@ def test_tree_combined_partials_match_direct(ray_session):
     )
     assert mean_d.tobytes() == mean_t.tobytes()
     assert comps_d.tobytes() == comps_t.tobytes()
+
+
+def test_bpe_apply_counts(ray_session):
+    """Train-then-encode: with the classic planted merges, 'low' encodes
+    to 2 tokens (low + </w>) and 'newest' to 4 (n e w est</w>); totals
+    roll up per group and the word cache returns stable counts."""
+    docs = ["low low low low low", "lower lower widest widest widest",
+            "newest newest newest newest newest newest"]
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(["a", "b", "a"], pa.string()),
+        "text": pa.array(docs, pa.string()),
+    }))
+    merges = tr.bpe_train(ds, n_merges=5)
+    ranks = {(m["left"], m["right"]): m["rank"]
+             for m in merges.to_pylist()}
+    assert tr.bpe_encode_word("low", ranks) == ["low", "</w>"]
+    assert tr.bpe_encode_word("newest", ranks) == ["n", "e", "w", "est</w>"]
+    out = {r["text"]: r["n_bpe_tokens"]
+           for r in tr.bpe_apply(ds, merges).take_all()}
+    assert out[docs[0]] == 5 * 2          # five 'low' at 2 tokens
+    assert out[docs[2]] == 6 * 4          # six 'newest' at 4 tokens
+    # 'lower' = low e r </w> (4), 'widest' = w i d est</w> (4)
+    assert out[docs[1]] == 2 * 4 + 3 * 4
