@@ -106,6 +106,7 @@ QUERY_NAMES = [
     "lr_train_embeddings",
     "pca_embeddings",
     "bpe_train_documents",
+    "bpe_apply_documents",
     "shuffle_shard_documents",
 ]
 
