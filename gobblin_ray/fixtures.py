@@ -1000,3 +1000,33 @@ def bpe_apply_oracle_sidecar(sf_dir: str, n_merges: int = 40,
         "total_bpe_tokens": pa.array([agg[g][1] for g in langs], pa.int64()),
     })
     return _write(out, path)
+
+
+ZRATIO_ORACLE_PATH = os.path.join(FIXTURE_DIR, "zratio_oracle.parquet")
+
+
+def zratio_oracle_sidecar(sf_dir: str, level: int = 6,
+                          path: str = ZRATIO_ORACLE_PATH) -> str:
+    """Sequential per-row zlib replay (same level, same zlib build) —
+    the oracle for the distributed compression-ratio quality screen."""
+    import zlib
+
+    import pyarrow.parquet as _pq
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    raws, comps = [], []
+    for s in t.column("text").to_pylist():
+        b = (s or "").encode()
+        raws.append(len(b))
+        comps.append(len(zlib.compress(b, level)) if b else 0)
+    raw = np.asarray(raws, np.int64)
+    comp = np.asarray(comps, np.int64)
+    out = pa.table({
+        "doc_id": t.column("doc_id"),
+        "raw_len": pa.array(raw),
+        "ratio": pa.array(
+            np.where(raw > 0, comp / np.maximum(raw, 1), 0.0), pa.float64()
+        ),
+    })
+    return _write(out, path)

@@ -1278,3 +1278,40 @@ def char_entropy(id_col: str = "doc_id", text_col: str = "text",
 
     run.__name__ = "char_entropy"
     return run
+
+
+def compression_ratio(id_col: str = "doc_id", text_col: str = "text",
+                      level: int = 6):
+    """Per-document zlib compression ratio (compressed_bytes / raw_bytes)
+    — the Gopher-family "compressibility" quality screen: highly
+    repetitive/templated pages compress far below ~0.4, random noise sits
+    near 1.0; both tails are curation-filter candidates. Complements
+    ``char_entropy`` (symbol diversity) with sequence-level redundancy.
+
+    Per-row ``zlib.compress`` is the documented trade-off (no vectorized
+    deflate kernel — same posture as the md5 fingerprint stage); the C
+    deflate dominates per-row cost and the stage is an actor-pool
+    map_batches, so it parallelizes per batch. Empty/null texts report
+    ratio 0.0 (nothing to compress). zlib output is deterministic for a
+    fixed level within one zlib build, which the oracle sidecar shares.
+
+    Returns (id_col, raw_len int64, ratio float64)."""
+    import zlib
+
+    def run(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        raw = np.empty(len(texts), np.int64)
+        comp = np.empty(len(texts), np.int64)
+        for i, s in enumerate(texts):
+            b = (s or "").encode()
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level)) if b else 0
+        ratio = np.where(raw > 0, comp / np.maximum(raw, 1), 0.0)
+        return pa.table({
+            id_col: t.column(id_col),
+            "raw_len": pa.array(raw),
+            "ratio": pa.array(ratio, pa.float64()),
+        })
+
+    run.__name__ = "compression_ratio"
+    return run

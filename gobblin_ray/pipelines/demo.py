@@ -4094,3 +4094,16 @@ def bpe_apply_documents(sf_dir: str):
         Count(alias_name="n_docs"),
         Sum("n_bpe_tokens", alias_name="total_bpe_tokens"),
     )
+
+
+def compression_ratio_documents(sf_dir: str):
+    """Gopher-style compressibility quality screen: per-doc zlib ratio
+    (functions/text.compression_ratio), oracled by a sequential zlib
+    replay sidecar (same level, same zlib build)."""
+    from ..fixtures import zratio_oracle_sidecar
+
+    zratio_oracle_sidecar(sf_dir)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        tx.compression_ratio(), batch_format="pyarrow", batch_size=2048
+    )
