@@ -108,6 +108,7 @@ QUERY_NAMES = [
     "bpe_train_documents",
     "bpe_apply_documents",
     "shuffle_shard_documents",
+    "compression_ratio_documents",
 ]
 
 

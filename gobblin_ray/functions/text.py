@@ -1284,16 +1284,20 @@ def compression_ratio(id_col: str = "doc_id", text_col: str = "text",
                       level: int = 6):
     """Per-document zlib compression ratio (compressed_bytes / raw_bytes)
     — the Gopher-family "compressibility" quality screen: highly
-    repetitive/templated pages compress far below ~0.4, random noise sits
-    near 1.0; both tails are curation-filter candidates. Complements
+    repetitive/templated pages compress far below ~0.4, incompressible
+    noise sits near (or, for SHORT documents, above) 1.0 — zlib's fixed
+    ~8-12 byte header means a 5-byte doc can report ratio >2, so pair an
+    upper-tail filter with a ``raw_len`` floor. Complements
     ``char_entropy`` (symbol diversity) with sequence-level redundancy.
 
     Per-row ``zlib.compress`` is the documented trade-off (no vectorized
     deflate kernel — same posture as the md5 fingerprint stage); the C
-    deflate dominates per-row cost and the stage is an actor-pool
-    map_batches, so it parallelizes per batch. Empty/null texts report
-    ratio 0.0 (nothing to compress). zlib output is deterministic for a
-    fixed level within one zlib build, which the oracle sidecar shares.
+    deflate dominates per-row cost and the stateless transform runs as a
+    plain task-pool ``map_batches`` (no per-worker setup to amortize, so
+    no actor pool needed), parallel across batches. Empty/null texts
+    report ratio 0.0 (nothing to compress). zlib output is deterministic
+    for a fixed level within one zlib build, which the oracle sidecar
+    shares.
 
     Returns (id_col, raw_len int64, ratio float64)."""
     import zlib
