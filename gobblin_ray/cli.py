@@ -433,6 +433,18 @@ def main(argv: list[str] | None = None) -> int:
                     help="replica bucket count (independent of primary)")
 
     sp = sub.add_parser(
+        "sql", help="ad-hoc DuckDB SQL over the live merge-on-read lake "
+        "state (Hive-registration/serving analog: the lake registered as "
+        "a queryable table named `t`, optional time travel via --tag)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("query", help="SQL; the lake's live rows are table `t`")
+    sp.add_argument("--tag", default=None,
+                    help="query AS OF the named tag's manifest")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="rows of the result to print")
+
+    sp = sub.add_parser(
         "shard", help="deterministic shuffle-and-shard export of a parquet "
         "file/dir into N training shards (md5-coin order, byte-identical "
         "rerun; stages/sink.shuffle_shard_export)"
@@ -497,6 +509,33 @@ def main(argv: list[str] | None = None) -> int:
             import ray
 
             ray.shutdown()
+        return 0
+
+    if args.cmd == "sql":
+        import duckdb
+
+        from .engine import CdcEngine, EngineConfig
+
+        eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+        manifest = None
+        if args.tag:
+            from . import refs
+
+            manifest = eng.store.load(
+                refs.resolve_tag(args.lake_dir, args.tag))
+        t0 = time.time()
+        t = eng.read_table_arrow(manifest)  # driver-side; serving-sized lakes
+        drop = [c for c in ("is_deleted", "url_bucket") if c in t.column_names]
+        if drop:
+            t = t.drop_columns(drop)
+        con = duckdb.connect()
+        con.register("t", t)
+        df = con.execute(args.query).fetchdf()
+        print(json.dumps({
+            "rows": int(len(df)), "sec": round(time.time() - t0, 3),
+            "head": json.loads(df.head(args.limit).to_json(
+                orient="records", date_format="iso")),
+        }))
         return 0
 
     if args.cmd == "shard":

@@ -1990,3 +1990,35 @@ def test_fsck_detects_damage(ray_session, corpus, tmp_path_factory):
     assert not rep["ok"]
     kinds = {i["kind"] for i in rep["issues"]}
     assert "missing_file" in kinds and "unreadable_footer" in kinds
+
+
+def test_sql_cli_serves_live_state(ray_session, tmp_path_factory, capsys):
+    """`cli sql` (Hive-registration/serving analog): ad-hoc DuckDB SQL over
+    the live merge-on-read state matches the engine's own reader; no Ray
+    session of its own; bookkeeping columns are not exposed."""
+    import json
+
+    from gobblin_ray.cli import main as cli_main
+
+    d = str(tmp_path_factory.mktemp("sqlcorpus"))
+    synth.write_corpus(d, n_pages=40, n_events=300, shard_rows=150)
+    lake = str(tmp_path_factory.mktemp("lake_sql"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=150))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    rc = cli_main(["sql", lake,
+                   "SELECT count(*) AS n, count(DISTINCT url) AS u FROM t"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    want = eng.read_table_arrow()
+    live = want.num_rows
+    assert out["head"][0]["n"] == live
+    assert out["head"][0]["u"] == live  # url is the LWW identity: distinct
+    rc = cli_main(["sql", lake, "SELECT * FROM t LIMIT 1"])
+    assert rc == 0
+    cols = json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )["head"][0].keys()
+    assert "is_deleted" not in cols and "url_bucket" not in cols
