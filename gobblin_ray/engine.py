@@ -2725,9 +2725,12 @@ class MultiTableCdcEngine:
     identity gobblin-api/.../source/workunit/Extract.java:53-56).
 
     Each table gets its own lake dir (``<root>/<table>``), manifest chain,
-    watermarks and schema lineage; the shared driver loop runs tables
-    sequentially (each table's epochs already saturate the cluster — at
-    many-small-tables scale, run tables through a thread pool instead).
+    watermarks and schema lineage. ``run`` drives tables through a thread
+    pool by default (each table holds its own lake lock and commits its
+    own manifests, so the only shared state is the Ray scheduler, which
+    interleaves the tables' epoch pipelines fairly — small tables no
+    longer wait for large ones); ``parallel=1`` restores strict
+    sequential order.
     """
 
     def __init__(
@@ -2748,17 +2751,40 @@ class MultiTableCdcEngine:
             name: self.engines[name].bootstrap(path) for name, path in pages.items()
         }
 
-    def run(self, **run_kw) -> dict[str, "list[EpochReport] | Exception"]:
+    def run(
+        self, parallel: int | None = None, **run_kw
+    ) -> dict[str, "list[EpochReport] | Exception"]:
         """Replay every table to its log head. A table whose run raises is
         recorded (value = the exception) and does NOT abort the others —
         their commits are already durable (failure isolation per dataset).
-        """
+
+        ``parallel`` bounds concurrent table runs (default
+        ``min(4, n_tables)``; the per-table epoch pipelines already
+        saturate workers, so table-level concurrency buys overlap of
+        driver-side commit I/O and small-table latency, not raw CPU).
+        Exception isolation is identical in both modes."""
+        from concurrent.futures import ThreadPoolExecutor
+
         results: dict[str, list[EpochReport] | Exception] = {}
-        for name, eng in self.engines.items():
-            try:
-                results[name] = eng.run(**run_kw)
-            except Exception as exc:  # noqa: BLE001 - isolation by design
-                results[name] = exc
+        names = list(self.engines)
+        w = min(4, len(names)) if parallel is None else max(1, parallel)
+        if w <= 1:
+            for name in names:
+                try:
+                    results[name] = self.engines[name].run(**run_kw)
+                except Exception as exc:  # noqa: BLE001 - isolation by design
+                    results[name] = exc
+            return results
+        with ThreadPoolExecutor(max_workers=w) as pool:
+            futs = {
+                name: pool.submit(self.engines[name].run, **run_kw)
+                for name in names
+            }
+            for name in names:  # stable result order
+                try:
+                    results[name] = futs[name].result()
+                except Exception as exc:  # noqa: BLE001 - isolation by design
+                    results[name] = exc
         return results
 
     def failed_tables(self, results: dict) -> list[str]:
