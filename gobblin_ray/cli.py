@@ -441,6 +441,9 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("query", help="SQL; the lake's live rows are table `t`")
     sp.add_argument("--tag", default=None,
                     help="query AS OF the named tag's manifest")
+    sp.add_argument("--table", default=None,
+                    help="table name under a multi-table root "
+                         "(<lake_dir>/<table>)")
     sp.add_argument("--limit", type=int, default=20,
                     help="rows of the result to print")
 
@@ -516,13 +519,14 @@ def main(argv: list[str] | None = None) -> int:
 
         from .engine import CdcEngine, EngineConfig
 
-        eng = CdcEngine(args.lake_dir, events_dir="", config=EngineConfig())
+        lake = (os.path.join(args.lake_dir, args.table)
+                if args.table else args.lake_dir)
+        eng = CdcEngine(lake, events_dir="", config=EngineConfig())
         manifest = None
         if args.tag:
             from . import refs
 
-            manifest = eng.store.load(
-                refs.resolve_tag(args.lake_dir, args.tag))
+            manifest = eng.store.load(refs.resolve_tag(lake, args.tag))
         t0 = time.time()
         t = eng.read_table_arrow(manifest)  # driver-side; serving-sized lakes
         drop = [c for c in ("is_deleted", "url_bucket") if c in t.column_names]

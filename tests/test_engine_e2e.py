@@ -2022,3 +2022,40 @@ def test_sql_cli_serves_live_state(ray_session, tmp_path_factory, capsys):
         capsys.readouterr().out.strip().splitlines()[-1]
     )["head"][0].keys()
     assert "is_deleted" not in cols and "url_bucket" not in cols
+
+
+def test_sql_cli_tag_time_travel_and_multi_table(ray_session,
+                                                 tmp_path_factory, capsys):
+    """`cli sql --tag` serves the pinned manifest's state; `--table`
+    resolves a table under a multi-table root."""
+    import json
+
+    from gobblin_ray import refs
+    from gobblin_ray.cli import main as cli_main
+    from gobblin_ray.engine import MultiTableCdcEngine
+
+    da = str(tmp_path_factory.mktemp("sqlt_a"))
+    synth.write_corpus(da, n_pages=30, n_events=200, shard_rows=100)
+    root = str(tmp_path_factory.mktemp("sql_root"))
+    multi = MultiTableCdcEngine(
+        root, {"a": f"{da}/events"},
+        EngineConfig(num_buckets=4, epoch_width=100),
+    )
+    multi.bootstrap({"a": f"{da}/pages.parquet"})
+    eng = multi.engines["a"]
+    boot_rows = eng.read_table_arrow().num_rows
+    refs.create_tag(eng.lake_dir, "boot", eng.store.latest().epoch)
+    multi.run()
+
+    def q(argv):
+        rc = cli_main(argv)
+        assert rc == 0
+        return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    head = q(["sql", root, "--table", "a",
+              "SELECT count(*) AS n FROM t"])["head"][0]["n"]
+    assert head == eng.read_table_arrow().num_rows
+    tagged = q(["sql", root, "--table", "a", "--tag", "boot",
+                "SELECT count(*) AS n FROM t"])["head"][0]["n"]
+    assert tagged == boot_rows  # AS OF the bootstrap manifest
+    assert head != tagged  # the replay changed live state

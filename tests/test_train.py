@@ -156,3 +156,37 @@ def test_bpe_apply_counts(ray_session):
     assert out[docs[2]] == 6 * 4          # six 'newest' at 4 tokens
     # 'lower' = low e r </w> (4), 'widest' = w i d est</w> (4)
     assert out[docs[1]] == 2 * 4 + 3 * 4
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(1, 9), min_size=1, max_size=12,
+    ),
+    st.integers(0, 10),
+)
+def test_bpe_merge_accounting_property(counts, n_merges):
+    """Greedy encode replays the merge history on training words, so
+    total tokens after training == initial symbols − Σ pair_counts — EXACT
+    when no merge pair is self-overlapping (left != right; canonical
+    Sennrich counting counts overlapping occurrences of (X,X) in runs like
+    'xxx' but the merge pass consumes them pairwise, so those merges
+    collapse FEWER boundaries than their recorded count). Also: ranks are
+    contiguous and every recorded pair_count is positive."""
+    merges = tr.bpe_merge_loop(counts, n_merges)
+    ranks = {(left, right): rank for rank, left, right, _c in merges}
+    initial = sum(c * (len(w) + 1) for w, c in counts.items())
+    encoded = sum(
+        c * len(tr.bpe_encode_word(w, ranks)) for w, c in counts.items()
+    )
+    if all(m[1] != m[2] for m in merges):
+        assert encoded == initial - sum(m[3] for m in merges)
+    else:  # self-overlapping pairs merge at most their recorded count
+        assert initial - sum(m[3] for m in merges) <= encoded < initial
+    assert [m[0] for m in merges] == list(range(len(merges)))
+    assert all(m[3] > 0 for m in merges)
