@@ -433,6 +433,24 @@ def main(argv: list[str] | None = None) -> int:
                     help="replica bucket count (independent of primary)")
 
     sp = sub.add_parser(
+        "prep", help="curate the lake into training shards: projected "
+        "merge-on-read read -> quality gate -> hash-keyed exact dedup -> "
+        "deterministic shuffle-and-shard export (lake-to-training in one "
+        "command)"
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("out_dir")
+    sp.add_argument("--shards", type=int, default=16)
+    sp.add_argument("--min-chars", type=int, default=1,
+                    help="drop docs with shorter (or null) text")
+    sp.add_argument("--salt", default="",
+                    help="shuffle-coin salt (vary for a new permutation)")
+    sp.add_argument("--tag", default=None,
+                    help="prep AS OF the named tag's manifest")
+    sp.add_argument("--table", default=None,
+                    help="table name under a multi-table root")
+
+    sp = sub.add_parser(
         "sql", help="ad-hoc DuckDB SQL over the live merge-on-read lake "
         "state (Hive-registration/serving analog: the lake registered as "
         "a queryable table named `t`, optional time travel via --tag)"
@@ -507,6 +525,60 @@ def main(argv: list[str] | None = None) -> int:
                 "sec": round(time.time() - t0, 3),
                 "head": json.loads(df.head(args.limit).to_json(
                     orient="records", date_format="iso")),
+            }))
+        finally:
+            import ray
+
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "prep":
+        from .engine import CdcEngine, EngineConfig
+        from .functions.dedup import dedup_exact_by_hash
+        from .stages.sink import shuffle_shard_export
+
+        lake = (os.path.join(args.lake_dir, args.table)
+                if args.table else args.lake_dir)
+        _ray_up(args.num_cpus)
+        try:
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            eng = CdcEngine(lake, events_dir="", config=EngineConfig())
+            manifest = None
+            if args.tag:
+                from . import refs
+
+                manifest = eng.store.load(refs.resolve_tag(lake, args.tag))
+            t0 = time.time()
+            # projected read: the html payload never leaves storage
+            ds = eng.read_table(manifest, columns=["url", "text", "lang"])
+            mc = args.min_chars
+
+            def gate(t: pa.Table) -> pa.Table:
+                txt = t.column("text")
+                keep = pc.and_(
+                    pc.is_valid(txt),
+                    pc.greater_equal(
+                        pc.utf8_length(txt.fill_null("")), pa.scalar(mc)
+                    ),
+                )
+                return t.filter(keep)
+
+            gate.__name__ = "quality_gate"
+            kept = dedup_exact_by_hash(
+                ds.map_batches(gate, batch_format="pyarrow",
+                               batch_size=None),
+                "text", "url",
+            )
+            lineage = shuffle_shard_export(
+                kept, args.out_dir, n_shards=args.shards, key_col="url",
+                salt=args.salt, columns=["url", "text", "lang"],
+            )
+            rows = lineage.count()
+            print(json.dumps({
+                "out_dir": args.out_dir, "shards": args.shards,
+                "rows": int(rows), "sec": round(time.time() - t0, 3),
             }))
         finally:
             import ray

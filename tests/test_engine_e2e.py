@@ -2059,3 +2059,54 @@ def test_sql_cli_tag_time_travel_and_multi_table(ray_session,
                 "SELECT count(*) AS n FROM t"])["head"][0]["n"]
     assert tagged == boot_rows  # AS OF the bootstrap manifest
     assert head != tagged  # the replay changed live state
+
+
+def test_prep_cli_lake_to_training_shards(ray_session, tmp_path_factory,
+                                          capsys):
+    """`cli prep`: lake -> quality gate -> exact dedup -> deterministic
+    shards, one command. Row count == the independent DuckDB computation
+    over the live state (distinct texts passing the gate); shards are
+    disjoint+exhaustive over kept urls and reruns are byte-identical."""
+    import hashlib
+    import json
+    import os
+
+    import duckdb
+
+    from gobblin_ray.cli import main as cli_main
+
+    d = str(tmp_path_factory.mktemp("prepcorpus"))
+    synth.write_corpus(d, n_pages=40, n_events=300, shard_rows=150)
+    lake = str(tmp_path_factory.mktemp("lake_prep"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=150))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    out = str(tmp_path_factory.mktemp("prep_out"))
+    rc = cli_main(["prep", lake, out, "--shards", "3", "--min-chars", "10"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    live = eng.read_table_arrow()
+    con = duckdb.connect()
+    con.register("t", live)
+    want = con.execute(
+        "SELECT count(*) FROM (SELECT min(url), text FROM t "
+        "WHERE text IS NOT NULL AND length(text) >= 10 GROUP BY text)"
+    ).fetchone()[0]
+    assert rep["rows"] == want
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    total = sum(pq.read_metadata(os.path.join(out, f)).num_rows
+                for f in files)
+    assert total == want and len(files) <= 3
+    digests = {f: hashlib.md5(
+        open(os.path.join(out, f), "rb").read()).hexdigest() for f in files}
+    rc = cli_main(["prep", lake, out, "--shards", "3", "--min-chars", "10"])
+    assert rc == 0
+    capsys.readouterr()
+    for f, h in digests.items():
+        got = hashlib.md5(
+            open(os.path.join(out, f), "rb").read()).hexdigest()
+        assert got == h  # deterministic rerun, byte-identical
