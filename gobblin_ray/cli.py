@@ -175,6 +175,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("lake_dir")
 
     sp = sub.add_parser(
+        "audit-data", help="DATA-level audit (fsck's sibling one layer "
+        "down): sequential row-at-a-time LWW replay of the change log up "
+        "to the committed watermark, byte-compared per url against the "
+        "lake's live rows — 'did exactly-once actually hold on THIS "
+        "lake?'. Driver-side O(corpus); serving-sized lakes / DR spot "
+        "checks; no Ray session."
+    )
+    sp.add_argument("lake_dir")
+    sp.add_argument("--corpus-dir", required=True,
+                    help="synth corpus root (pages.parquet + events/)")
+
+    sp = sub.add_parser(
         "describe", help="manifest lineage: epoch chain, per-bucket "
         "base/delta layout, compaction debt, metrics (no Ray session)"
     )
@@ -838,6 +850,13 @@ def main(argv: list[str] | None = None) -> int:
 
         rep = fsck(args.lake_dir)
         print(json.dumps(rep))
+        return 0 if rep["ok"] else 1
+
+    if args.cmd == "audit-data":
+        from .fsck import audit_data
+
+        rep = audit_data(args.lake_dir, args.corpus_dir)
+        print(json.dumps(rep, default=str))
         return 0 if rep["ok"] else 1
 
     if args.cmd == "describe":

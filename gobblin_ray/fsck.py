@@ -130,3 +130,52 @@ def fsck(lake_dir: str) -> dict:
         "orphans": len(orphans),
         "staging": len([p for p in staging if os.path.isfile(p)]),
     }
+
+
+def audit_data(lake_dir: str, corpus_dir: str, engine=None) -> dict:
+    """DATA-level lake audit — fsck's sibling one layer down: recompute
+    the expected live state by SEQUENTIAL row-at-a-time LWW replay of the
+    change log up to the lake's committed watermark
+    (fixtures._sequential_live_state — the dumb obvious oracle the e2e
+    suite trusts), read the lake's live rows driver-side, and
+    byte-compare per url (warc_ts, event_seq, text, html). The ops
+    answer to "did exactly-once actually hold on THIS lake?" after an
+    incident/restore — fsck proves the metadata is coherent, audit_data
+    proves the data matches the log.
+
+    Driver-side O(corpus): a trust tool for serving-sized lakes and DR
+    spot checks (pair with ``read_table(bucket_shard=)`` sampling for
+    big lakes). No Ray session."""
+    from .engine import CdcEngine, EngineConfig
+    from .fixtures import _sequential_live_state
+
+    eng = engine or CdcEngine(lake_dir, events_dir="", config=EngineConfig())
+    manifest = eng.store.latest()
+    if manifest is None:
+        return {"ok": False, "issues": [{"kind": "not_bootstrapped"}]}
+    expected = _sequential_live_state(corpus_dir, max_seq=manifest.high_seq)
+    got = {r["url"]: r for r in eng.read_table_arrow(manifest).to_pylist()}
+
+    issues: list[dict] = []
+    for url in sorted(set(expected) - set(got)):
+        issues.append({"kind": "missing_row", "url": url})
+    for url in sorted(set(got) - set(expected)):
+        issues.append({"kind": "phantom_row", "url": url})
+    checked = 0
+    for url in sorted(set(expected) & set(got)):
+        e, g = expected[url], got[url]
+        checked += 1
+        for col in ("warc_ts", "event_seq", "text", "html"):
+            if col in g and g[col] != e[col]:
+                issues.append({"kind": "value_mismatch", "url": url,
+                               "column": col})
+    return {
+        "ok": not issues,
+        "epoch": manifest.epoch,
+        "high_seq": manifest.high_seq,
+        "rows_expected": len(expected),
+        "rows_live": len(got),
+        "rows_compared": checked,
+        "issues": issues[:50],
+        "issue_count": len(issues),
+    }

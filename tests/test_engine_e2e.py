@@ -2110,3 +2110,62 @@ def test_prep_cli_lake_to_training_shards(ray_session, tmp_path_factory,
         got = hashlib.md5(
             open(os.path.join(out, f), "rb").read()).hexdigest()
         assert got == h  # deterministic rerun, byte-identical
+
+
+def test_audit_data_detects_corruption(ray_session, tmp_path_factory,
+                                       capsys):
+    """`cli audit-data` (fsck's DATA-level sibling): green on a healthy
+    lake; a bit-flip in a data file that fsck cannot see (footer stays
+    valid) is caught by the sequential-replay byte comparison."""
+    import glob
+    import json
+    import os
+
+    from gobblin_ray.cli import main as cli_main
+
+    d = str(tmp_path_factory.mktemp("auditcorpus"))
+    synth.write_corpus(d, n_pages=30, n_events=200, shard_rows=100)
+    lake = str(tmp_path_factory.mktemp("lake_audit"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    assert cli_main(["audit-data", lake, "--corpus-dir", d]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["ok"] and rep["rows_compared"] == rep["rows_expected"] > 0
+
+    # silent data corruption: valid parquet, wrong value — invisible to
+    # fsck, caught by audit-data. Corrupt the WINNING copy of a live url
+    # (a superseded base row would never surface in the merged view).
+    live = eng.read_table_arrow()
+    target = next(r for r in live.to_pylist() if r["text"])
+    for victim in sorted(
+        glob.glob(os.path.join(lake, "data", "*", "*.parquet"))
+    ):
+        t = pq.read_table(victim)
+        rows = t.to_pylist()
+        hit = next(
+            (i for i, r in enumerate(rows)
+             if r["url"] == target["url"]
+             and r["event_seq"] == target["event_seq"]),
+            None,
+        )
+        if hit is None:
+            continue
+        texts = t.column("text").to_pylist()
+        texts[hit] = (texts[hit] or "") + " CORRUPTED"
+        t = t.set_column(t.column_names.index("text"), "text",
+                         pa.array(texts, pa.string()))
+        pq.write_table(t, victim)
+        break
+    else:
+        raise AssertionError("winning row not found in any data file")
+
+    from gobblin_ray.fsck import fsck
+
+    assert fsck(lake)["ok"]  # metadata audit cannot see it
+    assert cli_main(["audit-data", lake, "--corpus-dir", d]) == 1
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert any(i["kind"] == "value_mismatch" and i["column"] == "text"
+               for i in rep["issues"])
