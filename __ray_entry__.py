@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": demo.pca_embeddings,
         "bpe_train_documents": demo.bpe_train_documents,
         "bpe_apply_documents": demo.bpe_apply_documents,
+        "unigram_train_documents": demo.unigram_train_documents,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
@@ -2123,6 +2124,10 @@ def oracle_sql() -> dict[str, str]:
         "compression_ratio_documents": """
             SELECT doc_id, raw_len, ratio
             FROM read_parquet('/tmp/gobblin_ray_fixtures/zratio_oracle.parquet')
+        """,
+        "unigram_train_documents": """
+            SELECT piece, prob
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/unigram_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

@@ -109,6 +109,7 @@ QUERY_NAMES = [
     "bpe_apply_documents",
     "shuffle_shard_documents",
     "compression_ratio_documents",
+    "unigram_train_documents",
 ]
 
 

@@ -1030,3 +1030,33 @@ def zratio_oracle_sidecar(sf_dir: str, level: int = 6,
         ),
     })
     return _write(out, path)
+
+
+UNIGRAM_ORACLE_PATH = os.path.join(FIXTURE_DIR, "unigram_oracle.parquet")
+
+
+def unigram_oracle_sidecar(sf_dir: str, vocab_size: int = 300,
+                           iters: int = 3,
+                           path: str = UNIGRAM_ORACLE_PATH) -> str:
+    """Independent pure-Python word recount feeding the published
+    Viterbi-EM (functions/train.unigram_em — fixed-order float ops, so
+    the replay is bit-identical): the oracle for ``unigram_train``."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import unigram_em
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["text"])
+    counts: Counter = Counter()
+    for s in t.column("text").to_pylist():
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    pieces = unigram_em(dict(counts), vocab_size=vocab_size, iters=iters)
+    out = pa.table({
+        "piece": pa.array([p for p, _ in pieces], pa.string()),
+        "prob": pa.array([q for _, q in pieces], pa.float64()),
+    })
+    return _write(out, path)

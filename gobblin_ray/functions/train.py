@@ -490,3 +490,107 @@ def bpe_apply(ds, merges, text_col: str = "text",
         _Encode, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+# ------------------------------------------------------------- unigram LM tokenizer
+
+def _viterbi_segment(word: str, logp: dict[str, float],
+                     max_piece: int) -> list[str]:
+    """Best segmentation of ``word`` under piece log-probs: classic DP.
+    Deterministic tie-break: at equal score prefer the LONGER last piece
+    (checked first), then keep the first found — fixed iteration order
+    makes the whole EM replayable."""
+    n = len(word)
+    best = [(-np.inf, 0)] * (n + 1)  # (score, prev_index)
+    best[0] = (0.0, 0)
+    for i in range(1, n + 1):
+        sc, pv = -np.inf, 0
+        lo = max(0, i - max_piece)
+        for j in range(lo, i):  # longer piece = smaller j: check longest first
+            lp = logp.get(word[j:i])
+            if lp is None or best[j][0] == -np.inf:
+                continue
+            cand = best[j][0] + lp
+            if cand > sc:
+                sc, pv = cand, j
+        best[i] = (sc, pv)
+    if best[n][0] == -np.inf:  # unreachable with single-char coverage
+        return list(word)
+    out, i = [], n
+    while i > 0:
+        j = best[i][1]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_em(counts: dict[str, int], vocab_size: int = 2000,
+               seed_size: int = 8000, max_piece: int = 6,
+               iters: int = 4) -> list[tuple[str, float]]:
+    """SentencePiece-style unigram-LM tokenizer training over a word→count
+    dictionary (Kudo 2018 shape, Viterbi-EM variant): seed with the most
+    frequent substrings (≤ ``max_piece`` chars, count-desc/lex tie-break,
+    single chars always kept for coverage), then ``iters`` rounds of
+    hard-EM — Viterbi-segment every word under current piece log-probs,
+    re-estimate probs from usage, drop zero-usage multi-char pieces —
+    finally keep the top ``vocab_size`` pieces by (usage desc, piece asc).
+    Driver-side over the compressed dictionary (vocab ≪ corpus), shared
+    verbatim with the sequential oracle; float ops run in one fixed order
+    (sorted words, sorted pieces), so the replay is bit-identical.
+    Returns [(piece, prob)] sorted by (prob desc, piece asc)."""
+    words = sorted(counts.items())
+    # ---- seed: substring counts (weighted by word frequency)
+    sub: Counter = Counter()
+    for w, c in words:
+        L = len(w)
+        for i in range(L):
+            for j in range(i + 1, min(L, i + max_piece) + 1):
+                sub[w[i:j]] += c
+    chars = {s for s in sub if len(s) == 1}
+    multi = sorted(
+        (s for s in sub if len(s) > 1),
+        key=lambda s: (-sub[s], s),
+    )[:max(0, seed_size - len(chars))]
+    vocab = sorted(chars | set(multi))
+    total = float(sum(sub[s] for s in vocab))
+    logp = {s: float(np.log(sub[s] / total)) for s in vocab}
+
+    usage: Counter = Counter()
+    for _ in range(iters):
+        usage = Counter()
+        for w, c in words:
+            for piece in _viterbi_segment(w, logp, max_piece):
+                usage[piece] += c
+        kept = sorted(
+            s for s in logp if len(s) == 1 or usage[s] > 0
+        )
+        tot = float(sum(max(usage[s], 1 if len(s) == 1 else 0)
+                        for s in kept))
+        logp = {
+            s: float(np.log(max(usage[s], 1 if len(s) == 1 else 0) / tot))
+            for s in kept
+        }
+    final = sorted(logp, key=lambda s: (-usage[s], s))[:vocab_size]
+    keep = {s for s in final} | {s for s in logp if len(s) == 1}
+    out = [(s, float(np.exp(logp[s]))) for s in sorted(keep)]
+    out.sort(key=lambda kv: (-kv[1], kv[0]))
+    return out
+
+
+def unigram_train(ds, text_col: str = "text", vocab_size: int = 2000,
+                  seed_size: int = 8000, max_piece: int = 6,
+                  iters: int = 4, min_count: int = 1):
+    """Distributed unigram-LM tokenizer training: exact distributed word
+    counts (same ONE-exchange kernel as ``bpe_train``), then ``unigram_em``
+    over the compressed dictionary. Returns an Arrow table
+    (piece, prob float64) in (prob desc, piece asc) order."""
+    rows = word_counts(ds, text_col).take_all()
+    counts = {r["word"]: int(r["count"]) for r in rows
+              if int(r["count"]) >= min_count}
+    pieces = unigram_em(counts, vocab_size=vocab_size,
+                        seed_size=seed_size, max_piece=max_piece,
+                        iters=iters)
+    return pa.table({
+        "piece": pa.array([p for p, _ in pieces], pa.string()),
+        "prob": pa.array([q for _, q in pieces], pa.float64()),
+    })

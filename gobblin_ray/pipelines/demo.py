@@ -4107,3 +4107,15 @@ def compression_ratio_documents(sf_dir: str):
     return ds.map_batches(
         tx.compression_ratio(), batch_format="pyarrow", batch_size=2048
     )
+
+
+def unigram_train_documents(sf_dir: str):
+    """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
+    Viterbi-EM variant; functions/train.unigram_train): distributed word
+    counts, EM over the compressed dictionary, top-300 pieces + probs."""
+    from ..fixtures import unigram_oracle_sidecar
+    from ..functions import train as tr
+
+    unigram_oracle_sidecar(sf_dir, vocab_size=300, iters=3)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return tr.unigram_train(ds, vocab_size=300, iters=3)

@@ -190,3 +190,27 @@ def test_bpe_merge_accounting_property(counts, n_merges):
         assert initial - sum(m[3] for m in merges) <= encoded < initial
     assert [m[0] for m in merges] == list(range(len(merges)))
     assert all(m[3] > 0 for m in merges)
+
+
+def test_unigram_em_planted(ray_session):
+    """Unigram EM promotes whole frequent words to pieces while keeping
+    single-char coverage; the distributed fit is partitioning-invariant
+    and segmentations under the learned probs are valid covers."""
+    docs = ["low low low low low", "lower lower widest widest widest",
+            "newest newest newest newest newest newest"]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = tr.unigram_train(ds, vocab_size=30, seed_size=60, iters=3)
+    pieces = {r["piece"]: r["prob"] for r in out.to_pylist()}
+    assert "low" in pieces and "newest" in pieces
+    assert all(c in pieces for c in "lowerniedst")  # char coverage
+    probs = [r["prob"] for r in out.to_pylist()]
+    assert probs == sorted(probs, reverse=True)
+    out2 = tr.unigram_train(ds.repartition(3), vocab_size=30,
+                            seed_size=60, iters=3)
+    assert out.to_pylist() == out2.to_pylist()
+    # a Viterbi segmentation under the learned probs covers the word
+    import numpy as np
+
+    logp = {p: float(np.log(q)) for p, q in pieces.items()}
+    seg = tr._viterbi_segment("lowest", logp, max_piece=6)
+    assert "".join(seg) == "lowest"
