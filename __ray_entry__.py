@@ -260,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_documents": demo.bpe_train_documents,
         "bpe_apply_documents": demo.bpe_apply_documents,
         "unigram_train_documents": demo.unigram_train_documents,
+        "unigram_apply_documents": demo.unigram_apply_documents,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
@@ -2128,6 +2129,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_train_documents": """
             SELECT piece, prob
             FROM read_parquet('/tmp/gobblin_ray_fixtures/unigram_oracle.parquet')
+        """,
+        "unigram_apply_documents": """
+            SELECT lang, n_docs, total_unigram_tokens
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/unigram_apply_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

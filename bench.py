@@ -110,6 +110,7 @@ QUERY_NAMES = [
     "shuffle_shard_documents",
     "compression_ratio_documents",
     "unigram_train_documents",
+    "unigram_apply_documents",
 ]
 
 

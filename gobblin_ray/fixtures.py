@@ -1060,3 +1060,56 @@ def unigram_oracle_sidecar(sf_dir: str, vocab_size: int = 300,
         "prob": pa.array([q for _, q in pieces], pa.float64()),
     })
     return _write(out, path)
+
+
+UNIGRAM_APPLY_ORACLE_PATH = os.path.join(
+    FIXTURE_DIR, "unigram_apply_oracle.parquet"
+)
+
+
+def unigram_apply_oracle_sidecar(
+    sf_dir: str, vocab_size: int = 300, iters: int = 3,
+    path: str = UNIGRAM_APPLY_ORACLE_PATH,
+) -> str:
+    """Sequential replay of unigram train-then-encode: independent word
+    recount -> shared Viterbi-EM -> shared Viterbi encoder per distinct
+    word -> per-lang (n_docs, total_unigram_tokens)."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import _viterbi_segment, unigram_em
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["lang", "text"])
+    rows = list(zip(t.column("lang").to_pylist(),
+                    t.column("text").to_pylist()))
+    counts: Counter = Counter()
+    for _lang, s in rows:
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    pieces = unigram_em(dict(counts), vocab_size=vocab_size, iters=iters)
+    logp = {p: float(np.log(q)) for p, q in pieces if q > 0}
+    cache: dict[str, int] = {}
+
+    def ntok(w: str) -> int:
+        if w not in cache:
+            cache[w] = len(_viterbi_segment(w, logp, 6))
+        return cache[w]
+
+    agg: dict[str, list[int]] = {}
+    for lang, s in rows:
+        tot = sum(ntok(w) for w in (s or "").split(" ") if w)
+        a = agg.setdefault(lang, [0, 0])
+        a[0] += 1
+        a[1] += tot
+    langs = sorted(agg)
+    out = pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array([agg[g][0] for g in langs], pa.int64()),
+        "total_unigram_tokens": pa.array(
+            [agg[g][1] for g in langs], pa.int64()
+        ),
+    })
+    return _write(out, path)

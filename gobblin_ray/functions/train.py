@@ -594,3 +594,60 @@ def unigram_train(ds, text_col: str = "text", vocab_size: int = 2000,
         "piece": pa.array([p for p, _ in pieces], pa.string()),
         "prob": pa.array([q for _, q in pieces], pa.float64()),
     })
+
+
+def unigram_apply(ds, pieces, text_col: str = "text",
+                  max_piece: int = 6):
+    """Apply a trained unigram-LM vocabulary to a corpus: per-row token
+    counts under the best (Viterbi) segmentation — the encode half of
+    ``unigram_train``, mirroring ``bpe_apply``'s shape: the piece table
+    is broadcast ONCE via ``ray.put``; each batch encodes only its
+    DISTINCT words (cache bounded by vocabulary, not occurrences).
+    Out-of-vocabulary characters fall back to one token per char
+    (guaranteed cover). Returns rows + ``n_unigram_tokens`` int64."""
+    import ray
+
+    if isinstance(pieces, pa.Table):
+        items = list(zip(pieces.column("piece").to_pylist(),
+                         pieces.column("prob").to_pylist()))
+    else:
+        items = list(pieces)
+    logp = {p: float(np.log(q)) for p, q in items if q > 0}
+    pref = ray.put(logp)
+
+    class _Encode:
+        def __init__(self):
+            self.logp = ray.get(pref)
+            self.cache: dict[str, int] = {}
+
+        def _tokens(self, w: str) -> int:
+            n = self.cache.get(w)
+            if n is None:
+                n = len(_viterbi_segment(w, self.logp, max_piece))
+                self.cache[w] = n
+            return n
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t.column(text_col).fill_null(""), pattern=" "
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            counts = np.zeros(t.num_rows, np.int64)
+            if len(flat):
+                words = flat.to_numpy(zero_copy_only=False)
+                uniq, inv = np.unique(words, return_inverse=True)
+                per_word = np.array(
+                    [self._tokens(w) if w else 0 for w in uniq], np.int64
+                )
+                np.add.at(counts, parents, per_word[inv])
+            return t.append_column("n_unigram_tokens", pa.array(counts))
+
+    return ds.map_batches(
+        _Encode, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8),
+    )

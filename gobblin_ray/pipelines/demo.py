@@ -4119,3 +4119,23 @@ def unigram_train_documents(sf_dir: str):
     unigram_oracle_sidecar(sf_dir, vocab_size=300, iters=3)
     ds = read_table(sf_dir, "documents", columns=["text"])
     return tr.unigram_train(ds, vocab_size=300, iters=3)
+
+
+def unigram_apply_documents(sf_dir: str):
+    """Unigram train-then-tokenize composition (the encode half of
+    ``unigram_train_documents``, mirroring bpe_apply): train the
+    vocabulary distributed, broadcast the piece table, Viterbi-encode
+    every document with the distinct-word cache, roll up per lang."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures import unigram_apply_oracle_sidecar
+    from ..functions import train as tr
+
+    unigram_apply_oracle_sidecar(sf_dir, vocab_size=300, iters=3)
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    pieces = tr.unigram_train(ds, vocab_size=300, iters=3)
+    out = tr.unigram_apply(ds, pieces)
+    return out.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_unigram_tokens", alias_name="total_unigram_tokens"),
+    )
