@@ -874,13 +874,13 @@ def lr_oracle_sidecar(sf_dir: str, iters: int = 12, lr: float = 0.5,
     accumulation design — see functions/train.py docstring)."""
     import pyarrow.parquet as _pq
 
-    from .functions.train import logreg_train_sequential
+    from .functions.train import _vec_matrix, logreg_train_sequential
 
     t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["embedding", "label"])
-    emb = t.column("embedding").combine_chunks()
-    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = mat.reshape(t.num_rows, len(emb[0]))
+    # the SAME extraction the distributed side uses (shared plumbing —
+    # oracle independence applies to the replay, not the column decode)
+    mat = _vec_matrix(t, "embedding")
     y = (t.column("label").to_numpy(zero_copy_only=False) < 5).astype(
         np.float64
     )
@@ -905,15 +905,14 @@ def pca_oracle_sidecar(sf_dir: str, k: int = 2,
         _det_matvec,
         _moment_partials,
         _principal_components,
+        _vec_matrix,
     )
     from .kernels import duck_round
 
     scale = 2 ** 16
     t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                        columns=["vec_id", "embedding"])
-    emb = t.column("embedding").combine_chunks()
-    mat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
-    mat = mat.reshape(t.num_rows, len(emb[0]))
+    mat = _vec_matrix(t, "embedding")
     n, s, ss = _moment_partials(mat, scale)
     mean, comps = _principal_components(n, s, ss, scale, k)
     centered = mat - mean

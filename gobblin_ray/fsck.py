@@ -154,9 +154,22 @@ def audit_data(lake_dir: str, corpus_dir: str, engine=None) -> dict:
     if manifest is None:
         return {"ok": False, "issues": [{"kind": "not_bootstrapped"}]}
     expected = _sequential_live_state(corpus_dir, max_seq=manifest.high_seq)
-    got = {r["url"]: r for r in eng.read_table_arrow(manifest).to_pylist()}
+    live = eng.read_table_arrow(manifest)
+    rows = live.to_pylist()
 
     issues: list[dict] = []
+    got: dict = {}
+    for r in rows:
+        if r["url"] in got:  # the LWW identity is one live row per url —
+            # a duplicate IS the corruption this audit exists to catch
+            issues.append({"kind": "duplicate_url", "url": r["url"]})
+        got[r["url"]] = r
+    missing_cols = [
+        c for c in ("warc_ts", "event_seq", "text", "html")
+        if c not in live.column_names
+    ]
+    for c in missing_cols:  # absent column = unverifiable, never "ok"
+        issues.append({"kind": "missing_column", "column": c})
     for url in sorted(set(expected) - set(got)):
         issues.append({"kind": "missing_row", "url": url})
     for url in sorted(set(got) - set(expected)):
@@ -166,7 +179,7 @@ def audit_data(lake_dir: str, corpus_dir: str, engine=None) -> dict:
         e, g = expected[url], got[url]
         checked += 1
         for col in ("warc_ts", "event_seq", "text", "html"):
-            if col in g and g[col] != e[col]:
+            if col not in missing_cols and g[col] != e[col]:
                 issues.append({"kind": "value_mismatch", "url": url,
                                "column": col})
     return {
@@ -174,7 +187,7 @@ def audit_data(lake_dir: str, corpus_dir: str, engine=None) -> dict:
         "epoch": manifest.epoch,
         "high_seq": manifest.high_seq,
         "rows_expected": len(expected),
-        "rows_live": len(got),
+        "rows_live": live.num_rows,
         "rows_compared": checked,
         "issues": issues[:50],
         "issue_count": len(issues),

@@ -68,18 +68,20 @@ def _logreg_partials(mat: np.ndarray, y: np.ndarray, w: np.ndarray,
                      bias: float, scale: float):
     """One block's exact-integer gradient partials under weights ``w``.
 
-    Returns (n, gq[dim+1] int64) where gq[:dim] is the quantized
-    Σ x_i·(σ(z_i)−y_i) and gq[dim] the bias gradient Σ (σ(z_i)−y_i).
-    Quantization happens PER SAMPLE so integer block sums are independent
-    of how rows are blocked."""
+    Returns (n, gq[dim+1] int64, z) where gq[:dim] is the quantized
+    Σ x_i·(σ(z_i)−y_i), gq[dim] the bias gradient Σ (σ(z_i)−y_i), and z
+    the per-sample logits (returned so the loss path reuses the one
+    ordered matvec — the dominant per-block cost — instead of
+    recomputing it). Quantization happens PER SAMPLE so integer block
+    sums are independent of how rows are blocked."""
     if mat.shape[0] == 0:  # empty block: zero partial of the right width
-        return 0, np.zeros(len(w) + 1, np.int64)
+        return 0, np.zeros(len(w) + 1, np.int64), np.zeros(0, np.float64)
     mat = mat.reshape(mat.shape[0], len(w))
     z = _det_matvec(mat, w) + bias
     r = 1.0 / (1.0 + np.exp(-z)) - y  # residual, per sample
     contrib = np.concatenate([mat * r[:, None], r[:, None]], axis=1)
     gq = np.rint(contrib * scale).astype(np.int64).sum(axis=0)
-    return mat.shape[0], gq
+    return mat.shape[0], gq, z
 
 
 def _combine_int_partials(parts_ds, list_cols: list[str],
@@ -155,9 +157,9 @@ def logreg_train(
             y = t.column(y_col).to_numpy(zero_copy_only=False).astype(
                 np.float64
             )
-            n, gq = _logreg_partials(mat, y, w_now, b_now, scale)
-            # per-sample quantized log-loss rides the same exact-sum path
-            z = _det_matvec(mat, w_now) + b_now
+            n, gq, z = _logreg_partials(mat, y, w_now, b_now, scale)
+            # per-sample quantized log-loss rides the same exact-sum path,
+            # reusing the partials' logits (one matvec per block)
             ll = np.logaddexp(0.0, z) - y * z
             lq = int(np.rint(ll * scale).astype(np.int64).sum())
             return pa.table({
@@ -201,7 +203,7 @@ def logreg_train_sequential(
     w = np.zeros(dim, np.float64)
     bias = 0.0
     for _ in range(iters):
-        n, gq = _logreg_partials(mat, y, w, bias, scale)
+        n, gq, _z = _logreg_partials(mat, y, w, bias, scale)
         g = gq.astype(np.float64) / scale / n
         w = w - lr * (g[:dim] + l2 * w)
         bias = bias - lr * g[dim]

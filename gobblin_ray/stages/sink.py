@@ -376,6 +376,13 @@ def shuffle_shard_export(
         # the key column is the lineage/read-back identity — always kept
         columns = list(columns) + [key_col]
     os.makedirs(out_dir, exist_ok=True)
+    # clear stale output: a prior run with different n_shards/salt/input
+    # leaves shard files this run won't rewrite, and the read-back lineage
+    # globs ALL shard-*.parquet — stale shards would silently fold into
+    # the export and double-count documents
+    for f in os.listdir(out_dir):
+        if f.startswith((".shard-", "shard-")):
+            os.remove(os.path.join(out_dir, f))
 
     def add_coin(t: pa.Table) -> pa.Table:
         # per-row hashlib: Arrow ships no md5 kernel — the same documented
@@ -425,7 +432,8 @@ def shuffle_shard_export(
 
     def read_back(row: dict) -> list[dict]:
         t = pq.read_table(row["path"], columns=[key_col])
-        sid = int(os.path.basename(row["path"])[6:11])
+        # {:05d} is a MINIMUM width: parse up to the suffix, not a slice
+        sid = int(os.path.basename(row["path"])[len("shard-"):-len(".parquet")])
         return [
             {"shard_id": sid, "position": i, key_col: k}
             for i, k in enumerate(t.column(key_col).to_pylist())

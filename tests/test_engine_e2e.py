@@ -2169,3 +2169,36 @@ def test_audit_data_detects_corruption(ray_session, tmp_path_factory,
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert any(i["kind"] == "value_mismatch" and i["column"] == "text"
                for i in rep["issues"])
+
+
+def test_audit_data_detects_duplicate_url(ray_session, tmp_path_factory):
+    """A live view violating the one-row-per-url LWW identity (the same
+    url live in two buckets) must fail audit-data, not silently collapse."""
+    import glob
+    import os
+
+    from gobblin_ray.fsck import audit_data
+
+    d = str(tmp_path_factory.mktemp("dupcorpus"))
+    synth.write_corpus(d, n_pages=30, n_events=150, shard_rows=150)
+    lake = str(tmp_path_factory.mktemp("lake_dup"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=150))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+    assert audit_data(lake, d, engine=eng)["ok"]
+
+    # corrupt: clone a live row from one bucket's file into ANOTHER
+    # bucket's file — two live copies of the same url
+    files = sorted(glob.glob(os.path.join(lake, "data", "*", "*.parquet")))
+    src_t = pq.read_table(files[0])
+    donor = src_t.slice(0, 1)
+    other = next(f for f in files
+                 if os.path.dirname(f) != os.path.dirname(files[0]))
+    t2 = pq.read_table(other)
+    pq.write_table(pa.concat_tables(
+        [t2, donor.select(t2.column_names)]), other)
+
+    rep = audit_data(lake, d, engine=eng)
+    assert not rep["ok"]
+    assert any(i["kind"] == "duplicate_url" for i in rep["issues"])

@@ -2301,3 +2301,25 @@ def test_shuffle_shard_export_properties(ray_session, tmp_path):
         for f in sorted(os.listdir(out))
     }
     assert digests == digests2
+
+
+def test_shuffle_shard_export_clears_stale_output(ray_session, tmp_path):
+    """A rerun with fewer shards must not leave (or read back) stale
+    shard files from the previous parameterization."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.stages.sink import shuffle_shard_export
+
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64())})
+    out = str(tmp_path / "restale")
+    shuffle_shard_export(rd.from_arrow(t), out, n_shards=8,
+                         key_col="doc_id").take_all()
+    assert len([f for f in os.listdir(out) if f.endswith(".parquet")]) == 8
+    res = shuffle_shard_export(rd.from_arrow(t), out, n_shards=2,
+                               key_col="doc_id").take_all()
+    files = [f for f in os.listdir(out) if f.endswith(".parquet")]
+    assert len(files) == 2  # stale shard-00002..7 removed
+    assert sorted(r["doc_id"] for r in res) == list(range(120))
