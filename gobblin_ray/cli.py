@@ -455,6 +455,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--shards", type=int, default=16)
     sp.add_argument("--min-chars", type=int, default=1,
                     help="drop docs with shorter (or null) text")
+    sp.add_argument("--near-dedup", action="store_true",
+                    help="also MinHash+LSH near-dup removal after the "
+                         "exact dedup (threshold via --near-threshold; "
+                         "the kernel is the value-checked dedup_minhash)")
+    sp.add_argument("--near-threshold", type=float, default=0.8)
     sp.add_argument("--salt", default="",
                     help="shuffle-coin salt (vary for a new permutation)")
     sp.add_argument("--tag", default=None,
@@ -583,6 +588,27 @@ def main(argv: list[str] | None = None) -> int:
                                batch_size=None),
                 "text", "url",
             )
+            if args.near_dedup:
+                from .engine import stable_hash_u64
+                from .functions.dedup import dedup_minhash
+
+                # the minhash family keys on an int64 id: derive one from
+                # the url hash (a collision only creates a candidate pair
+                # that the exact Jaccard verify then rejects — safe)
+                def add_nid(t: pa.Table) -> pa.Table:
+                    nid = stable_hash_u64(t.column("url")).astype(
+                        "int64", copy=False
+                    )
+                    return t.append_column("_nid", pa.array(nid))
+
+                add_nid.__name__ = "url_to_int_id"
+                kept = dedup_minhash(
+                    kept.map_batches(add_nid, batch_format="pyarrow",
+                                     batch_size=None),
+                    threshold=args.near_threshold, num_perm=128,
+                    bands=16, text_col="text", id_col="_nid",
+                    concurrency=(1, 8),
+                ).drop_columns(["_nid"])
             lineage = shuffle_shard_export(
                 kept, args.out_dir, n_shards=args.shards, key_col="url",
                 salt=args.salt, columns=["url", "text", "lang"],

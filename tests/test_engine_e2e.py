@@ -2202,3 +2202,43 @@ def test_audit_data_detects_duplicate_url(ray_session, tmp_path_factory):
     rep = audit_data(lake, d, engine=eng)
     assert not rep["ok"]
     assert any(i["kind"] == "duplicate_url" for i in rep["issues"])
+
+
+def test_prep_near_dedup_subset(ray_session, tmp_path_factory, capsys):
+    """`cli prep --near-dedup`: survivors are a subset of the
+    exact-dedup set (url-hash int ids are internal — never exported),
+    shard files sum to the reported count."""
+    import json
+    import os
+
+    from gobblin_ray.cli import main as cli_main
+
+    d = str(tmp_path_factory.mktemp("ndcorpus"))
+    synth.write_corpus(d, n_pages=40, n_events=200, shard_rows=100)
+    lake = str(tmp_path_factory.mktemp("lake_nd"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    out_exact = str(tmp_path_factory.mktemp("nd_exact"))
+    assert cli_main(["prep", lake, out_exact, "--shards", "2"]) == 0
+    exact = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out_near = str(tmp_path_factory.mktemp("nd_near"))
+    assert cli_main(["prep", lake, out_near, "--shards", "2",
+                     "--near-dedup", "--near-threshold", "0.8"]) == 0
+    near = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < near["rows"] <= exact["rows"]
+
+    def urls(outdir):
+        out = set()
+        for f in os.listdir(outdir):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(outdir, f))
+                assert "_nid" not in t.column_names
+                out.update(t.column("url").to_pylist())
+        return out
+
+    u_exact, u_near = urls(out_exact), urls(out_near)
+    assert u_near <= u_exact
+    assert len(u_near) == near["rows"]  # distinct urls, files sum exactly
