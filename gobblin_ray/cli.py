@@ -468,6 +468,22 @@ def main(argv: list[str] | None = None) -> int:
                     help="table name under a multi-table root")
 
     sp = sub.add_parser(
+        "train-tokenizer", help="train a tokenizer over a parquet text "
+        "corpus (distributed word counts + driver fit): kind bpe -> "
+        "merge rules, kind unigram -> piece probabilities; artifact "
+        "written as parquet for bpe_apply/unigram_apply"
+    )
+    sp.add_argument("in_path", help="parquet file or directory")
+    sp.add_argument("out_path", help="artifact parquet to write")
+    sp.add_argument("--kind", choices=["bpe", "unigram"], default="bpe")
+    sp.add_argument("--text-col", default="text")
+    sp.add_argument("--merges", type=int, default=1000,
+                    help="bpe: number of merge rules")
+    sp.add_argument("--vocab-size", type=int, default=2000,
+                    help="unigram: final piece count")
+    sp.add_argument("--min-count", type=int, default=1)
+
+    sp = sub.add_parser(
         "sql", help="ad-hoc DuckDB SQL over the live merge-on-read lake "
         "state (Hive-registration/serving analog: the lake registered as "
         "a queryable table named `t`, optional time travel via --tag)"
@@ -617,6 +633,39 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({
                 "out_dir": args.out_dir, "shards": args.shards,
                 "rows": int(rows), "sec": round(time.time() - t0, 3),
+            }))
+        finally:
+            import ray
+
+            ray.shutdown()
+        return 0
+
+    if args.cmd == "train-tokenizer":
+        from .functions import train as trainmod
+
+        _ray_up(args.num_cpus)
+        try:
+            import pyarrow.parquet as _pq
+            import ray.data as rd
+
+            t0 = time.time()
+            ds = rd.read_parquet(args.in_path)
+            if args.kind == "bpe":
+                art = trainmod.bpe_train(
+                    ds, text_col=args.text_col, n_merges=args.merges,
+                    min_count=args.min_count,
+                )
+            else:
+                art = trainmod.unigram_train(
+                    ds, text_col=args.text_col,
+                    vocab_size=args.vocab_size, min_count=args.min_count,
+                )
+            tmp = f"{args.out_path}.tmp-{os.getpid()}"
+            _pq.write_table(art, tmp)
+            os.replace(tmp, args.out_path)
+            print(json.dumps({
+                "kind": args.kind, "out_path": args.out_path,
+                "rows": art.num_rows, "sec": round(time.time() - t0, 3),
             }))
         finally:
             import ray
