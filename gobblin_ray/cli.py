@@ -459,7 +459,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="also MinHash+LSH near-dup removal after the "
                          "exact dedup (threshold via --near-threshold; "
                          "the kernel is the value-checked dedup_minhash)")
-    sp.add_argument("--near-threshold", type=float, default=0.8)
+    sp.add_argument("--near-threshold", type=float, default=0.8,
+                    help="Jaccard threshold; LSH banding auto-adapts "
+                         "(recall degrades below ~0.45)")
     sp.add_argument("--salt", default="",
                     help="shuffle-coin salt (vary for a new permutation)")
     sp.add_argument("--tag", default=None,
@@ -609,8 +611,12 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.dedup import dedup_minhash
 
                 # the minhash family keys on an int64 id: derive one from
-                # the url hash (a collision only creates a candidate pair
-                # that the exact Jaccard verify then rejects — safe)
+                # the url hash. A collision (~n²/2^65 — negligible at any
+                # single-prep scale) merges two documents' identities:
+                # they are never compared with each other and a drop of
+                # one id removes both rows, so an innocent doc can be
+                # lost. Acceptable for a curation sample; a keyed join on
+                # url instead of the int id removes even that.
                 def add_nid(t: pa.Table) -> pa.Table:
                     nid = stable_hash_u64(t.column("url")).astype(
                         "int64", copy=False
@@ -618,11 +624,26 @@ def main(argv: list[str] | None = None) -> int:
                     return t.append_column("_nid", pa.array(nid))
 
                 add_nid.__name__ = "url_to_int_id"
+                # dedup_minhash consumes its input THREE times (signature
+                # pass, verify text-attach, final filter): materialize the
+                # gated+deduped lineage once so the merge-on-read scan and
+                # the exact-dedup shuffle don't re-run per consumption
+                kept = kept.map_batches(
+                    add_nid, batch_format="pyarrow", batch_size=None
+                ).materialize()
+                # LSH banding tuned to the requested threshold: the
+                # S-curve midpoint is (1/bands)^(1/r) — one fixed banding
+                # would silently miss most pairs at lower thresholds
+                if args.near_threshold >= 0.75:
+                    num_perm, bands = 128, 16   # r=8, midpoint ~0.71
+                elif args.near_threshold >= 0.55:
+                    num_perm, bands = 126, 21   # r=6, midpoint ~0.60
+                else:
+                    num_perm, bands = 128, 32   # r=4, midpoint ~0.42
                 kept = dedup_minhash(
-                    kept.map_batches(add_nid, batch_format="pyarrow",
-                                     batch_size=None),
-                    threshold=args.near_threshold, num_perm=128,
-                    bands=16, text_col="text", id_col="_nid",
+                    kept,
+                    threshold=args.near_threshold, num_perm=num_perm,
+                    bands=bands, text_col="text", id_col="_nid",
                     concurrency=(1, 8),
                 ).drop_columns(["_nid"])
             lineage = shuffle_shard_export(
@@ -661,8 +682,12 @@ def main(argv: list[str] | None = None) -> int:
                     vocab_size=args.vocab_size, min_count=args.min_count,
                 )
             tmp = f"{args.out_path}.tmp-{os.getpid()}"
-            _pq.write_table(art, tmp)
-            os.replace(tmp, args.out_path)
+            try:
+                _pq.write_table(art, tmp)
+                os.replace(tmp, args.out_path)
+            finally:
+                if os.path.exists(tmp):  # failed write: no tmp debris
+                    os.remove(tmp)
             print(json.dumps({
                 "kind": args.kind, "out_path": args.out_path,
                 "rows": art.num_rows, "sec": round(time.time() - t0, 3),

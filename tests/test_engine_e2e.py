@@ -2242,3 +2242,39 @@ def test_prep_near_dedup_subset(ray_session, tmp_path_factory, capsys):
     u_exact, u_near = urls(out_exact), urls(out_near)
     assert u_near <= u_exact
     assert len(u_near) == near["rows"]  # distinct urls, files sum exactly
+
+
+def test_train_tokenizer_cli(ray_session, tmp_path, capsys):
+    """`cli train-tokenizer`: both kinds write a parquet artifact whose
+    content matches the library kernel exactly (arg wiring + tmp+rename
+    covered, not just the kernels)."""
+    import json
+
+    import ray.data as rd
+
+    from gobblin_ray.cli import main as cli_main
+    from gobblin_ray.functions import train as tr
+
+    src = str(tmp_path / "docs.parquet")
+    docs = ["low low low low low", "lower lower widest widest widest",
+            "newest newest newest newest newest newest"]
+    pq.write_table(pa.table({"text": pa.array(docs, pa.string())}), src)
+
+    out = str(tmp_path / "merges.parquet")
+    rc = cli_main(["train-tokenizer", src, out, "--kind", "bpe",
+                   "--merges", "5"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == 5
+    want = tr.bpe_train(
+        rd.read_parquet(src), n_merges=5
+    ).to_pylist()
+    assert pq.read_table(out).to_pylist() == want
+
+    out2 = str(tmp_path / "pieces.parquet")
+    rc = cli_main(["train-tokenizer", src, out2, "--kind", "unigram",
+                   "--vocab-size", "30"])
+    assert rc == 0
+    capsys.readouterr()
+    got2 = pq.read_table(out2)
+    assert got2.column_names == ["piece", "prob"] and got2.num_rows > 0
