@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_apply_documents": demo.bpe_apply_documents,
         "unigram_train_documents": demo.unigram_train_documents,
         "unigram_apply_documents": demo.unigram_apply_documents,
+        "pq_codes_embeddings": demo.pq_codes_embeddings,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
@@ -2133,6 +2134,10 @@ def oracle_sql() -> dict[str, str]:
         "unigram_apply_documents": """
             SELECT lang, n_docs, total_unigram_tokens
             FROM read_parquet('/tmp/gobblin_ray_fixtures/unigram_apply_oracle.parquet')
+        """,
+        "pq_codes_embeddings": """
+            SELECT vec_id, pq_code
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/pq_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

@@ -111,6 +111,7 @@ QUERY_NAMES = [
     "compression_ratio_documents",
     "unigram_train_documents",
     "unigram_apply_documents",
+    "pq_codes_embeddings",
 ]
 
 

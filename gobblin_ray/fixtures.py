@@ -1112,3 +1112,41 @@ def unigram_apply_oracle_sidecar(
         ),
     })
     return _write(out, path)
+
+
+PQ_ORACLE_PATH = os.path.join(FIXTURE_DIR, "pq_oracle.parquet")
+
+
+def pq_oracle_sidecar(sf_dir: str, m: int = 8, k: int = 16,
+                      path: str = PQ_ORACLE_PATH) -> str:
+    """Sequential PQ replay: same deterministic Euclidean codebook fit on
+    the same training matrix, sequential code assignment — the oracle for
+    ``similarity.product_quantize``."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import pq_kmeans
+    from .functions.train import _vec_matrix
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    mat = _vec_matrix(t, "embedding")[order]
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    dim = mat.shape[1]
+    d = dim // m
+    books = np.stack([
+        pq_kmeans(mat[:, i * d:(i + 1) * d], k) for i in range(m)
+    ])
+    joined = []
+    for row in mat:
+        code = []
+        for i in range(m):
+            sub = row[i * d:(i + 1) * d]
+            d2 = ((sub[None, :] - books[i]) ** 2).sum(axis=-1)
+            code.append(int(np.argmin(d2)))
+        joined.append(",".join(map(str, code)))
+    out = pa.table({
+        "vec_id": pa.array(ids),
+        "pq_code": pa.array(joined, pa.string()),
+    })
+    return _write(out, path)

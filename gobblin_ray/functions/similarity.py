@@ -604,3 +604,83 @@ def scalar_quantize(
     return proj.map_batches(
         quantize, batch_format="pyarrow", batch_size=batch_size
     )
+
+
+def pq_kmeans(sub: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Deterministic EUCLIDEAN Lloyd k-means on a driver-held subspace
+    sample (PQ codebook fit — contrast ``kmeans_fit``'s spherical
+    variant): evenly-strided init (no RNG), argmin-distance assignment
+    (ties: first centroid), mean update, empty cells keep their centroid.
+    Shared verbatim with the sequential oracle."""
+    X = np.asarray(sub, dtype=np.float64)
+    idx = np.unique(np.linspace(0, len(X) - 1, min(k, len(X))).astype(int))
+    C = X[idx].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=-1)
+        assign = np.argmin(d2, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def product_quantize(
+    ds,
+    train_matrix: np.ndarray,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Product quantization (FAISS PQ shape — the ANN-at-scale
+    compression path beyond ``scalar_quantize``): split the vector into
+    ``m`` subspaces, fit a k-centroid EUCLIDEAN codebook per subspace on
+    a driver-held training sample (``train_matrix`` — at 100 TB a ~1e-5
+    hash-sampled fraction read once; the codebook is m×k×(dim/m) floats),
+    broadcast the codebooks ONCE via ``ray.put``, and assign codes per
+    batch vectorized (per-row distance argmins are independent of batch
+    height, so codes are deterministic for any partitioning). Returns
+    (id_col, pq_code) with the m codes comma-joined (the repo's list-safe
+    compare convention)."""
+    import ray
+
+    X = np.asarray(train_matrix, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books = np.stack([
+        pq_kmeans(X[:, i * d:(i + 1) * d], k, iters) for i in range(m)
+    ])  # (m, k, d)
+    bref = ray.put(books)
+
+    class _Assign:
+        def __init__(self):
+            self.books = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(t.num_rows, dim)
+            parts = []
+            for i in range(m):
+                sub = mat[:, i * d:(i + 1) * d]
+                d2 = ((sub[:, None, :] - self.books[i][None, :, :]) ** 2
+                      ).sum(axis=-1)
+                parts.append(np.argmin(d2, axis=1))
+            codes = np.stack(parts, axis=1)  # (n, m)
+            joined = [",".join(map(str, row)) for row in codes]
+            return pa.table({
+                id_col: t.column(id_col),
+                "pq_code": pa.array(joined, pa.string()),
+            })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        _Assign, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8),
+    )

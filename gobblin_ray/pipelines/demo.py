@@ -4139,3 +4139,26 @@ def unigram_apply_documents(sf_dir: str):
         Count(alias_name="n_docs"),
         Sum("n_unigram_tokens", alias_name="total_unigram_tokens"),
     )
+
+
+def pq_codes_embeddings(sf_dir: str):
+    """Product quantization of the embeddings table (FAISS PQ shape;
+    functions/similarity.product_quantize): per-subspace Euclidean
+    codebooks fit on the vec_id-ordered training matrix (driver-held at
+    this scale; hash-sampled at corpus scale), codes assigned
+    distributed. Oracle: sequential replay sidecar (same fit + same
+    per-row argmin math — codes are deterministic for any batching)."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from ..fixtures import pq_oracle_sidecar
+    from ..functions.train import _vec_matrix
+
+    pq_oracle_sidecar(sf_dir, m=8, k=16)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pqt.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    train = _vec_matrix(t, "embedding")[order]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return sim.product_quantize(ds, train, m=8, k=16)

@@ -1554,3 +1554,42 @@ def test_warc_write_read_roundtrip(ray_session, tmp_path):
     got = {(r["url"], r["warc_date"], r["payload"]) for r in back}
     want = {(r["url"], r["warc_date"], r["payload"]) for r in rows}
     assert got == want
+
+
+def test_product_quantize_partition_invariant(ray_session):
+    """PQ codes are identical for any batching; reconstruction from the
+    codebooks is closer than a random codebook assignment (sanity that
+    the Lloyd fit actually optimizes)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gobblin_ray.functions.similarity import pq_kmeans, product_quantize
+
+    rng = np.random.default_rng(13)
+    mat = rng.standard_normal((300, 16))
+    t = pa.table({
+        "vec_id": pa.array(range(300), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+    })
+    train = np.vstack(
+        t.column("embedding").to_pylist()
+    ).astype(np.float64)
+    a = product_quantize(rd.from_arrow(t).repartition(7), train,
+                         m=4, k=8).take_all()
+    b = product_quantize(rd.from_arrow(t).repartition(2), train,
+                         m=4, k=8).take_all()
+    key = lambda r: r["vec_id"]  # noqa: E731
+    assert sorted(a, key=key) == sorted(b, key=key)
+    # fit sanity: per-subspace quantization error beats centroid[0]-only
+    d = 4
+    err_pq = err_naive = 0.0
+    books = [pq_kmeans(train[:, i * d:(i + 1) * d], 8) for i in range(4)]
+    for r in a:
+        codes = [int(x) for x in r["pq_code"].split(",")]
+        row = train[r["vec_id"]]
+        for i in range(4):
+            sub = row[i * d:(i + 1) * d]
+            err_pq += float(((sub - books[i][codes[i]]) ** 2).sum())
+            err_naive += float(((sub - books[i][0]) ** 2).sum())
+    assert err_pq < err_naive
