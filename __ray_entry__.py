@@ -262,6 +262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_train_documents": demo.unigram_train_documents,
         "unigram_apply_documents": demo.unigram_apply_documents,
         "pq_codes_embeddings": demo.pq_codes_embeddings,
+        "knn_pq_embeddings": demo.knn_pq_embeddings,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
@@ -2138,6 +2139,10 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes_embeddings": """
             SELECT vec_id, pq_code
             FROM read_parquet('/tmp/gobblin_ray_fixtures/pq_oracle.parquet')
+        """,
+        "knn_pq_embeddings": """
+            SELECT query_id, vec_id, adist
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/pq_knn_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

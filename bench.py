@@ -112,6 +112,7 @@ QUERY_NAMES = [
     "unigram_train_documents",
     "unigram_apply_documents",
     "pq_codes_embeddings",
+    "knn_pq_embeddings",
 ]
 
 

@@ -1150,3 +1150,58 @@ def pq_oracle_sidecar(sf_dir: str, m: int = 8, k: int = 16,
         "pq_code": pa.array(joined, pa.string()),
     })
     return _write(out, path)
+
+
+PQ_KNN_ORACLE_PATH = os.path.join(FIXTURE_DIR, "pq_knn_oracle.parquet")
+
+
+def pq_knn_oracle_sidecar(sf_dir: str, n_queries: int = 3, k: int = 10,
+                          m: int = 8, ks: int = 16,
+                          path: str = PQ_KNN_ORACLE_PATH) -> str:
+    """Sequential ADC replay: same codebook fit, same LUT math, exact
+    top-k per query over all rows (ties: ascending id) — the oracle for
+    ``similarity.knn_pq_adc``."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import pq_kmeans
+    from .functions.train import _vec_matrix
+    from .kernels import duck_round
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    mat = _vec_matrix(t, "embedding")[order]
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    Q = mat[:n_queries]
+    dim = mat.shape[1]
+    d = dim // m
+    books = np.stack([
+        pq_kmeans(mat[:, i * d:(i + 1) * d], ks) for i in range(m)
+    ])
+    codes = np.stack([
+        np.argmin(((mat[:, None, i * d:(i + 1) * d]
+                    - books[i][None, :, :]) ** 2).sum(axis=-1), axis=1)
+        for i in range(m)
+    ], axis=1)
+    lut = np.stack([
+        ((Q[:, None, i * d:(i + 1) * d] - books[i][None, :, :]) ** 2
+         ).sum(axis=-1)
+        for i in range(m)
+    ], axis=1)
+    rows_q, rows_i, rows_d = [], [], []
+    for qi in range(len(Q)):
+        ad = np.zeros(len(mat), np.float64)
+        for i in range(m):
+            ad += lut[qi, i][codes[:, i]]
+        order2 = np.lexsort((ids, ad))[:k]
+        rows_q.append(np.full(len(order2), qi, np.int64))
+        rows_i.append(ids[order2])
+        rows_d.append(ad[order2])
+    out = pa.table({
+        "query_id": pa.array(np.concatenate(rows_q)),
+        "vec_id": pa.array(np.concatenate(rows_i)),
+        "adist": pa.array(
+            duck_round(np.concatenate(rows_d), 6), pa.float64()
+        ),
+    })
+    return _write(out, path)

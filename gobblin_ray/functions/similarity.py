@@ -684,3 +684,92 @@ def product_quantize(
         _Assign, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+def knn_pq_adc(
+    ds,
+    train_matrix: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Approximate kNN by ASYMMETRIC DISTANCE COMPUTATION over PQ codes
+    (the FAISS IVFADC search half of ``product_quantize``): fit the
+    per-subspace codebooks on the driver sample, precompute each query's
+    (m × ks) lookup table of exact query-to-centroid squared distances,
+    broadcast (codebooks, LUT) ONCE via ``ray.put``; each batch assigns
+    codes and accumulates approx distances by LUT gather (fixed subspace
+    order — per-row results independent of batch height), emits its local
+    top-k per query, and a single bounded ``groupby(query_id)`` reduce
+    keeps the global top-k (ties: ascending id). Corpus bytes never move:
+    only k × blocks candidate rows reach the exchange."""
+    import ray
+
+    X = np.asarray(train_matrix, dtype=np.float64)
+    Q = np.asarray(queries, dtype=np.float64)
+    dim = X.shape[1]
+    d = dim // m
+    books = np.stack([
+        pq_kmeans(X[:, i * d:(i + 1) * d], ks, iters) for i in range(m)
+    ])  # (m, ks, d)
+    lut = np.stack([
+        ((Q[:, None, i * d:(i + 1) * d] - books[i][None, :, :]) ** 2
+         ).sum(axis=-1)
+        for i in range(m)
+    ], axis=1)  # (Qn, m, ks)
+    bref = ray.put((books, lut))
+
+    class _Cand:
+        def __init__(self):
+            self.books, self.lut = ray.get(bref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = col.values.to_numpy(zero_copy_only=False).astype(
+                np.float64
+            ).reshape(t.num_rows, dim)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            codes = np.stack([
+                np.argmin(((mat[:, None, i * d:(i + 1) * d]
+                            - self.books[i][None, :, :]) ** 2
+                           ).sum(axis=-1), axis=1)
+                for i in range(m)
+            ], axis=1)  # (n, m)
+            qn = self.lut.shape[0]
+            out_q, out_i, out_d = [], [], []
+            for qi in range(qn):
+                ad = np.zeros(t.num_rows, np.float64)
+                for i in range(m):  # fixed order: deterministic sums
+                    ad += self.lut[qi, i][codes[:, i]]
+                top = min(k, len(ad))
+                part = np.argpartition(ad, top - 1)[:top]
+                order = part[np.lexsort((ids[part], ad[part]))]
+                out_q.append(np.full(top, qi, np.int64))
+                out_i.append(ids[order])
+                out_d.append(ad[order])
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "adist": pa.array(np.concatenate(out_d)),
+            })
+
+    cands = ds.select_columns([id_col, vec_col]).map_batches(
+        _Cand, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        ad = g.column("adist").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ad))[:k]
+        return g.take(pa.array(order))
+
+    return cands.groupby("query_id").map_groups(
+        reduce_topk, batch_format="pyarrow"
+    )

@@ -4162,3 +4162,27 @@ def pq_codes_embeddings(sf_dir: str):
     train = _vec_matrix(t, "embedding")[order]
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return sim.product_quantize(ds, train, m=8, k=16)
+
+
+def knn_pq_embeddings(sf_dir: str):
+    """Approximate kNN by asymmetric distance over PQ codes (FAISS ADC;
+    functions/similarity.knn_pq_adc): queries = vec_id 0..2, top-10 by
+    quantized distance, ties ascending id. Oracle: sequential ADC replay
+    sidecar (same codebooks, same LUT sums)."""
+    import os
+
+    import pyarrow.parquet as pqt
+
+    from ..fixtures import pq_knn_oracle_sidecar
+    from ..functions.train import _vec_matrix
+
+    pq_knn_oracle_sidecar(sf_dir, n_queries=3, k=10, m=8, ks=16)
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pqt.read_table(path, columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    train = _vec_matrix(t, "embedding")[order]
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = sim.knn_pq_adc(ds, train, train[:3], k=10, m=8, ks=16)
+    return out.map_batches(
+        _round_cols({"adist": 6}), batch_format="pyarrow", batch_size=None
+    )
