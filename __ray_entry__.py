@@ -263,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_apply_documents": demo.unigram_apply_documents,
         "pq_codes_embeddings": demo.pq_codes_embeddings,
         "knn_pq_embeddings": demo.knn_pq_embeddings,
+        "cooc_embed_documents": demo.cooc_embed_documents,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
         "quantize_embeddings": demo.quantize_embeddings,
@@ -2143,6 +2144,10 @@ def oracle_sql() -> dict[str, str]:
         "knn_pq_embeddings": """
             SELECT query_id, vec_id, adist
             FROM read_parquet('/tmp/gobblin_ray_fixtures/pq_knn_oracle.parquet')
+        """,
+        "cooc_embed_documents": """
+            SELECT word, embedding
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/cooc_embed_oracle.parquet')
         """,
         # deterministic shuffle-and-shard: the md5 coin (the repo's shared
         # SQL-reproducible randomness source) orders rows and picks shards;

@@ -113,6 +113,7 @@ QUERY_NAMES = [
     "unigram_apply_documents",
     "pq_codes_embeddings",
     "knn_pq_embeddings",
+    "cooc_embed_documents",
 ]
 
 

@@ -1205,3 +1205,53 @@ def pq_knn_oracle_sidecar(sf_dir: str, n_queries: int = 3, k: int = 10,
         ),
     })
     return _write(out, path)
+
+
+COOC_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cooc_embed_oracle.parquet")
+
+
+def cooc_embed_oracle_sidecar(sf_dir: str, vocab_size: int = 200,
+                              window: int = 2, dim: int = 16,
+                              iters: int = 60,
+                              path: str = COOC_ORACLE_PATH) -> str:
+    """Sequential replay of co-occurrence embedding training: independent
+    pure-Python vocab + windowed pair recount feeding the shared
+    deterministic factorization — the oracle for
+    ``train.cooc_embed_train``."""
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import factorize_cooc
+    from .kernels import duck_round
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["text"])
+    wc: Counter = Counter()
+    docs_tokens = []
+    for s in t.column("text").to_pylist():
+        toks = [w for w in (s or "").split(" ") if w]
+        docs_tokens.append(toks)
+        wc.update(toks)
+    vocab = [w for w, _ in sorted(
+        wc.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:vocab_size]]
+    vmap = {w: i for i, w in enumerate(vocab)}
+    C = np.zeros((len(vocab), len(vocab)), np.int64)
+    for toks in docs_tokens:
+        ids = [vmap[w] for w in toks if w in vmap]
+        for i, a in enumerate(ids):
+            for off in range(1, window + 1):
+                if i + off < len(ids):
+                    b = ids[i + off]
+                    C[a, b] += 1
+                    C[b, a] += 1
+    emb = duck_round(factorize_cooc(C, dim=dim, iters=iters), 6)
+    out = pa.table({
+        "word": pa.array(vocab, pa.string()),
+        "embedding": pa.array(
+            [",".join(repr(float(x)) for x in row) for row in emb],
+            pa.string(),
+        ),
+    })
+    return _write(out, path)

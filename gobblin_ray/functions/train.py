@@ -653,3 +653,118 @@ def unigram_apply(ds, pieces, text_col: str = "text",
         _Encode, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 8),
     )
+
+
+# ----------------------------------------------------- co-occurrence embeddings
+
+def cooc_counts(ds, vocab: list[str], window: int = 2,
+                text_col: str = "text"):
+    """Distributed word co-occurrence counts (the statistics GloVe-family
+    embedding training consumes): per batch, explode each doc to tokens,
+    map through the broadcast vocab (ids; OOV dropped), emit (center,
+    context) pairs for every |offset| ≤ window via vectorized shifts with
+    a per-doc boundary mask, pre-count locally, then ONE
+    vocab²-bounded ``groupby`` exchange. Exact integer counts — any
+    partitioning gives identical results."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    vmap = {w: i for i, w in enumerate(vocab)}
+    vref = ray.put(vmap)
+
+    class _Pairs:
+        def __init__(self):
+            self.vmap = ray.get(vref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(
+                t.column(text_col).fill_null(""), pattern=" "
+            )
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            flat = toks.values.to_numpy(zero_copy_only=False)
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            ids = np.array([self.vmap.get(w, -1) for w in flat], np.int64)
+            keep = ids >= 0
+            ids, parents = ids[keep], parents[keep]
+            pairs = []
+            for off in range(1, window + 1):
+                if len(ids) <= off:
+                    break
+                same = parents[:-off] == parents[off:]
+                a, b = ids[:-off][same], ids[off:][same]
+                pairs.append(np.stack([a, b], axis=1))
+                pairs.append(np.stack([b, a], axis=1))  # symmetric
+            if not pairs:
+                return pa.table({
+                    "center": pa.array([], pa.int64()),
+                    "context": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                })
+            allp = np.concatenate(pairs)
+            key = allp[:, 0] * len(self.vmap) + allp[:, 1]
+            uk, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                "center": pa.array(uk // len(self.vmap)),
+                "context": pa.array(uk % len(self.vmap)),
+                "c": pa.array(cnt.astype(np.int64)),
+            })
+
+    return (
+        ds.map_batches(_Pairs, batch_format="pyarrow", batch_size=None,
+                       concurrency=(1, 8))
+        .groupby(["center", "context"])
+        .aggregate(Sum("c", alias_name="count"))
+    )
+
+
+def factorize_cooc(counts: np.ndarray, dim: int = 16, iters: int = 60,
+                   lr: float = 0.05, seed: int = 0) -> np.ndarray:
+    """Deterministic driver-side factorization of the log co-occurrence
+    matrix (GloVe-ish least squares, full-batch GD): M = log(1+C),
+    minimize ||M − U Vᵀ||², return U + V (the standard sum of center and
+    context embeddings). Fixed seed + fixed-order full-matrix numpy ops
+    → bit-identical replay; vocab is capped upstream so V×V is
+    driver-sized."""
+    M = np.log1p(np.asarray(counts, np.float64))
+    V = M.shape[0]
+    rng = np.random.default_rng(seed)
+    U = rng.standard_normal((V, dim)) / np.sqrt(dim)
+    W = rng.standard_normal((V, dim)) / np.sqrt(dim)
+    for _ in range(iters):
+        E = U @ W.T - M
+        gU = E @ W / V
+        gW = E.T @ U / V
+        U -= lr * gU
+        W -= lr * gW
+    return U + W
+
+
+def cooc_embed_train(ds, text_col: str = "text", vocab_size: int = 200,
+                     window: int = 2, dim: int = 16, iters: int = 60):
+    """Distributed word-embedding training: top-``vocab_size`` vocabulary
+    (exact distributed word counts, count-desc/lex tie-break), exact
+    distributed co-occurrence counts (ONE bounded exchange), then the
+    deterministic factorization on the driver. Returns an Arrow table
+    (word, embedding as comma-joined rounded floats) in vocab order."""
+    from ..kernels import duck_round
+
+    rows = word_counts(ds, text_col).take_all()
+    vocab = [w for w, _ in sorted(
+        ((r["word"], int(r["count"])) for r in rows),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:vocab_size]]
+    C = np.zeros((len(vocab), len(vocab)), np.int64)
+    for r in cooc_counts(ds, vocab, window, text_col).take_all():
+        C[int(r["center"]), int(r["context"])] = int(r["count"])
+    emb = factorize_cooc(C, dim=dim, iters=iters)
+    emb = duck_round(emb, 6)
+    return pa.table({
+        "word": pa.array(vocab, pa.string()),
+        "embedding": pa.array(
+            [",".join(repr(float(x)) for x in row) for row in emb],
+            pa.string(),
+        ),
+    })

@@ -4186,3 +4186,19 @@ def knn_pq_embeddings(sf_dir: str):
     return out.map_batches(
         _round_cols({"adist": 6}), batch_format="pyarrow", batch_size=None
     )
+
+
+def cooc_embed_documents(sf_dir: str):
+    """Word-embedding TRAINING from corpus co-occurrence (GloVe-family
+    shape; functions/train.cooc_embed_train): exact distributed
+    vocabulary + windowed pair counts (one bounded exchange each), then
+    the deterministic log-count factorization on the driver. Oracle:
+    independent sequential recount + shared factorization sidecar."""
+    from ..fixtures import cooc_embed_oracle_sidecar
+    from ..functions import train as tr
+
+    cooc_embed_oracle_sidecar(sf_dir, vocab_size=200, window=2,
+                              dim=16, iters=60)
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return tr.cooc_embed_train(ds, vocab_size=200, window=2,
+                               dim=16, iters=60)

@@ -214,3 +214,23 @@ def test_unigram_em_planted(ray_session):
     logp = {p: float(np.log(q)) for p, q in pieces.items()}
     seg = tr._viterbi_segment("lowest", logp, max_piece=6)
     assert "".join(seg) == "lowest"
+
+
+def test_cooc_embed_semantics_and_invariance(ray_session):
+    """Words that share contexts land closer in the trained space, and
+    the distributed co-occurrence counts are partitioning-invariant."""
+    docs = ["cat chases mouse", "dog chases mouse", "cat chases bird",
+            "dog chases bird", "stock market falls", "stock market rises"] * 5
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = tr.cooc_embed_train(ds, vocab_size=20, window=2, dim=8,
+                              iters=80).to_pylist()
+    emb = {r["word"]: np.array([float(x) for x in r["embedding"].split(",")])
+           for r in out}
+    cos = lambda a, b: float(  # noqa: E731
+        a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    )
+    # cat/dog share every context; cat/market share none
+    assert cos(emb["cat"], emb["dog"]) > cos(emb["cat"], emb["market"])
+    out2 = tr.cooc_embed_train(ds.repartition(5), vocab_size=20, window=2,
+                               dim=8, iters=80).to_pylist()
+    assert out == out2
