@@ -40,6 +40,12 @@ class _BatchTopK:
         self.k, self.id_col, self.vec_col = k, id_col, vec_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # empty block: argpartition(k=-1) crashes
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                self.id_col: pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64()),
+            })
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         mat = _normalize(
             np.vstack(batch.column(self.vec_col).to_numpy(zero_copy_only=False)).astype(
@@ -625,6 +631,20 @@ def pq_kmeans(sub: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     return C
 
 
+
+def _assign_pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) rows -> (n, m) PQ codes under (m, k, d) codebooks:
+    per-subspace squared-distance argmin (ties: first centroid).
+    Per-row results are independent of batch height — shared by
+    product_quantize and knn_pq_adc so their codes can never diverge."""
+    m, _k, d = books.shape
+    return np.stack([
+        np.argmin(((mat[:, None, i * d:(i + 1) * d]
+                    - books[i][None, :, :]) ** 2).sum(axis=-1), axis=1)
+        for i in range(m)
+    ], axis=1)
+
+
 def product_quantize(
     ds,
     train_matrix: np.ndarray,
@@ -667,13 +687,7 @@ def product_quantize(
             mat = col.values.to_numpy(zero_copy_only=False).astype(
                 np.float64
             ).reshape(t.num_rows, dim)
-            parts = []
-            for i in range(m):
-                sub = mat[:, i * d:(i + 1) * d]
-                d2 = ((sub[:, None, :] - self.books[i][None, :, :]) ** 2
-                      ).sum(axis=-1)
-                parts.append(np.argmin(d2, axis=1))
-            codes = np.stack(parts, axis=1)  # (n, m)
+            codes = _assign_pq_codes(mat, self.books)  # (n, m)
             joined = [",".join(map(str, row)) for row in codes]
             return pa.table({
                 id_col: t.column(id_col),
@@ -712,6 +726,8 @@ def knn_pq_adc(
     X = np.asarray(train_matrix, dtype=np.float64)
     Q = np.asarray(queries, dtype=np.float64)
     dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     d = dim // m
     books = np.stack([
         pq_kmeans(X[:, i * d:(i + 1) * d], ks, iters) for i in range(m)
@@ -728,6 +744,12 @@ def knn_pq_adc(
             self.books, self.lut = ray.get(bref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:  # empty block: typed empty candidates
+                return pa.table({
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "adist": pa.array([], pa.float64()),
+                })
             col = t.column(vec_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
@@ -735,12 +757,7 @@ def knn_pq_adc(
                 np.float64
             ).reshape(t.num_rows, dim)
             ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            codes = np.stack([
-                np.argmin(((mat[:, None, i * d:(i + 1) * d]
-                            - self.books[i][None, :, :]) ** 2
-                           ).sum(axis=-1), axis=1)
-                for i in range(m)
-            ], axis=1)  # (n, m)
+            codes = _assign_pq_codes(mat, self.books)  # (n, m)
             qn = self.lut.shape[0]
             out_q, out_i, out_d = [], [], []
             for qi in range(qn):
@@ -748,8 +765,12 @@ def knn_pq_adc(
                 for i in range(m):  # fixed order: deterministic sums
                     ad += self.lut[qi, i][codes[:, i]]
                 top = min(k, len(ad))
-                part = np.argpartition(ad, top - 1)[:top]
-                order = part[np.lexsort((ids[part], ad[part]))]
+                # full (ad, id) lexsort, not argpartition: ADC distances
+                # tie STRUCTURALLY (same codes -> identical adist), and a
+                # distance-only partition could drop the lower id at the
+                # k boundary — breaking the ascending-id tie contract and
+                # batch-independence
+                order = np.lexsort((ids, ad))[:top]
                 out_q.append(np.full(top, qi, np.int64))
                 out_i.append(ids[order])
                 out_d.append(ad[order])

@@ -751,6 +751,7 @@ def cooc_embed_train(ds, text_col: str = "text", vocab_size: int = 200,
     (word, embedding as comma-joined rounded floats) in vocab order."""
     from ..kernels import duck_round
 
+    ds = ds.materialize()  # two passes (vocab, pairs): pin blocks once
     rows = word_counts(ds, text_col).take_all()
     vocab = [w for w, _ in sorted(
         ((r["word"], int(r["count"])) for r in rows),
