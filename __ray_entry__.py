@@ -273,6 +273,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": demo.multimodal_resize,
         "multimodal_frames": demo.multimodal_frames,
         "multimodal_audio": demo.multimodal_audio,
+        # image near-dup by perceptual hash (banded Hamming kernel shared
+        # with text SimHash; sequential brute-force replay sidecar)
+        "image_phash_dup_pairs": demo.image_phash_dup_pairs,
     }
 
 
@@ -2284,6 +2287,10 @@ def oracle_sql() -> dict[str, str]:
         # suite pins) to a fixed parquet that DuckDB reads back here. The
         # multimodal family is value-oracled via PLANTED payload synthesis
         # (planted_media_batch / planted_video_batch).
+        "image_phash_dup_pairs": """
+            SELECT a, b, hamming
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/phash_oracle.parquet')
+        """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status
             FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_replay_oracle.parquet')

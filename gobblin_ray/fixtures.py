@@ -1255,3 +1255,54 @@ def cooc_embed_oracle_sidecar(sf_dir: str, vocab_size: int = 200,
         ),
     })
     return _write(out, path)
+
+
+PHASH_ORACLE_PATH = os.path.join(FIXTURE_DIR, "phash_oracle.parquet")
+
+
+def phash_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
+                         path: str = PHASH_ORACLE_PATH) -> str:
+    """Sequential perceptual-hash replay: regenerate the planted payloads
+    for every doc_id, decode with the same PnmCodec, aHash each image,
+    then brute-force ALL O(n^2) pairs (byte-LUT popcount, blockwise) and
+    keep Hamming <= max_hamming. Recall parity with the distributed
+    banded kernel is exact at radius <= 3 (pigeonhole over 4 bands)."""
+    import pyarrow.parquet as _pq
+
+    from .functions.multimodal import (PnmCodec, ahash64,
+                                       planted_neardup_media_batch)
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    media = planted_neardup_media_batch(t)
+    codec = PnmCodec()
+    ids = media.column("media_id").to_numpy(zero_copy_only=False)
+    fps = np.array(
+        [ahash64(codec.decode(p)) for p in media.column("payload").to_pylist()],
+        np.uint64,
+    )
+    order = np.argsort(ids)
+    ids, fps = ids[order].astype(np.int64), fps[order]
+    lut = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+    n = len(ids)
+    out_a, out_b, out_h = [], [], []
+    block = 1024
+    for lo in range(0, n, block):
+        hi = min(lo + block, n)
+        x = fps[lo:hi, None] ^ fps[None, :]
+        ham = (
+            lut[x.view(np.uint8)].reshape(hi - lo, n, 8).sum(axis=2)
+        ).astype(np.int64)
+        bi, bj = np.nonzero(ham <= max_hamming)
+        gi = bi + lo
+        keep = gi < bj  # upper triangle only
+        out_a.append(ids[gi[keep]])
+        out_b.append(ids[bj[keep]])
+        out_h.append(ham[bi[keep], bj[keep]])
+    empty = np.array([], np.int64)
+    out = pa.table({
+        "a": pa.array(np.concatenate(out_a) if out_a else empty),
+        "b": pa.array(np.concatenate(out_b) if out_b else empty),
+        "hamming": pa.array(np.concatenate(out_h) if out_h else empty),
+    })
+    return _write(out, path)

@@ -996,56 +996,60 @@ def _popcount(x: np.ndarray) -> np.ndarray:
     return np.array([bin(v).count("1") for v in x], np.int32)
 
 
-def simhash_candidates(
-    docs,
-    text_col: str = "text",
+def hamming_candidate_pairs(
+    sigs,
+    fp_col: str,
     id_col: str = "doc_id",
-    concurrency=(1, 4),
     num_partitions: int | None = None,
+    max_hamming: int = 3,
 ):
-    """Near-dup candidate pairs with Hamming distance <= 3 (pigeonhole over
-    the 4 chunk bands); verified with true Hamming distance on the
-    signature.
+    """Distinct (a, b, hamming) pairs with Hamming distance <=
+    ``max_hamming`` over a 64-bit fingerprint column — the generic banded
+    kernel behind SimHash text near-dup and perceptual-hash image
+    near-dup. Recall is EXACT only for ``max_hamming <= 3``: with 4
+    16-bit bands, <=3 differing bits pigeonhole into at least one
+    identical band; a larger radius keeps precision (true Hamming is
+    verified on every candidate) but may miss pairs whose diffs spread
+    across all 4 bands.
 
-    ONE exchange: each doc explodes to 4 (chunk_id, chunk_val) rows keyed
-    by a bounded partition of the chunk value, so dispatch is P vectorized
-    group calls (a per-chunk-value map_groups costs one Python call per
-    distinct 16-bit value; the round-1 version also unioned 4 separate
-    groupbys). Inside a partition, buckets are boundary-detected on the
-    sorted (chunk_id, chunk_val) key; a degenerate bucket (e.g. every empty
-    text -> fingerprint 0) switches from full O(n^2) pair-gen to a sorted
-    window of ``_SIMHASH_WINDOW`` neighbors — identical fingerprints stay
-    adjacent, so dup chains survive for connected components at O(n*W)."""
+    ONE exchange: each fingerprint explodes to 4 (chunk_id, chunk_val)
+    rows keyed by a bounded partition of the chunk value, so dispatch is
+    P vectorized group calls (a per-chunk-value map_groups costs one
+    Python call per distinct 16-bit value). Inside a partition, buckets
+    are boundary-detected on the sorted (chunk_id, chunk_val) key; a
+    degenerate bucket (e.g. every empty text -> fingerprint 0) switches
+    from full O(n^2) pair-gen to a sorted window of ``_SIMHASH_WINDOW``
+    neighbors — identical fingerprints stay adjacent, so dup chains
+    survive for connected components at O(n*W)."""
     import ray
     from ray.data.aggregate import Min
 
     if num_partitions is None:
         num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
     P = num_partitions
-    sigs = docs.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=concurrency,
-    )
 
     def explode(t: pa.Table) -> pa.Table:
         n = t.num_rows
         ids = np.repeat(t.column(id_col).to_numpy(zero_copy_only=False), 4)
-        fps = np.repeat(t.column("simhash").to_numpy(zero_copy_only=False), 4)
-        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
-        chunk_val = np.stack(
-            [t.column(f"chunk{c}").to_numpy(zero_copy_only=False) for c in range(4)],
+        fps_raw = t.column(fp_col).to_numpy(zero_copy_only=False)
+        fp_u = fps_raw.astype(np.int64).view(np.uint64)
+        chunk_mat = np.stack(
+            [
+                ((fp_u >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int64)
+                for c in range(4)
+            ],
             axis=1,
-        ).reshape(-1)
+        )
+        fps = np.repeat(fps_raw.astype(np.int64), 4)
+        chunk_id = np.tile(np.arange(4, dtype=np.int32), n)
+        chunk_val = chunk_mat.reshape(-1)
         part = (
             (chunk_id.astype(np.int64) * np.int64(65_537) + chunk_val) % P
         ).astype(np.int32)
         return pa.table(
             {
                 id_col: pa.array(ids),
-                "simhash": pa.array(fps),
+                "_fp": pa.array(fps),
                 "chunk_id": pa.array(chunk_id),
                 "chunk_val": pa.array(chunk_val),
                 "_bp": pa.array(part),
@@ -1056,7 +1060,7 @@ def simhash_candidates(
 
     def pairs_in_partition(group: pa.Table) -> pa.Table:
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
-        fps = group.column("simhash").to_numpy(zero_copy_only=False)
+        fps = group.column("_fp").to_numpy(zero_copy_only=False)
         cid = group.column("chunk_id").to_numpy(zero_copy_only=False).astype(np.int64)
         cval = group.column("chunk_val").to_numpy(zero_copy_only=False).astype(np.int64)
         key = cid * np.int64(65_537) + cval
@@ -1096,7 +1100,7 @@ def simhash_candidates(
                 jj = np.concatenate(parts_jj)
             x = seg_fps[ii].astype(np.uint64) ^ seg_fps[jj].astype(np.uint64)
             ham = _popcount(x)
-            keep = ham <= 3
+            keep = ham <= max_hamming
             out_a.append(np.minimum(seg_ids[ii][keep], seg_ids[jj][keep]))
             out_b.append(np.maximum(seg_ids[ii][keep], seg_ids[jj][keep]))
             out_h.append(ham[keep])
@@ -1113,7 +1117,7 @@ def simhash_candidates(
             }
         )
 
-    pairs_in_partition.__name__ = "simhash_pairs"
+    pairs_in_partition.__name__ = "hamming_pairs"
     allpairs = (
         sigs.map_batches(explode, batch_format="pyarrow", batch_size=None)
         .groupby("_bp")
@@ -1123,6 +1127,29 @@ def simhash_candidates(
     # map_groups — one Python call per pair is the dispatch trap again).
     return allpairs.groupby(["a", "b"]).aggregate(
         Min("hamming", alias_name="hamming")
+    )
+
+
+def simhash_candidates(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 4),
+    num_partitions: int | None = None,
+):
+    """Near-dup candidate pairs with Hamming distance <= 3 over the text
+    SimHash — the SimHasher actor-pool stage feeding the generic banded
+    ``hamming_candidate_pairs`` kernel (see its docstring for the
+    exchange/dispatch/degenerate-bucket analysis)."""
+    sigs = docs.map_batches(
+        SimHasher,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+    return hamming_candidate_pairs(
+        sigs, "simhash", id_col=id_col, num_partitions=num_partitions
     )
 
 

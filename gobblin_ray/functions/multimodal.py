@@ -559,3 +559,133 @@ def audio_pipeline(audio_ds, concurrency: int = 2,
         batch_size=suggest_batch_size(avg_payload_bytes),
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------------ perceptual hashing
+
+def ahash64(img: np.ndarray) -> np.uint64:
+    """64-bit average hash (aHash — the classic perceptual image
+    fingerprint used for LAION-style image near-dup): 8x8 block-mean
+    downsample over integer grid boundaries (integral-image sums, exact
+    float64 means), threshold each cell against the mean of the 64 cell
+    means, pack row-major MSB-first. A pure per-image function of the
+    pixels, so distributed hashing is batching-invariant and a sequential
+    replay reproduces it bit-for-bit."""
+    if img.ndim != 2:
+        raise ValueError("ahash64 expects a 2-D luminance image")
+    h, w = img.shape
+    if h < 8 or w < 8:
+        raise ValueError("image smaller than the 8x8 hash grid")
+    ii = np.zeros((h + 1, w + 1), np.int64)
+    np.cumsum(img.astype(np.int64), axis=0).cumsum(axis=1, out=ii[1:, 1:])
+    rb = (np.arange(9) * h) // 8
+    cb = (np.arange(9) * w) // 8
+    s = ii[rb][:, cb]
+    sums = s[1:, 1:] - s[:-1, 1:] - s[1:, :-1] + s[:-1, :-1]
+    cnt = (rb[1:] - rb[:-1])[:, None] * (cb[1:] - cb[:-1])[None, :]
+    means = sums / cnt
+    bits = (means > means.mean()).reshape(-1)
+    weights = np.uint64(1) << (np.uint64(63) - np.arange(64, dtype=np.uint64))
+    return np.uint64((weights * bits.astype(np.uint64)).sum())
+
+
+class PerceptualHasher:
+    """Actor-pool stage: image payload -> (id, phash) rows. Codec sniffed
+    once per actor; per-row decode is inherent to variable-size payloads
+    (same posture as the md5 fingerprint stage). Undecodable or sub-grid
+    payloads are DROPPED from the signature set (a hash they cannot
+    contribute to is not a dedup signal) — callers needing an audit trail
+    diff row counts against the input."""
+
+    def __init__(self, id_col: str = "media_id", payload_col: str = "payload"):
+        self.codec = AutoCodec()
+        self.id_col = id_col
+        self.payload_col = payload_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids: list[int] = []
+        out_fp: list[np.uint64] = []
+        for i, payload in enumerate(t.column(self.payload_col).to_pylist()):
+            try:
+                out_fp.append(ahash64(self.codec.decode(payload)))
+                out_ids.append(int(ids[i]))
+            except (ValueError, IndexError, NotImplementedError):
+                # undecodable payload (bad bytes, truncated header, or a
+                # codec this container lacks) or sub-grid image: no hash
+                continue
+        fp_arr = (
+            np.asarray(out_fp, np.uint64).view(np.int64)
+            if out_fp
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                self.id_col: pa.array(np.asarray(out_ids, np.int64)),
+                "phash": pa.array(fp_arr),
+            }
+        )
+
+
+def phash_pairs(
+    media_ds,
+    id_col: str = "media_id",
+    num_partitions: int | None = None,
+    max_hamming: int = 3,
+    concurrency=(1, 4),
+):
+    """Image near-dup pairs by perceptual hash: the PerceptualHasher actor
+    pool feeds the generic banded ``dedup.hamming_candidate_pairs`` kernel
+    (one bounded exchange of 4 16-bit bands per image; exact recall at
+    radius <= 3 by pigeonhole). Analog of the text SimHash path with the
+    fingerprint swapped for pixel-space aHash — the image half of a
+    crawl-corpus dedup (image bytes never reach the exchange, only
+    (id, 8-byte hash) rows)."""
+    from .dedup import hamming_candidate_pairs
+
+    sigs = media_ds.map_batches(
+        PerceptualHasher,
+        fn_constructor_kwargs=dict(id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=concurrency,
+    )
+    return hamming_candidate_pairs(
+        sigs,
+        "phash",
+        id_col=id_col,
+        num_partitions=num_partitions,
+        max_hamming=max_hamming,
+    )
+
+
+def planted_neardup_media_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Planted near-dup image corpus, a pure function of doc_id (the
+    sequential oracle sidecar regenerates byte-identical payloads):
+    doc_ids collapse into groups of 3 (g = doc_id // 3); variant 0 is the
+    group's base 32x32 image, variant 1 perturbs two pixels by one level
+    (block means move < 1/16 of a level -> Hamming usually 0), variant 2
+    brightens one corner block (~1-2 bits plus whatever borderline cells
+    the shifted global mean flips). Different groups are independent
+    uniform noise — expected Hamming ~32, never candidates. Payloads are
+    REAL binary PGM (P5) so the distributed stage exercises the real
+    PnmCodec decode path."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for d in ids.tolist():
+        g, v = d // 3, d % 3
+        rng = np.random.default_rng(90_000 + g)
+        px = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+        if v == 1:
+            px[0, 0] ^= 1
+            px[16, 16] ^= 1
+        elif v == 2:
+            px[:4, :4] |= 0x80
+        payloads.append(PnmCodec.encode_pgm(px))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["image/x-portable-graymap"] * len(ids)),
+        }
+    )

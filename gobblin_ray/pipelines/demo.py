@@ -4202,3 +4202,34 @@ def cooc_embed_documents(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["text"])
     return tr.cooc_embed_train(ds, vocab_size=200, window=2,
                                dim=16, iters=60)
+
+
+def image_phash_dup_pairs(sf_dir: str):
+    """Image near-dup pairs by perceptual hash (LAION-style image dedup;
+    functions/multimodal.phash_pairs): a planted PGM corpus synthesized
+    per-batch from doc_id feeds the PerceptualHasher actor pool (real
+    PnmCodec decode + 8x8 block-mean aHash), then the generic banded
+    Hamming kernel shared with text SimHash — image bytes never reach the
+    exchange, only (id, 8-byte hash) rows. Oracle: sequential replay
+    sidecar (same payloads, same aHash, brute-force all pairs at the
+    same radius — exact recall parity by pigeonhole at radius 3)."""
+    from ..fixtures import phash_oracle_sidecar
+    from ..functions import multimodal as mm
+
+    phash_oracle_sidecar(sf_dir, max_hamming=3)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(
+        mm.planted_neardup_media_batch, batch_format="pyarrow", batch_size=None
+    )
+    out = mm.phash_pairs(media, id_col="media_id", max_hamming=3,
+                         concurrency=2)
+
+    def cast_hamming_i64(t: pa.Table) -> pa.Table:
+        idx = t.schema.get_field_index("hamming")
+        return t.set_column(
+            idx, "hamming", pc.cast(t.column("hamming"), pa.int64())
+        )
+
+    return out.map_batches(
+        cast_hamming_i64, batch_format="pyarrow", batch_size=None
+    )

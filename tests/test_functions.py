@@ -1593,3 +1593,49 @@ def test_product_quantize_partition_invariant(ray_session):
             err_pq += float(((sub - books[i][codes[i]]) ** 2).sum())
             err_naive += float(((sub - books[i][0]) ** 2).sum())
     assert err_pq < err_naive
+
+
+def test_phash_pairs_match_bruteforce(ray_session):
+    """Distributed perceptual-hash near-dup == sequential brute force at
+    the same radius, for ANY input partitioning (the banded kernel's
+    radius-3 recall is exact by pigeonhole), and a corrupt payload is
+    dropped without killing the stage."""
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(list(range(60)), pa.int64())})
+    media_t = mm.planted_neardup_media_batch(t)
+    codec = mm.PnmCodec()
+    fps = [
+        mm.ahash64(codec.decode(p))
+        for p in media_t.column("payload").to_pylist()
+    ]
+    ids = media_t.column("media_id").to_numpy(zero_copy_only=False)
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            h = bin(int(fps[i]) ^ int(fps[j])).count("1")
+            if h <= 3:
+                want.add((int(ids[i]), int(ids[j]), h))
+    assert want  # planted groups make the truth non-trivial
+    for parts in (2, 7):
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in mm.phash_pairs(
+                rd.from_arrow(media_t).repartition(parts), concurrency=2
+            ).take_all()
+        }
+        assert got == want
+    # corrupt one payload: stage drops the row, pairs among the rest hold
+    bad = media_t.set_column(
+        media_t.schema.get_field_index("payload"),
+        "payload",
+        pa.array(
+            [b"not an image"] + media_t.column("payload").to_pylist()[1:],
+            pa.binary(),
+        ),
+    )
+    got_bad = {
+        (r["a"], r["b"], r["hamming"])
+        for r in mm.phash_pairs(rd.from_arrow(bad), concurrency=2).take_all()
+    }
+    assert got_bad == {p for p in want if 0 not in (p[0], p[1])}
