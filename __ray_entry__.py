@@ -276,6 +276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # image near-dup by perceptual hash (banded Hamming kernel shared
         # with text SimHash; sequential brute-force replay sidecar)
         "image_phash_dup_pairs": demo.image_phash_dup_pairs,
+        # DSIR importance weights for target-distribution data selection
+        "dsir_weights_documents": demo.dsir_weights_documents,
     }
 
 
@@ -2290,6 +2292,10 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_dup_pairs": """
             SELECT a, b, hamming
             FROM read_parquet('/tmp/gobblin_ray_fixtures/phash_oracle.parquet')
+        """,
+        "dsir_weights_documents": """
+            SELECT doc_id, dsir_logw
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/dsir_oracle.parquet')
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

@@ -1306,3 +1306,32 @@ def phash_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
         "hamming": pa.array(np.concatenate(out_h) if out_h else empty),
     })
     return _write(out, path)
+
+
+DSIR_ORACLE_PATH = os.path.join(FIXTURE_DIR, "dsir_oracle.parquet")
+
+
+def dsir_oracle_sidecar(sf_dir: str, n_buckets: int = 8192,
+                        path: str = DSIR_ORACLE_PATH) -> str:
+    """Sequential DSIR replay: one pass over the doc_id-ordered corpus
+    with the SAME hashed-ngram featurizer, count math and fixed-order
+    scoring accumulation as the distributed op (functions/train.py
+    dsir_weights) — bit-equal on any partitioning by construction.
+    Target distribution = the English documents (lang = 'en')."""
+    import pyarrow.compute as _pc
+    import pyarrow.parquet as _pq
+
+    from .functions.train import dsir_weights_sequential
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text", "lang"])
+    t = t.sort_by("doc_id")
+    t = t.append_column(
+        "is_target", _pc.equal(t.column("lang"), "en")
+    )
+    ids, w = dsir_weights_sequential(t, n_buckets=n_buckets)
+    out = pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64)),
+        "dsir_logw": pa.array(w),
+    })
+    return _write(out, path)

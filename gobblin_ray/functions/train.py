@@ -769,3 +769,172 @@ def cooc_embed_train(ds, text_col: str = "text", vocab_size: int = 200,
             pa.string(),
         ),
     })
+
+
+# -------------------------------------------------------------------- DSIR
+
+def _hashed_ngram_rows(t: pa.Table, text_col: str, n_buckets: int):
+    """(row_idx, bucket_id) feature pairs for hashed unigram+bigram
+    bag-of-ngrams (the DSIR feature space, Xie et al. 2023 "Data Selection
+    for Language Models via Importance Resampling"): tokens = single-space
+    split with empties dropped (the corpus convention every text kernel
+    here shares), bigrams joined over the filtered per-row sequence,
+    hashed with the repo's buffer-walking u64 string hash mod n_buckets.
+    Emission order is all unigrams (corpus order) then all bigrams — each
+    ROW's contributions keep a fixed relative order regardless of how rows
+    are batched, which is what makes the float scoring pass
+    batching-invariant (np.bincount accumulates in traversal order)."""
+    from .sketch import hash_column_u64
+
+    texts = t.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks_list = pc.split_pattern(
+        pc.fill_null(texts, ""), pattern=" "
+    )
+    flat = pc.list_flatten(toks_list)
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    uni_b = (hash_column_u64(flat) % np.uint64(n_buckets)).astype(np.int64)
+    # bigrams: adjacent filtered tokens within the same row
+    if len(parents) > 1:
+        adj = parents[:-1] == parents[1:]
+        left = flat.slice(0, len(flat) - 1).filter(pa.array(adj))
+        right = flat.slice(1).filter(pa.array(adj))
+        bi = pc.binary_join_element_wise(left, right, " ")
+        bi_b = (hash_column_u64(bi) % np.uint64(n_buckets)).astype(np.int64)
+        bi_rows = parents[:-1][adj]
+    else:
+        bi_b = np.array([], np.int64)
+        bi_rows = np.array([], parents.dtype)
+    rows = np.concatenate([parents, bi_rows]).astype(np.int64)
+    buckets = np.concatenate([uni_b, bi_b])
+    return rows, buckets
+
+
+def dsir_counts(ds, text_col: str = "text", target_col: str = "is_target",
+                n_buckets: int = 8192, combine_blocks: int | None = None):
+    """Distributed hashed-ngram count vectors for DSIR: ONE map_batches
+    pass emits per-block integer partial vectors (target corpus ``p`` and
+    raw corpus ``q``, each n_buckets int64) — exact associative integer
+    sums, so the totals are identical for any partitioning. Driver traffic
+    is O(blocks x n_buckets) ints; pass ``combine_blocks`` to tree-reduce
+    the partials first at 10^5+ input blocks (same scale path as
+    logreg_train)."""
+    def partial(t: pa.Table) -> pa.Table:
+        rows, buckets = _hashed_ngram_rows(t, text_col, n_buckets)
+        target = t.column(target_col).to_numpy(zero_copy_only=False)
+        target = np.asarray(target, bool)
+        q_vec = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+        p_vec = np.bincount(
+            buckets[target[rows]], minlength=n_buckets
+        ).astype(np.int64)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "p": pa.array([p_vec.tolist()], pa.list_(pa.int64())),
+            "q": pa.array([q_vec.tolist()], pa.list_(pa.int64())),
+        })
+
+    partial.__name__ = "dsir_count_partial"
+    parts_ds = ds.map_batches(partial, batch_format="pyarrow",
+                              batch_size=4096)
+    if combine_blocks is not None:
+        parts_ds = _combine_int_partials(parts_ds, ["p", "q"],
+                                         combine_blocks)
+    p = np.zeros(n_buckets, np.int64)
+    q = np.zeros(n_buckets, np.int64)
+    for part in parts_ds.take_all():
+        p += np.asarray(part["p"], np.int64)
+        q += np.asarray(part["q"], np.int64)
+    return p, q
+
+
+def dsir_log_ratio(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Laplace-smoothed log importance ratio per hash bucket:
+    log p_hat - log q_hat with add-one smoothing — fixed-order float64
+    vector ops, deterministic."""
+    n_buckets = len(p)
+    lp = np.log(p + 1.0) - np.log(float(p.sum()) + n_buckets)
+    lq = np.log(q + 1.0) - np.log(float(q.sum()) + n_buckets)
+    return lp - lq
+
+
+class _DsirScorer:
+    """Actor-pool stage: per-doc DSIR log importance weight = sum of the
+    broadcast bucket log-ratios over the doc's hashed ngrams. lw fetched
+    once per actor from the object store."""
+
+    def __init__(self, lw_ref, text_col: str, id_col: str, n_buckets: int):
+        import ray
+
+        self.lw = ray.get(lw_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows, buckets = _hashed_ngram_rows(t, self.text_col, self.n_buckets)
+        w = np.bincount(rows, weights=self.lw[buckets],
+                        minlength=t.num_rows)
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "dsir_logw": pa.array(np.round(w, 6)),
+        })
+
+
+def dsir_weights(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    target_col: str = "is_target",
+    n_buckets: int = 8192,
+    combine_blocks: int | None = None,
+    concurrency=(1, 4),
+):
+    """DSIR importance weights (Xie et al. 2023): fit hashed-ngram
+    bag-of-words models for the target distribution (rows where
+    ``target_col``) and the raw corpus in ONE distributed count pass, then
+    score every doc with the broadcast per-bucket log ratio in a second
+    pass. High ``dsir_logw`` = looks like the target distribution —
+    downstream selection keeps the top mass (deterministic: ties broken by
+    id). The input is consumed twice (counts, then scoring) — pass a
+    materialized dataset so the read is not re-executed. Weights are
+    batching-invariant: integer count sums are associative and the scoring
+    accumulation order is fixed per row (see _hashed_ngram_rows)."""
+    import ray
+
+    p, q = dsir_counts(ds, text_col=text_col, target_col=target_col,
+                       n_buckets=n_buckets, combine_blocks=combine_blocks)
+    lw_ref = ray.put(dsir_log_ratio(p, q))
+    return ds.map_batches(
+        _DsirScorer,
+        fn_constructor_kwargs=dict(lw_ref=lw_ref, text_col=text_col,
+                                   id_col=id_col, n_buckets=n_buckets),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def dsir_weights_sequential(t: pa.Table, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            target_col: str = "is_target",
+                            n_buckets: int = 8192):
+    """Independent sequential replay of the SAME DSIR math (oracle side):
+    one pass over the full table for counts, one for scoring, sharing
+    _hashed_ngram_rows / dsir_log_ratio so the distributed run is
+    bit-equal on any partitioning."""
+    rows, buckets = _hashed_ngram_rows(t, text_col, n_buckets)
+    target = np.asarray(
+        t.column(target_col).to_numpy(zero_copy_only=False), bool
+    )
+    q = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
+    p = np.bincount(buckets[target[rows]], minlength=n_buckets).astype(np.int64)
+    lw = dsir_log_ratio(p, q)
+    w = np.bincount(rows, weights=lw[buckets], minlength=t.num_rows)
+    return (
+        t.column(id_col).to_numpy(zero_copy_only=False),
+        np.round(w, 6),
+    )

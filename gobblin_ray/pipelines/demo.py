@@ -4233,3 +4233,29 @@ def image_phash_dup_pairs(sf_dir: str):
     return out.map_batches(
         cast_hamming_i64, batch_format="pyarrow", batch_size=None
     )
+
+
+def dsir_weights_documents(sf_dir: str):
+    """DSIR importance weights for data selection (Xie et al. 2023;
+    functions/train.dsir_weights): hashed unigram+bigram models fit for
+    the target distribution (English docs) and the raw corpus in one
+    distributed integer-count pass, every doc scored with the broadcast
+    per-bucket log ratio in a second. Weights are batching-invariant
+    (associative integer counts; fixed per-row accumulation order), so
+    the oracle is a sequential replay sidecar sharing the same kernels."""
+    from ..fixtures import dsir_oracle_sidecar
+    from ..functions import train as tr
+
+    dsir_oracle_sidecar(sf_dir, n_buckets=8192)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def mark_target(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en")
+        )
+
+    mark_target.__name__ = "mark_english_target"
+    marked = ds.map_batches(
+        mark_target, batch_format="pyarrow", batch_size=None
+    ).materialize()  # consumed twice: count pass + scoring pass
+    return tr.dsir_weights(marked, n_buckets=8192, concurrency=2)

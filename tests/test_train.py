@@ -234,3 +234,41 @@ def test_cooc_embed_semantics_and_invariance(ray_session):
     out2 = tr.cooc_embed_train(ds.repartition(5), vocab_size=20, window=2,
                                dim=8, iters=80).to_pylist()
     assert out == out2
+
+
+def test_dsir_weights_partition_invariant(ray_session):
+    """DSIR weights are bit-equal for any input partitioning, match the
+    sequential replay, and rank target-looking docs above off-target
+    docs."""
+    import ray.data as rd
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gobblin_ray.functions import train as tr
+
+    en = ["the cat sat on the mat and the dog slept near the door",
+          "it is a long road to the sea and the wind is cold",
+          "the teacher said it is good to read a book"]
+    es = ["el gato come pescado y el perro duerme en la casa",
+          "la comida es buena y el vino es famoso en la region"]
+    texts = (en * 5) + (es * 5)
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "is_target": pa.array([True] * 15 + [False] * 10),
+    })
+    want_ids, want_w = tr.dsir_weights_sequential(t)
+    got = {}
+    for parts in (1, 3, 7):
+        out = tr.dsir_weights(
+            rd.from_arrow(t).repartition(parts), concurrency=2
+        ).take_all()
+        got = {r["doc_id"]: r["dsir_logw"] for r in out}
+        assert len(got) == len(texts)
+        for i, d in enumerate(want_ids):
+            assert got[int(d)] == want_w[i]  # bit-equal, not approx
+    # every English doc outranks every Spanish doc
+    en_w = [got[i] for i in range(15)]
+    es_w = [got[i] for i in range(15, 25)]
+    assert min(en_w) > max(es_w)
