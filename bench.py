@@ -114,6 +114,8 @@ QUERY_NAMES = [
     "pq_codes_embeddings",
     "knn_pq_embeddings",
     "cooc_embed_documents",
+    "image_phash_dup_pairs",
+    "dsir_weights_documents",
 ]
 
 
