@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_dup_pairs": demo.image_phash_dup_pairs,
         # DSIR importance weights for target-distribution data selection
         "dsir_weights_documents": demo.dsir_weights_documents,
+        # video near-dup by shared sampled-frame fingerprints
+        "video_dup_pairs_planted": demo.video_dup_pairs_planted,
     }
 
 
@@ -2296,6 +2298,10 @@ def oracle_sql() -> dict[str, str]:
         "dsir_weights_documents": """
             SELECT doc_id, dsir_logw
             FROM read_parquet('/tmp/gobblin_ray_fixtures/dsir_oracle.parquet')
+        """,
+        "video_dup_pairs_planted": """
+            SELECT a, b, shared
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/video_dup_oracle.parquet')
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

@@ -116,6 +116,7 @@ QUERY_NAMES = [
     "cooc_embed_documents",
     "image_phash_dup_pairs",
     "dsir_weights_documents",
+    "video_dup_pairs_planted",
 ]
 
 

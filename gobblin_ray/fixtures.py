@@ -1335,3 +1335,50 @@ def dsir_oracle_sidecar(sf_dir: str, n_buckets: int = 8192,
         "dsir_logw": pa.array(w),
     })
     return _write(out, path)
+
+
+VIDEO_DUP_ORACLE_PATH = os.path.join(FIXTURE_DIR, "video_dup_oracle.parquet")
+
+
+def video_dup_oracle_sidecar(sf_dir: str, min_shared: int = 2,
+                             max_bucket: int = 64, stride: int = 1,
+                             max_frames: int = 8,
+                             path: str = VIDEO_DUP_ORACLE_PATH) -> str:
+    """Sequential video near-dup replay: regenerate the planted video
+    payloads per doc_id, demux + aHash the SAME sampled frames (distinct
+    per video), drop stop frames (hash in > max_bucket videos — the same
+    deterministic cutoff the distributed kernel applies), and count
+    shared hashes per video pair; keep shared >= min_shared."""
+    import collections
+
+    import pyarrow.parquet as _pq
+
+    from .functions.multimodal import (VideoFrameHasher,
+                                       planted_neardup_video_batch)
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    media = planted_neardup_video_batch(t)
+    hasher = VideoFrameHasher(stride=stride, max_frames=max_frames)
+    rows = hasher(media)
+    ids = rows.column("media_id").to_numpy(zero_copy_only=False)
+    fhs = rows.column("fhash").to_numpy(zero_copy_only=False)
+    by_hash: dict = collections.defaultdict(list)
+    for mid, fh in zip(ids.tolist(), fhs.tolist()):
+        by_hash[fh].append(mid)
+    shared: dict = collections.Counter()
+    for members in by_hash.values():
+        if len(members) < 2 or len(members) > max_bucket:
+            continue
+        members = sorted(members)
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                shared[(members[i], members[j])] += 1
+    keep = sorted((a, b, c) for (a, b), c in shared.items()
+                  if c >= min_shared)
+    out = pa.table({
+        "a": pa.array([k[0] for k in keep], pa.int64()),
+        "b": pa.array([k[1] for k in keep], pa.int64()),
+        "shared": pa.array([k[2] for k in keep], pa.int64()),
+    })
+    return _write(out, path)

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -687,5 +688,157 @@ def planted_neardup_media_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table
             "media_id": pa.array(ids),
             "payload": pa.array(payloads, pa.binary()),
             "mime": pa.array(["image/x-portable-graymap"] * len(ids)),
+        }
+    )
+
+
+class VideoFrameHasher(FrameSampler):
+    """Actor-pool stage: video payload -> one row per DISTINCT sampled
+    frame aHash (media_id, fhash). Reuses FrameSampler's demux (container
+    stub, real PGM frame decode); per-video distinct so a downstream
+    shared-hash count is a true set-intersection size. Corrupt containers
+    emit zero rows (same contract as the sibling 1:N stages)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        mids: list[int] = []
+        hashes: list[np.uint64] = []
+        ids = batch.column("media_id").to_pylist()
+        for mid, payload in zip(ids, batch.column("payload").to_pylist()):
+            try:
+                frames = self._demux(payload)
+                picked = frames[:: self.stride][: self.max_frames]
+                fps = {ahash64(self.codec.decode(fb)) for fb in picked}
+            except Exception:
+                continue
+            for fp in sorted(fps):
+                mids.append(int(mid))
+                hashes.append(fp)
+        fp_arr = (
+            np.asarray(hashes, np.uint64).view(np.int64)
+            if hashes
+            else np.array([], np.int64)
+        )
+        return pa.table(
+            {
+                "media_id": pa.array(np.asarray(mids, np.int64)),
+                "fhash": pa.array(fp_arr),
+            }
+        )
+
+
+def video_dup_pairs(
+    video_ds,
+    min_shared: int = 2,
+    max_bucket: int = 64,
+    stride: int = 1,
+    max_frames: int = 8,
+    num_partitions: int | None = None,
+    concurrency=(1, 4),
+):
+    """Video near-dup pairs by shared sampled-frame fingerprints — the
+    video analog of content-defined near-dup: two videos pair when they
+    share >= ``min_shared`` distinct sampled-frame aHashes. ONE bounded
+    exchange: (media_id, 8-byte fhash) rows partition on fhash %% P
+    (video bytes never leave the hashing stage), each partition
+    boundary-detects identical-hash buckets on one sort and emits the
+    bucket triangle; a frame hash present in more than ``max_bucket``
+    videos is a STOP FRAME (intros, black frames) and is dropped entirely
+    — the deterministic cutoff the sequential oracle mirrors, which also
+    bounds pair-gen at corpus scale. groupby(a, b) then counts shared
+    hashes exactly (per-video hashes are distinct by construction)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    P = num_partitions
+
+    rows = video_ds.map_batches(
+        VideoFrameHasher,
+        fn_constructor_kwargs=dict(stride=stride, max_frames=max_frames),
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+    )
+
+    def add_partition(t: pa.Table) -> pa.Table:
+        fh = t.column("fhash").to_numpy(zero_copy_only=False)
+        part = (fh.view(np.uint64) % np.uint64(P)).astype(np.int32)
+        return t.append_column("_bp", pa.array(part))
+
+    add_partition.__name__ = "partition_by_fhash"
+
+    def pairs_in_partition(group: pa.Table) -> pa.Table:
+        ids = group.column("media_id").to_numpy(zero_copy_only=False)
+        fh = group.column("fhash").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fh))
+        ids, fh = ids[order], fh[order]
+        change = np.flatnonzero(np.diff(fh) != 0) + 1
+        bounds = np.concatenate([[0], change, [len(ids)]])
+        out_a, out_b = [], []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            m = hi - lo
+            if m < 2 or m > max_bucket:  # singleton or stop frame
+                continue
+            seg = ids[lo:hi]
+            ii, jj = np.triu_indices(m, k=1)
+            out_a.append(seg[ii])
+            out_b.append(seg[jj])
+        if not out_a:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b))})
+
+    pairs_in_partition.__name__ = "frame_bucket_pairs"
+    counted = (
+        rows.map_batches(add_partition, batch_format="pyarrow",
+                         batch_size=None)
+        .groupby("_bp")
+        .map_groups(pairs_in_partition, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="shared"))
+    )
+
+    def keep_min_shared(t: pa.Table) -> pa.Table:
+        shared = pc.cast(t.column("shared"), pa.int64())
+        t = t.set_column(t.schema.get_field_index("shared"), "shared", shared)
+        return t.filter(pc.greater_equal(shared, min_shared))
+
+    keep_min_shared.__name__ = "filter_min_shared"
+    return counted.map_batches(keep_min_shared, batch_format="pyarrow",
+                               batch_size=None)
+
+
+def planted_neardup_video_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table:
+    """Planted near-dup video corpus, a pure function of doc_id: groups of
+    3 (g = doc_id // 3); variant 0 is six 16x16 PGM frames seeded by g,
+    variant 1 replaces one frame with noise (5 shared), variant 2 keeps
+    frames 2..5 and appends two noise frames (4 shared with v0). Frames
+    are real binary PGM inside the documented fake container format."""
+    ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for d in ids.tolist():
+        g, v = d // 3, d % 3
+        rng = np.random.default_rng(70_000 + g)
+        frames = [
+            rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(6)
+        ]
+        noise = np.random.default_rng(80_000 + d)
+        if v == 1:
+            frames[0] = noise.integers(0, 256, (16, 16)).astype(np.uint8)
+        elif v == 2:
+            frames = frames[2:] + [
+                noise.integers(0, 256, (16, 16)).astype(np.uint8)
+                for _ in range(2)
+            ]
+        blobs = [PnmCodec.encode_pgm(f) for f in frames]
+        body = b"".join(len(b).to_bytes(4, "big") + b for b in blobs)
+        payloads.append(_VMAGIC + len(blobs).to_bytes(4, "big") + body)
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(["video/x-fake"] * len(ids)),
         }
     )

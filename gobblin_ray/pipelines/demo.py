@@ -4259,3 +4259,23 @@ def dsir_weights_documents(sf_dir: str):
         mark_target, batch_format="pyarrow", batch_size=None
     ).materialize()  # consumed twice: count pass + scoring pass
     return tr.dsir_weights(marked, n_buckets=8192, concurrency=2)
+
+
+def video_dup_pairs_planted(sf_dir: str):
+    """Video near-dup by shared sampled-frame fingerprints
+    (functions/multimodal.video_dup_pairs): planted fake-container videos
+    with real PGM frames, demuxed + frame-aHashed in an actor pool; the
+    one bounded exchange moves (id, 8-byte hash) rows partitioned on the
+    hash, identical-hash buckets triangle into pairs (stop-frame cutoff),
+    groupby(a,b) counts shared frames exactly. Oracle: sequential replay
+    sidecar applying the same sampling, hashing and cutoff rules."""
+    from ..fixtures import video_dup_oracle_sidecar
+    from ..functions import multimodal as mm
+
+    video_dup_oracle_sidecar(sf_dir, min_shared=2)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(
+        mm.planted_neardup_video_batch, batch_format="pyarrow",
+        batch_size=None,
+    )
+    return mm.video_dup_pairs(media, min_shared=2, concurrency=2)

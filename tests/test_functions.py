@@ -1639,3 +1639,38 @@ def test_phash_pairs_match_bruteforce(ray_session):
         for r in mm.phash_pairs(rd.from_arrow(bad), concurrency=2).take_all()
     }
     assert got_bad == {p for p in want if 0 not in (p[0], p[1])}
+
+
+def test_video_dup_pairs_match_bruteforce(ray_session):
+    """Distributed shared-frame video near-dup == sequential replay for
+    any partitioning, and the stop-frame cutoff drops over-common
+    hashes from BOTH sides identically."""
+    import collections
+
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(list(range(30)), pa.int64())})
+    media_t = mm.planted_neardup_video_batch(t)
+    rows = mm.VideoFrameHasher(stride=1, max_frames=8)(media_t)
+    by_hash = collections.defaultdict(list)
+    for mid, fh in zip(rows.column("media_id").to_pylist(),
+                       rows.column("fhash").to_pylist()):
+        by_hash[fh].append(mid)
+    want = collections.Counter()
+    for members in by_hash.values():
+        if 2 <= len(members) <= 64:
+            ms = sorted(members)
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    want[(ms[i], ms[j])] += 1
+    want_set = {(a, b, c) for (a, b), c in want.items() if c >= 2}
+    assert want_set  # planted groups share >= 4 frames
+    for parts in (2, 5):
+        got = {
+            (r["a"], r["b"], r["shared"])
+            for r in mm.video_dup_pairs(
+                rd.from_arrow(media_t).repartition(parts),
+                min_shared=2, concurrency=2,
+            ).take_all()
+        }
+        assert got == want_set
