@@ -1264,11 +1264,16 @@ def phash_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
                          path: str = PHASH_ORACLE_PATH) -> str:
     """Sequential perceptual-hash replay: regenerate the planted payloads
     for every doc_id, decode with the same PnmCodec, aHash each image,
-    then brute-force ALL O(n^2) pairs (byte-LUT popcount, blockwise) and
-    keep Hamming <= max_hamming. Recall parity with the distributed
-    banded kernel is exact at radius <= 3 (pigeonhole over 4 bands)."""
+    then brute-force ALL O(n^2) pairs (vectorized SWAR popcount,
+    blockwise) and keep Hamming <= max_hamming. Recall parity with the
+    distributed banded kernel is exact at radius <= 3 (pigeonhole over 4
+    bands) while every band bucket stays within the kernel's triangle
+    cap — true for the planted corpus (buckets of <= 3 images); an
+    adversarial corpus with thousands of identical hashes would trip the
+    kernel's documented window fallback and diverge from brute force."""
     import pyarrow.parquet as _pq
 
+    from .functions.dedup import _popcount
     from .functions.multimodal import (PnmCodec, ahash64,
                                        planted_neardup_media_batch)
 
@@ -1283,16 +1288,13 @@ def phash_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
     )
     order = np.argsort(ids)
     ids, fps = ids[order].astype(np.int64), fps[order]
-    lut = np.array([bin(i).count("1") for i in range(256)], np.uint8)
     n = len(ids)
     out_a, out_b, out_h = [], [], []
     block = 1024
     for lo in range(0, n, block):
         hi = min(lo + block, n)
         x = fps[lo:hi, None] ^ fps[None, :]
-        ham = (
-            lut[x.view(np.uint8)].reshape(hi - lo, n, 8).sum(axis=2)
-        ).astype(np.int64)
+        ham = _popcount(x.reshape(-1)).reshape(hi - lo, n).astype(np.int64)
         bi, bj = np.nonzero(ham <= max_hamming)
         gi = bi + lo
         keep = gi < bj  # upper triangle only

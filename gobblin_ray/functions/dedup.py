@@ -975,17 +975,15 @@ class SimHasher:
         return fps
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # band extraction lives in hamming_candidate_pairs.explode (the
+        # kernel re-derives chunks from the fingerprint) — signature rows
+        # carry only (id, 8-byte fingerprint)
         ids = batch.column(self.id_col).to_pylist()
         fps = self._fingerprints(batch.column(self.text_col).to_pylist())
-        chunks = [
-            ((fps >> np.uint64(16 * c)) & np.uint64(0xFFFF)).astype(np.int32)
-            for c in range(4)
-        ]
         return pa.table(
             {
                 self.id_col: pa.array(np.asarray(ids, np.int64)),
                 "simhash": pa.array(fps.astype(np.int64)),
-                **{f"chunk{c}": pa.array(chunks[c]) for c in range(4)},
             }
         )
 
@@ -993,7 +991,17 @@ class SimHasher:
 def _popcount(x: np.ndarray) -> np.ndarray:
     if hasattr(np, "bitwise_count"):
         return np.bitwise_count(x).astype(np.int32)
-    return np.array([bin(v).count("1") for v in x], np.int32)
+    # SWAR popcount (Hacker's Delight 5-1), vectorized over uint64 — the
+    # numpy<2 path; a per-element bin(v).count loop is O(n) Python calls
+    x = np.ascontiguousarray(x, np.uint64)
+    with np.errstate(over="ignore"):
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    return x.astype(np.int32)
 
 
 def hamming_candidate_pairs(

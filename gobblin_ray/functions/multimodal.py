@@ -637,10 +637,15 @@ def phash_pairs(
 ):
     """Image near-dup pairs by perceptual hash: the PerceptualHasher actor
     pool feeds the generic banded ``dedup.hamming_candidate_pairs`` kernel
-    (one bounded exchange of 4 16-bit bands per image; exact recall at
-    radius <= 3 by pigeonhole). Analog of the text SimHash path with the
-    fingerprint swapped for pixel-space aHash — the image half of a
-    crawl-corpus dedup (image bytes never reach the exchange, only
+    (one bounded exchange of 4 16-bit bands per image). Recall at radius
+    <= 3 is exact by pigeonhole FOR BUCKETS UP TO the kernel's
+    ``_SIMHASH_FULL_BUCKET`` triangle cap; a band bucket beyond it (e.g.
+    thousands of solid-color thumbnails sharing one aHash) degrades to
+    the sorted-window + identical-fingerprint-star pair-gen — dup
+    CLUSTERS stay connected for a downstream connected-components pass,
+    but the raw pair list is truncated. Analog of the text SimHash path
+    with the fingerprint swapped for pixel-space aHash — the image half
+    of a crawl-corpus dedup (image bytes never reach the exchange, only
     (id, 8-byte hash) rows)."""
     from .dedup import hamming_candidate_pairs
 

@@ -876,8 +876,10 @@ class _DsirScorer:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows, buckets = _hashed_ngram_rows(t, self.text_col, self.n_buckets)
+        # bincount with EMPTY weights returns int64 — force float64 so an
+        # all-empty-text block cannot flip the column schema
         w = np.bincount(rows, weights=self.lw[buckets],
-                        minlength=t.num_rows)
+                        minlength=t.num_rows).astype(np.float64)
         return pa.table({
             self.id_col: t.column(self.id_col),
             "dsir_logw": pa.array(np.round(w, 6)),
@@ -933,7 +935,8 @@ def dsir_weights_sequential(t: pa.Table, text_col: str = "text",
     q = np.bincount(buckets, minlength=n_buckets).astype(np.int64)
     p = np.bincount(buckets[target[rows]], minlength=n_buckets).astype(np.int64)
     lw = dsir_log_ratio(p, q)
-    w = np.bincount(rows, weights=lw[buckets], minlength=t.num_rows)
+    w = np.bincount(rows, weights=lw[buckets],
+                    minlength=t.num_rows).astype(np.float64)
     return (
         t.column(id_col).to_numpy(zero_copy_only=False),
         np.round(w, 6),

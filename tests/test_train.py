@@ -272,3 +272,25 @@ def test_dsir_weights_partition_invariant(ray_session):
     en_w = [got[i] for i in range(15)]
     es_w = [got[i] for i in range(15, 25)]
     assert min(en_w) > max(es_w)
+
+
+def test_dsir_empty_text_block_keeps_float_schema(ray_session):
+    """Regression: a block whose docs produce zero hashed ngrams must
+    still emit float64 dsir_logw (empty-weights bincount returns int64)."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from gobblin_ray.functions import train as tr
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["", "", "the cat", None]),
+        "is_target": pa.array([False, False, True, False]),
+    })
+    out = tr.dsir_weights(
+        rd.from_arrow(t).repartition(4), concurrency=2
+    )
+    tbl = pa.Table.from_pandas(out.to_pandas())
+    assert tbl.column("dsir_logw").type == pa.float64()
+    assert tbl.num_rows == 4
