@@ -464,6 +464,12 @@ def main(argv: list[str] | None = None) -> int:
                          "(recall degrades below ~0.45)")
     sp.add_argument("--salt", default="",
                     help="shuffle-coin salt (vary for a new permutation)")
+    sp.add_argument("--dsir-target", default=None, metavar="LANG",
+                    help="DSIR selection: fit target = docs with this "
+                         "lang, keep the --dsir-keep-frac that scores "
+                         "most target-like (runs after dedup)")
+    sp.add_argument("--dsir-keep-frac", type=float, default=0.5,
+                    help="fraction kept by --dsir-target selection")
     sp.add_argument("--tag", default=None,
                     help="prep AS OF the named tag's manifest")
     sp.add_argument("--table", default=None,
@@ -646,6 +652,27 @@ def main(argv: list[str] | None = None) -> int:
                     bands=bands, text_col="text", id_col="_nid",
                     concurrency=(1, 8),
                 ).drop_columns(["_nid"])
+            if args.dsir_target:
+                from .functions.train import dsir_select
+
+                target = args.dsir_target
+
+                def mark_target(t: pa.Table) -> pa.Table:
+                    return t.append_column(
+                        "is_target",
+                        pc.equal(t.column("lang").fill_null(""), target),
+                    )
+
+                mark_target.__name__ = "mark_dsir_target"
+                # dsir_select consumes its input multiple times (counts,
+                # scoring, threshold filter) — materialize the curated
+                # lineage once
+                kept = dsir_select(
+                    kept.map_batches(mark_target, batch_format="pyarrow",
+                                     batch_size=None).materialize(),
+                    keep_frac=args.dsir_keep_frac,
+                    concurrency=(1, 8),
+                ).drop_columns(["is_target"])
             lineage = shuffle_shard_export(
                 kept, args.out_dir, n_shards=args.shards, key_col="url",
                 salt=args.salt, columns=["url", "text", "lang"],

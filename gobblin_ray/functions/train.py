@@ -941,3 +941,79 @@ def dsir_weights_sequential(t: pa.Table, text_col: str = "text",
         t.column(id_col).to_numpy(zero_copy_only=False),
         np.round(w, 6),
     )
+
+
+class _DsirScoreColumn:
+    """Actor-pool stage: APPEND dsir_logw to the batch (all input columns
+    kept) — the selection-path sibling of _DsirScorer."""
+
+    def __init__(self, lw_ref, text_col: str, n_buckets: int):
+        import ray
+
+        self.lw = ray.get(lw_ref)
+        self.text_col = text_col
+        self.n_buckets = n_buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows, buckets = _hashed_ngram_rows(t, self.text_col, self.n_buckets)
+        w = np.bincount(rows, weights=self.lw[buckets],
+                        minlength=t.num_rows).astype(np.float64)
+        return t.append_column("dsir_logw", pa.array(np.round(w, 6)))
+
+
+def dsir_select(
+    ds,
+    keep_frac: float,
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 8192,
+    combine_blocks: int | None = None,
+    concurrency=(1, 4),
+):
+    """DSIR data SELECTION (the resampling half of Xie et al. 2023): fit
+    the target/raw hashed-ngram models, score every doc, and keep the
+    k = round(keep_frac * n) docs with the highest weights — "the
+    keep_frac of the corpus that looks most like the target". Rows keep
+    ALL input columns plus ``dsir_logw``. The threshold is the ACTUAL
+    k-th-from-top weight (exact distributed histogram-refinement
+    quantile at its 1-based rank), and ties AT it are kept, so the kept
+    count is exactly k for distinct weights and k + tie-width otherwise
+    — deterministic and batching-invariant either way. The input is
+    consumed three times (counts, scoring, the filter pass reads the
+    scored materialization) — pass a materialized dataset."""
+    import ray
+
+    from .quantiles import exact_quantiles
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    p, q = dsir_counts(ds, text_col=text_col, target_col=target_col,
+                       n_buckets=n_buckets, combine_blocks=combine_blocks)
+    lw_ref = ray.put(dsir_log_ratio(p, q))
+    scored = ds.map_batches(
+        _DsirScoreColumn,
+        fn_constructor_kwargs=dict(lw_ref=lw_ref, text_col=text_col,
+                                   n_buckets=n_buckets),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    ).materialize()
+    n = scored.count()
+    k = int(round(keep_frac * n))
+    if k >= n or n == 0:
+        return scored
+    if k == 0:
+        k = 1
+    rank = n - k + 1  # 1-based rank (from smallest) of the threshold
+    # (rank - 0.5)/n makes ceil(q*n) == rank robust to float division
+    thr = exact_quantiles(scored, "dsir_logw", [(rank - 0.5) / n],
+                          interpolation="lower")[0]
+
+    def keep_above(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("dsir_logw"), pa.scalar(float(thr)))
+        )
+
+    keep_above.__name__ = "dsir_keep_above_threshold"
+    return scored.map_batches(keep_above, batch_format="pyarrow",
+                              batch_size=None)

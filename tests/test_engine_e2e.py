@@ -2111,6 +2111,29 @@ def test_prep_cli_lake_to_training_shards(ray_session, tmp_path_factory,
             open(os.path.join(out, f), "rb").read()).hexdigest()
         assert got == h  # deterministic rerun, byte-identical
 
+    # --dsir-target selection leg: keeps round(frac * curated) rows
+    # (distinct weights at this corpus) and the mix shifts toward the
+    # target language
+    out2 = str(tmp_path_factory.mktemp("prep_out_dsir"))
+    rc = cli_main(["prep", lake, out2, "--shards", "3", "--min-chars",
+                   "10", "--dsir-target", "en", "--dsir-keep-frac", "0.4"])
+    assert rc == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert abs(rep2["rows"] - round(0.4 * want)) <= max(2, want // 50)
+    kept_langs = []
+    for f in sorted(os.listdir(out2)):
+        if f.endswith(".parquet"):
+            kept_langs += pq.read_table(
+                os.path.join(out2, f), columns=["lang"]
+            ).column("lang").to_pylist()
+    base_en = con.execute(
+        "SELECT count(*) FILTER (lang = 'en') * 1.0 / count(*) FROM "
+        "(SELECT min(url), any_value(lang) AS lang, text FROM t WHERE "
+        "text IS NOT NULL AND length(text) >= 10 GROUP BY text)"
+    ).fetchone()[0]
+    kept_en = kept_langs.count("en") / len(kept_langs)
+    assert kept_en > base_en  # selection enriched the target language
+
 
 def test_audit_data_detects_corruption(ray_session, tmp_path_factory,
                                        capsys):

@@ -294,3 +294,40 @@ def test_dsir_empty_text_block_keeps_float_schema(ray_session):
     tbl = pa.Table.from_pandas(out.to_pandas())
     assert tbl.column("dsir_logw").type == pa.float64()
     assert tbl.num_rows == 4
+
+
+def test_dsir_select_keep_frac(ray_session):
+    """dsir_select keeps the most-target-like fraction with all input
+    columns + dsir_logw, thresholding at the exact (1-frac) quantile
+    (ties kept)."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from gobblin_ray.functions import train as tr
+
+    en = ["the cat sat on the mat and the dog slept by the door",
+          "it is a long road to the sea and the wind is cold"]
+    es = ["el gato come pescado y el perro duerme en la casa",
+          "la comida es buena y el vino es famoso en la region"]
+    texts = (en * 10) + (es * 10)
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "extra": pa.array(["x"] * len(texts)),
+        "is_target": pa.array([True] * 20 + [False] * 20),
+    })
+    out = tr.dsir_select(
+        rd.from_arrow(t).repartition(4).materialize(),
+        keep_frac=0.5, concurrency=2,
+    )
+    rows = out.take_all()
+    kept_ids = sorted(r["doc_id"] for r in rows)
+    assert kept_ids == list(range(20))  # exactly the English half
+    assert all("extra" in r and "dsir_logw" in r for r in rows)
+    # keep_frac=1.0 keeps everything, scored
+    all_rows = tr.dsir_select(
+        rd.from_arrow(t).repartition(3).materialize(),
+        keep_frac=1.0, concurrency=2,
+    ).take_all()
+    assert len(all_rows) == len(texts)
