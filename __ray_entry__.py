@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights_documents": demo.dsir_weights_documents,
         # video near-dup by shared sampled-frame fingerprints
         "video_dup_pairs_planted": demo.video_dup_pairs_planted,
+        # end-to-end image dedup (pairs -> components -> representatives)
+        "dedup_images_planted": demo.dedup_images_planted,
     }
 
 
@@ -2302,6 +2304,10 @@ def oracle_sql() -> dict[str, str]:
         "video_dup_pairs_planted": """
             SELECT a, b, shared
             FROM read_parquet('/tmp/gobblin_ray_fixtures/video_dup_oracle.parquet')
+        """,
+        "dedup_images_planted": """
+            SELECT media_id
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/image_dedup_oracle.parquet')
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

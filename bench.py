@@ -117,6 +117,7 @@ QUERY_NAMES = [
     "image_phash_dup_pairs",
     "dsir_weights_documents",
     "video_dup_pairs_planted",
+    "dedup_images_planted",
 ]
 
 

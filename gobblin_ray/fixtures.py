@@ -1384,3 +1384,39 @@ def video_dup_oracle_sidecar(sf_dir: str, min_shared: int = 2,
         "shared": pa.array([k[2] for k in keep], pa.int64()),
     })
     return _write(out, path)
+
+
+IMAGE_DEDUP_ORACLE_PATH = os.path.join(FIXTURE_DIR,
+                                       "image_dedup_oracle.parquet")
+
+
+def image_dedup_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
+                               path: str = IMAGE_DEDUP_ORACLE_PATH) -> str:
+    """Sequential replay of the full image dedup: brute-force pairs at
+    the same radius (reusing the phash pair sidecar math), union-find the
+    clusters, keep min id per cluster — the survivor set the distributed
+    pairs -> connected-components -> drop pipeline must reproduce."""
+    import pyarrow.parquet as _pq
+
+    phash_oracle_sidecar(sf_dir, max_hamming=max_hamming)
+    pairs = _pq.read_table(PHASH_ORACLE_PATH)
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.column("a").to_pylist(),
+                    pairs.column("b").to_pylist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id"])
+    ids = sorted(t.column("doc_id").to_pylist())
+    keep = [i for i in ids if find(i) == i]
+    out = pa.table({"media_id": pa.array(keep, pa.int64())})
+    return _write(out, path)

@@ -847,3 +847,28 @@ def planted_neardup_video_batch(t: pa.Table, id_col: str = "doc_id") -> pa.Table
             "mime": pa.array(["video/x-fake"] * len(ids)),
         }
     )
+
+
+def dedup_images(
+    media_ds,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    num_partitions: int | None = None,
+    concurrency=(1, 4),
+):
+    """Full image near-dup pipeline (the media analog of dedup_minhash):
+    perceptual-hash pairs -> distributed connected components -> drop
+    every non-representative cluster member (keep min id). The media
+    dataset is consumed twice (hashing pass, final filter) — pass a
+    materialized dataset when the upstream read is expensive. The driver
+    holds only the node->label map of CONFIRMED dups."""
+    from .dedup import _drop_non_representatives
+
+    pairs = phash_pairs(
+        media_ds,
+        id_col=id_col,
+        num_partitions=num_partitions,
+        max_hamming=max_hamming,
+        concurrency=concurrency,
+    )
+    return _drop_non_representatives(media_ds, pairs, id_col)

@@ -4279,3 +4279,21 @@ def video_dup_pairs_planted(sf_dir: str):
         batch_size=None,
     )
     return mm.video_dup_pairs(media, min_shared=2, concurrency=2)
+
+
+def dedup_images_planted(sf_dir: str):
+    """End-to-end image dedup over the planted near-dup corpus
+    (functions/multimodal.dedup_images): phash pairs -> distributed
+    label-propagation components -> keep min id per cluster. Oracle:
+    sequential brute-force pairs + union-find sidecar."""
+    from ..fixtures import image_dedup_oracle_sidecar
+    from ..functions import multimodal as mm
+
+    image_dedup_oracle_sidecar(sf_dir, max_hamming=3)
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    media = ds.map_batches(
+        mm.planted_neardup_media_batch, batch_format="pyarrow",
+        batch_size=None,
+    ).materialize()  # consumed twice: hashing pass + survivor filter
+    out = mm.dedup_images(media, max_hamming=3, concurrency=2)
+    return out.select_columns(["media_id"])
