@@ -578,6 +578,10 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.dedup import dedup_exact_by_hash
         from .stages.sink import shuffle_shard_export
 
+        if args.dsir_target and not 0.0 < args.dsir_keep_frac <= 1.0:
+            # fail before Ray spins up and the curation pipeline runs
+            p.error("--dsir-keep-frac must be in (0, 1]")
+
         lake = (os.path.join(args.lake_dir, args.table)
                 if args.table else args.lake_dir)
         _ray_up(args.num_cpus)

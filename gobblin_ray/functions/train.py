@@ -861,17 +861,15 @@ def dsir_log_ratio(p: np.ndarray, q: np.ndarray) -> np.ndarray:
     return lp - lq
 
 
-class _DsirScorer:
-    """Actor-pool stage: per-doc DSIR log importance weight = sum of the
-    broadcast bucket log-ratios over the doc's hashed ngrams. lw fetched
-    once per actor from the object store."""
+class _DsirScoreColumn:
+    """Actor-pool stage: APPEND dsir_logw to the batch (all input columns
+    kept). lw fetched once per actor from the object store."""
 
-    def __init__(self, lw_ref, text_col: str, id_col: str, n_buckets: int):
+    def __init__(self, lw_ref, text_col: str, n_buckets: int):
         import ray
 
         self.lw = ray.get(lw_ref)
         self.text_col = text_col
-        self.id_col = id_col
         self.n_buckets = n_buckets
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -880,10 +878,19 @@ class _DsirScorer:
         # all-empty-text block cannot flip the column schema
         w = np.bincount(rows, weights=self.lw[buckets],
                         minlength=t.num_rows).astype(np.float64)
-        return pa.table({
-            self.id_col: t.column(self.id_col),
-            "dsir_logw": pa.array(np.round(w, 6)),
-        })
+        return t.append_column("dsir_logw", pa.array(np.round(w, 6)))
+
+
+class _DsirScorer(_DsirScoreColumn):
+    """Weights-only sibling: (id, dsir_logw) rows — same scoring math by
+    inheritance, narrower output."""
+
+    def __init__(self, lw_ref, text_col: str, id_col: str, n_buckets: int):
+        super().__init__(lw_ref, text_col, n_buckets)
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return super().__call__(t).select([self.id_col, "dsir_logw"])
 
 
 def dsir_weights(
@@ -943,24 +950,6 @@ def dsir_weights_sequential(t: pa.Table, text_col: str = "text",
     )
 
 
-class _DsirScoreColumn:
-    """Actor-pool stage: APPEND dsir_logw to the batch (all input columns
-    kept) — the selection-path sibling of _DsirScorer."""
-
-    def __init__(self, lw_ref, text_col: str, n_buckets: int):
-        import ray
-
-        self.lw = ray.get(lw_ref)
-        self.text_col = text_col
-        self.n_buckets = n_buckets
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        rows, buckets = _hashed_ngram_rows(t, self.text_col, self.n_buckets)
-        w = np.bincount(rows, weights=self.lw[buckets],
-                        minlength=t.num_rows).astype(np.float64)
-        return t.append_column("dsir_logw", pa.array(np.round(w, 6)))
-
-
 def dsir_select(
     ds,
     keep_frac: float,
@@ -1005,8 +994,11 @@ def dsir_select(
     if k == 0:
         k = 1
     rank = n - k + 1  # 1-based rank (from smallest) of the threshold
-    # (rank - 0.5)/n makes ceil(q*n) == rank robust to float division
-    thr = exact_quantiles(scored, "dsir_logw", [(rank - 0.5) / n],
+    # (rank - 0.5)/n makes ceil(q*n) == rank robust to float division;
+    # project to the weight column so the refinement scans carry 8
+    # bytes/row, not the document text
+    thr = exact_quantiles(scored.select_columns(["dsir_logw"]),
+                          "dsir_logw", [(rank - 0.5) / n],
                           interpolation="lower")[0]
 
     def keep_above(t: pa.Table) -> pa.Table:
