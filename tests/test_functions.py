@@ -1674,3 +1674,38 @@ def test_video_dup_pairs_match_bruteforce(ray_session):
             ).take_all()
         }
         assert got == want_set
+
+
+def test_hamming_candidate_pairs_random_parity(ray_session):
+    """The generic banded kernel == brute force at radius 3 on random
+    fingerprint sets (buckets stay under the triangle cap), across
+    seeds and partitionings."""
+    import ray.data as rd
+
+    for seed in (1, 2, 3):
+        rng = np.random.default_rng(seed)
+        n = 300
+        fps = rng.integers(0, 2 ** 63, n, dtype=np.int64)
+        # plant near pairs: clones of random rows with 0-3 flipped bits
+        for i in range(0, 60, 2):
+            src = fps[rng.integers(0, n)]
+            for _ in range(int(rng.integers(0, 4))):
+                src ^= np.int64(1) << np.int64(rng.integers(0, 63))
+            fps[i] = src
+        want = set()
+        u = fps.view(np.uint64)
+        for i in range(n):
+            x = u[i] ^ u[i + 1:]
+            ham = dd._popcount(x)
+            for off in np.flatnonzero(ham <= 3):
+                j = i + 1 + int(off)
+                want.add((i, j, int(ham[off])))
+        t = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "fp": pa.array(fps)})
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dd.hamming_candidate_pairs(
+                rd.from_arrow(t).repartition(4), "fp", num_partitions=5
+            ).take_all()
+        }
+        assert got == want, f"seed {seed}"
