@@ -282,6 +282,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_pairs_planted": demo.video_dup_pairs_planted,
         # end-to-end image dedup (pairs -> components -> representatives)
         "dedup_images_planted": demo.dedup_images_planted,
+        # CCNet-style perplexity under a distributed-trained bigram KN LM
+        "bigram_lm_perplexity_documents": demo.bigram_lm_perplexity_documents,
     }
 
 
@@ -2308,6 +2310,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_images_planted": """
             SELECT media_id
             FROM read_parquet('/tmp/gobblin_ray_fixtures/image_dedup_oracle.parquet')
+        """,
+        "bigram_lm_perplexity_documents": """
+            SELECT doc_id, nll
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/bigram_lm_oracle.parquet')
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

@@ -118,6 +118,7 @@ QUERY_NAMES = [
     "dsir_weights_documents",
     "video_dup_pairs_planted",
     "dedup_images_planted",
+    "bigram_lm_perplexity_documents",
 ]
 
 

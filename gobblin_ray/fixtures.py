@@ -1420,3 +1420,32 @@ def image_dedup_oracle_sidecar(sf_dir: str, max_hamming: int = 3,
     keep = [i for i in ids if find(i) == i]
     out = pa.table({"media_id": pa.array(keep, pa.int64())})
     return _write(out, path)
+
+
+BIGRAM_LM_ORACLE_PATH = os.path.join(FIXTURE_DIR,
+                                     "bigram_lm_oracle.parquet")
+
+
+def bigram_lm_oracle_sidecar(sf_dir: str, vocab_size: int = 500,
+                             min_count: int = 1, discount: float = 0.75,
+                             path: str = BIGRAM_LM_ORACLE_PATH) -> str:
+    """Sequential bigram-KN replay (oracle side of the CCNet-style
+    perplexity filter): independent pure-Python word + bigram recount
+    over the doc_id-ordered corpus feeding the SAME kn_bigram_model and
+    scoring kernels — bit-equal to the distributed train+score for any
+    partitioning by exact integer counts and shared float order."""
+    import pyarrow.parquet as _pq
+
+    from .functions.train import bigram_lm_sequential
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    t = t.sort_by("doc_id")
+    ids, nll = bigram_lm_sequential(t, vocab_size=vocab_size,
+                                    min_count=min_count,
+                                    discount=discount)
+    out = pa.table({
+        "doc_id": pa.array(np.asarray(ids, np.int64)),
+        "nll": pa.array(nll),
+    })
+    return _write(out, path)

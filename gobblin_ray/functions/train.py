@@ -1009,3 +1009,249 @@ def dsir_select(
     keep_above.__name__ = "dsir_keep_above_threshold"
     return scored.map_batches(keep_above, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ------------------------------------------------------ bigram LM perplexity
+
+def _bigram_transitions(t: pa.Table, text_col: str, word_ids: dict,
+                        V: int):
+    """(row_idx, prev_id, cur_id) arrays for every bigram transition of
+    every doc in the batch, in a fixed per-row order (the doc's token
+    transitions left to right, then its end transition) — the
+    batching-invariant traversal both the distributed scorer and the
+    sequential oracle share. Id space: 0..V-1 vocab words, V = <s>,
+    V+1 = </s>, V+2 = <unk>. Tokenization = single-space split, empties
+    dropped (the corpus convention)."""
+    import pandas as pd
+
+    S, E, UNK = V, V + 1, V + 2
+    texts = t.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks_list = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    flat = pc.list_flatten(toks_list)
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep].astype(np.int64)
+    n_rows = t.num_rows
+    words = flat.to_pandas().to_numpy(dtype=object, na_value="")
+    idx = pd.Series(words).map(word_ids).to_numpy()
+    ids = np.where(pd.isna(idx), UNK, idx).astype(np.int64)
+    # within-row transitions: prev = previous token (or <s> at row start)
+    if len(ids):
+        first = np.ones(len(ids), bool)
+        first[1:] = parents[1:] != parents[:-1]
+        prev_a = np.empty(len(ids), np.int64)
+        prev_a[0] = S
+        prev_a[1:] = ids[:-1]
+        prev_a[first] = S
+        rows_a, cur_a = parents, ids
+        # end transitions: last token of each row (or <s> for empty rows)
+        counts = np.bincount(parents, minlength=n_rows)
+        last_pos = np.cumsum(counts) - 1
+        prev_b = np.where(counts > 0, ids[np.maximum(last_pos, 0)], S)
+    else:
+        rows_a = cur_a = prev_a = np.array([], np.int64)
+        prev_b = np.full(n_rows, S, np.int64)
+    rows_b = np.arange(n_rows, dtype=np.int64)
+    cur_b = np.full(n_rows, E, np.int64)
+    rows = np.concatenate([rows_a, rows_b])
+    prev = np.concatenate([prev_a, prev_b])
+    cur = np.concatenate([cur_a, cur_b])
+    return rows, prev, cur
+
+
+def bigram_counts(ds, text_col: str, word_ids: dict, V: int,
+                  min_count: int = 1):
+    """Distributed exact bigram counts over the vocab-mapped corpus: per
+    batch, transitions collapse to (key = prev*(V+3)+cur, c) via a local
+    np.unique combiner, then ONE groupby(key) exchange bounded by the
+    REALIZED bigram count (<= corpus tokens, compressed by repetition;
+    ``min_count`` prunes the tail like bpe_train's knob so the driver
+    table stays model-sized at corpus scale). Returns (keys sorted
+    ascending, counts) int64 arrays."""
+    from ray.data.aggregate import Sum
+
+    K = V + 3
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, prev, cur = _bigram_transitions(t, text_col, word_ids, V)
+        key = prev * K + cur
+        uk, uc = np.unique(key, return_counts=True)
+        return pa.table({
+            "key": pa.array(uk.astype(np.int64)),
+            "c": pa.array(uc.astype(np.int64)),
+        })
+
+    partial.__name__ = "bigram_count_partial"
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("key")
+        .aggregate(Sum("c", alias_name="n"))
+        .take_all()
+    )
+    keys = np.array([r["key"] for r in rows], np.int64)
+    cnts = np.array([r["n"] for r in rows], np.int64)
+    order = np.argsort(keys)
+    keys, cnts = keys[order], cnts[order]
+    keep = cnts >= min_count
+    return keys[keep], cnts[keep]
+
+
+def kn_bigram_model(keys: np.ndarray, cnts: np.ndarray, V: int,
+                    discount: float = 0.75):
+    """Interpolated Kneser-Ney from the realized-bigram table (Kneser &
+    Ney 1995; the smoothing KenLM uses): p(w|u) =
+    max(c(u,w)-D, 0)/c(u) + D * N1+(u.)/c(u) * p_cont(w), with
+    p_cont(w) = N1+(.w)/|distinct bigrams| and the pure-continuation
+    fallback for unseen contexts. Fixed-order float64 vector math —
+    deterministic. Returns the broadcastable model dict."""
+    K = V + 3
+    prev = keys // K
+    cur = keys % K
+    c_ctx = np.bincount(prev, weights=cnts.astype(np.float64),
+                        minlength=K)
+    n1_right = np.bincount(prev, minlength=K).astype(np.float64)
+    n1_left = np.bincount(cur, minlength=K).astype(np.float64)
+    total_bigrams = float(len(keys))
+    p_cont = n1_left / max(total_bigrams, 1.0)
+    return {
+        "keys": keys, "cnts": cnts.astype(np.float64), "V": V,
+        "discount": float(discount), "c_ctx": c_ctx,
+        "n1_right": n1_right, "p_cont": p_cont,
+    }
+
+
+def _score_transitions(prev: np.ndarray, cur: np.ndarray, model: dict):
+    """-log p_KN per transition, vectorized: sorted-key searchsorted for
+    c(u,w), broadcast arrays for the context terms, 1e-12 floor before
+    the log (only reachable when a word never occurs as a continuation
+    anywhere — impossible under self-scoring, documented guard for
+    scoring a foreign corpus)."""
+    K = model["V"] + 3
+    key = prev * K + cur
+    pos = np.searchsorted(model["keys"], key)
+    pos_c = np.minimum(pos, len(model["keys"]) - 1) if len(model["keys"]) \
+        else np.zeros(len(key), np.int64)
+    hit = (len(model["keys"]) > 0) & (model["keys"][pos_c] == key)
+    c_uw = np.where(hit, model["cnts"][pos_c], 0.0)
+    c_u = model["c_ctx"][prev]
+    D = model["discount"]
+    pc_w = model["p_cont"][cur]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p_seen = (np.maximum(c_uw - D, 0.0)
+                  + D * model["n1_right"][prev] * pc_w) / c_u
+    p = np.where(c_u > 0, p_seen, pc_w)
+    return -np.log(np.maximum(p, 1e-12))
+
+
+class _PerplexityScorer:
+    """Actor-pool stage: (id, nll) rows — per-doc mean -log p_KN over its
+    (n_tokens + 1) transitions. Model fetched once per actor."""
+
+    def __init__(self, model_ref, word_ids_ref, text_col: str,
+                 id_col: str):
+        import ray
+
+        self.model = ray.get(model_ref)
+        self.word_ids = ray.get(word_ids_ref)
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        rows, prev, cur = _bigram_transitions(
+            t, self.text_col, self.word_ids, self.model["V"]
+        )
+        nll = _score_transitions(prev, cur, self.model)
+        tot = np.bincount(rows, weights=nll,
+                          minlength=t.num_rows).astype(np.float64)
+        n_tr = np.bincount(rows, minlength=t.num_rows).astype(np.float64)
+        return pa.table({
+            self.id_col: t.column(self.id_col),
+            "nll": pa.array(np.round(tot / n_tr, 6)),
+        })
+
+
+def bigram_lm_train(ds, text_col: str = "text", vocab_size: int = 500,
+                    min_count: int = 1, discount: float = 0.75):
+    """Train the CCNet-style perplexity filter's LM distributed (Wenzek
+    et al. 2020 run KenLM; this is the 2-gram Kneser-Ney equivalent with
+    the same artifact-broadcast posture): exact distributed word counts
+    pick the vocab (count desc, lex ties — deterministic), exact
+    distributed bigram counts over the vocab-mapped corpus (one bounded
+    exchange each), Kneser-Ney fit on the driver over the compressed
+    realized-bigram table. Returns (model, word_ids) ready for
+    ``perplexity_score``. The input is consumed twice — pass a
+    materialized dataset."""
+    wc = word_counts(ds, text_col=text_col).take_all()
+    ranked = sorted(wc, key=lambda r: (-r["count"], r["word"]))
+    vocab = [r["word"] for r in ranked[:vocab_size]]
+    word_ids = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    keys, cnts = bigram_counts(ds, text_col, word_ids, V,
+                               min_count=min_count)
+    return kn_bigram_model(keys, cnts, V, discount=discount), word_ids
+
+
+def perplexity_score(ds, model: dict, word_ids: dict,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     concurrency=(1, 4)):
+    """Score every doc's mean -log p under the trained bigram KN model
+    (low = fluent/common text, high = noise — both tails are CCNet
+    filter candidates). Model + vocab broadcast ONCE via ray.put; the
+    per-batch pass is one searchsorted + three gathers + a bincount —
+    batching-invariant (fixed per-row accumulation order)."""
+    import ray
+
+    model_ref = ray.put(model)
+    word_ids_ref = ray.put(word_ids)
+    return ds.map_batches(
+        _PerplexityScorer,
+        fn_constructor_kwargs=dict(model_ref=model_ref,
+                                   word_ids_ref=word_ids_ref,
+                                   text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def bigram_lm_sequential(t: pa.Table, text_col: str = "text",
+                         id_col: str = "doc_id", vocab_size: int = 500,
+                         min_count: int = 1, discount: float = 0.75):
+    """Independent sequential replay (oracle side): pure-Python recount
+    of words and bigrams feeding the SAME kn_bigram_model /
+    _score_transitions kernels — bit-equal to the distributed
+    train+score by exact integer counts and shared float order."""
+    from collections import Counter
+
+    texts = [s if s is not None else ""
+             for s in t.column(text_col).to_pylist()]
+    wc = Counter()
+    for s in texts:
+        wc.update(w for w in s.split(" ") if w)
+    ranked = sorted(wc.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = [w for w, _ in ranked[:vocab_size]]
+    word_ids = {w: i for i, w in enumerate(vocab)}
+    V = len(vocab)
+    K = V + 3
+    S, E, UNK = V, V + 1, V + 2
+    bc = Counter()
+    for s in texts:
+        toks = [w for w in s.split(" ") if w]
+        ids = [word_ids.get(w, UNK) for w in toks]
+        seq = [S] + ids + [E]
+        for u, w in zip(seq[:-1], seq[1:]):
+            bc[u * K + w] += 1
+    items = sorted((k, c) for k, c in bc.items() if c >= min_count)
+    keys = np.array([k for k, _ in items], np.int64)
+    cnts = np.array([c for _, c in items], np.int64)
+    model = kn_bigram_model(keys, cnts, V, discount=discount)
+    rows, prev, cur = _bigram_transitions(t, text_col, word_ids, V)
+    nll = _score_transitions(prev, cur, model)
+    tot = np.bincount(rows, weights=nll,
+                      minlength=t.num_rows).astype(np.float64)
+    n_tr = np.bincount(rows, minlength=t.num_rows).astype(np.float64)
+    return (t.column(id_col).to_numpy(zero_copy_only=False),
+            np.round(tot / n_tr, 6))

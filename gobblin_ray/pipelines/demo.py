@@ -4297,3 +4297,21 @@ def dedup_images_planted(sf_dir: str):
     ).materialize()  # consumed twice: hashing pass + survivor filter
     out = mm.dedup_images(media, max_hamming=3, concurrency=2)
     return out.select_columns(["media_id"])
+
+
+def bigram_lm_perplexity_documents(sf_dir: str):
+    """CCNet-style perplexity scoring under a distributed-trained bigram
+    Kneser-Ney LM (functions/train.bigram_lm_train/perplexity_score):
+    exact distributed word + bigram counts (one bounded exchange each),
+    KN fit on the driver over the compressed realized-bigram table,
+    model broadcast once, every doc scored with a searchsorted +
+    bincount pass. Oracle: sequential recount + shared-kernel replay
+    sidecar (bit-equal by construction)."""
+    from ..fixtures import bigram_lm_oracle_sidecar
+    from ..functions import train as tr
+
+    bigram_lm_oracle_sidecar(sf_dir, vocab_size=500)
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text"]).materialize()
+    model, word_ids = tr.bigram_lm_train(ds, vocab_size=500)
+    return tr.perplexity_score(ds, model, word_ids, concurrency=2)

@@ -331,3 +331,33 @@ def test_dsir_select_keep_frac(ray_session):
         keep_frac=1.0, concurrency=2,
     ).take_all()
     assert len(all_rows) == len(texts)
+
+
+def test_bigram_lm_perplexity_partition_invariant(ray_session):
+    """Distributed bigram-KN train+score == the sequential replay
+    bit-for-bit, for any partitioning (exact integer counts + shared
+    fixed-order scoring kernels)."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from gobblin_ray.functions import train as tr
+
+    texts = (["the cat sat on the mat and the dog slept",
+              "the cat sat on the hat and the dog ran",
+              "el gato come pescado en la casa grande",
+              ""] * 6) + ["zz qq xx vv strange rare tokens here"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts)})
+    want_ids, want_nll = tr.bigram_lm_sequential(t, vocab_size=30)
+    want = dict(zip(want_ids.tolist(), want_nll.tolist()))
+    for parts in (2, 5):
+        ds = rd.from_arrow(t).repartition(parts).materialize()
+        model, word_ids = tr.bigram_lm_train(ds, vocab_size=30)
+        got = {r["doc_id"]: r["nll"]
+               for r in tr.perplexity_score(ds, model, word_ids,
+                                            concurrency=2).take_all()}
+        assert got == want  # bit-equal
+    # corpus-typical docs score below the singleton rare-token doc
+    rare = len(texts) - 1
+    assert want[0] < want[rare] and want[1] < want[rare]
