@@ -284,6 +284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_images_planted": demo.dedup_images_planted,
         # CCNet-style perplexity under a distributed-trained bigram KN LM
         "bigram_lm_perplexity_documents": demo.bigram_lm_perplexity_documents,
+        # capstone v4: gate -> dedup -> DSIR cut -> perplexity cut -> rollup
+        "llm_prep_v4_summary": demo.llm_prep_v4_summary,
     }
 
 
@@ -2314,6 +2316,32 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_perplexity_documents": """
             SELECT doc_id, nll
             FROM read_parquet('/tmp/gobblin_ray_fixtures/bigram_lm_oracle.parquet')
+        """,
+        # gate+dedup replayed in SQL; the model scores come from the two
+        # sequential-replay sidecars (bit-equal to the distributed
+        # per-doc values by the ops' determinism contracts, so the
+        # absolute cuts agree row-for-row)
+        "llm_prep_v4_summary": """
+            WITH good AS (
+                SELECT doc_id, lang, text FROM documents
+                WHERE text IS NOT NULL AND length(text) > 0
+                  AND n_chars >= 100
+            ), keep AS (
+                SELECT min(doc_id) AS doc_id FROM good GROUP BY text
+            ), sel AS (
+                SELECT g.doc_id, g.lang, g.text
+                FROM good g
+                JOIN keep k USING (doc_id)
+                JOIN read_parquet('/tmp/gobblin_ray_fixtures/dsir_oracle.parquet') d
+                  USING (doc_id)
+                JOIN read_parquet('/tmp/gobblin_ray_fixtures/bigram_lm_oracle.parquet') b
+                  USING (doc_id)
+                WHERE d.dsir_logw > -15.0 AND b.nll < 3.45
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(array_length(string_split(text, ' ')))
+                        AS BIGINT) AS total_tokens
+            FROM sel GROUP BY lang
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

@@ -119,6 +119,7 @@ QUERY_NAMES = [
     "video_dup_pairs_planted",
     "dedup_images_planted",
     "bigram_lm_perplexity_documents",
+    "llm_prep_v4_summary",
 ]
 
 

@@ -950,6 +950,25 @@ def dsir_weights_sequential(t: pa.Table, text_col: str = "text",
     )
 
 
+def dsir_score_column(ds, lw: np.ndarray, text_col: str = "text",
+                      n_buckets: int = 8192, concurrency=(1, 4)):
+    """Composition variant: append ``dsir_logw`` under an already-fit
+    per-bucket log-ratio vector (from dsir_counts + dsir_log_ratio) —
+    for pipelines that fit on the full corpus and filter a curated
+    subset."""
+    import ray
+
+    lw_ref = ray.put(np.asarray(lw, np.float64))
+    return ds.map_batches(
+        _DsirScoreColumn,
+        fn_constructor_kwargs=dict(lw_ref=lw_ref, text_col=text_col,
+                                   n_buckets=n_buckets),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
 def dsir_select(
     ds,
     keep_frac: float,
@@ -1146,18 +1165,17 @@ def _score_transitions(prev: np.ndarray, cur: np.ndarray, model: dict):
     return -np.log(np.maximum(p, 1e-12))
 
 
-class _PerplexityScorer:
-    """Actor-pool stage: (id, nll) rows — per-doc mean -log p_KN over its
-    (n_tokens + 1) transitions. Model fetched once per actor."""
+class _PerplexityScoreColumn:
+    """Actor-pool stage: APPEND nll (per-doc mean -log p_KN over its
+    n_tokens + 1 transitions) to the batch, all input columns kept.
+    Model fetched once per actor."""
 
-    def __init__(self, model_ref, word_ids_ref, text_col: str,
-                 id_col: str):
+    def __init__(self, model_ref, word_ids_ref, text_col: str):
         import ray
 
         self.model = ray.get(model_ref)
         self.word_ids = ray.get(word_ids_ref)
         self.text_col = text_col
-        self.id_col = id_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
         rows, prev, cur = _bigram_transitions(
@@ -1167,10 +1185,20 @@ class _PerplexityScorer:
         tot = np.bincount(rows, weights=nll,
                           minlength=t.num_rows).astype(np.float64)
         n_tr = np.bincount(rows, minlength=t.num_rows).astype(np.float64)
-        return pa.table({
-            self.id_col: t.column(self.id_col),
-            "nll": pa.array(np.round(tot / n_tr, 6)),
-        })
+        return t.append_column("nll", pa.array(np.round(tot / n_tr, 6)))
+
+
+class _PerplexityScorer(_PerplexityScoreColumn):
+    """Weights-only sibling: (id, nll) rows — same scoring math by
+    inheritance, narrower output."""
+
+    def __init__(self, model_ref, word_ids_ref, text_col: str,
+                 id_col: str):
+        super().__init__(model_ref, word_ids_ref, text_col)
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        return super().__call__(t).select([self.id_col, "nll"])
 
 
 def bigram_lm_train(ds, text_col: str = "text", vocab_size: int = 500,
@@ -1211,6 +1239,26 @@ def perplexity_score(ds, model: dict, word_ids: dict,
         fn_constructor_kwargs=dict(model_ref=model_ref,
                                    word_ids_ref=word_ids_ref,
                                    text_col=text_col, id_col=id_col),
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=concurrency,
+    )
+
+
+def perplexity_score_column(ds, model: dict, word_ids: dict,
+                            text_col: str = "text", concurrency=(1, 4)):
+    """Composition variant of ``perplexity_score``: append ``nll`` to the
+    rows instead of projecting to (id, nll) — for pipelines that filter
+    on the score and keep the payload."""
+    import ray
+
+    model_ref = ray.put(model)
+    word_ids_ref = ray.put(word_ids)
+    return ds.map_batches(
+        _PerplexityScoreColumn,
+        fn_constructor_kwargs=dict(model_ref=model_ref,
+                                   word_ids_ref=word_ids_ref,
+                                   text_col=text_col),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=concurrency,

@@ -4315,3 +4315,75 @@ def bigram_lm_perplexity_documents(sf_dir: str):
                     columns=["doc_id", "text"]).materialize()
     model, word_ids = tr.bigram_lm_train(ds, vocab_size=500)
     return tr.perplexity_score(ds, model, word_ids, concurrency=2)
+
+
+def llm_prep_v4_summary(sf_dir: str):
+    """Capstone v4 — the model-driven curation chain end to end: quality
+    gate -> exact dedup -> DSIR target-likeness cut (logw > -15 under
+    the corpus-fit English-target model) -> bigram-KN perplexity cut
+    (nll < 3.45 under the corpus-fit LM) -> per-lang token rollup. Both
+    models are FIT on the full corpus distributed; the curated lineage
+    is then scored and filtered with absolute cuts. The oracle replays
+    gate+dedup in SQL and joins the two sequential-replay sidecars for
+    the scores — legitimate because the distributed per-doc values are
+    bit-equal to the sidecars by the ops' determinism contracts, so any
+    cut agrees row-for-row."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..fixtures import bigram_lm_oracle_sidecar, dsir_oracle_sidecar
+    from ..functions import train as tr
+
+    dsir_oracle_sidecar(sf_dir, n_buckets=8192)
+    bigram_lm_oracle_sidecar(sf_dir, vocab_size=500)
+    full = read_table(
+        sf_dir, "documents", columns=["doc_id", "lang", "text", "n_chars"]
+    ).materialize()
+
+    def mark_target(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "is_target", pc.equal(t.column("lang"), "en")
+        )
+
+    mark_target.__name__ = "mark_english_target"
+    marked = full.map_batches(
+        mark_target, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    p, q = tr.dsir_counts(marked, n_buckets=8192)
+    lw = tr.dsir_log_ratio(p, q)
+    model, word_ids = tr.bigram_lm_train(full, vocab_size=500)
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        txt = t.column("text")
+        keep = pc.and_(
+            pc.and_(pc.is_valid(txt),
+                    pc.greater(pc.utf8_length(txt.fill_null("")),
+                               pa.scalar(0))),
+            pc.greater_equal(t.column("n_chars"), pa.scalar(100)),
+        )
+        return t.filter(keep)
+
+    quality_gate.__name__ = "quality_gate"
+    good = full.map_batches(quality_gate, batch_format="pyarrow",
+                            batch_size=None)
+    kept = dd.dedup_exact_by_hash(good, "text", "doc_id")
+    scored = tr.dsir_score_column(kept, lw, concurrency=2)
+    scored = tr.perplexity_score_column(scored, model, word_ids,
+                                        concurrency=2)
+
+    def apply_cuts(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater(t.column("dsir_logw"), pa.scalar(-15.0)),
+            pc.less(t.column("nll"), pa.scalar(3.45)),
+        )
+        return t.filter(keep)
+
+    apply_cuts.__name__ = "dsir_and_perplexity_cuts"
+    sel = scored.map_batches(apply_cuts, batch_format="pyarrow",
+                             batch_size=None)
+    counted = sel.map_batches(
+        tx.token_count("text"), batch_format="pyarrow", batch_size=None
+    )
+    return counted.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_tokens", alias_name="total_tokens"),
+    )
