@@ -773,6 +773,22 @@ def cooc_embed_train(ds, text_col: str = "text", vocab_size: int = 200,
 
 # -------------------------------------------------------------------- DSIR
 
+def _tokenized_rows(t: pa.Table, text_col: str):
+    """(flat tokens Array, parents int64 ndarray) — THE corpus
+    tokenization convention every text kernel here shares: single-space
+    split, empty tokens dropped, per-row order preserved. One
+    implementation so the DSIR and LM kernels cannot silently diverge
+    (both oracle contracts rely on it)."""
+    texts = t.column(text_col)
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks_list = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+    flat = pc.list_flatten(toks_list)
+    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return flat.filter(pa.array(keep)), parents[keep]
+
+
 def _hashed_ngram_rows(t: pa.Table, text_col: str, n_buckets: int):
     """(row_idx, bucket_id) feature pairs for hashed unigram+bigram
     bag-of-ngrams (the DSIR feature space, Xie et al. 2023 "Data Selection
@@ -786,17 +802,7 @@ def _hashed_ngram_rows(t: pa.Table, text_col: str, n_buckets: int):
     batching-invariant (np.bincount accumulates in traversal order)."""
     from .sketch import hash_column_u64
 
-    texts = t.column(text_col)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    toks_list = pc.split_pattern(
-        pc.fill_null(texts, ""), pattern=" "
-    )
-    flat = pc.list_flatten(toks_list)
-    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    parents = parents[keep]
+    flat, parents = _tokenized_rows(t, text_col)
     uni_b = (hash_column_u64(flat) % np.uint64(n_buckets)).astype(np.int64)
     # bigrams: adjacent filtered tokens within the same row
     if len(parents) > 1:
@@ -1041,22 +1047,15 @@ def _bigram_transitions(t: pa.Table, text_col: str, word_ids: dict,
     sequential oracle share. Id space: 0..V-1 vocab words, V = <s>,
     V+1 = </s>, V+2 = <unk>. Tokenization = single-space split, empties
     dropped (the corpus convention)."""
-    import pandas as pd
-
     S, E, UNK = V, V + 1, V + 2
-    texts = t.column(text_col)
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    toks_list = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
-    flat = pc.list_flatten(toks_list)
-    parents = pc.list_parent_indices(toks_list).to_numpy(zero_copy_only=False)
-    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    flat = flat.filter(pa.array(keep))
-    parents = parents[keep].astype(np.int64)
+    flat, parents = _tokenized_rows(t, text_col)
+    parents = parents.astype(np.int64)
     n_rows = t.num_rows
-    words = flat.to_pandas().to_numpy(dtype=object, na_value="")
-    idx = pd.Series(words).map(word_ids).to_numpy()
-    ids = np.where(pd.isna(idx), UNK, idx).astype(np.int64)
+    # vocab ordered by id — pc.index_in gives the id vectorized, null
+    # (absent) -> UNK
+    vocab = sorted(word_ids, key=word_ids.get)
+    idx = pc.index_in(flat, value_set=pa.array(vocab, pa.string()))
+    ids = idx.fill_null(UNK).to_numpy(zero_copy_only=False).astype(np.int64)
     # within-row transitions: prev = previous token (or <s> at row start)
     if len(ids):
         first = np.ones(len(ids), bool)
@@ -1104,18 +1103,29 @@ def bigram_counts(ds, text_col: str, word_ids: dict, V: int,
         })
 
     partial.__name__ = "bigram_count_partial"
-    rows = (
+    agg = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
         .groupby("key")
         .aggregate(Sum("c", alias_name="n"))
-        .take_all()
     )
+    if min_count > 1:
+        # prune DISTRIBUTED, before the driver collect — this is what
+        # keeps driver traffic model-sized at corpus scale
+        def prune(pt: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+
+            return pt.filter(
+                _pc.greater_equal(pt.column("n"), min_count)
+            )
+
+        prune.__name__ = "prune_min_count"
+        agg = agg.map_batches(prune, batch_format="pyarrow",
+                              batch_size=None)
+    rows = agg.take_all()
     keys = np.array([r["key"] for r in rows], np.int64)
     cnts = np.array([r["n"] for r in rows], np.int64)
     order = np.argsort(keys)
-    keys, cnts = keys[order], cnts[order]
-    keep = cnts >= min_count
-    return keys[keep], cnts[keep]
+    return keys[order], cnts[order]
 
 
 def kn_bigram_model(keys: np.ndarray, cnts: np.ndarray, V: int,
@@ -1150,10 +1160,13 @@ def _score_transitions(prev: np.ndarray, cur: np.ndarray, model: dict):
     scoring a foreign corpus)."""
     K = model["V"] + 3
     key = prev * K + cur
+    if len(model["keys"]) == 0:
+        # fully-pruned or empty model: pure continuation fallback (all
+        # zeros here too -> the floor), no bigram table to index
+        return -np.log(np.maximum(model["p_cont"][cur], 1e-12))
     pos = np.searchsorted(model["keys"], key)
-    pos_c = np.minimum(pos, len(model["keys"]) - 1) if len(model["keys"]) \
-        else np.zeros(len(key), np.int64)
-    hit = (len(model["keys"]) > 0) & (model["keys"][pos_c] == key)
+    pos_c = np.minimum(pos, len(model["keys"]) - 1)
+    hit = model["keys"][pos_c] == key
     c_uw = np.where(hit, model["cnts"][pos_c], 0.0)
     c_u = model["c_ctx"][prev]
     D = model["discount"]

@@ -4345,9 +4345,11 @@ def llm_prep_v4_summary(sf_dir: str):
         )
 
     mark_target.__name__ = "mark_english_target"
+    # marked streams straight into the single dsir_counts pass — no
+    # second consumer, so no materialize (full is already pinned)
     marked = full.map_batches(
         mark_target, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    )
     p, q = tr.dsir_counts(marked, n_buckets=8192)
     lw = tr.dsir_log_ratio(p, q)
     model, word_ids = tr.bigram_lm_train(full, vocab_size=500)
@@ -4366,9 +4368,11 @@ def llm_prep_v4_summary(sf_dir: str):
     good = full.map_batches(quality_gate, batch_format="pyarrow",
                             batch_size=None)
     kept = dd.dedup_exact_by_hash(good, "text", "doc_id")
-    scored = tr.dsir_score_column(kept, lw, concurrency=2)
+    # autoscaling (1, 2) pools: two fixed pools of 2 reserve 4 CPUs and
+    # can starve the upstream shuffle tasks into a wedge on small hosts
+    scored = tr.dsir_score_column(kept, lw, concurrency=(1, 2))
     scored = tr.perplexity_score_column(scored, model, word_ids,
-                                        concurrency=2)
+                                        concurrency=(1, 2))
 
     def apply_cuts(t: pa.Table) -> pa.Table:
         keep = pc.and_(

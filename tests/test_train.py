@@ -361,3 +361,26 @@ def test_bigram_lm_perplexity_partition_invariant(ray_session):
     # corpus-typical docs score below the singleton rare-token doc
     rare = len(texts) - 1
     assert want[0] < want[rare] and want[1] < want[rare]
+
+
+def test_bigram_lm_pruned_to_empty_model_scores_floor(ray_session):
+    """Regression: a min_count that prunes EVERY realized bigram must
+    leave a scorable model (pure continuation fallback -> the 1e-12
+    floor), not crash the scoring actor on an empty keys array."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from gobblin_ray.functions import train as tr
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b c", "d e f"])})
+    ds = rd.from_arrow(t).materialize()
+    model, word_ids = tr.bigram_lm_train(ds, vocab_size=10, min_count=99)
+    assert len(model["keys"]) == 0
+    out = tr.perplexity_score(ds, model, word_ids,
+                              concurrency=2).take_all()
+    assert len(out) == 2
+    floor = -np.log(1e-12)
+    for r in out:
+        assert abs(r["nll"] - round(floor, 6)) < 1e-6
