@@ -470,6 +470,11 @@ def main(argv: list[str] | None = None) -> int:
                          "most target-like (runs after dedup)")
     sp.add_argument("--dsir-keep-frac", type=float, default=0.5,
                     help="fraction kept by --dsir-target selection")
+    sp.add_argument("--ppl-keep-frac", type=float, default=None,
+                    help="CCNet-style perplexity selection: train a "
+                         "bigram KN LM on the curated lineage and keep "
+                         "this lowest-nll (most fluent) fraction (runs "
+                         "after dedup, before DSIR)")
     sp.add_argument("--tag", default=None,
                     help="prep AS OF the named tag's manifest")
     sp.add_argument("--table", default=None,
@@ -581,6 +586,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.dsir_target and not 0.0 < args.dsir_keep_frac <= 1.0:
             # fail before Ray spins up and the curation pipeline runs
             p.error("--dsir-keep-frac must be in (0, 1]")
+        if args.ppl_keep_frac is not None and \
+                not 0.0 < args.ppl_keep_frac <= 1.0:
+            p.error("--ppl-keep-frac must be in (0, 1]")
 
         lake = (os.path.join(args.lake_dir, args.table)
                 if args.table else args.lake_dir)
@@ -656,6 +664,18 @@ def main(argv: list[str] | None = None) -> int:
                     bands=bands, text_col="text", id_col="_nid",
                     concurrency=(1, 8),
                 ).drop_columns(["_nid"])
+            if args.ppl_keep_frac is not None:
+                from .functions.train import (bigram_lm_train,
+                                              perplexity_select)
+
+                # LM fit + selection both consume the curated lineage —
+                # materialize once
+                kept = kept.materialize()
+                model, word_ids = bigram_lm_train(kept, vocab_size=500)
+                kept = perplexity_select(
+                    kept, args.ppl_keep_frac, model, word_ids,
+                    concurrency=(1, 8),
+                )
             if args.dsir_target:
                 from .functions.train import dsir_select
 

@@ -1316,3 +1316,45 @@ def bigram_lm_sequential(t: pa.Table, text_col: str = "text",
     n_tr = np.bincount(rows, minlength=t.num_rows).astype(np.float64)
     return (t.column(id_col).to_numpy(zero_copy_only=False),
             np.round(tot / n_tr, 6))
+
+
+def perplexity_select(
+    ds,
+    keep_frac: float,
+    model: dict,
+    word_ids: dict,
+    text_col: str = "text",
+    concurrency=(1, 4),
+):
+    """Perplexity-band data selection (the filtering half of the CCNet
+    recipe: keep the FLUENT fraction — lowest mean -log p): score every
+    doc under the trained bigram KN model, keep the round(frac*n) rows
+    with the smallest nll, thresholding at the exact distributed
+    quantile of the k-th-smallest value (ties kept — deterministic and
+    batching-invariant, same contract as dsir_select). Rows keep ALL
+    input columns plus ``nll``."""
+    from .quantiles import exact_quantiles
+
+    if not 0.0 < keep_frac <= 1.0:
+        raise ValueError("keep_frac must be in (0, 1]")
+    scored = perplexity_score_column(ds, model, word_ids,
+                                     text_col=text_col,
+                                     concurrency=concurrency).materialize()
+    n = scored.count()
+    k = int(round(keep_frac * n))
+    if k >= n or n == 0:
+        return scored
+    if k == 0:
+        k = 1
+    # k-th smallest nll; (k - 0.5)/n pins ceil(q*n) == k exactly
+    thr = exact_quantiles(scored.select_columns(["nll"]), "nll",
+                          [(k - 0.5) / n], interpolation="lower")[0]
+
+    def keep_below(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.less_equal(t.column("nll"), pa.scalar(float(thr)))
+        )
+
+    keep_below.__name__ = "ppl_keep_below_threshold"
+    return scored.map_batches(keep_below, batch_format="pyarrow",
+                              batch_size=None)

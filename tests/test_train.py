@@ -384,3 +384,29 @@ def test_bigram_lm_pruned_to_empty_model_scores_floor(ray_session):
     floor = -np.log(1e-12)
     for r in out:
         assert abs(r["nll"] - round(floor, 6)) < 1e-6
+
+
+def test_perplexity_select_keep_frac(ray_session):
+    """perplexity_select keeps the round(frac*n) most fluent (lowest
+    nll) rows with all input columns + nll."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from gobblin_ray.functions import train as tr
+
+    fluent = ["the cat sat on the mat and the dog slept",
+              "the cat sat on the hat and the dog ran"]
+    texts = (fluent * 10) + [f"rare{i} odd{i} tok{i} xx{i}" for i in range(10)]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "extra": pa.array(["x"] * len(texts)),
+    })
+    ds = rd.from_arrow(t).repartition(3).materialize()
+    model, word_ids = tr.bigram_lm_train(ds, vocab_size=40)
+    out = tr.perplexity_select(ds, 2 / 3, model, word_ids,
+                               concurrency=2).take_all()
+    kept = sorted(r["doc_id"] for r in out)
+    assert kept == list(range(20))  # exactly the fluent repeated docs
+    assert all("extra" in r and "nll" in r for r in out)
