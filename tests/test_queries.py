@@ -98,3 +98,28 @@ def test_entry_smoke(ray_session):
     df = to_pandas(res)
     assert len(df) > 0
     assert "url" in df.columns and "text" in df.columns
+
+
+def test_every_query_is_oracled_and_bench_names_resolve():
+    """Invariants the round gate depends on: every queries() entry has an
+    oracle_sql() string (zero no-oracle rows — a new query without an
+    oracle would otherwise silently skip the parametrized gate above),
+    and every bench.py QUERY_NAMES entry resolves to a real query."""
+    import importlib.util
+    import os
+
+    assert set(QUERIES) == set(ORACLES), (
+        set(QUERIES) ^ set(ORACLES)
+    )
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    # bench resolves names as demo attributes (it deliberately times a
+    # few full-table scale variants that the correctness surface covers
+    # with planted fixtures instead)
+    from gobblin_ray.pipelines import demo
+
+    missing = [n for n in bench.QUERY_NAMES if not hasattr(demo, n)]
+    assert not missing, missing
