@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": demo.dedup_exact_documents,
         "dedup_incremental_runs": demo.dedup_incremental_runs,
         "dedup_neardup_incremental": demo.dedup_neardup_incremental,
+        "cdc_ingest_neardup": demo.cdc_ingest_neardup,
         "cdc_replay_mini": demo.cdc_replay_mini,
         # zone-map pruned merge-on-read (fails itself if nothing pruned)
         "cdc_pruned_read_mini": demo.cdc_pruned_read_mini,
@@ -2342,6 +2343,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(array_length(string_split(text, ' ')))
                         AS BIGINT) AS total_tokens
             FROM sel GROUP BY lang
+        """,
+        # Dedup-on-ingest: planted expectations (fixtures.
+        # planted_cdc_neardup_corpus) — live final-table rows plus the
+        # neardup-diverted inserts, verdicts certain by construction
+        # (dup edits J~0.95, fresh texts J~0.05 vs threshold 0.7).
+        "cdc_ingest_neardup": """
+            SELECT url, text, status
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/cdc_neardup_oracle.parquet')
         """,
         "cdc_replay_mini": """
             SELECT url, warc_ts, html_md5, text, lang, event_seq, fetch_status

@@ -120,6 +120,7 @@ QUERY_NAMES = [
     "dedup_images_planted",
     "bigram_lm_perplexity_documents",
     "llm_prep_v4_summary",
+    "cdc_ingest_neardup",
 ]
 
 

@@ -258,6 +258,43 @@ def promote(lake_dir: str, epoch: int, buckets: list[int] | list[tuple[int, str]
         os.replace(src, dst)
 
 
+def promote_sidecar(
+    lake_dir: str, epoch: int, prefix: str, dest_root: str
+) -> int:
+    """Phase-1 commit step for SIDECAR indexes riding an epoch's two-phase
+    commit (e.g. the dedup-on-ingest near-dup index): move the epoch's
+    staged flat files ``{prefix}part={p}.<name>`` into
+    ``dest_root/part={p}/<name>``. Files are content-fingerprint-named by
+    their writers, so the promote is idempotent the same way
+    ``promote`` is (dest exists -> drop the staged copy), and a crashed
+    promote resumes. Must run BEFORE the manifest write: committed epoch
+    => sidecar promoted; sidecar promoted but uncommitted => the epoch
+    re-executes and reproduces identical staged files. Staged as FLAT
+    files (no subdir) so the vacuum staging sweep handles leftovers of
+    crashed epochs. Returns files promoted."""
+    sdir = os.path.join(lake_dir, STAGING_DIR, f"epoch={epoch:06d}")
+    if not os.path.isdir(sdir):
+        return 0
+    n = 0
+    for name in sorted(os.listdir(sdir)):
+        if not name.startswith(prefix):
+            continue
+        rest = name[len(prefix):]  # "part=<p>.<fname>"
+        pband, _, fname = rest.partition(".")
+        if not pband.startswith("part=") or not fname:
+            continue
+        ddir = os.path.join(dest_root, pband)
+        os.makedirs(ddir, exist_ok=True)
+        dst = os.path.join(ddir, fname)
+        src = os.path.join(sdir, name)
+        if os.path.exists(dst):
+            os.remove(src)
+        else:
+            os.replace(src, dst)
+        n += 1
+    return n
+
+
 def sweep_unreferenced(lake_dir: str, keep_files: set[str]) -> int:
     """Delete every file under ``data/`` not in ``keep_files``; returns the
     count. ONE definition shared by vacuum / manifest-retention / rollback /

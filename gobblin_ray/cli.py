@@ -79,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
         if name in ("bootstrap", "run"):
             s.add_argument("--epoch-bytes", type=int, default=None,
                            help="size-based epoch planning target (bytes)")
+            s.add_argument("--neardup", action="store_true",
+                           help="dedup-on-ingest: divert INSERT events "
+                                "whose text near-dups previously ingested "
+                                "content (threshold 0.7) to _errors/; "
+                                "survivor sketches join the lake's "
+                                "_neardup_index atomically with each "
+                                "commit. Pass on bootstrap too so the "
+                                "snapshot seeds the index")
+            s.add_argument("--neardup-threshold", type=float, default=0.7)
         if name == "run":
             s.add_argument("--compact-every", type=int, default=8,
                            help="compact a bucket after this many delta files")
@@ -1158,7 +1167,9 @@ def main(argv: list[str] | None = None) -> int:
                     "--drop/--list")
         elif args.cmd == "bootstrap":
             cfg = EngineConfig(num_buckets=args.buckets, epoch_width=args.epoch_width,
-                               epoch_bytes=args.epoch_bytes)
+                               epoch_bytes=args.epoch_bytes,
+                               neardup_dedup=args.neardup,
+                               neardup_threshold=args.neardup_threshold)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             pages = args.pages
             if args.warc_dir:
@@ -1181,6 +1192,8 @@ def main(argv: list[str] | None = None) -> int:
                                compact_ratio=args.compact_ratio,
                                compact_age=args.compact_age,
                                max_run_seconds=args.max_run_seconds,
+                               neardup_dedup=args.neardup,
+                               neardup_threshold=args.neardup_threshold,
                                auto_refresh_views=args.refresh_views)
             eng = CdcEngine(args.lake_dir, args.events_dir, cfg)
             t0 = time.time()

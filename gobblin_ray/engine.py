@@ -210,6 +210,28 @@ class EngineConfig:
     # deterministic: exactly-once resume re-applies an epoch's transforms
     # and has to produce byte-identical output. Filtering/quarantine
     # belongs to the row-level policies, not here.
+    neardup_dedup: bool = False  # dedup-on-ingest: check INSERT events
+    # against the lake's cross-run near-dup index (<lake>/_neardup_index,
+    # the dedup_minhash_incremental anchor+sketch layout) BEFORE the
+    # merge — the reference's converter/quality-chain-in-the-task-stream
+    # posture (gobblin-runtime/.../StreamModelTaskRunner.java:122-138).
+    # Near-dup inserts divert to the error sink with reason 'neardup'
+    # (RowLevelPolicy ERR_FILE semantics) and still count in the commit
+    # gate; survivors' sketches join the index ATOMICALLY with the epoch
+    # commit (checkpoint.promote_sidecar runs before the manifest write),
+    # so a killed run resumes exactly-once with identical verdicts.
+    # bootstrap() seeds the index from the snapshot's text. Pipelined
+    # window epochs check the WINDOW-START index (same snapshot posture as
+    # the planning manifest) — set pipeline_epochs=1 for strictly
+    # sequential per-epoch dedup semantics. A url's own earlier content
+    # never flags its re-crawl (self-match exclusion); updates and deletes
+    # pass unchecked and are not indexed.
+    neardup_threshold: float = 0.7
+    neardup_text_col: str = "text"
+    neardup_k_anchors: int = 4
+    neardup_k_sketch: int = 64
+    neardup_shingle_k: int = 5
+    neardup_partitions: int = 16
     max_run_seconds: float | None = None  # early stop (Source.isEarlyStopped,
     # gobblin-api/.../source/Source.java:103 + Kafka max pull duration,
     # KafkaExtractor maxPullTime): once the budget elapses, stop SUBMITTING
@@ -306,6 +328,45 @@ def _salted_partial_reduce(group: pa.Table) -> pa.Table:
     bad = group.filter(err_mask)
     reduced = _lww_reduce_weighted(group.filter(pc.invert(err_mask)))
     return pa.concat_tables([reduced, bad]) if bad.num_rows else reduced
+
+
+NEARDUP_INDEX_DIR = "_neardup_index"
+NEARDUP_STAGE_PREFIX = "neardup."
+NEARDUP_ERR = "neardup"
+
+
+class _AnnotateNeardup:
+    """Actor-pool stage diverting near-dup INSERT events: sets the
+    row-policy error column to 'neardup' so the merge stage routes them to
+    the error sink exactly like any RowLevelPolicy failure — they stay
+    visible under _errors/ and count in the commit gate. The dup-url set
+    is broadcast once (ray.put on the driver, fetched per actor in
+    __init__, never captured per task)."""
+
+    def __init__(self, dup_ref):
+        import ray
+
+        self.dups = ray.get(dup_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        err = t.column(_ERR_COL)
+        hit = pc.and_(
+            pc.and_(
+                pc.is_null(err),
+                pc.fill_null(
+                    pc.equal(t.column("op"), pa.scalar("insert")), False
+                ),
+            ),
+            pc.fill_null(
+                pc.is_in(t.column("url"), value_set=self.dups), False
+            ),
+        )
+        if not pc.any(hit).as_py():
+            return t
+        new_err = pc.if_else(hit, pa.scalar(NEARDUP_ERR), err)
+        return t.set_column(
+            t.schema.get_field_index(_ERR_COL), _ERR_COL, new_err
+        )
 
 
 class _MergeBucket:
@@ -490,7 +551,44 @@ class CdcEngine:
         )
 
         buckets_touched = [int(r["bucket"]) for r in lineage]
+        if self.cfg.neardup_dedup:
+            # Seed the near-dup index from the snapshot (check=False: the
+            # initial snapshot is ground truth, nothing to divert) — staged
+            # flat files promoted with the bootstrap commit below.
+            from .functions.dedup import neardup_ingest_verdicts
+
+            tcol = self.cfg.neardup_text_col
+
+            def pick_pages(t: pa.Table) -> pa.Table:
+                return t.filter(pc.is_valid(t.column(tcol))).select(
+                    ["url", tcol]
+                )
+
+            pick_pages.__name__ = "pick_page_texts"
+            neardup_ingest_verdicts(
+                ds.map_batches(
+                    pick_pages, batch_format="pyarrow", batch_size=None
+                ),
+                index_dir=os.path.join(self.lake_dir, NEARDUP_INDEX_DIR),
+                stage_dir=os.path.dirname(
+                    ckpt.staging_path(self.lake_dir, 0, 0)
+                ),
+                stage_prefix=NEARDUP_STAGE_PREFIX,
+                text_col=tcol,
+                id_col="url",
+                threshold=self.cfg.neardup_threshold,
+                k_anchors=self.cfg.neardup_k_anchors,
+                k_sketch=self.cfg.neardup_k_sketch,
+                shingle_k=self.cfg.neardup_shingle_k,
+                num_partitions=self.cfg.neardup_partitions,
+                check=False,
+            )
         ckpt.promote(self.lake_dir, 0, buckets_touched)
+        if self.cfg.neardup_dedup:
+            ckpt.promote_sidecar(
+                self.lake_dir, 0, NEARDUP_STAGE_PREFIX,
+                os.path.join(self.lake_dir, NEARDUP_INDEX_DIR),
+            )
         manifest = Manifest(
             epoch=0,
             low_seq=-1,
@@ -642,6 +740,9 @@ class CdcEngine:
             ds = ds.map_batches(_conv, batch_format="pyarrow",
                                 batch_size=None)
         ds = ds.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=None)
+        neardup_dups = 0
+        if self.cfg.neardup_dedup:
+            ds, neardup_dups = self._neardup_stage(ds, epoch.index)
         if manifest.constraints:
             # persisted table constraints (constraints.py): violating
             # UPSERT events quarantine like any row-policy failure;
@@ -718,8 +819,71 @@ class CdcEngine:
             "base_schema": base_schema,
             "salted": len(splan.hot_buckets),
             "expected_events": expected,
+            "neardup": self.cfg.neardup_dedup,
+            "neardup_dups": neardup_dups,
             "exec_sec": _time.time() - _t0,
         }
+
+    def _neardup_stage(self, ds, epoch_index: int):
+        """Dedup-on-ingest check pass for one epoch (cfg.neardup_dedup):
+        near-dup verdicts for the epoch's INSERT events against the
+        committed index + within-epoch, annotation of dup rows as
+        'neardup' errors, and a STAGED write of survivors' sketches that
+        _commit_epoch promotes atomically with the epoch. Returns
+        (annotated ds, dup-url count). The normalized event stream is
+        materialized once — one epoch in the object store, the same bound
+        the merge exchange already implies — so the check pass and the
+        merge pipeline don't re-execute the log read."""
+        import ray
+
+        from .functions.dedup import neardup_ingest_verdicts
+
+        ds = ds.materialize()
+        tcol = self.cfg.neardup_text_col
+
+        def pick_inserts(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(
+                    pc.is_null(t.column(_ERR_COL)),
+                    pc.fill_null(
+                        pc.equal(t.column("op"), pa.scalar("insert")), False
+                    ),
+                ),
+                pc.is_valid(t.column(tcol)),
+            )
+            return t.filter(m).select(["url", tcol])
+
+        pick_inserts.__name__ = "pick_insert_texts"
+        sel = ds.map_batches(
+            pick_inserts, batch_format="pyarrow", batch_size=None
+        )
+        stage_dir = os.path.dirname(
+            ckpt.staging_path(self.lake_dir, epoch_index, 0)
+        )
+        dups = neardup_ingest_verdicts(
+            sel,
+            index_dir=os.path.join(self.lake_dir, NEARDUP_INDEX_DIR),
+            stage_dir=stage_dir,
+            stage_prefix=NEARDUP_STAGE_PREFIX,
+            text_col=tcol,
+            id_col="url",
+            threshold=self.cfg.neardup_threshold,
+            k_anchors=self.cfg.neardup_k_anchors,
+            k_sketch=self.cfg.neardup_k_sketch,
+            shingle_k=self.cfg.neardup_shingle_k,
+            num_partitions=self.cfg.neardup_partitions,
+        )
+        if not dups:
+            return ds, 0
+        dup_ref = ray.put(pa.array(sorted(dups)))
+        annotated = ds.map_batches(
+            _AnnotateNeardup,
+            fn_constructor_kwargs=dict(dup_ref=dup_ref),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=(1, 4),
+        )
+        return annotated, len(dups)
 
     def _commit_epoch(
         self, epoch: planmod.Epoch, manifest: Manifest, execution: dict | None
@@ -772,6 +936,19 @@ class CdcEngine:
             (b, "errors") for b, r in touched.items() if int(r["errors"]) > 0
         ]
         ckpt.promote(self.lake_dir, epoch.index, sorted(promote_entries))
+        if execution.get("neardup"):
+            # Sidecar index joins the two-phase commit: promoted BEFORE the
+            # manifest write, so committed => indexed; promoted-but-
+            # uncommitted re-executes to identical staged files (full-
+            # pairwise within-epoch check makes re-run verdicts stable
+            # against the epoch's own promoted survivors).
+            ckpt.promote_sidecar(
+                self.lake_dir, epoch.index, NEARDUP_STAGE_PREFIX,
+                os.path.join(self.lake_dir, NEARDUP_INDEX_DIR),
+            )
+            self.metrics.inc(
+                "neardup_urls_diverted", int(execution.get("neardup_dups", 0))
+            )
 
         new = Manifest(
             epoch=epoch.index,

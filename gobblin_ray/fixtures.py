@@ -37,6 +37,8 @@ PROJ_ORACLE_PATH = os.path.join(FIXTURE_DIR, "projected_read_oracle.parquet")
 IVF_CELLS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_cells.parquet")
 IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
 FEED_AUDIT_PATH = os.path.join(FIXTURE_DIR, "planted_feed.parquet")
+CDC_NEARDUP_DIR = os.path.join(FIXTURE_DIR, "cdc_neardup_corpus")
+CDC_NEARDUP_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_neardup_oracle.parquet")
 
 
 def _write(table: pa.Table, path: str) -> str:
@@ -618,6 +620,135 @@ def planted_neardup_runs(path: str = NEARDUP_RUNS_PATH) -> str:
         "run": pa.array([d[3] for d in docs], pa.int64()),
     })
     return _write(t, path)
+
+
+# ---------------------------------------------------- dedup-on-ingest corpus
+
+_FRESH1 = (
+    "a brand new cluster paragraph about distributed checkpoint barriers "
+    "and watermark alignment across stream operators with consistent "
+    "snapshots and replayable logs for exactly once delivery"
+)
+_FRESH2 = (
+    "another singleton about zygote processes forking sandboxes quickly "
+    "via copy on write page tables and shared text segments mapped read "
+    "only into every child address space"
+)
+_FRESH3 = (
+    "columnar object stores shard immutable segments across racks and "
+    "rebalance by consistent hashing while compaction threads rewrite "
+    "cold segments into larger sorted runs overnight"
+)
+_SINGLETON = (
+    "wholly unrelated short register of terms nothing shared here with "
+    "any other paragraph in this corpus at all"
+)
+
+
+def planted_cdc_neardup_corpus(
+    corpus_dir: str = CDC_NEARDUP_DIR,
+    oracle_path: str = CDC_NEARDUP_ORACLE_PATH,
+) -> tuple[str, str]:
+    """CDC corpus with planted near-dup INSERT events for the
+    dedup-on-ingest engine stage (EngineConfig.neardup_dedup): bootstrap
+    pages seed the index; epoch-1 inserts include a near-dup of a
+    bootstrap page (diverted) and fresh texts (kept + indexed); an epoch-1
+    UPDATE rewrites an existing url with a near-identical text (must PASS
+    — self-match exclusion); epoch-2 inserts include a near-dup of an
+    epoch-1 survivor (cross-epoch via the committed index), a fresh text,
+    and a within-epoch near-dup of that fresh text (larger url diverted);
+    plus a delete. All dup edits are single-word substitutions of ~250
+    char paragraphs (5-shingle Jaccard ~0.95 >> 0.7) and fresh texts are
+    topically disjoint (~0.05 << 0.7), so the bottom-k sketch verdicts
+    are certain. Expected (url, text, status) rows — status 'live' for
+    the final table, 'neardup' for diverted inserts — go to the oracle
+    parquet. Returns (corpus_dir, oracle_path); epoch_width=4 and
+    pipeline_epochs=1 are assumed by the planted epoch boundaries."""
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ts(h: int):
+        return t0 + np.timedelta64(h, "h")
+
+    pages = [
+        ("http://base/p0", ts(0), _PARA),
+        ("http://base/p1", ts(0), _PARA2),
+        ("http://base/p2", ts(0), _PARA3),
+        ("http://base/p3", ts(0), _SINGLETON),
+    ]
+    p1_updated = _PARA2 + " with a small appended suffix"
+    # (seq, op, url, text) — warc_ts = t0 + (seq+1) hours; epoch spans are
+    # (-1,3] and (3,7] at epoch_width=4 (plan_epochs half-open intervals)
+    events = [
+        # epoch 1 (seq 0-3)
+        (0, "insert", "http://new/n1", _PARA.replace("quick", "swift")),
+        (1, "insert", "http://new/n2", _FRESH1),
+        (2, "update", "http://base/p1", p1_updated),
+        (3, "insert", "http://new/n3", _FRESH2),
+        # epoch 2 (seq 4-7)
+        (4, "insert", "http://new/n4",
+         _FRESH1.replace("barriers", "fences")),
+        (5, "insert", "http://new/n5", _FRESH3),
+        (6, "insert", "http://new/n6",
+         _FRESH3.replace("overnight", "nightly")),
+        (7, "delete", "http://base/p2", None),
+    ]
+    os.makedirs(os.path.join(corpus_dir, "events"), exist_ok=True)
+    pages_t = pa.table({
+        "url": pa.array([p[0] for p in pages], pa.string()),
+        "warc_ts": pa.array([p[1] for p in pages], pa.timestamp("us")),
+        "html": pa.array(
+            [f"<p>{p[2]}</p>".encode() for p in pages], pa.binary()
+        ),
+        "text": pa.array([p[2] for p in pages], pa.string()),
+        "lang": pa.array(["en"] * len(pages), pa.string()),
+    })
+    tmp = os.path.join(corpus_dir, "pages.parquet.tmp")
+    pq.write_table(pages_t, tmp)
+    os.replace(tmp, os.path.join(corpus_dir, "pages.parquet"))
+    for shard, lo in enumerate(range(0, len(events), 4)):
+        chunk = events[lo:lo + 4]
+        ev_t = pa.table({
+            "event_seq": pa.array([e[0] for e in chunk], pa.int64()),
+            "op": pa.array([e[1] for e in chunk], pa.string()),
+            "url": pa.array([e[2] for e in chunk], pa.string()),
+            "warc_ts": pa.array([ts(e[0] + 1) for e in chunk],
+                                pa.timestamp("us")),
+            "html": pa.array(
+                [None if e[3] is None else f"<p>{e[3]}</p>".encode()
+                 for e in chunk], pa.binary()
+            ),
+            "text": pa.array([e[3] for e in chunk], pa.string()),
+            "lang": pa.array(
+                [None if e[3] is None else "en" for e in chunk], pa.string()
+            ),
+        })
+        name = os.path.join(corpus_dir, "events", f"part-{shard:05d}.parquet")
+        pq.write_table(ev_t, name + ".tmp")
+        os.replace(name + ".tmp", name)
+    meta = os.path.join(corpus_dir, "events", "_meta.json")
+    if os.path.exists(meta):  # stale meta from an older fixture layout
+        os.remove(meta)
+    expected = (
+        # final live table after replay (p2 deleted; n1/n4/n6 diverted)
+        [("http://base/p0", _PARA, "live"),
+         ("http://base/p1", p1_updated, "live"),
+         ("http://base/p3", _SINGLETON, "live"),
+         ("http://new/n2", _FRESH1, "live"),
+         ("http://new/n3", _FRESH2, "live"),
+         ("http://new/n5", _FRESH3, "live")]
+        + [("http://new/n1", _PARA.replace("quick", "swift"), "neardup"),
+           ("http://new/n4", _FRESH1.replace("barriers", "fences"),
+            "neardup"),
+           ("http://new/n6", _FRESH3.replace("overnight", "nightly"),
+            "neardup")]
+    )
+    oracle_t = pa.table({
+        "url": pa.array([e[0] for e in expected], pa.string()),
+        "text": pa.array([e[1] for e in expected], pa.string()),
+        "status": pa.array([e[2] for e in expected], pa.string()),
+    })
+    _write(oracle_t, oracle_path)
+    return corpus_dir, oracle_path
 
 
 # ------------------------------------------------------- dedup-window oracle

@@ -611,9 +611,12 @@ class PerceptualHasher:
             try:
                 out_fp.append(ahash64(self.codec.decode(payload)))
                 out_ids.append(int(ids[i]))
-            except (ValueError, IndexError, NotImplementedError):
-                # undecodable payload (bad bytes, truncated header, or a
-                # codec this container lacks) or sub-grid image: no hash
+            except Exception:
+                # undecodable payload (bad bytes, None, truncated header,
+                # or a codec this container lacks) or sub-grid image: no
+                # hash. Broad catch matches the MediaDecoder /
+                # VideoFrameHasher drop contract — any per-row failure
+                # drops the row, never the batch task.
                 continue
         fp_arr = (
             np.asarray(out_fp, np.uint64).view(np.int64)

@@ -913,8 +913,9 @@ def dsir_weights(
     ``target_col``) and the raw corpus in ONE distributed count pass, then
     score every doc with the broadcast per-bucket log ratio in a second
     pass. High ``dsir_logw`` = looks like the target distribution —
-    downstream selection keeps the top mass (deterministic: ties broken by
-    id). The input is consumed twice (counts, then scoring) — pass a
+    downstream selection (dsir_select) keeps the top-k mass, with ties AT
+    the threshold weight all kept (no id tiebreak; see dsir_select).
+    The input is consumed twice (counts, then scoring) — pass a
     materialized dataset so the read is not re-executed. Weights are
     batching-invariant: integer count sums are associative and the scoring
     accumulation order is fixed per row (see _hashed_ngram_rows)."""

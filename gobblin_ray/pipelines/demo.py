@@ -1790,6 +1790,67 @@ def point_lookup_urls(sf_dir: str):
     )
 
 
+def cdc_ingest_neardup(sf_dir: str):
+    """Dedup-on-ingest: full CDC replay with the near-dup check wired INTO
+    the epoch loop (EngineConfig.neardup_dedup — the reference runs its
+    converter/quality chain inside the task stream,
+    gobblin-runtime/.../StreamModelTaskRunner.java:122-138, not as a
+    separate pass over the finished lake). Planted corpus
+    (fixtures.planted_cdc_neardup_corpus): near-dup INSERTS — of a
+    bootstrap page, of a prior epoch's survivor via the committed index,
+    and within one epoch — divert to the error sink with reason
+    'neardup'; an UPDATE re-crawling an existing url with near-identical
+    text passes (self-match exclusion); survivors' sketches join the
+    index atomically with each epoch commit. Returns (url, text, status)
+    for the final live table plus the diverted rows; the oracle is the
+    planted expectation parquet."""
+    import glob as _glob
+    import tempfile
+
+    import ray.data as rd
+
+    from ..engine import CdcEngine, EngineConfig
+    from ..fixtures import planted_cdc_neardup_corpus
+
+    corpus, _ = planted_cdc_neardup_corpus()
+    root = tempfile.mkdtemp(prefix="cdc_neardup_")
+    eng = CdcEngine(
+        f"{root}/lake", f"{corpus}/events",
+        EngineConfig(num_buckets=4, epoch_width=4, pipeline_epochs=1,
+                     neardup_dedup=True),
+    )
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run()
+
+    def live_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t.column("url"),
+            "text": t.column("text"),
+            "status": pa.array(["live"] * t.num_rows, pa.string()),
+        })
+
+    live = eng.read_table().map_batches(
+        live_rows, batch_format="pyarrow", batch_size=None
+    )
+    err_files = sorted(
+        _glob.glob(f"{root}/lake/_errors/epoch=*/bucket=*.parquet")
+    )
+
+    def diverted_rows(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("_err"), pa.scalar("neardup"))
+        t = t.filter(pc.fill_null(m, False))
+        return pa.table({
+            "url": t.column("url"),
+            "text": t.column("text"),
+            "status": pa.array(["neardup"] * t.num_rows, pa.string()),
+        })
+
+    diverted = rd.read_parquet(err_files).map_batches(
+        diverted_rows, batch_format="pyarrow", batch_size=None
+    )
+    return live.union(diverted)
+
+
 def dedup_neardup_incremental(sf_dir: str):
     """Cross-run NEAR-dup dedup (functions/dedup.dedup_minhash_incremental):
     snapshot 2 drops docs that are near-dups of anything snapshot 1

@@ -1,0 +1,132 @@
+"""Dedup-on-ingest (EngineConfig.neardup_dedup) e2e tests: planted
+verdicts, exactly-once kill/resume with the index joining the two-phase
+commit, and idempotent re-commit.
+
+Mirrors the reference's in-stream converter/quality-chain posture
+(gobblin-runtime/.../StreamModelTaskRunner.java:122-138) and its
+exactly-once resume tests (CommitSequenceTest)."""
+
+import glob
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from gobblin_ray.engine import CdcEngine, EngineConfig, NEARDUP_INDEX_DIR
+from gobblin_ray.fixtures import planted_cdc_neardup_corpus
+
+
+def _cfg():
+    return EngineConfig(
+        num_buckets=4, epoch_width=4, pipeline_epochs=1, neardup_dedup=True
+    )
+
+
+def _replay(corpus: str, lake: str, max_epochs=None) -> CdcEngine:
+    eng = CdcEngine(lake, f"{corpus}/events", _cfg())
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(max_epochs=max_epochs, vacuum=False)
+    return eng
+
+
+def _live_state(eng: CdcEngine) -> dict:
+    t = eng.read_table_arrow()
+    return {
+        u: (x, s) for u, x, s in zip(
+            t.column("url").to_pylist(),
+            t.column("text").to_pylist(),
+            t.column("event_seq").to_pylist(),
+        )
+    }
+
+
+def _diverted(lake: str) -> dict:
+    out = {}
+    for f in sorted(glob.glob(f"{lake}/_errors/epoch=*/bucket=*.parquet")):
+        t = pq.read_table(f)
+        for u, txt, e in zip(
+            t.column("url").to_pylist(), t.column("text").to_pylist(),
+            t.column("_err").to_pylist(),
+        ):
+            if e == "neardup":
+                out[u] = txt
+    return out
+
+
+def _index_rows(lake: str) -> set:
+    rows = set()
+    for f in sorted(
+        glob.glob(f"{lake}/{NEARDUP_INDEX_DIR}/part=*/run-*.parquet")
+    ):
+        t = pq.read_table(f, columns=["anchor", "doc"])
+        rows.update(zip(t.column("anchor").to_pylist(),
+                        t.column("doc").to_pylist()))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    d, _ = planted_cdc_neardup_corpus()
+    return d
+
+
+@pytest.fixture(scope="module")
+def full_run(ray_session, corpus, tmp_path_factory):
+    lake = str(tmp_path_factory.mktemp("lake_neardup_full"))
+    return _replay(corpus, lake), lake
+
+
+def test_planted_verdicts(full_run):
+    eng, lake = full_run
+    live = _live_state(eng)
+    # diverted inserts never reach the lake; delete tombstoned p2
+    assert set(live) == {
+        "http://base/p0", "http://base/p1", "http://base/p3",
+        "http://new/n2", "http://new/n3", "http://new/n5",
+    }
+    # the update of p1 passed the self-match exclusion and applied
+    assert live["http://base/p1"][0].endswith("with a small appended suffix")
+    diverted = _diverted(lake)
+    assert set(diverted) == {
+        "http://new/n1", "http://new/n4", "http://new/n6"
+    }
+    # survivors (and the bootstrap seed) are in the index; losers are not
+    docs = {d for _, d in _index_rows(lake)}
+    assert {"http://base/p0", "http://new/n2", "http://new/n5"} <= docs
+    assert not docs & {"http://new/n1", "http://new/n4", "http://new/n6"}
+    # metric surfaced in the committed manifest
+    m = eng.store.latest()
+    assert m.metrics.get("neardup_urls_diverted") == 3
+
+
+def test_commit_gate_counts_diverted(full_run):
+    # extracted == applied + diverted held for every committed epoch
+    eng, _ = full_run
+    total = sum(
+        eng.store.load(e).event_count + eng.store.load(e).error_count
+        for e in eng.store.committed_epochs() if e > 0
+    )
+    assert total == 8
+
+
+def test_kill_and_resume_exactly_once(ray_session, corpus, full_run,
+                                      tmp_path_factory):
+    ref_eng, ref_lake = full_run
+    lake = str(tmp_path_factory.mktemp("lake_neardup_resume"))
+    _replay(corpus, lake, max_epochs=1)  # "kill" after epoch 1
+    # fresh engine instance = new driver resuming from the manifest
+    eng2 = CdcEngine(lake, f"{corpus}/events", _cfg())
+    reports = eng2.run(vacuum=False)
+    assert [r.epoch for r in reports] == [2]
+    assert _live_state(eng2) == _live_state(ref_eng)
+    assert _diverted(lake) == _diverted(ref_lake)
+    assert _index_rows(lake) == _index_rows(ref_lake)
+
+
+def test_recommit_is_noop(ray_session, corpus, full_run):
+    eng, lake = full_run
+    before = _index_rows(lake)
+    reports = eng.run(vacuum=False)  # nothing left to apply
+    assert reports == []
+    assert _index_rows(lake) == before
