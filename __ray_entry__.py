@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_prep_summary": demo.llm_prep_summary,
         "llm_prep_v2_summary": demo.llm_prep_v2_summary,
         "dup_spans_documents": demo.dup_spans_documents,
+        "dedup_spans_remove": demo.dedup_spans_remove,
         # sorts / limits / top-k (§2.7)
         "sort_topk_revenue": demo.sort_topk_revenue,
         # joins / lookups (§2.5)
@@ -1932,6 +1933,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(count(*) AS BIGINT) AS n_dup_spans,
                    CAST(COALESCE(sum(occ), 0) AS BIGINT) AS n_instances
             FROM per WHERE nd >= 2
+        """,
+        # Span REMOVAL: the oracle is a sequential replay keyed on span
+        # TEXT (fixtures.span_remove_sidecar) — byte-for-byte rewrite
+        # compare, independent of the distributed path's span hashing.
+        "dedup_spans_remove": """
+            SELECT doc_id, text_clean
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/span_remove_oracle.parquet')
         """,
         "llm_prep_summary": """
             WITH good AS (

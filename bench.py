@@ -121,6 +121,7 @@ QUERY_NAMES = [
     "bigram_lm_perplexity_documents",
     "llm_prep_v4_summary",
     "cdc_ingest_neardup",
+    "dedup_spans_remove",
 ]
 
 

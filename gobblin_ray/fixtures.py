@@ -39,6 +39,7 @@ IVF_CENTROIDS_PATH = os.path.join(FIXTURE_DIR, "knn_ivf_centroids.parquet")
 FEED_AUDIT_PATH = os.path.join(FIXTURE_DIR, "planted_feed.parquet")
 CDC_NEARDUP_DIR = os.path.join(FIXTURE_DIR, "cdc_neardup_corpus")
 CDC_NEARDUP_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cdc_neardup_oracle.parquet")
+SPAN_REMOVE_ORACLE_PATH = os.path.join(FIXTURE_DIR, "span_remove_oracle.parquet")
 
 
 def _write(table: pa.Table, path: str) -> str:
@@ -749,6 +750,64 @@ def planted_cdc_neardup_corpus(
     })
     _write(oracle_t, oracle_path)
     return corpus_dir, oracle_path
+
+
+# ------------------------------------------------------ span-removal oracle
+
+
+def span_remove_sidecar(sf_dir: str, k: int = 5,
+                        path: str = SPAN_REMOVE_ORACLE_PATH) -> str:
+    """Sequential replay oracle for ``dedup_spans_remove`` (Lee et al.
+    2022 ExactSubstr at fixed k): the dumb obvious implementation — one
+    dict of span TEXT -> occurrence list built scanning docs in ascending
+    (doc_id, pos) order, canonical = first occurrence, every other
+    occurrence's [pos, pos+k) tokens excised via interval coverage. Keys
+    on the actual span string (no hashing), so it independently checks
+    the distributed path's 128-bit span-hash identity too. Per-row Python
+    is fine by design: an oracle must be the obvious implementation."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    order = np.argsort(np.asarray(ids, np.int64), kind="stable")
+    occ: dict = {}
+    toks_by_doc: dict = {}
+    for j in order:
+        d = ids[j]
+        toks = (texts[j] or "").split(" ")
+        toks_by_doc[d] = toks
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[p:p + k]), []).append((d, p))
+    removed: dict = {}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for d, p in lst[1:]:  # lst is (doc, pos)-ascending by scan order
+                removed.setdefault(d, []).append(p)
+    out_ids, out_txt = [], []
+    for j in order:
+        d = ids[j]
+        toks = toks_by_doc[d]
+        ps = removed.get(d)
+        if not ps:
+            out_txt.append(" ".join(toks))
+        else:
+            cover = np.zeros(len(toks) + 1, np.int64)
+            pp = np.asarray(ps, np.int64)
+            np.add.at(cover, pp, 1)
+            np.subtract.at(cover, np.minimum(pp + k, len(toks)), 1)
+            keep = np.cumsum(cover[:-1]) == 0
+            out_txt.append(
+                " ".join(tok for tok, m in zip(toks, keep) if m)
+            )
+        out_ids.append(d)
+    return _write(pa.table({
+        "doc_id": pa.array(out_ids, pa.int64()),
+        "text_clean": pa.array(out_txt, pa.string()),
+    }), path)
 
 
 # ------------------------------------------------------- dedup-window oracle

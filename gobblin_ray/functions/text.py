@@ -821,6 +821,178 @@ def decontaminate(ds, eval_texts: list[str], text_col: str = "text",
     )
 
 
+def remove_dup_spans(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_parts: int = 32,
+):
+    """Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr semantics at
+    the fixed-``k`` window approximation; the reference's rewrite posture
+    is its compaction jobs, gobblin-compaction/.../mapreduce/): every
+    ``k``-consecutive-token span occurring >= 2 times in the corpus keeps
+    its ONE canonical occurrence — the lexicographically smallest
+    (doc, pos) — and every other occurrence's tokens are excised from
+    their documents. Returns (id_col, text_clean) for every input doc; a
+    doc's surviving tokens re-join with single spaces (tokens = single-
+    space split on both the detect and rewrite sides). A token covered by
+    ANY removed occurrence window drops, so a canonical occurrence can
+    still lose tokens to a different overlapping removed span — the
+    well-defined union-of-intervals contract the sequential oracle
+    replays.
+
+    Scale shape (the span-dedup lesson, see dup_spans_documents): span
+    TEXT never leaves the explode stage — each occurrence ships as
+    (doc, pos, 2x64-bit span hash) = 20 B/span on exchange 1 (partition
+    by h1 % num_parts, per-partition sort + boundary-detect finds dup
+    groups and emits only the NON-canonical occurrences). Exchange 2
+    co-partitions those removal rows with the docs by doc % num_parts
+    (the change-join-base merge shape, engine.py:707) and rewrites each
+    affected doc with one numpy interval-coverage pass; untouched docs
+    stream through the partition unmodified. At 10^10 spans the 128-bit
+    birthday odds are ~1e-19 — removal keyed on the hash pair is exact in
+    practice."""
+    import pandas as pd
+
+    def span_occ(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column(text_col).fill_null(""), pattern=" ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        n = len(flat)
+        empty = pa.table({
+            "doc": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "h1": pa.array([], pa.int64()),
+            "h2": pa.array([], pa.int64()),
+            "_sp": pa.array([], pa.int32()),
+        })
+        if n < k:
+            return empty
+        doc_of = np.repeat(np.arange(len(lens)), lens)
+        starts = doc_of[: n - k + 1] == doc_of[k - 1:]
+        idx = np.flatnonzero(starts)
+        if not len(idx):
+            return empty
+        # span text materializes only transiently inside this stage, for
+        # the same double pandas siphash the detection query uses
+        parts = [flat.slice(j, n - k + 1) for j in range(k)]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        spans = joined.take(pa.array(idx)).to_pandas().to_numpy(
+            dtype=object, na_value=""
+        )
+        h1 = pd.util.hash_array(spans, categorize=False)
+        h2 = pd.util.hash_array(
+            spans, categorize=False, hash_key="1b3c5d7f9a0e2c4d"
+        )
+        first_flat = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = idx - first_flat[doc_of[idx]]
+        return pa.table({
+            "doc": pa.array(ids[doc_of[idx]].astype(np.int64)),
+            "pos": pa.array(pos.astype(np.int64)),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "_sp": pa.array((h1 % num_parts).astype(np.int32)),
+        })
+
+    span_occ.__name__ = f"span_occurrences[k={k}]"
+
+    def removals(g: pa.Table) -> pa.Table:
+        g = g.sort_by([
+            ("h1", "ascending"), ("h2", "ascending"),
+            ("doc", "ascending"), ("pos", "ascending"),
+        ])
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        new_span = (np.diff(h1, prepend=h1[0] - 1) != 0) | (
+            np.diff(h2, prepend=h2[0] - 1) != 0
+        )
+        span_ids = np.cumsum(new_span) - 1
+        occ = np.bincount(span_ids)
+        dup = occ[span_ids] >= 2  # occurrence belongs to a duplicated span
+        keep = dup & ~new_span  # non-canonical occurrences only
+        out = g.filter(pa.array(keep))
+        return pa.table({
+            "doc": out.column("doc"),
+            "pos": out.column("pos"),
+        })
+
+    removals.__name__ = "noncanonical_dup_occurrences"
+    rem = (
+        ds.map_batches(span_occ, batch_format="pyarrow", batch_size=None)
+        .groupby("_sp")
+        .map_groups(removals, batch_format="pyarrow")
+    )
+
+    def rem_part(t: pa.Table) -> pa.Table:
+        doc = t.column("doc").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc": t.column("doc"),
+            "pos": t.column("pos"),
+            "text": pa.nulls(t.num_rows, pa.string()),
+            "_dp": pa.array((doc % num_parts).astype(np.int32)),
+        })
+
+    rem_part.__name__ = "removal_rows"
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        doc = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc": pa.array(doc),
+            "pos": pa.nulls(t.num_rows, pa.int64()),
+            "text": t.column(text_col).cast(pa.string()),
+            "_dp": pa.array((doc % num_parts).astype(np.int32)),
+        })
+
+    doc_part.__name__ = "doc_rows"
+
+    def rewrite(g: pa.Table) -> pa.Table:
+        is_doc = pc.is_valid(g.column("text")).to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(is_doc))
+        rems = g.filter(pa.array(~is_doc))
+        d_ids = docs.column("doc").to_numpy(zero_copy_only=False)
+        if rems.num_rows == 0:
+            return pa.table({
+                id_col: pa.array(d_ids),
+                "text_clean": docs.column("text"),
+            })
+        r = rems.sort_by([("doc", "ascending"), ("pos", "ascending")])
+        r_doc = r.column("doc").to_numpy(zero_copy_only=False)
+        r_pos = r.column("pos").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(r_doc, d_ids, side="left")
+        hi = np.searchsorted(r_doc, d_ids, side="right")
+        texts = docs.column("text").to_pylist()
+        out = list(texts)  # untouched docs pass through unchanged
+        for i in np.flatnonzero(hi > lo):
+            toks = texts[i].split(" ")
+            cover = np.zeros(len(toks) + 1, np.int64)
+            p = r_pos[lo[i]:hi[i]]
+            np.add.at(cover, p, 1)
+            np.subtract.at(cover, np.minimum(p + k, len(toks)), 1)
+            keep_mask = np.cumsum(cover[:-1]) == 0
+            out[i] = " ".join(
+                tok for tok, m in zip(toks, keep_mask) if m
+            )
+        return pa.table({
+            id_col: pa.array(d_ids),
+            "text_clean": pa.array(out, pa.string()),
+        })
+
+    rewrite.__name__ = "rewrite_docs"
+    both = rem.map_batches(
+        rem_part, batch_format="pyarrow", batch_size=None
+    ).union(
+        ds.map_batches(doc_part, batch_format="pyarrow", batch_size=None)
+    )
+    return both.groupby("_dp").map_groups(rewrite, batch_format="pyarrow")
+
+
 def rolling_hash_fingerprint(text_col: str = "text", out: str = "rhash",
                              window: int = 64):
     """Winnowing-style document sketch: min polynomial rolling hash over

@@ -1602,6 +1602,22 @@ def dup_spans_documents(sf_dir: str, k: int = 5, num_parts: int = 32):
     }])
 
 
+def dedup_spans_remove(sf_dir: str, k: int = 5):
+    """Exact-substring span REMOVAL (functions/text.remove_dup_spans —
+    Lee et al. 2022 ExactSubstr semantics at fixed k): every 5-token span
+    occurring >= 2 times keeps only its lexicographically-smallest
+    (doc, pos) occurrence; all other occurrences' tokens are excised and
+    the rewritten corpus is emitted. Value-oracled byte-for-byte by a
+    sequential replay keyed on actual span TEXT
+    (fixtures.span_remove_sidecar), which independently also checks the
+    distributed path's 128-bit span-hash identity."""
+    from ..fixtures import span_remove_sidecar
+
+    span_remove_sidecar(sf_dir, k=k)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return tx.remove_dup_spans(ds, "text", "doc_id", k=k)
+
+
 def llm_prep_v2_summary(sf_dir: str):
     """Deeper LLM-data-prep flagship composing the round-3 operators:
     quality gate (non-empty, n_chars >= 100) -> Gopher repetition gate

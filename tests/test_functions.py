@@ -1709,3 +1709,59 @@ def test_hamming_candidate_pairs_random_parity(ray_session):
             ).take_all()
         }
         assert got == want, f"seed {seed}"
+
+
+def test_remove_dup_spans_matches_bruteforce_and_partitioning(ray_session):
+    """Span removal (Lee et al. 2022 fixed-k ExactSubstr): distributed
+    rewrite equals the obvious sequential dict-of-span-text replay, on any
+    repartitioning — and a planted case pins the canonical-kept /
+    overlap-union contract."""
+    import ray.data as rd
+
+    k = 3
+    rng = np.random.default_rng(11)
+    vocab = np.array("a b c d e f g h i j".split())
+    docs = []
+    for d in range(40):
+        n = int(rng.integers(2, 30))
+        docs.append((d, " ".join(rng.choice(vocab, n))))
+    # planted: doc 100 and 101 share an exact 3-token run; doc 100 is
+    # canonical (smaller id), doc 101 loses those tokens
+    docs.append((100, "zz yy xx ww vv"))
+    docs.append((101, "qq zz yy xx pp"))
+    t = pa.table({
+        "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+        "text": pa.array([d[1] for d in docs], pa.string()),
+    })
+
+    # sequential replay: dict keyed on span TEXT, first (doc,pos) kept
+    occ: dict = {}
+    for d, text in docs:
+        toks = text.split(" ")
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(" ".join(toks[p:p + k]), []).append((d, p))
+    removed: dict = {}
+    for lst in occ.values():
+        for d, p in sorted(lst)[1:] if len(lst) >= 2 else []:
+            removed.setdefault(d, []).append(p)
+    want = {}
+    for d, text in docs:
+        toks = text.split(" ")
+        cover = np.zeros(len(toks) + 1, np.int64)
+        for p in removed.get(d, []):
+            cover[p] += 1
+            cover[min(p + k, len(toks))] -= 1
+        keep = np.cumsum(cover[:-1]) == 0
+        want[d] = " ".join(tok for tok, m in zip(toks, keep) if m)
+
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r["text_clean"]
+            for r in tx.remove_dup_spans(
+                rd.from_arrow(t).repartition(parts), "text", "doc_id",
+                k=k, num_parts=4,
+            ).take_all()
+        }
+        assert got == want, f"parts={parts}"
+    assert want[100] == "zz yy xx ww vv"  # canonical occurrence kept
+    assert want[101] == "qq pp"
