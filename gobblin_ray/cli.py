@@ -19,6 +19,19 @@ import sys
 import time
 
 
+NESTED = False  # flow.py runs cli commands as DAG nodes inside ONE Ray
+# session (re-init costs ~20-30 s per node in this sandbox); when set, the
+# per-command teardown below is a no-op and the flow runner owns shutdown.
+
+
+def _ray_down():
+    if NESTED:
+        return
+    import ray
+
+    ray.shutdown()
+
+
 def _ray_up(num_cpus: int | None):
     import ray
 
@@ -536,6 +549,27 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated output column subset")
 
     sp = sub.add_parser(
+        "flow", help="multi-step flow DAG (gobblin-service FlowSpec "
+        "analog): run declares a JSON DAG of CLI-command nodes with "
+        "dependency edges and input fingerprints; completed nodes skip "
+        "on re-run (CommitSequence.isCompleted), changed inputs "
+        "re-trigger their subtree"
+    )
+    sp.add_argument("action", choices=["run", "status"])
+    sp.add_argument("spec", help="flow spec JSON file")
+    sp.add_argument("--state-dir", default=None,
+                    help="marker dir (default <specdir>/_flow/<name>)")
+    sp.add_argument("--force", action="store_true",
+                    help="re-run every node regardless of markers")
+    sp.add_argument("--until", default=None,
+                    help="stop (inclusive) after this node id")
+    sp.add_argument("--follow", action="store_true",
+                    help="trigger loop: re-evaluate the DAG every "
+                         "--poll-interval seconds (unchanged inputs "
+                         "all-skip); stop by creating <state-dir>/_STOP")
+    sp.add_argument("--poll-interval", type=float, default=2.0)
+
+    sp = sub.add_parser(
         "query", help="run one operator pipeline from the demo library "
         "(EmbeddedGobblin one-shot job analog)"
     )
@@ -582,9 +616,7 @@ def main(argv: list[str] | None = None) -> int:
                     orient="records", date_format="iso")),
             }))
         finally:
-            import ray
-
-            ray.shutdown()
+            _ray_down()
         return 0
 
     if args.cmd == "prep":
@@ -716,9 +748,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": int(rows), "sec": round(time.time() - t0, 3),
             }))
         finally:
-            import ray
-
-            ray.shutdown()
+            _ray_down()
         return 0
 
     if args.cmd == "train-tokenizer":
@@ -753,9 +783,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": art.num_rows, "sec": round(time.time() - t0, 3),
             }))
         finally:
-            import ray
-
-            ray.shutdown()
+            _ray_down()
         return 0
 
     if args.cmd == "sql":
@@ -809,9 +837,7 @@ def main(argv: list[str] | None = None) -> int:
                 "rows": int(rows), "sec": round(time.time() - t0, 3),
             }))
         finally:
-            import ray
-
-            ray.shutdown()
+            _ray_down()
         return 0
 
     if args.cmd == "clean":
@@ -925,9 +951,7 @@ def main(argv: list[str] | None = None) -> int:
         out = _repair(src, dst, dry_run=args.dry_run)
         out["sec"] = round(time.time() - t0, 3)
         print(json.dumps(out))
-        import ray
-
-        ray.shutdown()
+        _ray_down()
         return 0
 
     if args.cmd == "replicate":
@@ -946,9 +970,7 @@ def main(argv: list[str] | None = None) -> int:
             "replica_rows": sum(s.rows for s in m.buckets.values()),
             "sec": round(time.time() - t0, 3),
         }))
-        import ray
-
-        ray.shutdown()
+        _ray_down()
         return 0
 
     if args.cmd == "clone":
@@ -966,9 +988,7 @@ def main(argv: list[str] | None = None) -> int:
                         verify=not args.no_verify)
         out["sec"] = round(time.time() - t0, 3)
         print(json.dumps(out))
-        import ray
-
-        ray.shutdown()
+        _ray_down()
         return 0
 
     if args.cmd == "copy":
@@ -980,10 +1000,56 @@ def main(argv: list[str] | None = None) -> int:
                        num_units=args.units, verify=not args.no_verify)
         out["sec"] = round(time.time() - t0, 3)
         print(json.dumps(out))
-        import ray
-
-        ray.shutdown()
+        _ray_down()
         return 0
+
+    if args.cmd == "flow":
+        from . import flow as flowmod
+
+        spec = flowmod.load_flow(args.spec)
+        state_dir = args.state_dir or os.path.join(
+            os.path.dirname(os.path.abspath(args.spec)),
+            "_flow", spec["name"],
+        )
+        if args.action == "status":
+            print(json.dumps({
+                "flow": spec["name"],
+                "nodes": flowmod.flow_status(spec, state_dir),
+            }))
+            return 0
+        base = (["--num-cpus", str(args.num_cpus)]
+                if args.num_cpus else [])
+        try:
+            passes = []
+            while True:
+                reports = flowmod.run_flow(
+                    spec, state_dir, base_argv=base,
+                    force=args.force, until=args.until,
+                )
+                passes.append(reports)
+                if not args.follow:
+                    break
+                args.force = False  # --force applies to the first pass only
+                stop = os.path.join(state_dir, "_STOP")
+                if os.path.exists(stop):
+                    os.remove(stop)
+                    break
+                time.sleep(args.poll_interval)
+            print(json.dumps({
+                "flow": spec["name"],
+                "passes": len(passes),
+                "nodes": passes[-1],
+                "ran": sum(1 for r in passes[-1] if r["action"] == "ran"),
+            }))
+            return 0
+        except flowmod.FlowError as e:
+            print(json.dumps({"flow": spec["name"], "error": str(e)}))
+            return 1
+        finally:
+            import ray
+
+            if ray.is_initialized():
+                _ray_down()
 
     if args.cmd == "synth":
         from .synth import write_corpus
@@ -1420,9 +1486,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
             print(json.dumps(out, default=str, indent=1))
     finally:
-        import ray
-
-        ray.shutdown()
+        _ray_down()
     return 0
 
 

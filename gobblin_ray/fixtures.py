@@ -694,6 +694,13 @@ def planted_cdc_neardup_corpus(
         (7, "delete", "http://base/p2", None),
     ]
     os.makedirs(os.path.join(corpus_dir, "events"), exist_ok=True)
+    # idempotent REWRITE: drop any event shard a previous consumer (e.g.
+    # a flow-trigger test growing the log) appended, or the planted
+    # expectations below no longer describe the corpus
+    expected_shards = {f"part-{i:05d}.parquet" for i in range(2)}
+    for name in os.listdir(os.path.join(corpus_dir, "events")):
+        if name.endswith(".parquet") and name not in expected_shards:
+            os.remove(os.path.join(corpus_dir, "events", name))
     pages_t = pa.table({
         "url": pa.array([p[0] for p in pages], pa.string()),
         "warc_ts": pa.array([p[1] for p in pages], pa.timestamp("us")),
