@@ -1006,7 +1006,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "flow":
         from . import flow as flowmod
 
-        spec = flowmod.load_flow(args.spec)
+        try:
+            spec = flowmod.load_flow(args.spec)
+        except (flowmod.FlowError, json.JSONDecodeError, OSError) as e:
+            print(json.dumps({"spec": args.spec, "error": str(e)}))
+            return 1
         state_dir = args.state_dir or os.path.join(
             os.path.dirname(os.path.abspath(args.spec)),
             "_flow", spec["name"],

@@ -220,12 +220,17 @@ class EngineConfig:
     # gate; survivors' sketches join the index ATOMICALLY with the epoch
     # commit (checkpoint.promote_sidecar runs before the manifest write),
     # so a killed run resumes exactly-once with identical verdicts.
-    # bootstrap() seeds the index from the snapshot's text. Pipelined
-    # window epochs check the WINDOW-START index (same snapshot posture as
-    # the planning manifest) — set pipeline_epochs=1 for strictly
-    # sequential per-epoch dedup semantics. A url's own earlier content
-    # never flags its re-crawl (self-match exclusion); updates and deletes
-    # pass unchecked and are not indexed.
+    # bootstrap() seeds the index from the snapshot's text. Enabling this
+    # FORCES pipeline_epochs to 1: each epoch's verdicts read the
+    # previous epoch's committed index, so an overlapped execution would
+    # race the index promote and make verdicts timing-dependent (the
+    # check itself still fans out across the cluster inside the epoch).
+    # A url's own earlier content never flags its re-crawl (self-match
+    # exclusion); updates and deletes pass unchecked and are not indexed.
+    # Verdict granularity is the (url, epoch) UNIT: if ANY of a url's
+    # insert texts in the epoch near-dups prior content, all of that
+    # url's insert events divert together — the merge is per-url LWW, so
+    # the unit verdict keeps admit/divert well-defined per key.
     neardup_threshold: float = 0.7
     neardup_text_col: str = "text"
     neardup_k_anchors: int = 4
@@ -339,9 +344,12 @@ class _AnnotateNeardup:
     """Actor-pool stage diverting near-dup INSERT events: sets the
     row-policy error column to 'neardup' so the merge stage routes them to
     the error sink exactly like any RowLevelPolicy failure — they stay
-    visible under _errors/ and count in the commit gate. The dup-url set
-    is broadcast once (ray.put on the driver, fetched per actor in
-    __init__, never captured per task)."""
+    visible under _errors/ and count in the commit gate. Verdicts are per
+    (url, epoch) UNIT: every insert event of a flagged url diverts, even
+    when the url had several inserts with different texts this epoch (see
+    the EngineConfig.neardup_dedup contract). The dup-url set is broadcast
+    once (ray.put on the driver, fetched per actor in __init__, never
+    captured per task)."""
 
     def __init__(self, dup_ref):
         import ray
@@ -1128,6 +1136,15 @@ class CdcEngine:
             epochs = epochs[:max_epochs]
         reports: list[EpochReport] = []
         w = max(1, self.cfg.pipeline_epochs)
+        if self.cfg.neardup_dedup:
+            # Dedup-on-ingest is inherently SEQUENTIAL: each epoch's
+            # verdicts read the previous epoch's committed index, and an
+            # overlapped execution would race promote_sidecar's per-file
+            # renames (verdicts become timing-dependent and a resumed run
+            # could diverge from an uninterrupted one). Epoch pipelining
+            # is forced off; the check itself still fans out across the
+            # cluster inside the epoch.
+            w = 1
         # ROLLING pipeline (no window barrier): keep up to w epoch
         # executions in flight; commit the oldest as soon as it resolves and
         # immediately submit the next — commits (driver I/O) overlap later

@@ -243,8 +243,15 @@ def run_flow(
                 err = None
                 try:
                     rc = runner(n["cmd"])
-                except SystemExit as e:  # argparse errors etc.
-                    rc = int(e.code or 1)
+                except SystemExit as e:
+                    # argparse errors / cli guard clauses; e.code may be
+                    # None (success), an int, or a message string
+                    if e.code is None or e.code == 0:
+                        rc = 0
+                    elif isinstance(e.code, int):
+                        rc = e.code
+                    else:
+                        rc, err = 1, str(e.code)
                 except Exception as e:  # a node crash is a FAILED NODE,
                     rc, err = 1, repr(e)  # not a flow-runner crash
                 sec = round(time.time() - t0, 3)

@@ -1403,6 +1403,41 @@ def dedup_exact_incremental(
 
 # --------------------------------------- cross-run incremental near-dup
 
+def _anchor_sketch_row_builder(text_col: str, id_col: str, k_anchors: int,
+                               k_sketch: int, shingle_k: int, P: int):
+    """ONE builder for the (anchor, doc, sketch, _ap) row convention that
+    both dedup_minhash_incremental and neardup_ingest_verdicts persist to
+    their on-disk anchor+sketch indexes — the sketch view, anchor
+    selection and partition hash must never diverge between the two entry
+    points that share the format."""
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_id, out_anchor, out_sketch = [], [], []
+        for i, txt in zip(ids, texts):
+            sh = _char_shingle_hashes(txt or "", shingle_k)  # sorted unique
+            if not len(sh):
+                continue
+            sketch = sh[:k_sketch].view(np.int64).tolist()
+            for a in sh[: min(k_anchors, len(sh))].view(np.int64):
+                out_id.append(i)
+                out_anchor.append(int(a))
+                out_sketch.append(sketch)
+        return pa.table({
+            "anchor": pa.array(out_anchor, pa.int64()),
+            "doc": pa.array(out_id),
+            "sketch": pa.array(out_sketch, pa.list_(pa.int64())),
+            "_ap": pa.array(
+                (np.asarray(out_anchor, np.int64).view(np.uint64)
+                 % np.uint64(P)).astype(np.int32)
+            ),
+        })
+
+    anchor_rows.__name__ = "anchor_sketch_rows"
+    return anchor_rows
+
+
 def _bottomk_jaccard(a: np.ndarray, b: np.ndarray, k: int) -> float:
     """Bottom-k sketch Jaccard estimate (Broder 1997 min-wise sketches):
     with A, B each a doc's k smallest shingle hashes, J is estimated by
@@ -1474,31 +1509,9 @@ def dedup_minhash_incremental(
             if files:
                 prior_files[int(d.split("=")[1])] = files
 
-    def anchor_rows(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_id, out_anchor, out_sketch = [], [], []
-        for i, txt in zip(ids, texts):
-            sh = _char_shingle_hashes(txt or "", shingle_k)  # sorted unique
-            if not len(sh):
-                continue
-            sketch = sh[:k_sketch].view(np.int64)
-            for a in sh[: min(k_anchors, len(sh))].view(np.int64):
-                out_id.append(i)
-                out_anchor.append(int(a))
-                out_sketch.append(sketch)
-        return pa.table({
-            "anchor": pa.array(out_anchor, pa.int64()),
-            "doc": pa.array(out_id),
-            "sketch": pa.array([s.tolist() for s in out_sketch],
-                               pa.list_(pa.int64())),
-            "_ap": pa.array(
-                (np.asarray(out_anchor, np.int64).view(np.uint64)
-                 % np.uint64(P)).astype(np.int32)
-            ),
-        })
-
-    anchor_rows.__name__ = "anchor_sketch_rows"
+    anchor_rows = _anchor_sketch_row_builder(
+        text_col, id_col, k_anchors, k_sketch, shingle_k, P
+    )
 
     def check_partition(g: pa.Table) -> pa.Table:
         """Returns (doc, dup int8) verdict rows for this partition's docs:
@@ -1654,11 +1667,19 @@ def neardup_ingest_verdicts(
     an anchor (full pairwise against smaller ids inside the anchor bucket,
     capped at ``_NEARDUP_PAIRWISE_CAP`` rows per bucket, beyond which the
     compare window truncates to the bucket head — star fallback).
+    Verdicts are per ID: an id is a dup if ANY of its rows is (a multi-row
+    id — several insert events for one url in one epoch — is admitted or
+    diverted as a unit; the engine documents the same granularity).
     Full-pairwise (not star-only) matters for exactly-once: survivors of
     one bucket are then mutually below threshold, so re-executing a
     crashed epoch whose index promote already landed reproduces the SAME
     verdicts — a survivor can never retro-match another survivor's
-    just-promoted entry.
+    just-promoted entry. Buckets OVER the pairwise cap cannot give that
+    guarantee (two far-apart mutual near-dups both survive the truncated
+    window), so rows of capped anchor buckets are NEVER INDEXED — their
+    verdicts stay reproducible, at the documented recall cost of one
+    degenerate hot anchor out of each affected doc's ``k_anchors`` (this
+    also bounds the on-disk index's per-anchor bucket size).
 
     Survivors' (anchor, doc, sketch) rows are written to ``stage_dir`` as
     flat content-fingerprint-named files
@@ -1695,30 +1716,9 @@ def neardup_ingest_verdicts(
             if files:
                 prior_files[int(d.split("=")[1])] = files
 
-    def anchor_rows(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_id, out_anchor, out_sketch = [], [], []
-        for i, txt in zip(ids, texts):
-            sh = _char_shingle_hashes(txt or "", shingle_k)  # sorted unique
-            if not len(sh):
-                continue
-            sketch = sh[:k_sketch].view(np.int64).tolist()
-            for a in sh[: min(k_anchors, len(sh))].view(np.int64):
-                out_id.append(i)
-                out_anchor.append(int(a))
-                out_sketch.append(sketch)
-        return pa.table({
-            "anchor": pa.array(out_anchor, pa.int64()),
-            "doc": pa.array(out_id),
-            "sketch": pa.array(out_sketch, pa.list_(pa.int64())),
-            "_ap": pa.array(
-                (np.asarray(out_anchor, np.int64).view(np.uint64)
-                 % np.uint64(P)).astype(np.int32)
-            ),
-        })
-
-    anchor_rows.__name__ = "ingest_anchor_rows"
+    anchor_rows = _anchor_sketch_row_builder(
+        text_col, id_col, k_anchors, k_sketch, shingle_k, P
+    )
     # Materialized once: the same rows feed the check pass AND the stage
     # write, so docs shingle exactly once per epoch.
     rows_m = ds.map_batches(
@@ -1807,36 +1807,36 @@ def neardup_ingest_verdicts(
             .take_all()
         )
 
-    survivors = rows_m
-    if dup_ids:
-        import ray
+    import ray
 
-        dup_ref = ray.put(pa.array(sorted(dup_ids)))
-
-        class KeepSurvivors:
-            def __init__(self):
-                self.dups = ray.get(dup_ref)
-
-            def __call__(self, t: pa.Table) -> pa.Table:
-                hit = pc.fill_null(
-                    pc.is_in(t.column("doc"), value_set=self.dups), False
-                )
-                return t.filter(pc.invert(hit))
-
-        survivors = rows_m.map_batches(
-            KeepSurvivors, batch_format="pyarrow", batch_size=None,
-            concurrency=(1, 4),
-        )
+    dup_ref = ray.put(pa.array(sorted(dup_ids)))
 
     def write_stage(g: pa.Table) -> pa.Table:
+        """Stage the partition's indexable rows: the FULL candidate rows
+        arrive (not pre-filtered), so the capped-anchor rule is computed
+        from the same bucket sizes the check pass saw, then dup docs and
+        capped-anchor rows drop before the write."""
         part = int(g.column("_ap")[0].as_py())
+        g = g.sort_by([("anchor", "ascending"), ("doc", "ascending")])
+        anchors = g.column("anchor").to_numpy(zero_copy_only=False)
+        new_a = np.diff(anchors, prepend=anchors[0] - 1) != 0
+        a_ids = np.cumsum(new_a) - 1
+        sizes = np.bincount(a_ids)
+        keep = sizes[a_ids] <= _NEARDUP_PAIRWISE_CAP  # capped: never index
+        dups = ray.get(dup_ref)
+        if len(dups):
+            hit = pc.fill_null(
+                pc.is_in(g.column("doc"), value_set=dups), False
+            ).to_numpy(zero_copy_only=False)
+            keep &= ~hit
+        out = g.filter(pa.array(keep)).drop_columns(["_ap"])
+        if out.num_rows == 0:
+            return pa.table({"part": pa.array([part], pa.int32()),
+                             "rows": pa.array([0], pa.int64())})
         os.makedirs(stage_dir, exist_ok=True)
-        # sort before fingerprinting: group row order is shuffle-dependent,
-        # and a retried task / re-executed epoch must write the SAME name
-        # for the same logical content (promote_sidecar dedups on name)
-        out = g.drop_columns(["_ap"]).sort_by(
-            [("anchor", "ascending"), ("doc", "ascending")]
-        )
+        # fingerprint the sorted content: a retried task / re-executed
+        # epoch must write the SAME name for the same logical content
+        # (promote_sidecar dedups on name)
         sink = pa.BufferOutputStream()
         with pa.ipc.new_stream(sink, out.schema) as w:
             w.write_table(out)
@@ -1849,7 +1849,7 @@ def neardup_ingest_verdicts(
                          "rows": pa.array([out.num_rows], pa.int64())})
 
     write_stage.__name__ = "neardup_stage_write"
-    survivors.groupby("_ap").map_groups(
+    rows_m.groupby("_ap").map_groups(
         write_stage, batch_format="pyarrow"
     ).materialize()
     return dup_ids

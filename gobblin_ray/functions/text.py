@@ -946,7 +946,10 @@ def remove_dup_spans(
         return pa.table({
             "doc": pa.array(doc),
             "pos": pa.nulls(t.num_rows, pa.int64()),
-            "text": t.column(text_col).cast(pa.string()),
+            # null text -> "" (same normalization the detect side applies);
+            # a null here would make the rewrite stage misread the doc row
+            # as a removal row (rows are told apart by text validity)
+            "text": t.column(text_col).cast(pa.string()).fill_null(""),
             "_dp": pa.array((doc % num_parts).astype(np.int32)),
         })
 

@@ -1729,6 +1729,7 @@ def test_remove_dup_spans_matches_bruteforce_and_partitioning(ray_session):
     # canonical (smaller id), doc 101 loses those tokens
     docs.append((100, "zz yy xx ww vv"))
     docs.append((101, "qq zz yy xx pp"))
+    docs.append((102, None))  # null text -> "" on both sides
     t = pa.table({
         "doc_id": pa.array([d[0] for d in docs], pa.int64()),
         "text": pa.array([d[1] for d in docs], pa.string()),
@@ -1737,7 +1738,7 @@ def test_remove_dup_spans_matches_bruteforce_and_partitioning(ray_session):
     # sequential replay: dict keyed on span TEXT, first (doc,pos) kept
     occ: dict = {}
     for d, text in docs:
-        toks = text.split(" ")
+        toks = (text or "").split(" ")
         for p in range(len(toks) - k + 1):
             occ.setdefault(" ".join(toks[p:p + k]), []).append((d, p))
     removed: dict = {}
@@ -1746,7 +1747,7 @@ def test_remove_dup_spans_matches_bruteforce_and_partitioning(ray_session):
             removed.setdefault(d, []).append(p)
     want = {}
     for d, text in docs:
-        toks = text.split(" ")
+        toks = (text or "").split(" ")
         cover = np.zeros(len(toks) + 1, np.int64)
         for p in removed.get(d, []):
             cover[p] += 1
