@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_apply_documents": demo.unigram_apply_documents,
         "pq_codes_embeddings": demo.pq_codes_embeddings,
         "knn_pq_embeddings": demo.knn_pq_embeddings,
+        "knn_ivfpq": demo.knn_ivfpq,
         "cooc_embed_documents": demo.cooc_embed_documents,
         "compression_ratio_documents": demo.compression_ratio_documents,
         "shuffle_shard_documents": demo.shuffle_shard_documents,
@@ -2162,6 +2163,13 @@ def oracle_sql() -> dict[str, str]:
         "pq_codes_embeddings": """
             SELECT vec_id, pq_code
             FROM read_parquet('/tmp/gobblin_ray_fixtures/pq_oracle.parquet')
+        """,
+        # IVF-PQ: sequential one-shot replay sidecar (shared coarse fit,
+        # residual codebooks, probing and ADC sums); equality also proves
+        # the two-run incremental build == one-shot.
+        "knn_ivfpq": """
+            SELECT query_id, vec_id, adist
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/ivfpq_knn_oracle.parquet')
         """,
         "knn_pq_embeddings": """
             SELECT query_id, vec_id, adist

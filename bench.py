@@ -122,6 +122,7 @@ QUERY_NAMES = [
     "llm_prep_v4_summary",
     "cdc_ingest_neardup",
     "dedup_spans_remove",
+    "knn_ivfpq",
 ]
 
 

@@ -1350,6 +1350,68 @@ def pq_oracle_sidecar(sf_dir: str, m: int = 8, k: int = 16,
 
 
 PQ_KNN_ORACLE_PATH = os.path.join(FIXTURE_DIR, "pq_knn_oracle.parquet")
+IVFPQ_KNN_ORACLE_PATH = os.path.join(FIXTURE_DIR, "ivfpq_knn_oracle.parquet")
+
+
+def ivfpq_knn_oracle_sidecar(sf_dir: str, n_queries: int = 3,
+                             k: int = 10, n_cells: int = 8, m: int = 8,
+                             ks: int = 16, nprobe: int = 3,
+                             path: str = IVFPQ_KNN_ORACLE_PATH) -> str:
+    """Sequential IVF-PQ replay (oracle for similarity.knn_ivfpq_search
+    over an ivfpq_index_build index): same coarse fit (kmeans_fit), same
+    residual codebooks (pq_kmeans), same per-row code assignment
+    (_assign_pq_codes), same nprobe cell probing (ties: lower cell id)
+    and residual-ADC sums, exact top-k with ascending-id ties — over ALL
+    rows of the probed cells, which equals the incremental two-run index
+    because the model is fit once and per-row codes are deterministic."""
+    import pyarrow.parquet as _pq
+
+    from .functions.similarity import (_assign_pq_codes, _normalize,
+                                       kmeans_fit, pq_kmeans)
+    from .functions.train import _vec_matrix
+    from .kernels import duck_round
+
+    t = _pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       columns=["vec_id", "embedding"])
+    order = np.argsort(t.column("vec_id").to_numpy(zero_copy_only=False))
+    X = _normalize(_vec_matrix(t, "embedding")[order])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)[order]
+    dim = X.shape[1]
+    d = dim // m
+    C = kmeans_fit(X, n_cells)
+    cell = np.argmax(X @ C.T, axis=1)
+    resid = X - C[cell]
+    books = np.stack([
+        pq_kmeans(resid[:, i * d:(i + 1) * d], ks) for i in range(m)
+    ])
+    codes = _assign_pq_codes(resid, books)
+    Q = X[:n_queries]
+    sims = Q @ C.T
+    rows_q, rows_i, rows_d = [], [], []
+    for qi in range(n_queries):
+        probe = np.lexsort((np.arange(n_cells), -sims[qi]))[:nprobe]
+        idx = np.flatnonzero(np.isin(cell, probe))
+        ad = np.zeros(len(idx), np.float64)
+        for i in range(m):
+            tabs = {
+                int(c): (((Q[qi] - C[c])[i * d:(i + 1) * d][None, :]
+                          - books[i]) ** 2).sum(axis=-1)
+                for c in probe
+            }
+            for j, row in enumerate(idx):
+                ad[j] += tabs[int(cell[row])][codes[row, i]]
+        top = np.lexsort((ids[idx], ad))[:k]
+        rows_q.append(np.full(len(top), qi, np.int64))
+        rows_i.append(ids[idx][top])
+        rows_d.append(ad[top])
+    out = pa.table({
+        "query_id": pa.array(np.concatenate(rows_q)),
+        "vec_id": pa.array(np.concatenate(rows_i)),
+        "adist": pa.array(
+            duck_round(np.concatenate(rows_d), 6), pa.float64()
+        ),
+    })
+    return _write(out, path)
 
 
 def pq_knn_oracle_sidecar(sf_dir: str, n_queries: int = 3, k: int = 10,

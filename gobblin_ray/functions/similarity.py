@@ -794,3 +794,274 @@ def knn_pq_adc(
     return cands.groupby("query_id").map_groups(
         reduce_topk, batch_format="pyarrow"
     )
+
+
+# ----------------------------------------------------------------- IVF-PQ
+
+def ivfpq_fit_or_load(index_dir: str, train_matrix: np.ndarray | None,
+                      n_cells: int = 16, m: int = 8, ks: int = 16,
+                      iters: int = 8) -> tuple[np.ndarray, np.ndarray]:
+    """Fit-ONCE model artifact for the IVF-PQ index (Jegou et al. 2011
+    IVFADC): coarse spherical centroids (kmeans_fit) + per-subspace
+    EUCLIDEAN residual codebooks (pq_kmeans on train residuals), persisted
+    to ``index_dir/model.npz`` via tmp+rename on the first build and
+    RELOADED on every later one — an incremental index is only coherent
+    if every run assigns codes under the same model (the dedup-index
+    fit-once posture). Returns (centroids, books)."""
+    import os
+
+    path = os.path.join(index_dir, "model.npz")
+    if os.path.exists(path):
+        with np.load(path) as z:
+            return z["centroids"], z["books"]
+    if train_matrix is None:
+        raise ValueError(f"no model at {path} and no train_matrix given")
+    X = _normalize(np.asarray(train_matrix, dtype=np.float64))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    C = kmeans_fit(X, n_cells)  # coarse fit at kmeans_fit's default iters
+    # (the sidecar oracle calls it the same way — keep them aligned)
+    resid = X - C[np.argmax(X @ C.T, axis=1)]
+    books = np.stack([
+        pq_kmeans(resid[:, i * d:(i + 1) * d], ks, iters) for i in range(m)
+    ])  # (m, ks, d)
+    os.makedirs(index_dir, exist_ok=True)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:  # file object: savez appends no suffix
+        np.savez(f, centroids=C, books=books)
+    os.replace(tmp, path)
+    return C, books
+
+
+def ivfpq_index_build(
+    ds,
+    index_dir: str,
+    train_matrix: np.ndarray | None = None,
+    n_cells: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> dict:
+    """INCREMENTAL IVF-PQ index build (the billion-scale ANN standard:
+    coarse cells + per-cell PQ residual codes, FAISS IVFADC shape):
+    normalize each vector, coarse-assign to its argmax-cosine cell,
+    PQ-encode the RESIDUAL (x_norm - centroid[cell]) under the persisted
+    codebooks, and append (id, codes) rows to
+    ``index_dir/cell=<c>/run-*.parquet`` — partitioned by cell so a query
+    later reads ONLY its probed cells' files.
+
+    Cross-run incremental like the dedup indexes: each per-cell write
+    task snapshots its cell's prior files (driver-time listing), drops
+    ids already indexed, sorts, and writes a content-fingerprint-named
+    file via tmp+rename — idempotent on retry AND on whole-run replay
+    (same new rows => same file name => promote-equivalent no-op). The
+    model is fit once on ``train_matrix`` and reloaded afterwards so
+    codes can never drift between runs. Returns {"cells": n, "rows":
+    newly indexed}."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    C, books = ivfpq_fit_or_load(index_dir, train_matrix, n_cells, m, ks,
+                                 iters)
+    dim = C.shape[1]
+    prior_files: dict[int, list[str]] = {}
+    if os.path.isdir(index_dir):
+        for dname in sorted(os.listdir(index_dir)):
+            pdir = os.path.join(index_dir, dname)
+            if not dname.startswith("cell=") or not os.path.isdir(pdir):
+                continue
+            files = sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+            if files:
+                prior_files[int(dname.split("=")[1])] = files
+    mref = ray.put((C, books))
+
+    class _Encode:
+        def __init__(self):
+            self.C, self.books = ray.get(mref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            col = t.column(vec_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            mat = _normalize(col.values.to_numpy(
+                zero_copy_only=False
+            ).astype(np.float64).reshape(t.num_rows, dim))
+            cell = np.argmax(mat @ self.C.T, axis=1).astype(np.int64)
+            resid = mat - self.C[cell]
+            codes = _assign_pq_codes(resid, self.books)  # (n, m)
+            return pa.table({
+                "id": t.column(id_col).cast(pa.int64()),
+                "cell": pa.array(cell),
+                "codes": pa.array(codes.tolist(),
+                                  pa.list_(pa.int64())),
+            })
+
+    def write_cell(g: pa.Table) -> pa.Table:
+        cell = int(g.column("cell")[0].as_py())
+        have: set = set()
+        for f in prior_files.get(cell, []):  # driver-time snapshot ONLY
+            have.update(pq.read_table(f, columns=["id"]).column(
+                "id").to_pylist())
+        if have:
+            mask = [i not in have for i in g.column("id").to_pylist()]
+            g = g.filter(pa.array(mask))
+        if g.num_rows == 0:
+            return pa.table({"cell": pa.array([cell], pa.int64()),
+                             "rows": pa.array([0], pa.int64())})
+        out = g.drop_columns(["cell"]).sort_by([("id", "ascending")])
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, out.schema) as w:
+            w.write_table(out)
+        fp = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        pdir = os.path.join(index_dir, f"cell={cell}")
+        os.makedirs(pdir, exist_ok=True)
+        tmp = os.path.join(pdir, f".run-{fp}.tmp-{os.getpid()}")
+        pq.write_table(out, tmp)
+        os.replace(tmp, os.path.join(pdir, f"run-{fp}.parquet"))
+        return pa.table({"cell": pa.array([cell], pa.int64()),
+                         "rows": pa.array([out.num_rows], pa.int64())})
+
+    write_cell.__name__ = "ivfpq_cell_write"
+    lineage = (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(_Encode, batch_format="pyarrow", batch_size=4096,
+                     concurrency=concurrency)
+        .groupby("cell")
+        .map_groups(write_cell, batch_format="pyarrow")
+        .take_all()
+    )
+    return {"cells": len(lineage),
+            "rows": int(sum(r["rows"] for r in lineage))}
+
+
+def knn_ivfpq_search(
+    index_dir: str,
+    queries: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> "object":
+    """IVF-PQ search over a built index (the IVFADC read path): per query,
+    probe the ``nprobe`` nearest cells (ties: lower cell id); read ONLY
+    those cells' parquet partitions; approximate distance by residual ADC
+    — adist(q, x) = sum_i LUT[q, cell][i, codes_i] with LUT the exact
+    (m x ks) squared distances from the query's per-cell residual
+    (q_norm - centroid[cell]) to the codebooks, computed on the driver
+    (Q x probed x m x ks doubles) and broadcast once. Local top-k per
+    batch, one bounded groupby(query_id) global reduce, ties ascending
+    id. Corpus codes never move beyond the probed partitions; vector
+    payloads were never stored at all."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    C, books = ivfpq_fit_or_load(index_dir, None)
+    m = books.shape[0]
+    d = books.shape[2]
+    Q = _normalize(np.asarray(queries, dtype=np.float64))
+    sims = Q @ C.T
+    probe: list[np.ndarray] = []
+    for row in sims:
+        order = np.lexsort((np.arange(len(row)), -row))[:nprobe]
+        probe.append(np.sort(order.astype(np.int64)))
+    wanted = sorted({int(c) for p in probe for c in p})
+    # LUT[qi][cell] = (m, ks) residual distance table
+    lut = {
+        (qi, int(c)): np.stack([
+            (((Q[qi] - C[c])[i * d:(i + 1) * d][None, :]
+              - books[i]) ** 2).sum(axis=-1)
+            for i in range(m)
+        ])
+        for qi in range(len(Q)) for c in probe[qi]
+    }
+    files = []
+    for c in wanted:
+        pdir = os.path.join(index_dir, f"cell={c}")
+        if os.path.isdir(pdir):
+            files += sorted(
+                os.path.join(pdir, f) for f in os.listdir(pdir)
+                if f.endswith(".parquet")
+            )
+    empty = pa.table({
+        "query_id": pa.array([], pa.int64()),
+        id_col: pa.array([], pa.int64()),
+        "adist": pa.array([], pa.float64()),
+    })
+    if not files:
+        return rd.from_arrow(empty)
+    probe_ref = ray.put((probe, lut))
+
+    def cell_of_path(path: str) -> int:
+        return int(os.path.basename(os.path.dirname(path)).split("=")[1])
+
+    class _Score:
+        def __init__(self):
+            self.probe, self.lut = ray.get(probe_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            cellv = np.asarray(
+                [cell_of_path(p) for p in t.column("path").to_pylist()],
+                np.int64,
+            )
+            ids = t.column("id").to_numpy(zero_copy_only=False)
+            codes = np.asarray(
+                t.column("codes").to_pylist(), np.int64
+            )  # (n, m)
+            out_q, out_i, out_d = [], [], []
+            for qi, cells in enumerate(self.probe):
+                q_idx: list = []
+                q_ad: list = []
+                for c in cells:  # vectorized LUT gather per (query, cell)
+                    idx = np.flatnonzero(cellv == c)
+                    if not len(idx):
+                        continue
+                    tab = self.lut[(qi, int(c))]
+                    ad = np.zeros(len(idx), np.float64)
+                    for i in range(m):  # fixed order: deterministic sums
+                        ad += tab[i][codes[idx, i]]
+                    q_idx.append(idx)
+                    q_ad.append(ad)
+                if not q_idx:
+                    continue
+                idx = np.concatenate(q_idx)
+                ad = np.concatenate(q_ad)
+                top = np.lexsort((ids[idx], ad))[: min(k, len(ad))]
+                out_q.append(np.full(len(top), qi, np.int64))
+                out_i.append(ids[idx][top])
+                out_d.append(ad[top])
+            if not out_q:
+                return empty
+            return pa.table({
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_i)),
+                "adist": pa.array(np.concatenate(out_d)),
+            })
+
+    cands = rd.read_parquet(files, include_paths=True).map_batches(
+        _Score, batch_format="pyarrow", batch_size=4096,
+        concurrency=(1, 8),
+    )
+
+    def reduce_topk(g: pa.Table) -> pa.Table:
+        ad = g.column("adist").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ad))[:k]
+        return g.take(pa.array(order))
+
+    return cands.groupby("query_id").map_groups(
+        reduce_topk, batch_format="pyarrow"
+    )

@@ -4265,6 +4265,53 @@ def knn_pq_embeddings(sf_dir: str):
     )
 
 
+def knn_ivfpq(sf_dir: str):
+    """IVF-PQ composed index (FAISS IVFADC shape, Jegou et al. 2011:
+    coarse cells + per-cell PQ residual codes —
+    functions/similarity.ivfpq_index_build / knn_ivfpq_search): the index
+    is built INCREMENTALLY in two runs (first half of the corpus, then
+    the full set — the second run reloads the persisted model and appends
+    only unseen ids, the dedup-index posture), then queries probe their
+    3 nearest cells and ADC-score only those cells' partitions. Oracle:
+    sequential one-shot replay with the shared deterministic kernels —
+    equality also proves two-run incremental == one-shot build."""
+    import os as _os
+    import tempfile
+
+    import pyarrow.parquet as pqt
+
+    from ..fixtures import ivfpq_knn_oracle_sidecar
+    from ..functions.train import _vec_matrix
+
+    ivfpq_knn_oracle_sidecar(sf_dir, n_queries=3, k=10, n_cells=8, m=8,
+                             ks=16, nprobe=3)
+    path = _os.path.join(sf_dir, "embeddings.parquet")
+    t = pqt.read_table(path, columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    train = _vec_matrix(t, "embedding")[order]
+    half = int(ids.max()) // 2
+    index_dir = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def first_half(t2: pa.Table) -> pa.Table:
+        return t2.filter(
+            pc.less(t2.column("vec_id"), pa.scalar(half, pa.int64()))
+        )
+
+    first_half.__name__ = "first_half_ids"
+    sim.ivfpq_index_build(
+        ds.map_batches(first_half, batch_format="pyarrow", batch_size=None),
+        index_dir, train_matrix=train, n_cells=8, m=8, ks=16,
+    )
+    # run 2: full corpus — model reloaded, only unseen ids appended
+    sim.ivfpq_index_build(ds, index_dir)
+    out = sim.knn_ivfpq_search(index_dir, train[:3], k=10, nprobe=3)
+    return out.map_batches(
+        _round_cols({"adist": 6}), batch_format="pyarrow", batch_size=None
+    )
+
+
 def cooc_embed_documents(sf_dir: str):
     """Word-embedding TRAINING from corpus co-occurrence (GloVe-family
     shape; functions/train.cooc_embed_train): exact distributed

@@ -1766,3 +1766,30 @@ def test_remove_dup_spans_matches_bruteforce_and_partitioning(ray_session):
         assert got == want, f"parts={parts}"
     assert want[100] == "zz yy xx ww vv"  # canonical occurrence kept
     assert want[101] == "qq pp"
+
+
+def test_ivfpq_incremental_rebuild_adds_nothing(ray_session, tmp_path):
+    """A replayed ivfpq_index_build over an already-indexed corpus appends
+    zero rows (per-cell prior-id snapshot + content-named files), and the
+    persisted model is reloaded rather than refit."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.similarity import (ivfpq_fit_or_load,
+                                                  ivfpq_index_build)
+
+    rng = np.random.default_rng(5)
+    n, dim = 64, 16
+    mat = rng.normal(size=(n, dim))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array(mat.tolist(), pa.list_(pa.float64())),
+    })
+    idx = str(tmp_path / "ivfpq")
+    ds = rd.from_arrow(t)
+    r1 = ivfpq_index_build(ds, idx, train_matrix=mat, n_cells=4, m=4, ks=8)
+    assert r1["rows"] == n
+    r2 = ivfpq_index_build(ds, idx)  # replay: model reloaded, nothing new
+    assert r2["rows"] == 0
+    C1, B1 = ivfpq_fit_or_load(idx, None)
+    C2, B2 = ivfpq_fit_or_load(idx, mat[:10])  # train ignored: model exists
+    assert np.array_equal(C1, C2) and np.array_equal(B1, B2)
