@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": demo.pca_embeddings,
         "bpe_train_documents": demo.bpe_train_documents,
         "bpe_apply_documents": demo.bpe_apply_documents,
+        "export_tokenized_shards": demo.export_tokenized_shards,
         "unigram_train_documents": demo.unigram_train_documents,
         "unigram_apply_documents": demo.unigram_apply_documents,
         "pq_codes_embeddings": demo.pq_codes_embeddings,
@@ -2170,6 +2171,13 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": """
             SELECT query_id, vec_id, adist
             FROM read_parquet('/tmp/gobblin_ray_fixtures/ivfpq_knn_oracle.parquet')
+        """,
+        # Tokenized export: sequential train+encode+pack replay; the Ray
+        # side reads BACK the written shard files, so equality proves the
+        # landed trainable data (id sequences), not intent.
+        "export_tokenized_shards": """
+            SELECT bin_id, n_docs, n_tokens, ids_md5
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/token_export_oracle.parquet')
         """,
         "knn_pq_embeddings": """
             SELECT query_id, vec_id, adist

@@ -123,6 +123,7 @@ QUERY_NAMES = [
     "cdc_ingest_neardup",
     "dedup_spans_remove",
     "knn_ivfpq",
+    "export_tokenized_shards",
 ]
 
 

@@ -497,6 +497,15 @@ def main(argv: list[str] | None = None) -> int:
                          "bigram KN LM on the curated lineage and keep "
                          "this lowest-nll (most fluent) fraction (runs "
                          "after dedup, before DSIR)")
+    sp.add_argument("--emit-tokens", default=None, metavar="MERGES_PARQUET",
+                    help="emit TRAINABLE token shards instead of text: "
+                         "encode the curated docs to BPE token-id "
+                         "sequences under this train-tokenizer artifact, "
+                         "pack into contiguous --pack-budget bins, and "
+                         "shard the bins (each shard file carries "
+                         "bin_id + token_ids)")
+    sp.add_argument("--pack-budget", type=int, default=4096,
+                    help="token budget per packed training bin")
     sp.add_argument("--tag", default=None,
                     help="prep AS OF the named tag's manifest")
     sp.add_argument("--table", default=None,
@@ -738,10 +747,44 @@ def main(argv: list[str] | None = None) -> int:
                     keep_frac=args.dsir_keep_frac,
                     concurrency=(1, 8),
                 ).drop_columns(["is_target"])
-            lineage = shuffle_shard_export(
-                kept, args.out_dir, n_shards=args.shards, key_col="url",
-                salt=args.salt, columns=["url", "text", "lang"],
-            )
+            if args.emit_tokens:
+                # trainable-data leg: curated docs -> BPE token-id
+                # sequences under the train-tokenizer artifact ->
+                # contiguous packed bins -> sharded bin export (the
+                # tokenizer-to-training chain of export_tokenized_shards)
+                import pyarrow.parquet as _pq2
+
+                from .engine import stable_hash_u64
+                from .functions.train import bpe_encode_ids, pack_token_bins
+
+                merges = _pq2.read_table(args.emit_tokens)
+
+                def add_tid(t: pa.Table) -> pa.Table:
+                    # pack order needs an int64 key: the url hash (same
+                    # collision posture as --near-dedup's _nid)
+                    tid = stable_hash_u64(t.column("url")).astype(
+                        "int64", copy=False
+                    )
+                    return t.append_column("_tid", pa.array(tid))
+
+                add_tid.__name__ = "url_to_pack_id"
+                ids = bpe_encode_ids(
+                    kept.map_batches(add_tid, batch_format="pyarrow",
+                                     batch_size=None).materialize(),
+                    merges, text_col="text", id_col="_tid",
+                )
+                bins = pack_token_bins(ids, budget=args.pack_budget,
+                                       id_col="_tid")
+                lineage = shuffle_shard_export(
+                    bins, args.out_dir, n_shards=args.shards,
+                    key_col="bin_id",
+                    columns=["bin_id", "token_ids", "n_docs", "n_tokens"],
+                )
+            else:
+                lineage = shuffle_shard_export(
+                    kept, args.out_dir, n_shards=args.shards, key_col="url",
+                    salt=args.salt, columns=["url", "text", "lang"],
+                )
             rows = lineage.count()
             print(json.dumps({
                 "out_dir": args.out_dir, "shards": args.shards,

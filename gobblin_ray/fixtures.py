@@ -1150,6 +1150,80 @@ def bpe_oracle_sidecar(sf_dir: str, n_merges: int = 40,
 
 
 BPE_APPLY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "bpe_apply_oracle.parquet")
+TOKEN_EXPORT_ORACLE_PATH = os.path.join(FIXTURE_DIR, "token_export_oracle.parquet")
+
+
+def tokenized_export_oracle_sidecar(sf_dir: str, n_merges: int = 40,
+                                    budget: int = 512,
+                                    path: str = TOKEN_EXPORT_ORACLE_PATH
+                                    ) -> str:
+    """Sequential replay of the tokenized-shard export chain: independent
+    word recount -> published merge loop -> per-doc token-ID encode under
+    the SHARED symbol-id convention (train.bpe_symbol_ids /
+    _bpe_word_ids) in doc_id order -> exclusive-cumsum budget bins ->
+    per-bin (n_docs, n_tokens, md5 of the comma-joined id sequence).
+    Oracles ``export_tokenized_shards``: the distributed result is read
+    back FROM the written shard files, so equality proves the landed
+    trainable data, not intent."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import (_bpe_word_ids, bpe_merge_loop,
+                                  bpe_symbol_ids)
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    order = np.argsort(
+        t.column("doc_id").to_numpy(zero_copy_only=False), kind="stable"
+    )
+    texts = t.column("text").to_pylist()
+    rows = [(int(t.column("doc_id")[int(j)].as_py()), texts[int(j)])
+            for j in order]
+    counts: Counter = Counter()
+    for _d, s in rows:
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    merges = bpe_merge_loop(dict(counts), n_merges)
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+    sym_ids = bpe_symbol_ids([(m[1], m[2]) for m in merges])
+    cache: dict = {}
+
+    def ids_of(w: str) -> list:
+        if w not in cache:
+            cache[w] = _bpe_word_ids(w, ranks, sym_ids)
+        return cache[w]
+
+    doc_ids = []
+    for _d, s in rows:
+        ids: list = []
+        for w in (s or "").split(" "):
+            if w:
+                ids += ids_of(w)
+        doc_ids.append(ids)
+    lens = np.array([len(x) for x in doc_ids], np.int64)
+    excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bins = excl // int(budget)
+    out_rows: dict = {}
+    for b, ids in zip(bins, doc_ids):
+        r = out_rows.setdefault(int(b), [0, []])
+        r[0] += 1
+        r[1] += ids
+    keys = sorted(out_rows)
+    out = pa.table({
+        "bin_id": pa.array(keys, pa.int64()),
+        "n_docs": pa.array([out_rows[k][0] for k in keys], pa.int64()),
+        "n_tokens": pa.array([len(out_rows[k][1]) for k in keys],
+                             pa.int64()),
+        "ids_md5": pa.array([
+            hashlib.md5(",".join(map(str, out_rows[k][1])).encode()
+                        ).hexdigest()
+            for k in keys
+        ], pa.string()),
+    })
+    return _write(out, path)
 
 
 def bpe_apply_oracle_sidecar(sf_dir: str, n_merges: int = 40,

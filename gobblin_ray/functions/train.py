@@ -1359,3 +1359,150 @@ def perplexity_select(
     keep_below.__name__ = "ppl_keep_below_threshold"
     return scored.map_batches(keep_below, batch_format="pyarrow",
                               batch_size=None)
+
+
+# ----------------------------------------------------- tokenized export
+
+_EOW_ID = 999_999  # the "</w>" end-of-word base symbol
+_MERGE_ID_BASE = 1_000_000
+
+
+def bpe_symbol_ids(pairs: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic symbol -> token-id table for a trained BPE merge
+    list: single characters use their Unicode codepoint, "</w>" gets the
+    fixed ``_EOW_ID``, and the merge at rank r mints symbol left+right
+    with id ``_MERGE_ID_BASE + r`` (first rank wins when two merges mint
+    the same string). Total by construction: every multi-character symbol
+    ``bpe_encode_word`` can emit is the product of some listed merge.
+    Shared by the distributed encoder and the sequential export oracle —
+    one id convention, both sides."""
+    ids: dict[str, int] = {"</w>": _EOW_ID}
+    for r, (left, right) in enumerate(pairs):
+        ids.setdefault(left + right, _MERGE_ID_BASE + r)
+    return ids
+
+
+def _bpe_word_ids(word: str, ranks: dict, sym_ids: dict) -> list[int]:
+    return [
+        sym_ids[s] if s in sym_ids else ord(s)
+        for s in bpe_encode_word(word, ranks)
+    ]
+
+
+def bpe_encode_ids(ds, merges, text_col: str = "text",
+                   id_col: str = "doc_id", concurrency=(1, 8)):
+    """TOKEN-ID encoding of a corpus under trained BPE merges — the
+    trainable-data sibling of ``bpe_apply`` (which only counts): one row
+    per doc with its full subword id sequence. Same scale shape: merge
+    ranks + symbol table broadcast ONCE via ``ray.put``; each batch
+    encodes only its DISTINCT words (cache bounded by vocabulary) and
+    concatenates per-word id lists in word order. Returns
+    (id_col, token_ids list<int64>, n_tokens)."""
+    import ray
+
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges.column("left").to_pylist(),
+                         merges.column("right").to_pylist()))
+    else:
+        pairs = [(m[1], m[2]) for m in merges]
+    ranks = {p: i for i, p in enumerate(pairs)}
+    ref = ray.put((ranks, bpe_symbol_ids(pairs)))
+
+    class _EncodeIds:
+        def __init__(self):
+            self.ranks, self.sym_ids = ray.get(ref)
+            self.cache: dict[str, list[int]] = {}
+
+        def _ids(self, w: str) -> list[int]:
+            got = self.cache.get(w)
+            if got is None:
+                got = self.cache[w] = _bpe_word_ids(
+                    w, self.ranks, self.sym_ids
+                )
+            return got
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(text_col).to_pylist()
+            out = []
+            for txt in texts:
+                ids: list[int] = []
+                for w in (txt or "").split(" "):
+                    if w:  # same empty-word skip as bpe_apply / training
+                        ids += self._ids(w)
+                out.append(ids)
+            return pa.table({
+                id_col: t.column(id_col),
+                "token_ids": pa.array(out, pa.list_(pa.int64())),
+                "n_tokens": pa.array(
+                    np.array([len(x) for x in out], np.int64)
+                ),
+            })
+
+    return ds.map_batches(
+        _EncodeIds, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency,
+    )
+
+
+def pack_token_bins(ids_ds, budget: int = 4096, id_col: str = "doc_id"):
+    """Pack encoded docs into contiguous fixed-token-budget TRAINING BINS
+    (the emit half of text.pack_sequences, which only assigns bin ids):
+    docs in ``id_col`` order, bin boundary where the exclusive running
+    token count crosses ``budget`` (Raffel et al. 2020 T5 packing), one
+    output row per bin with the concatenated id sequence. Same
+    prefix-sum shape as pack_sequences: a 16-byte/doc projection drives a
+    driver-side exclusive cumsum (documented scale bound — hierarchical
+    scan at 10^10 docs), the doc->bin map broadcasts once, and one
+    bounded groupby(bin_id) folds each bin's docs in id order. Returns
+    (bin_id, token_ids, n_docs, n_tokens). The input is consumed twice
+    (projection + attach) — it is materialized here so the encode stage
+    runs once."""
+    import ray
+
+    ids_ds = ids_ds.materialize()
+    proj = (
+        ids_ds.select_columns([id_col, "n_tokens"])
+        .to_pandas().sort_values(id_col).reset_index(drop=True)
+    )
+    toks = proj["n_tokens"].to_numpy(dtype=np.int64)
+    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
+    proj["bin_id"] = excl // int(budget)
+    # searchsorted lookup, not an Arrow join: the hash join rejects list
+    # payload columns (token_ids), and the map is already sorted by id
+    bins_ref = ray.put((proj[id_col].to_numpy(dtype=np.int64),
+                        proj["bin_id"].to_numpy(dtype=np.int64)))
+
+    class AttachBin:
+        def __init__(self):
+            self.ids_sorted, self.bin_of = ray.get(bins_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            pos = np.searchsorted(self.ids_sorted, ids)
+            return t.append_column(
+                "bin_id", pa.array(self.bin_of[pos], pa.int64())
+            )
+
+    def fold_bin(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(id_col, "ascending")])
+        seqs = g.column("token_ids").to_pylist()
+        flat: list[int] = []
+        for s in seqs:
+            flat += s
+        return pa.table({
+            "bin_id": pa.array([int(g.column("bin_id")[0].as_py())],
+                               pa.int64()),
+            "token_ids": pa.array([flat], pa.list_(pa.int64())),
+            "n_docs": pa.array([g.num_rows], pa.int64()),
+            "n_tokens": pa.array([len(flat)], pa.int64()),
+        })
+
+    fold_bin.__name__ = "fold_token_bin"
+    return (
+        ids_ds.map_batches(AttachBin, batch_format="pyarrow",
+                           batch_size=None, concurrency=(1, 8))
+        .groupby("bin_id")
+        .map_groups(fold_bin, batch_format="pyarrow")
+    )

@@ -4186,6 +4186,57 @@ def compression_ratio_documents(sf_dir: str):
     )
 
 
+def export_tokenized_shards(sf_dir: str):
+    """Tokenized shard export end-to-end — the product chain that emits
+    TRAINABLE data, not just curated text: distributed BPE train ->
+    token-ID encode (train.bpe_encode_ids, shared symbol-id convention)
+    -> contiguous 512-token bin packing (train.pack_token_bins) ->
+    deterministic shuffle-shard export of the bins -> READ BACK from the
+    written shard files, per-bin (n_docs, n_tokens, md5 of the id
+    sequence). Oracle: sequential train+encode+pack replay — equality
+    proves the landed files carry the exact id sequences."""
+    import hashlib
+    import os as _os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..fixtures import tokenized_export_oracle_sidecar
+    from ..functions import train as tr
+    from ..stages.sink import shuffle_shard_export
+
+    tokenized_export_oracle_sidecar(sf_dir, n_merges=40, budget=512)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = tr.bpe_train(ds, n_merges=40)
+    ids = tr.bpe_encode_ids(ds, merges)
+    bins = tr.pack_token_bins(ids, budget=512)
+    out = _os.path.join(tempfile.gettempdir(),
+                        "gobblin_ray_sidecar", "token_shards")
+    shutil.rmtree(out, ignore_errors=True)
+    shuffle_shard_export(
+        bins, out, n_shards=4, key_col="bin_id",
+        columns=["bin_id", "token_ids", "n_docs", "n_tokens"],
+    )
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(",".join(map(str, ids_)).encode()).hexdigest()
+            for ids_ in t.column("token_ids").to_pylist()
+        ]
+        return pa.table({
+            "bin_id": t.column("bin_id"),
+            "n_docs": t.column("n_docs"),
+            "n_tokens": t.column("n_tokens"),
+            "ids_md5": pa.array(md5s, pa.string()),
+        })
+
+    digest.__name__ = "digest_token_bins"
+    return rd.read_parquet(out).map_batches(
+        digest, batch_format="pyarrow", batch_size=None
+    )
+
+
 def unigram_train_documents(sf_dir: str):
     """SentencePiece-style unigram-LM tokenizer training (Kudo 2018,
     Viterbi-EM variant; functions/train.unigram_train): distributed word

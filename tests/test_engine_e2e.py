@@ -2301,3 +2301,79 @@ def test_train_tokenizer_cli(ray_session, tmp_path, capsys):
     capsys.readouterr()
     got2 = pq.read_table(out2)
     assert got2.column_names == ["piece", "prob"] and got2.num_rows > 0
+
+
+def test_prep_emit_tokens_cli(ray_session, tmp_path_factory, capsys):
+    """`cli prep --emit-tokens`: curated lake -> BPE token-id encode
+    under a train-tokenizer artifact -> packed bins -> bin shards whose
+    files carry exact id sequences (checked against a sequential encode
+    of the same curated corpus with the shared kernels)."""
+    import json
+    import os
+
+    from gobblin_ray.cli import main as cli_main
+    from gobblin_ray.engine import stable_hash_u64
+    from gobblin_ray.functions.train import (_bpe_word_ids, bpe_symbol_ids,
+                                             pack_token_bins)  # noqa: F401
+
+    d = str(tmp_path_factory.mktemp("tokcorpus"))
+    synth.write_corpus(d, n_pages=40, n_events=300, shard_rows=150)
+    lake = str(tmp_path_factory.mktemp("lake_tok"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=150))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    tok = str(tmp_path_factory.mktemp("tok")) + "/merges.parquet"
+    live_path = str(tmp_path_factory.mktemp("live")) + "/live.parquet"
+    pq.write_table(eng.read_table_arrow(), live_path)
+    assert cli_main(["train-tokenizer", live_path, tok, "--kind", "bpe",
+                     "--merges", "20"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path_factory.mktemp("tokshards"))
+    rc = cli_main(["prep", lake, out, "--shards", "2", "--min-chars",
+                   "10", "--emit-tokens", tok, "--pack-budget", "64"])
+    assert rc == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    # sequential replay over the same curated corpus (gate + exact dedup
+    # by text keeping min url), shared id kernels
+    live = eng.read_table_arrow()
+    seen, docs = set(), []
+    rows = sorted(
+        zip(live.column("url").to_pylist(), live.column("text").to_pylist()),
+    )
+    for url, text in rows:
+        if text is None or len(text) < 10 or text in seen:
+            continue
+        seen.add(text)
+        docs.append((url, text))
+    merges_t = pq.read_table(tok)
+    pairs = list(zip(merges_t.column("left").to_pylist(),
+                     merges_t.column("right").to_pylist()))
+    ranks = {p: i for i, p in enumerate(pairs)}
+    sym = bpe_symbol_ids(pairs)
+    by_tid = {}
+    for url, text in docs:
+        tid = int(stable_hash_u64(pa.array([url])).astype("int64")[0])
+        ids = []
+        for w in text.split(" "):
+            if w:
+                ids += _bpe_word_ids(w, ranks, sym)
+        by_tid[tid] = ids
+    order = sorted(by_tid)
+    lens = np.array([len(by_tid[t]) for t in order], np.int64)
+    excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bins = {}
+    for b, t in zip(excl // 64, order):
+        bins.setdefault(int(b), []).extend(by_tid[t])
+
+    got = {}
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out, f))
+            for b, ids in zip(t.column("bin_id").to_pylist(),
+                              t.column("token_ids").to_pylist()):
+                got[b] = ids
+    assert rep["rows"] == len(bins)
+    assert got == bins  # landed files carry the exact id sequences
