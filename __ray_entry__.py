@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_partition_counts": demo.time_partition_counts,
         "partitioned_sink_counts": demo.partitioned_sink_counts,
         "export_roundtrip_counts": demo.export_roundtrip_counts,
+        "orc_export_roundtrip": demo.orc_export_roundtrip,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
         # grok parsing (§2.3) / config-driven assembly (§2.11)
@@ -509,6 +510,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(event_id) AS BIGINT) AS sum_csv,
                    CAST(count(*) AS BIGINT) AS n_jsonl,
                    CAST(sum(event_id) AS BIGINT) AS sum_jsonl
+            FROM events GROUP BY event_type
+        """,
+        # ORC write+read roundtrip: typed columns survive ORC exactly
+        "orc_export_roundtrip": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
         """,
         "partitioned_sink_counts": """

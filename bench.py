@@ -124,6 +124,7 @@ QUERY_NAMES = [
     "dedup_spans_remove",
     "knn_ivfpq",
     "export_tokenized_shards",
+    "orc_export_roundtrip",
 ]
 
 

@@ -380,6 +380,42 @@ def export_roundtrip_counts(sf_dir: str):
     })
 
 
+def orc_export_roundtrip(sf_dir: str):
+    """ORC format parity — the write half (stages/sink.export_orc,
+    GobblinOrcWriter analog) composed with the existing ORC source
+    (sources/readers.read_orc_source): stream events out as a directory
+    of ORC files (one per block, distributed, content-named tmp+rename),
+    read them back through the engine's ORC reader, and aggregate per
+    event_type (count, int64 sum, float64 sum rounded). Typed columns
+    round-trip ORC exactly, so the oracle is one GROUP BY over the
+    original parquet."""
+    import os
+    import shutil
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.readers import read_orc_source
+    from ..stages.sink import export_orc
+
+    out = os.path.join(
+        "/tmp", f"gobblin_orc_{os.path.basename(os.path.normpath(sf_dir))}"
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    export_orc(ds, out).materialize()  # drive the distributed write
+    back = read_orc_source(out)
+    agg = back.groupby("event_type").aggregate(
+        Count(alias_name="n"),
+        Sum("event_id", alias_name="sum_id"),
+        Sum("value", alias_name="sum_value"),
+    )
+    return agg.map_batches(
+        _round_cols({"sum_value": 4}), batch_format="pyarrow",
+        batch_size=None,
+    )
+
+
 def partitioned_sink_counts(sf_dir: str):
     """AsyncWriterManager / PartitionedDataWriter analog (SURVEY §2.2):
     stream events through the actor-pool Parquet sink partitioned by

@@ -100,3 +100,101 @@ def limited(ds, rows_per_sec: float, concurrency: int = 2, batch_size: int = 409
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ThrottleService:
+    """CLUSTER-WIDE token-bucket service — the shared-throttling analog of
+    the reference's standalone throttling service
+    (gobblin-restli/gobblin-restli-throttling/, where multiple jobs'
+    limiters draw permits from ONE server-side bucket): a single Ray
+    actor holds the budget, and ANY number of concurrent pipelines (or
+    stages within one pipeline) consume from it via ``SharedRateLimiter``
+    stages holding the same actor handle.
+
+    Contrast ``limited()``: that splits a budget statically across one
+    pool's actors; this enforces one budget across pools whose sizes and
+    lifetimes the caller does not control — two pipelines sharing a
+    ThrottleService together run at ``rows_per_sec``, not 2x.
+
+    The bucket refills continuously (rate * elapsed, capped at
+    ``burst``); ``acquire(n)`` DEBITS n permits immediately and returns
+    the seconds the caller must sleep before proceeding (0.0 when the
+    bucket covered it) — the "pay then wait" scheme keeps the actor call
+    non-blocking (one tiny RPC per batch) so a slow consumer can never
+    stall the service for others. Overdraft is bounded by one batch per
+    consumer, the same burst posture as ``RateLimiter``."""
+
+    def __init__(self, rows_per_sec: float, burst: float | None = None):
+        assert rows_per_sec > 0
+        self.rate = float(rows_per_sec)
+        self.burst = float(burst if burst is not None else rows_per_sec)
+        self.level = self.burst  # start full: first batches pass free
+        self.at = time.monotonic()
+        self.granted = 0  # lifetime permits, for audit/metrics
+
+    def acquire(self, n: int) -> float:
+        now = time.monotonic()
+        self.level = min(self.burst, self.level + (now - self.at) * self.rate)
+        self.at = now
+        self.level -= n  # may go negative: the debt is the wait
+        self.granted += n
+        if self.level >= 0:
+            return 0.0
+        return -self.level / self.rate
+
+    def stats(self) -> dict:
+        return {"granted": self.granted, "level": self.level,
+                "rate": self.rate, "burst": self.burst}
+
+
+def start_throttle_service(rows_per_sec: float, burst: float | None = None,
+                           name: str | None = None):
+    """Start the shared bucket actor. Pass ``name`` to make it reachable
+    from other drivers via ``ray.get_actor(name)`` (the cross-JOB
+    sharing the reference's throttling server provides); anonymous
+    handles still shard one budget across pipelines of one driver."""
+    import ray
+
+    cls = ray.remote(num_cpus=0)(ThrottleService)
+    if name:
+        return cls.options(name=name, get_if_exists=True).remote(
+            rows_per_sec, burst
+        )
+    return cls.remote(rows_per_sec, burst)
+
+
+class SharedRateLimiter:
+    """map_batches stage drawing permits from a ThrottleService handle:
+    one ``acquire(len(batch))`` RPC per batch, then sleep whatever the
+    service says. Works from any number of pools/pipelines concurrently —
+    the service, not the pool size, enforces the global rate."""
+
+    def __init__(self, service):
+        self.service = service
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray
+
+        wait = ray.get(self.service.acquire.remote(len(batch)))
+        if wait > 0:
+            time.sleep(wait)
+        return batch
+
+
+def limited_shared(ds, service, concurrency: int = 2,
+                   batch_size: int = 4096, num_cpus: float | None = None):
+    """Apply a CLUSTER-WIDE rows/sec cap from a ThrottleService: unlike
+    ``limited()``, several datasets may pass the same ``service`` and
+    their combined throughput honors the one budget. The stage mostly
+    sleeps — pass a fractional ``num_cpus`` (e.g. 0.25) when several
+    pipelines' limiter pools must coexist on a small cluster without
+    starving the upstream tasks."""
+    kw = {} if num_cpus is None else {"num_cpus": num_cpus}
+    return ds.map_batches(
+        SharedRateLimiter,
+        fn_constructor_kwargs=dict(service=service),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        **kw,
+    )

@@ -341,6 +341,42 @@ def export_jsonl(ds, out_dir: str, **kw):
     return out_dir
 
 
+def export_orc(ds, out_dir: str, compression: str = "zstd"):
+    """ORC export sink — write-side parity with ``read_orc_source``
+    (GobblinOrcWriter analog,
+    gobblin-modules/gobblin-orc/.../writer/GobblinOrcWriter.java). Ray
+    Data ships no ORC writer, so each block writes ONE ORC file via
+    pyarrow.orc inside a distributed map task: tmp + atomic rename with a
+    content-fingerprint name, so a retried task overwrites the same file
+    (the FsDataWriter idempotence posture shared by every sink here; two
+    blocks with byte-identical content would collapse to one file — the
+    read-back lineage exposes that, and the roundtrip queries would
+    fail on it). Returns a lineage dataset of (path, rows) read from the
+    writes; consume it (count/take_all) to drive the export."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "rows": pa.array([], pa.int64())})
+        from pyarrow import orc
+
+        sink = pa.BufferOutputStream()
+        with pa.ipc.new_stream(sink, t.schema) as w:
+            w.write_table(t)
+        fp = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"block-{fp}.orc")
+        tmp = os.path.join(out_dir, f".block-{fp}.tmp-{os.getpid()}.orc")
+        orc.write_table(t, tmp, compression=compression)
+        os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string()),
+                         "rows": pa.array([t.num_rows], pa.int64())})
+
+    write_block.__name__ = "orc_block_write"
+    return ds.map_batches(write_block, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def shuffle_shard_export(
     ds,
     out_dir: str,

@@ -2323,3 +2323,61 @@ def test_shuffle_shard_export_clears_stale_output(ray_session, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 2  # stale shard-00002..7 removed
     assert sorted(r["doc_id"] for r in res) == list(range(120))
+
+
+# ------------------------------------------------- cluster-wide throttling
+
+def test_throttle_service_bucket_math(monkeypatch):
+    """Deterministic unit test of the shared token-bucket math (refill,
+    burst cap, pay-then-wait debt) with a controlled clock."""
+    from gobblin_ray.stages import limiter as lm
+
+    clock = {"t": 100.0}
+    monkeypatch.setattr(lm.time, "monotonic", lambda: clock["t"])
+    svc = lm.ThrottleService(rows_per_sec=100, burst=50)
+    assert svc.acquire(50) == 0.0          # burst covers it
+    assert svc.acquire(100) == 1.0         # 100-permit debt at 100/s
+    clock["t"] += 1.0                      # debt refilled exactly
+    assert svc.acquire(10) == 0.1
+    clock["t"] += 1000.0                   # refill caps at burst
+    assert svc.level + 10 / 100 * 100 <= 50 + 10  # never above burst
+    assert svc.acquire(50) == 0.0
+    assert svc.stats()["granted"] == 210
+
+
+def test_throttle_service_shared_across_pipelines(ray_session):
+    """Two CONCURRENT pipelines drawing from ONE ThrottleService together
+    honor the single budget (the gobblin-restli-throttling shared-server
+    semantics): 10k rows at 2000 rows/s with a 2000 burst cannot finish
+    faster than ~4 s, while independent per-pipeline budgets would finish
+    in ~half that. Lower-bound assert only (sleeps can stretch but never
+    shrink)."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from gobblin_ray.stages.limiter import (limited_shared,
+                                            start_throttle_service)
+
+    svc = start_throttle_service(rows_per_sec=2000, burst=2000)
+
+    def run_one(tag: int) -> int:
+        ds = rd.from_arrow(pa.table({
+            "x": pa.array(np.arange(5000) + tag, pa.int64())
+        })).repartition(10)
+        return limited_shared(ds, svc, concurrency=1, batch_size=500,
+                              num_cpus=0.25).count()
+
+    t0 = _time.monotonic()
+    with ThreadPoolExecutor(2) as ex:
+        counts = list(ex.map(run_one, [0, 1_000_000]))
+    elapsed = _time.monotonic() - t0
+    assert counts == [5000, 5000]
+    # one shared budget: (10000 - 2000 burst) / 2000 = 4 s floor (minus
+    # scheduling slack); a split-budget bug halves it
+    assert elapsed >= 3.0, f"finished in {elapsed:.2f}s — budget not shared"
+    assert ray.get(svc.stats.remote())["granted"] == 10000
