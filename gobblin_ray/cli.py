@@ -770,14 +770,16 @@ def main(argv: list[str] | None = None) -> int:
                 add_tid.__name__ = "url_to_pack_id"
                 ids = bpe_encode_ids(
                     kept.map_batches(add_tid, batch_format="pyarrow",
-                                     batch_size=None).materialize(),
+                                     batch_size=None),
                     merges, text_col="text", id_col="_tid",
-                )
+                )  # single consumer; pack_token_bins materializes the
+                # (id, token_ids) projection itself — no need to pin the
+                # full text corpus in the object store here
                 bins = pack_token_bins(ids, budget=args.pack_budget,
                                        id_col="_tid")
                 lineage = shuffle_shard_export(
                     bins, args.out_dir, n_shards=args.shards,
-                    key_col="bin_id",
+                    key_col="bin_id", salt=args.salt,
                     columns=["bin_id", "token_ids", "n_docs", "n_tokens"],
                 )
             else:

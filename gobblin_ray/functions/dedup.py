@@ -1613,10 +1613,9 @@ def dedup_minhash_incremental(
         out = g.drop_columns(["_ap"]).sort_by(
             [("anchor", "ascending"), ("doc", "ascending")]
         )
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, out.schema) as w:
-            w.write_table(out)
-        name = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        from ..kernels import content_fingerprint
+
+        name = content_fingerprint(out)
         tmp = os.path.join(pdir, f".run-{name}.tmp-{os.getpid()}")
         pq.write_table(out, tmp)
         os.replace(tmp, os.path.join(pdir, f"run-{name}.parquet"))
@@ -1837,10 +1836,9 @@ def neardup_ingest_verdicts(
         # fingerprint the sorted content: a retried task / re-executed
         # epoch must write the SAME name for the same logical content
         # (promote_sidecar dedups on name)
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, out.schema) as w:
-            w.write_table(out)
-        fp = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        from ..kernels import content_fingerprint
+
+        fp = content_fingerprint(out)
         name = f"{stage_prefix}part={part}.run-{fp}.parquet"
         tmp = os.path.join(stage_dir, f".{name}.tmp-{os.getpid()}")
         pq.write_table(out, tmp)

@@ -920,10 +920,9 @@ def ivfpq_index_build(
             return pa.table({"cell": pa.array([cell], pa.int64()),
                              "rows": pa.array([0], pa.int64())})
         out = g.drop_columns(["cell"]).sort_by([("id", "ascending")])
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, out.schema) as w:
-            w.write_table(out)
-        fp = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        from ..kernels import content_fingerprint
+
+        fp = content_fingerprint(out)
         pdir = os.path.join(index_dir, f"cell={cell}")
         os.makedirs(pdir, exist_ok=True)
         tmp = os.path.join(pdir, f".run-{fp}.tmp-{os.getpid()}")

@@ -1365,14 +1365,19 @@ def perplexity_select(
 
 _EOW_ID = 999_999  # the "</w>" end-of-word base symbol
 _MERGE_ID_BASE = 1_000_000
+_CHAR_HIGH_BASE = 2_000_000  # codepoints >= _EOW_ID (PUA/supplementary
+# planes appear in real web text) shift here so they can never alias the
+# merge-id space or _EOW_ID
 
 
 def bpe_symbol_ids(pairs: list[tuple[str, str]]) -> dict[str, int]:
     """Deterministic symbol -> token-id table for a trained BPE merge
-    list: single characters use their Unicode codepoint, "</w>" gets the
-    fixed ``_EOW_ID``, and the merge at rank r mints symbol left+right
-    with id ``_MERGE_ID_BASE + r`` (first rank wins when two merges mint
-    the same string). Total by construction: every multi-character symbol
+    list: single characters use their Unicode codepoint (codepoints at or
+    above ``_EOW_ID`` shift by ``_CHAR_HIGH_BASE`` so PUA/supplementary-
+    plane chars cannot alias merge ids), "</w>" gets the fixed
+    ``_EOW_ID``, and the merge at rank r mints symbol left+right with id
+    ``_MERGE_ID_BASE + r`` (first rank wins when two merges mint the same
+    string). Total by construction: every multi-character symbol
     ``bpe_encode_word`` can emit is the product of some listed merge.
     Shared by the distributed encoder and the sequential export oracle —
     one id convention, both sides."""
@@ -1384,7 +1389,8 @@ def bpe_symbol_ids(pairs: list[tuple[str, str]]) -> dict[str, int]:
 
 def _bpe_word_ids(word: str, ranks: dict, sym_ids: dict) -> list[int]:
     return [
-        sym_ids[s] if s in sym_ids else ord(s)
+        sym_ids[s] if s in sym_ids
+        else (ord(s) if ord(s) < _EOW_ID else _CHAR_HIGH_BASE + ord(s))
         for s in bpe_encode_word(word, ranks)
     ]
 

@@ -52,3 +52,20 @@ def duck_round(v, digits: int) -> np.ndarray:
     v = np.asarray(v, np.float64)
     p = float(10**digits)
     return np.copysign(np.floor(np.abs(v) * p + 0.5), v) / p
+
+
+def content_fingerprint(table: pa.Table) -> str:
+    """Deterministic 16-hex content name for an Arrow table: md5 over its
+    serialized IPC stream. The ONE definition behind every idempotent
+    sink/index file name (parquet sinks, ORC blocks, dedup/IVF-PQ index
+    runs): a retried task reproduces the same bytes -> same name -> safe
+    overwrite, never a duplicate file. Callers that shuffle must sort
+    BEFORE fingerprinting (group row order is shuffle-dependent). A local
+    copy that later diverges silently breaks the idempotence of every
+    other site — always call this."""
+    import hashlib
+
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    return hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]

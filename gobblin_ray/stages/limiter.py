@@ -157,9 +157,22 @@ def start_throttle_service(rows_per_sec: float, burst: float | None = None,
 
     cls = ray.remote(num_cpus=0)(ThrottleService)
     if name:
-        return cls.options(name=name, get_if_exists=True).remote(
+        h = cls.options(name=name, get_if_exists=True).remote(
             rows_per_sec, burst
         )
+        # get_if_exists ignores constructor args on attach: refuse a
+        # silent budget mismatch (a job asking for 100/s must not run at
+        # an earlier job's 2000/s)
+        got = ray.get(h.stats.remote())
+        want_burst = float(burst if burst is not None else rows_per_sec)
+        if got["rate"] != float(rows_per_sec) or got["burst"] != want_burst:
+            raise ValueError(
+                f"throttle service {name!r} already exists with "
+                f"rate={got['rate']}/burst={got['burst']} — requested "
+                f"{float(rows_per_sec)}/{want_burst}. Reuse it with the "
+                "matching arguments or pick a new name."
+            )
+        return h
     return cls.remote(rows_per_sec, burst)
 
 

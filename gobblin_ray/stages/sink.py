@@ -96,13 +96,12 @@ class PartitionedParquetSink:
         os.makedirs(out_dir, exist_ok=True)
 
     def _fingerprint(self, table: pa.Table) -> str:
-        """Deterministic content name: md5 over the serialized batch. A
-        retried task reproduces the same bytes -> same name -> idempotent
-        overwrite (never a duplicate file)."""
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, table.schema) as w:
-            w.write_table(table)
-        return hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        """Deterministic content name (shared kernels.content_fingerprint):
+        a retried task reproduces the same bytes -> same name ->
+        idempotent overwrite (never a duplicate file)."""
+        from ..kernels import content_fingerprint
+
+        return content_fingerprint(table)
 
     def _write_one(self, table: pa.Table, part_dir: str,
                    suffix: str = "") -> dict:
@@ -354,6 +353,12 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
     fail on it). Returns a lineage dataset of (path, rows) read from the
     writes; consume it (count/take_all) to drive the export."""
     os.makedirs(out_dir, exist_ok=True)
+    # stale-output clearing (the shuffle_shard_export invariant): a prior
+    # run's blocks this run won't rewrite would silently fold into the
+    # next read_orc_source scan and double-count
+    for f in os.listdir(out_dir):
+        if f.startswith(("block-", ".block-")):
+            os.remove(os.path.join(out_dir, f))
 
     def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -361,12 +366,13 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
                              "rows": pa.array([], pa.int64())})
         from pyarrow import orc
 
-        sink = pa.BufferOutputStream()
-        with pa.ipc.new_stream(sink, t.schema) as w:
-            w.write_table(t)
-        fp = hashlib.md5(sink.getvalue().to_pybytes()).hexdigest()[:16]
+        from ..kernels import content_fingerprint
+
+        fp = content_fingerprint(t)
         path = os.path.join(out_dir, f"block-{fp}.orc")
-        tmp = os.path.join(out_dir, f".block-{fp}.tmp-{os.getpid()}.orc")
+        # tmp name must NOT end in .orc: read_orc_source globs on the
+        # suffix, and a crashed attempt's partial tmp would poison reads
+        tmp = os.path.join(out_dir, f".block-{fp}.tmp-{os.getpid()}")
         orc.write_table(t, tmp, compression=compression)
         os.replace(tmp, path)
         return pa.table({"path": pa.array([path], pa.string()),
