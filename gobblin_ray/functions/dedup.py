@@ -420,6 +420,11 @@ def _verify_jaccard_broadcast(
     def build_text_map(idc: str, txc: str, *blocks: pa.Table) -> dict:
         out: dict = {}
         for t in blocks:
+            # a materialized dataset can carry 0-row blocks with an EMPTY
+            # schema (filter stages under memory pressure emit them);
+            # they contribute nothing to the map
+            if t.num_rows == 0 or idc not in t.schema.names:
+                continue
             ids = t.column(idc).to_numpy(zero_copy_only=False)
             txt = t.column(txc).to_pylist()
             out.update(zip((int(x) for x in ids), txt))
