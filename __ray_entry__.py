@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_sink_counts": demo.partitioned_sink_counts,
         "export_roundtrip_counts": demo.export_roundtrip_counts,
         "orc_export_roundtrip": demo.orc_export_roundtrip,
+        "throttled_count_events": demo.throttled_count_events,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
         # grok parsing (§2.3) / config-driven assembly (§2.11)
@@ -263,6 +264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_train_documents": demo.bpe_train_documents,
         "bpe_apply_documents": demo.bpe_apply_documents,
         "export_tokenized_shards": demo.export_tokenized_shards,
+        "export_unigram_ids": demo.export_unigram_ids,
         "unigram_train_documents": demo.unigram_train_documents,
         "unigram_apply_documents": demo.unigram_apply_documents,
         "pq_codes_embeddings": demo.pq_codes_embeddings,
@@ -510,6 +512,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(event_id) AS BIGINT) AS sum_csv,
                    CAST(count(*) AS BIGINT) AS n_jsonl,
                    CAST(sum(event_id) AS BIGINT) AS sum_jsonl
+            FROM events GROUP BY event_type
+        """,
+        # Shared-throttle data path: the bucket is transparent to rows
+        "throttled_count_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id
             FROM events GROUP BY event_type
         """,
         # ORC write+read roundtrip: typed columns survive ORC exactly
@@ -2180,6 +2189,12 @@ def oracle_sql() -> dict[str, str]:
         "knn_ivfpq": """
             SELECT query_id, vec_id, adist
             FROM read_parquet('/tmp/gobblin_ray_fixtures/ivfpq_knn_oracle.parquet')
+        """,
+        # Unigram token-ID export: sequential recount + shared EM +
+        # shared piece-id encoder
+        "export_unigram_ids": """
+            SELECT doc_id, n_tokens, ids_md5
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/unigram_ids_oracle.parquet')
         """,
         # Tokenized export: sequential train+encode+pack replay; the Ray
         # side reads BACK the written shard files, so equality proves the

@@ -125,6 +125,7 @@ QUERY_NAMES = [
     "knn_ivfpq",
     "export_tokenized_shards",
     "orc_export_roundtrip",
+    "export_unigram_ids",
 ]
 
 

@@ -1151,6 +1151,7 @@ def bpe_oracle_sidecar(sf_dir: str, n_merges: int = 40,
 
 BPE_APPLY_ORACLE_PATH = os.path.join(FIXTURE_DIR, "bpe_apply_oracle.parquet")
 TOKEN_EXPORT_ORACLE_PATH = os.path.join(FIXTURE_DIR, "token_export_oracle.parquet")
+UNIGRAM_IDS_ORACLE_PATH = os.path.join(FIXTURE_DIR, "unigram_ids_oracle.parquet")
 
 
 def tokenized_export_oracle_sidecar(sf_dir: str, n_merges: int = 40,
@@ -1335,6 +1336,59 @@ def unigram_oracle_sidecar(sf_dir: str, vocab_size: int = 300,
 UNIGRAM_APPLY_ORACLE_PATH = os.path.join(
     FIXTURE_DIR, "unigram_apply_oracle.parquet"
 )
+
+
+def unigram_ids_oracle_sidecar(
+    sf_dir: str, vocab_size: int = 300, iters: int = 3,
+    path: str = UNIGRAM_IDS_ORACLE_PATH,
+) -> str:
+    """Sequential replay of unigram train-then-ID-encode (oracle for
+    ``export_unigram_ids``): independent word recount -> shared
+    Viterbi-EM -> shared piece-id convention (train.unigram_symbol_ids /
+    _unigram_word_ids) per doc -> (doc_id, n_tokens, md5 of the
+    comma-joined id sequence)."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as _pq
+
+    from .functions.train import (_unigram_word_ids, unigram_em,
+                                  unigram_symbol_ids)
+
+    t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"])
+    ids_col = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    counts: Counter = Counter()
+    for s in texts:
+        for w in (s or "").split(" "):
+            if w:
+                counts[w] += 1
+    pieces = unigram_em(dict(counts), vocab_size=vocab_size, iters=iters)
+    logp = {p: float(np.log(q)) for p, q in pieces if q > 0}
+    sym = unigram_symbol_ids(pieces)
+    cache: dict = {}
+
+    def wids(w: str):
+        if w not in cache:
+            cache[w] = _unigram_word_ids(w, logp, sym, 6)
+        return cache[w]
+
+    out_n, out_md5 = [], []
+    for s in texts:
+        seq: list = []
+        for w in (s or "").split(" "):
+            if w:
+                seq += wids(w)
+        out_n.append(len(seq))
+        out_md5.append(
+            hashlib.md5(",".join(map(str, seq)).encode()).hexdigest()
+        )
+    return _write(pa.table({
+        "doc_id": pa.array(ids_col, pa.int64()),
+        "n_tokens": pa.array(out_n, pa.int64()),
+        "ids_md5": pa.array(out_md5, pa.string()),
+    }), path)
 
 
 def unigram_apply_oracle_sidecar(

@@ -1512,3 +1512,76 @@ def pack_token_bins(ids_ds, budget: int = 4096, id_col: str = "doc_id"):
         .groupby("bin_id")
         .map_groups(fold_bin, batch_format="pyarrow")
     )
+
+
+def unigram_symbol_ids(pieces: list[tuple[str, float]]) -> dict[str, int]:
+    """Deterministic piece -> token-id table for a trained unigram
+    vocabulary: the id is the piece's position in the artifact's row
+    order (unigram_train emits a deterministic order, so ids are stable
+    across runs). OOV single characters fall back to
+    ``_CHAR_HIGH_BASE + codepoint`` at encode time — disjoint from the
+    piece-id space by construction. Shared by the distributed encoder
+    and the sequential oracle."""
+    return {p: i for i, (p, _q) in enumerate(pieces)}
+
+
+def _unigram_word_ids(word: str, logp: dict, sym_ids: dict,
+                      max_piece: int) -> list[int]:
+    return [
+        sym_ids[s] if s in sym_ids else _CHAR_HIGH_BASE + ord(s)
+        for s in _viterbi_segment(word, logp, max_piece)
+    ]
+
+
+def unigram_encode_ids(ds, pieces, text_col: str = "text",
+                       id_col: str = "doc_id", max_piece: int = 6,
+                       concurrency=(1, 8)):
+    """TOKEN-ID encoding under a trained unigram-LM vocabulary — the
+    trainable-data sibling of ``unigram_apply`` (counts only), mirroring
+    ``bpe_encode_ids``: piece table broadcast ONCE, per-batch
+    distinct-word cache of full Viterbi id sequences, per-word lists
+    concatenated in word order. Returns (id_col, token_ids list<int64>,
+    n_tokens)."""
+    import ray
+
+    if isinstance(pieces, pa.Table):
+        items = list(zip(pieces.column("piece").to_pylist(),
+                         pieces.column("prob").to_pylist()))
+    else:
+        items = list(pieces)
+    logp = {p: float(np.log(q)) for p, q in items if q > 0}
+    ref = ray.put((logp, unigram_symbol_ids(items)))
+
+    class _EncodeIds:
+        def __init__(self):
+            self.logp, self.sym_ids = ray.get(ref)
+            self.cache: dict[str, list[int]] = {}
+
+        def _ids(self, w: str) -> list[int]:
+            got = self.cache.get(w)
+            if got is None:
+                got = self.cache[w] = _unigram_word_ids(
+                    w, self.logp, self.sym_ids, max_piece
+                )
+            return got
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            out = []
+            for txt in t.column(text_col).to_pylist():
+                ids: list[int] = []
+                for w in (txt or "").split(" "):
+                    if w:  # same empty-word skip as unigram_apply
+                        ids += self._ids(w)
+                out.append(ids)
+            return pa.table({
+                id_col: t.column(id_col),
+                "token_ids": pa.array(out, pa.list_(pa.int64())),
+                "n_tokens": pa.array(
+                    np.array([len(x) for x in out], np.int64)
+                ),
+            })
+
+    return ds.map_batches(
+        _EncodeIds, batch_format="pyarrow", batch_size=1024,
+        concurrency=concurrency,
+    )

@@ -380,6 +380,53 @@ def export_roundtrip_counts(sf_dir: str):
     })
 
 
+def throttled_count_events(sf_dir: str):
+    """Cluster-wide throttling service on the data path
+    (stages/limiter.ThrottleService + limited_shared — the
+    gobblin-restli-throttling shared-bucket analog): TWO pipelines over
+    disjoint halves of the events table draw from ONE token bucket
+    concurrently, then their outputs union into a per-type rollup. The
+    oracle (plain GROUP BY) proves the throttle is transparent to the
+    data — no row lost, duplicated, or reordered into the wrong group —
+    while the shared-budget pacing itself is pinned by the dedicated
+    timing pytest. Budget is set high so the stage exercises the
+    acquire/sleep path without slowing the bench."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.limiter import limited_shared, start_throttle_service
+
+    svc = start_throttle_service(rows_per_sec=2_000_000)
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def half(n):
+        def f(t: pa.Table) -> pa.Table:
+            m = pc.equal(
+                pc.bit_wise_and(t.column("event_id"), pa.scalar(1, pa.int64())),
+                pa.scalar(n, pa.int64()),
+            )
+            return t.filter(m)
+
+        f.__name__ = f"half_{n}"
+        return f
+
+    def run_half(n):
+        part = ds.map_batches(half(n), batch_format="pyarrow",
+                              batch_size=None)
+        return limited_shared(part, svc, concurrency=1, batch_size=8192,
+                              num_cpus=0.25).materialize()
+
+    with ThreadPoolExecutor(2) as ex:
+        halves = list(ex.map(run_half, [0, 1]))
+    return (
+        halves[0].union(halves[1])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"),
+                   Sum("event_id", alias_name="sum_id"))
+    )
+
+
 def orc_export_roundtrip(sf_dir: str):
     """ORC format parity — the write half (stages/sink.export_orc,
     GobblinOrcWriter analog) composed with the existing ORC source
@@ -4271,6 +4318,39 @@ def export_tokenized_shards(sf_dir: str):
     return rd.read_parquet(out).map_batches(
         digest, batch_format="pyarrow", batch_size=None
     )
+
+
+def export_unigram_ids(sf_dir: str):
+    """Unigram token-ID encoding (functions/train.unigram_encode_ids —
+    the trainable-data sibling of unigram_apply, completing tokenizer
+    parity with the BPE export chain): train the vocabulary distributed,
+    Viterbi-encode every doc to its full piece-id sequence under the
+    shared deterministic piece-id convention, emit (doc_id, n_tokens,
+    md5 of the id sequence). Oracle: sequential recount + shared EM +
+    shared id encoder."""
+    import hashlib
+
+    from ..fixtures import unigram_ids_oracle_sidecar
+    from ..functions import train as tr
+
+    unigram_ids_oracle_sidecar(sf_dir, vocab_size=300, iters=3)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pieces = tr.unigram_train(ds, vocab_size=300, iters=3)
+    ids = tr.unigram_encode_ids(ds, pieces)
+
+    def digest(t: pa.Table) -> pa.Table:
+        md5s = [
+            hashlib.md5(",".join(map(str, x)).encode()).hexdigest()
+            for x in t.column("token_ids").to_pylist()
+        ]
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens": t.column("n_tokens"),
+            "ids_md5": pa.array(md5s, pa.string()),
+        })
+
+    digest.__name__ = "digest_unigram_ids"
+    return ids.map_batches(digest, batch_format="pyarrow", batch_size=None)
 
 
 def unigram_train_documents(sf_dir: str):
