@@ -32,14 +32,22 @@ def _ray_down():
     ray.shutdown()
 
 
+import threading as _threading
+
+_RAY_UP_LOCK = _threading.Lock()  # module-level: lazy creation would race
+
+
 def _ray_up(num_cpus: int | None):
     import ray
 
-    if not ray.is_initialized():
-        kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+    # lock: parallel flow branches call concurrently, and a double
+    # ray.init race raises instead of no-oping
+    with _RAY_UP_LOCK:
+        if not ray.is_initialized():
+            kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
+            ray.init(address="local", **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -528,6 +536,33 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--min-count", type=int, default=1)
 
     sp = sub.add_parser(
+        "index", help="incremental IVF-PQ ANN index over an embedding "
+        "parquet (FAISS IVFADC shape: coarse cells + per-cell residual "
+        "PQ codes; fit-once persisted model, later builds append only "
+        "unseen ids per cell): `index build` then `index search`"
+    )
+    sp.add_argument("action", choices=["build", "search"])
+    sp.add_argument("index_dir")
+    sp.add_argument("--from", dest="from_path", required=True,
+                    help="embeddings parquet (build input / query source)")
+    sp.add_argument("--id-col", default="vec_id")
+    sp.add_argument("--vec-col", default="embedding")
+    sp.add_argument("--cells", type=int, default=16,
+                    help="build: coarse cell count (first build only)")
+    sp.add_argument("--m", type=int, default=8,
+                    help="build: PQ subspaces (first build only)")
+    sp.add_argument("--ks", type=int, default=16,
+                    help="build: centroids per subspace (first build only)")
+    sp.add_argument("--train-rows", type=int, default=20_000,
+                    help="build: model-fit sample size (first --train-rows "
+                         "rows in id order; ignored once the model exists)")
+    sp.add_argument("--query-ids", default=None,
+                    help="search: comma-separated ids whose vectors become "
+                         "the queries")
+    sp.add_argument("--k", type=int, default=10)
+    sp.add_argument("--nprobe", type=int, default=4)
+
+    sp = sub.add_parser(
         "sql", help="ad-hoc DuckDB SQL over the live merge-on-read lake "
         "state (Hive-registration/serving analog: the lake registered as "
         "a queryable table named `t`, optional time travel via --tag)"
@@ -572,6 +607,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="re-run every node regardless of markers")
     sp.add_argument("--until", default=None,
                     help="stop (inclusive) after this node id")
+    sp.add_argument("--parallel", type=int, default=1,
+                    help="run INDEPENDENT branches concurrently with up "
+                         "to this many nodes in flight (branches must "
+                         "touch disjoint lakes — the job lock refuses "
+                         "concurrent drivers of one lake)")
     sp.add_argument("--follow", action="store_true",
                     help="trigger loop: re-evaluate the DAG every "
                          "--poll-interval seconds (unchanged inputs "
@@ -792,6 +832,79 @@ def main(argv: list[str] | None = None) -> int:
                 "out_dir": args.out_dir, "shards": args.shards,
                 "rows": int(rows), "sec": round(time.time() - t0, 3),
             }))
+        finally:
+            _ray_down()
+        return 0
+
+    if args.cmd == "index":
+        from .functions import similarity as simmod
+
+        _ray_up(args.num_cpus)
+        try:
+            import pyarrow.parquet as _pq
+            import ray.data as rd
+
+            t0 = time.time()
+            if args.action == "build":
+                import numpy as _np
+                import os as _os
+
+                from .functions.train import _vec_matrix
+
+                train = None
+                if not _os.path.exists(
+                    _os.path.join(args.index_dir, "model.npz")
+                ):
+                    # fit sample: first --train-rows rows in id order
+                    # (deterministic; read driver-side once)
+                    t = _pq.read_table(
+                        args.from_path,
+                        columns=[args.id_col, args.vec_col],
+                    )
+                    order = _np.argsort(t.column(args.id_col).to_numpy(
+                        zero_copy_only=False))[: args.train_rows]
+                    train = _vec_matrix(t, args.vec_col)[order]
+                rep = simmod.ivfpq_index_build(
+                    rd.read_parquet(args.from_path), args.index_dir,
+                    train_matrix=train, n_cells=args.cells, m=args.m,
+                    ks=args.ks, id_col=args.id_col, vec_col=args.vec_col,
+                )
+                print(json.dumps({
+                    "index_dir": args.index_dir, **rep,
+                    "model_fit": train is not None,
+                    "sec": round(time.time() - t0, 3),
+                }))
+            else:
+                if not args.query_ids:
+                    raise SystemExit("index search: pass --query-ids")
+                import numpy as _np
+
+                from .functions.train import _vec_matrix
+
+                want = [int(x) for x in args.query_ids.split(",")]
+                t = _pq.read_table(
+                    args.from_path, columns=[args.id_col, args.vec_col]
+                )
+                ids = t.column(args.id_col).to_numpy(zero_copy_only=False)
+                pos = {int(v): i for i, v in enumerate(ids)}
+                missing = [q for q in want if q not in pos]
+                if missing:
+                    raise SystemExit(f"index search: ids not found: {missing}")
+                Q = _vec_matrix(t, args.vec_col)[[pos[q] for q in want]]
+                out = simmod.knn_ivfpq_search(
+                    args.index_dir, Q, k=args.k, nprobe=args.nprobe,
+                    id_col=args.id_col,
+                ).to_pandas()
+                rows = [
+                    {"query": want[int(r["query_id"])],
+                     args.id_col: int(r[args.id_col]),
+                     "adist": round(float(r["adist"]), 6)}
+                    for _, r in out.iterrows()
+                ]
+                print(json.dumps({
+                    "k": args.k, "nprobe": args.nprobe, "results": rows,
+                    "sec": round(time.time() - t0, 3),
+                }))
         finally:
             _ray_down()
         return 0
@@ -1074,6 +1187,7 @@ def main(argv: list[str] | None = None) -> int:
                 reports = flowmod.run_flow(
                     spec, state_dir, base_argv=base,
                     force=args.force, until=args.until,
+                    max_parallel=args.parallel,
                 )
                 passes.append(reports)
                 if not args.follow:

@@ -195,6 +195,23 @@ def flow_status(flow: dict, state_dir: str) -> list[dict]:
     return out
 
 
+def _run_node(runner, cmd: list[str]) -> tuple[int, str | None]:
+    """Execute one node's command; any failure mode (non-zero rc,
+    SystemExit with int/str/None code, or a raised exception) is a
+    FAILED NODE, never a flow-runner crash."""
+    try:
+        rc = runner(cmd)
+        return rc, None
+    except SystemExit as e:
+        if e.code is None or e.code == 0:
+            return 0, None
+        if isinstance(e.code, int):
+            return e.code, None
+        return 1, str(e.code)
+    except Exception as e:
+        return 1, repr(e)
+
+
 def run_flow(
     flow: dict,
     state_dir: str,
@@ -202,6 +219,7 @@ def run_flow(
     force: bool = False,
     until: str | None = None,
     runner=None,
+    max_parallel: int = 1,
 ) -> list[dict]:
     """One DAG pass: execute nodes in topo order, skipping every node
     whose completion marker matches its current input fingerprint
@@ -213,7 +231,17 @@ def run_flow(
     "run the DAG prefix" control the kill-between-nodes resume test
     drives. ``runner`` overrides the node executor (default:
     ``cli.main(base_argv + cmd)`` with the nested flag so all nodes share
-    one Ray session; the CALLER owns final shutdown)."""
+    one Ray session; the CALLER owns final shutdown).
+
+    ``max_parallel`` > 1 runs INDEPENDENT branches concurrently (the
+    gobblin-service branch-parallel DAG execution): ready nodes — all
+    deps complete — dispatch to a thread pool; fingerprints still
+    resolve per node after its own deps finish, and markers are per-node
+    files, so resume semantics are unchanged. Parallel branches must
+    touch disjoint resources — two nodes driving one lake concurrently
+    are refused by the lake's job lock, exactly as two independent
+    drivers would be. On a failure no NEW nodes dispatch; in-flight
+    nodes drain, then the pass raises."""
     from . import cli as climod
 
     order = topo_order(flow)
@@ -223,62 +251,104 @@ def run_flow(
         def runner(cmd: list[str]) -> int:
             return climod.main((base_argv or []) + cmd)
 
-    reports = []
+    def attempt(n: dict) -> dict:
+        """Skip-or-run one node whose deps are all complete."""
+        fp = node_fingerprint(n)  # resolved AFTER deps completed
+        mp = _marker_path(state_dir, n["id"])
+        marker = None
+        if os.path.exists(mp):
+            with open(mp) as f:
+                marker = json.load(f)
+        if (not force and marker and marker.get("ok")
+                and marker.get("fingerprint") == fp):
+            return {"id": n["id"], "action": "skipped"}
+        t0 = time.time()
+        rc, err = _run_node(runner, n["cmd"])
+        sec = round(time.time() - t0, 3)
+        if rc != 0:
+            return {"id": n["id"], "action": "failed", "rc": rc,
+                    "error": err}
+        _write_marker(state_dir, n["id"], {
+            "ok": True,
+            "fingerprint": fp,
+            "sec": sec,
+            "completed_at": time.strftime(
+                "%Y-%m-%dT%H:%M:%S", time.gmtime()
+            ),
+        })
+        return {"id": n["id"], "action": "ran", "sec": sec}
+
+    def fail(rep: dict, n_done: int):
+        raise FlowError(
+            f"node {rep['id']} failed (rc={rep.get('rc')}"
+            + (f", {rep['error']}" if rep.get("error") else "")
+            + f"); flow stopped — re-run resumes here "
+            f"({n_done} nodes already complete)"
+        )
+
+    reports: list[dict] = []
     prev_nested = climod.NESTED
     climod.NESTED = True
     try:
-        for n in order:
-            fp = node_fingerprint(n)  # resolved AFTER deps completed
-            mp = _marker_path(state_dir, n["id"])
-            marker = None
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    marker = json.load(f)
-            if (not force and marker
-                    and marker.get("ok")
-                    and marker.get("fingerprint") == fp):
-                reports.append({"id": n["id"], "action": "skipped"})
-            else:
-                t0 = time.time()
-                err = None
-                try:
-                    rc = runner(n["cmd"])
-                except SystemExit as e:
-                    # argparse errors / cli guard clauses; e.code may be
-                    # None (success), an int, or a message string
-                    if e.code is None or e.code == 0:
-                        rc = 0
-                    elif isinstance(e.code, int):
-                        rc = e.code
+        if max_parallel <= 1:
+            for n in order:
+                rep = attempt(n)
+                reports.append(rep)
+                if rep["action"] == "failed":
+                    fail(rep, len(reports) - 1)
+                if until is not None and n["id"] == until:
+                    break
+            return reports
+
+        from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
+        from concurrent.futures import wait as fwait
+
+        if until is not None:
+            # parallel + until: restrict to the ancestor closure
+            keep: set = {until}
+            changed = True
+            by_id = {n["id"]: n for n in order}
+            while changed:
+                changed = False
+                for nid in list(keep):
+                    for d in by_id[nid]["after"]:
+                        if d not in keep:
+                            keep.add(d)
+                            changed = True
+            order = [n for n in order if n["id"] in keep]
+        done: set = set()
+        started: set = set()
+        failed = False
+        with ThreadPoolExecutor(max_parallel) as ex:
+            futures: dict = {}
+            while len(done) < len(order) and not failed:
+                for n in order:
+                    if (n["id"] not in started
+                            and all(d in done for d in n["after"])):
+                        started.add(n["id"])
+                        futures[ex.submit(attempt, n)] = n["id"]
+                if not futures:
+                    break
+                done_f, _ = fwait(futures, return_when=FIRST_COMPLETED)
+                for f in done_f:
+                    nid = futures.pop(f)
+                    rep = f.result()
+                    reports.append(rep)
+                    if rep["action"] == "failed":
+                        failed = True
                     else:
-                        rc, err = 1, str(e.code)
-                except Exception as e:  # a node crash is a FAILED NODE,
-                    rc, err = 1, repr(e)  # not a flow-runner crash
-                sec = round(time.time() - t0, 3)
-                if rc != 0:
-                    reports.append(
-                        {"id": n["id"], "action": "failed", "rc": rc,
-                         "error": err}
-                    )
-                    raise FlowError(
-                        f"node {n['id']} failed (rc={rc}"
-                        + (f", {err}" if err else "")
-                        + f"); flow stopped — re-run resumes here "
-                        f"({len(reports) - 1} nodes already complete)"
-                    )
-                _write_marker(state_dir, n["id"], {
-                    "ok": True,
-                    "fingerprint": fp,
-                    "sec": sec,
-                    "completed_at": time.strftime(
-                        "%Y-%m-%dT%H:%M:%S", time.gmtime()
-                    ),
-                })
-                reports.append(
-                    {"id": n["id"], "action": "ran", "sec": sec}
-                )
-            if until is not None and n["id"] == until:
-                break
+                        done.add(nid)
+            # drain in-flight before raising
+            for f in list(futures):
+                rep = f.result()
+                reports.append(rep)
+                if rep["action"] != "failed":
+                    done.add(futures[f])
+                else:
+                    failed = True
+        if failed:
+            bad = next(r for r in reports if r["action"] == "failed")
+            fail(bad, len(done))
+        return reports
     finally:
         climod.NESTED = prev_nested
-    return reports

@@ -130,3 +130,57 @@ def test_recommit_is_noop(ray_session, corpus, full_run):
     reports = eng.run(vacuum=False)  # nothing left to apply
     assert reports == []
     assert _index_rows(lake) == before
+
+
+def test_crash_between_index_promote_and_manifest_commit(
+    ray_session, corpus, full_run, tmp_path_factory
+):
+    """The narrowest neardup crash window: the sidecar index promote for
+    an epoch lands but the manifest write doesn't. The epoch is
+    UNCOMMITTED (manifest is the commit point), so resume re-executes it
+    against an index that already holds its own survivors — the
+    full-pairwise within-epoch check plus self-match exclusion must
+    reproduce IDENTICAL verdicts, and the content-named index files must
+    make the re-promote a no-op (no duplicates). Final state and index
+    must equal an uninterrupted run's byte-for-byte."""
+    ref_eng, ref_lake = full_run
+    lake = str(tmp_path_factory.mktemp("lake_neardup_crash"))
+    eng = CdcEngine(lake, f"{corpus}/events", _cfg())
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.run(max_epochs=1, vacuum=False)
+
+    real_commit = eng.store.commit
+
+    def boom(manifest):
+        raise RuntimeError("injected crash after sidecar promote")
+
+    # epoch 2: _commit_epoch promotes data files, then the neardup
+    # sidecar, THEN writes the manifest — boom fires exactly in the
+    # window where the index is promoted but the epoch is not committed
+    eng.store.commit = boom
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="injected"):
+        eng.run(vacuum=False)
+    eng.store.commit = real_commit
+    assert eng.store.latest().epoch == 1  # epoch 2 never committed
+    # the crash window really did leave the epoch-2 survivor promoted
+    assert "http://new/n5" in {d for _, d in _index_rows(lake)}
+
+    # fresh driver resumes: epoch 2 re-executes against its own promoted
+    # survivors and must converge to the uninterrupted run's exact state
+    eng2 = CdcEngine(lake, f"{corpus}/events", _cfg())
+    reports = eng2.run(vacuum=False)
+    assert [r.epoch for r in reports] == [2]
+    assert _live_state(eng2) == _live_state(ref_eng)
+    assert _diverted(lake) == _diverted(ref_lake)
+    assert _index_rows(lake) == _index_rows(ref_lake)
+    # content-named files: the re-executed epoch re-promoted the SAME
+    # files, so the index file count matches the uninterrupted run too
+    import glob as _glob
+
+    n_files = len(_glob.glob(f"{lake}/{NEARDUP_INDEX_DIR}/part=*/run-*.parquet"))
+    n_ref = len(_glob.glob(
+        f"{ref_lake}/{NEARDUP_INDEX_DIR}/part=*/run-*.parquet"
+    ))
+    assert n_files == n_ref

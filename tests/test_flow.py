@@ -172,3 +172,58 @@ def test_spec_validation():
     })
     assert f["nodes"][0]["cmd"] == ["run", "/tmp/x/lake"]
     assert f["nodes"][0]["inputs"] == [{"lake": "/tmp/x/lake"}]
+
+
+def test_parallel_branches(env, tmp_path):
+    """max_parallel: two INDEPENDENT lake branches run concurrently, a
+    join node waits for both; resume all-skips; --until restricts to the
+    ancestor closure (the sibling branch does not run)."""
+    corpus = env["corpus"]
+    root = str(tmp_path)
+    spec = flowmod.load_flow({
+        "name": "two_lakes",
+        "vars": {"c": corpus, "r": root},
+        "nodes": [
+            {"id": "boot_a",
+             "cmd": ["bootstrap", "${r}/lake_a", "--events-dir",
+                     "${c}/events", "--pages", "${c}/pages.parquet",
+                     "--buckets", "4", "--epoch-width", "4"]},
+            {"id": "boot_b",
+             "cmd": ["bootstrap", "${r}/lake_b", "--events-dir",
+                     "${c}/events", "--pages", "${c}/pages.parquet",
+                     "--buckets", "4", "--epoch-width", "4"]},
+            {"id": "run_a", "after": ["boot_a"],
+             "cmd": ["run", "${r}/lake_a", "--events-dir", "${c}/events",
+                     "--buckets", "4", "--epoch-width", "4",
+                     "--no-vacuum"],
+             "inputs": [{"log": "${c}/events"}]},
+            {"id": "run_b", "after": ["boot_b"],
+             "cmd": ["run", "${r}/lake_b", "--events-dir", "${c}/events",
+                     "--buckets", "4", "--epoch-width", "4",
+                     "--no-vacuum"],
+             "inputs": [{"log": "${c}/events"}]},
+            {"id": "check", "after": ["run_a", "run_b"],
+             "cmd": ["status", "${r}/lake_a"],
+             "inputs": [{"lake": "${r}/lake_a"},
+                        {"lake": "${r}/lake_b"}]},
+        ],
+    })
+    state = f"{root}/_st"
+    r1 = flowmod.run_flow(spec, state, max_parallel=2)
+    assert {(r["id"], r["action"]) for r in r1} == {
+        ("boot_a", "ran"), ("boot_b", "ran"), ("run_a", "ran"),
+        ("run_b", "ran"), ("check", "ran"),
+    }
+    # the join node really waited: both lakes are at head
+    from gobblin_ray.checkpoint import CheckpointStore
+
+    for lk in ("lake_a", "lake_b"):
+        assert CheckpointStore(f"{root}/{lk}").latest().high_seq == 7
+    r2 = flowmod.run_flow(spec, state, max_parallel=2)
+    assert all(r["action"] == "skipped" for r in r2)
+    # parallel + until: only the ancestor closure of run_a is eligible
+    import shutil
+
+    shutil.rmtree(state)
+    r3 = flowmod.run_flow(spec, state, max_parallel=2, until="run_a")
+    assert {r["id"] for r in r3} == {"boot_a", "run_a"}
