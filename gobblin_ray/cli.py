@@ -855,14 +855,21 @@ def main(argv: list[str] | None = None) -> int:
                 if not _os.path.exists(
                     _os.path.join(args.index_dir, "model.npz")
                 ):
-                    # fit sample: first --train-rows rows in id order
-                    # (deterministic; read driver-side once)
+                    # fit sample: first --train-rows ids in id order.
+                    # Read ONLY the id column to pick them, then pull
+                    # just those rows with a pushed-down parquet filter —
+                    # the full vector table never touches the driver
+                    ids_only = _pq.read_table(
+                        args.from_path, columns=[args.id_col]
+                    ).column(args.id_col).to_numpy(zero_copy_only=False)
+                    chosen = _np.sort(ids_only)[: args.train_rows]
                     t = _pq.read_table(
                         args.from_path,
                         columns=[args.id_col, args.vec_col],
+                        filters=[(args.id_col, "in", chosen.tolist())],
                     )
                     order = _np.argsort(t.column(args.id_col).to_numpy(
-                        zero_copy_only=False))[: args.train_rows]
+                        zero_copy_only=False))
                     train = _vec_matrix(t, args.vec_col)[order]
                 rep = simmod.ivfpq_index_build(
                     rd.read_parquet(args.from_path), args.index_dir,
@@ -882,8 +889,11 @@ def main(argv: list[str] | None = None) -> int:
                 from .functions.train import _vec_matrix
 
                 want = [int(x) for x in args.query_ids.split(",")]
+                # pushed-down filter: only the queried rows reach the
+                # driver, not the corpus the index exists to avoid
                 t = _pq.read_table(
-                    args.from_path, columns=[args.id_col, args.vec_col]
+                    args.from_path, columns=[args.id_col, args.vec_col],
+                    filters=[(args.id_col, "in", want)],
                 )
                 ids = t.column(args.id_col).to_numpy(zero_copy_only=False)
                 pos = {int(v): i for i, v in enumerate(ids)}

@@ -227,9 +227,12 @@ def run_flow(
     marker is written, downstream nodes never run, and the next pass
     resumes AT the failed node with the committed prefix skipped.
 
-    ``until`` stops (inclusive) after the named node — the operational
-    "run the DAG prefix" control the kill-between-nodes resume test
-    drives. ``runner`` overrides the node executor (default:
+    ``until`` restricts the pass to the named node's ANCESTOR CLOSURE
+    (itself included) — the operational "run this node and everything it
+    needs" control the kill-between-nodes resume test drives; sibling
+    branches that merely precede it in listing order do NOT run, and the
+    semantics are identical in serial and parallel modes. ``runner``
+    overrides the node executor (default:
     ``cli.main(base_argv + cmd)`` with the nested flag so all nodes share
     one Ray session; the CALLER owns final shutdown).
 
@@ -245,8 +248,23 @@ def run_flow(
     from . import cli as climod
 
     order = topo_order(flow)
-    if until is not None and until not in {n["id"] for n in order}:
-        raise FlowError(f"--until {until!r}: no such node")
+    if until is not None:
+        if until not in {n["id"] for n in order}:
+            raise FlowError(f"--until {until!r}: no such node")
+        # restrict to the ancestor closure — same node set in serial and
+        # parallel modes, so alternating modes across passes can never
+        # flip which markers exist
+        keep: set = {until}
+        by_id = {n["id"]: n for n in order}
+        changed = True
+        while changed:
+            changed = False
+            for nid in list(keep):
+                for d in by_id[nid]["after"]:
+                    if d not in keep:
+                        keep.add(d)
+                        changed = True
+        order = [n for n in order if n["id"] in keep]
     if runner is None:
         def runner(cmd: list[str]) -> int:
             return climod.main((base_argv or []) + cmd)
@@ -296,26 +314,11 @@ def run_flow(
                 reports.append(rep)
                 if rep["action"] == "failed":
                     fail(rep, len(reports) - 1)
-                if until is not None and n["id"] == until:
-                    break
             return reports
 
         from concurrent.futures import FIRST_COMPLETED, ThreadPoolExecutor
         from concurrent.futures import wait as fwait
 
-        if until is not None:
-            # parallel + until: restrict to the ancestor closure
-            keep: set = {until}
-            changed = True
-            by_id = {n["id"]: n for n in order}
-            while changed:
-                changed = False
-                for nid in list(keep):
-                    for d in by_id[nid]["after"]:
-                        if d not in keep:
-                            keep.add(d)
-                            changed = True
-            order = [n for n in order if n["id"] in keep]
         done: set = set()
         started: set = set()
         failed = False

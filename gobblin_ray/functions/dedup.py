@@ -422,8 +422,10 @@ def _verify_jaccard_broadcast(
         for t in blocks:
             # a materialized dataset can carry 0-row blocks with an EMPTY
             # schema (filter stages under memory pressure emit them);
-            # they contribute nothing to the map
-            if t.num_rows == 0 or idc not in t.schema.names:
+            # they contribute nothing to the map. Populated blocks must
+            # still KeyError loudly on a missing id column — masking a
+            # schema bug here would silently skip verification.
+            if t.num_rows == 0:
                 continue
             ids = t.column(idc).to_numpy(zero_copy_only=False)
             txt = t.column(txc).to_pylist()

@@ -450,7 +450,7 @@ def orc_export_roundtrip(sf_dir: str):
     shutil.rmtree(out, ignore_errors=True)
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "event_type", "value"])
-    export_orc(ds, out).materialize()  # drive the distributed write
+    export_orc(ds, out)  # drives the distributed write eagerly
     back = read_orc_source(out)
     agg = back.groupby("event_type").aggregate(
         Count(alias_name="n"),

@@ -350,8 +350,11 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
     (the FsDataWriter idempotence posture shared by every sink here; two
     blocks with byte-identical content would collapse to one file — the
     read-back lineage exposes that, and the roundtrip queries would
-    fail on it). Returns a lineage dataset of (path, rows) read from the
-    writes; consume it (count/take_all) to drive the export."""
+    fail on it). The export is DRIVEN EAGERLY (like
+    shuffle_shard_export): stale blocks clear and the writes run inside
+    this call, so a lazy never-consumed return can't leave the directory
+    emptied-but-unwritten. Returns the materialized (path, rows)
+    lineage."""
     os.makedirs(out_dir, exist_ok=True)
     # stale-output clearing (the shuffle_shard_export invariant): a prior
     # run's blocks this run won't rewrite would silently fold into the
@@ -380,7 +383,7 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
 
     write_block.__name__ = "orc_block_write"
     return ds.map_batches(write_block, batch_format="pyarrow",
-                          batch_size=None)
+                          batch_size=None).materialize()
 
 
 def shuffle_shard_export(
