@@ -227,3 +227,22 @@ def test_parallel_branches(env, tmp_path):
     shutil.rmtree(state)
     r3 = flowmod.run_flow(spec, state, max_parallel=2, until="run_a")
     assert {r["id"] for r in r3} == {"boot_a", "run_a"}
+
+
+def test_cli_flow_follow_drains_then_stops(env, capsys):
+    """`flow run --follow` honors the _STOP drop only AFTER completing a
+    pass (the run --follow drain contract), consumes the stop file, and
+    reports the pass count."""
+    os.makedirs(env["state"], exist_ok=True)
+    open(f"{env['state']}/_STOP", "w").close()
+    prev = climod.NESTED
+    climod.NESTED = True
+    try:
+        rc = climod.main(["flow", "run", env["spec_path"],
+                          "--state-dir", env["state"],
+                          "--follow", "--poll-interval", "0.1"])
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["passes"] == 1 and out["ran"] == 3
+        assert not os.path.exists(f"{env['state']}/_STOP")  # consumed
+    finally:
+        climod.NESTED = prev
