@@ -184,3 +184,29 @@ def test_crash_between_index_promote_and_manifest_commit(
         f"{ref_lake}/{NEARDUP_INDEX_DIR}/part=*/run-*.parquet"
     ))
     assert n_files == n_ref
+
+
+def test_multi_table_neardup_index_isolation(ray_session, corpus, full_run,
+                                             tmp_path_factory):
+    """MultiTableCdcEngine with neardup_dedup: each table owns its OWN
+    _neardup_index (a dup in table A must not divert table B's identical
+    insert — per-dataset isolation, SafeDatasetCommit posture), and both
+    tables' verdicts match the single-table reference run."""
+    from gobblin_ray.engine import MultiTableCdcEngine
+
+    ref_eng, ref_lake = full_run
+    root = str(tmp_path_factory.mktemp("multi_neardup"))
+    multi = MultiTableCdcEngine(
+        root,
+        {"ta": f"{corpus}/events", "tb": f"{corpus}/events"},
+        _cfg(),
+    )
+    multi.bootstrap({"ta": f"{corpus}/pages.parquet",
+                     "tb": f"{corpus}/pages.parquet"})
+    results = multi.run(vacuum=False)
+    assert multi.failed_tables(results) == []
+    for name in ("ta", "tb"):
+        lake = os.path.join(root, name)
+        assert _diverted(lake) == _diverted(ref_lake)
+        assert _index_rows(lake) == _index_rows(ref_lake)
+        assert _live_state(multi.engines[name]) == _live_state(ref_eng)
