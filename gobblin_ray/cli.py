@@ -795,9 +795,11 @@ def main(argv: list[str] | None = None) -> int:
                 import pyarrow.parquet as _pq2
 
                 from .engine import stable_hash_u64
-                from .functions.train import bpe_encode_ids, pack_token_bins
+                from .functions.train import (bpe_encode_ids,
+                                              pack_token_bins,
+                                              unigram_encode_ids)
 
-                merges = _pq2.read_table(args.emit_tokens)
+                artifact = _pq2.read_table(args.emit_tokens)
 
                 def add_tid(t: pa.Table) -> pa.Table:
                     # pack order needs an int64 key: the url hash (same
@@ -808,10 +810,17 @@ def main(argv: list[str] | None = None) -> int:
                     return t.append_column("_tid", pa.array(tid))
 
                 add_tid.__name__ = "url_to_pack_id"
-                ids = bpe_encode_ids(
+                # dispatch on the train-tokenizer artifact's schema:
+                # (piece, prob) = unigram vocabulary, otherwise BPE merges
+                encode = (
+                    unigram_encode_ids
+                    if set(artifact.column_names) == {"piece", "prob"}
+                    else bpe_encode_ids
+                )
+                ids = encode(
                     kept.map_batches(add_tid, batch_format="pyarrow",
                                      batch_size=None),
-                    merges, text_col="text", id_col="_tid",
+                    artifact, text_col="text", id_col="_tid",
                 )  # single consumer; pack_token_bins materializes the
                 # (id, token_ids) projection itself — no need to pin the
                 # full text corpus in the object store here

@@ -2377,3 +2377,74 @@ def test_prep_emit_tokens_cli(ray_session, tmp_path_factory, capsys):
                 got[b] = ids
     assert rep["rows"] == len(bins)
     assert got == bins  # landed files carry the exact id sequences
+
+
+def test_prep_emit_tokens_unigram_cli(ray_session, tmp_path_factory, capsys):
+    """`prep --emit-tokens` dispatches on the artifact schema: a unigram
+    (piece, prob) vocabulary routes through unigram_encode_ids — the
+    emitted bins' id sequences match a sequential Viterbi encode of the
+    same curated corpus under the shared piece-id convention."""
+    import json
+    import os
+
+    from gobblin_ray.cli import main as cli_main
+    from gobblin_ray.engine import stable_hash_u64
+    from gobblin_ray.functions.train import (_unigram_word_ids,
+                                             unigram_symbol_ids)
+
+    d = str(tmp_path_factory.mktemp("unitokcorpus"))
+    synth.write_corpus(d, n_pages=30, n_events=200, shard_rows=100)
+    lake = str(tmp_path_factory.mktemp("lake_unitok"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=100))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    tok = str(tmp_path_factory.mktemp("unitok")) + "/pieces.parquet"
+    live_path = str(tmp_path_factory.mktemp("unilive")) + "/live.parquet"
+    pq.write_table(eng.read_table_arrow(), live_path)
+    assert cli_main(["train-tokenizer", live_path, tok, "--kind",
+                     "unigram", "--vocab-size", "40"]) == 0
+    capsys.readouterr()
+    out = str(tmp_path_factory.mktemp("unitokshards"))
+    rc = cli_main(["prep", lake, out, "--shards", "2", "--min-chars",
+                   "10", "--emit-tokens", tok, "--pack-budget", "64"])
+    assert rc == 0
+    capsys.readouterr()
+
+    live = eng.read_table_arrow()
+    seen, docs = set(), []
+    for url, text in sorted(zip(live.column("url").to_pylist(),
+                                live.column("text").to_pylist())):
+        if text is None or len(text) < 10 or text in seen:
+            continue
+        seen.add(text)
+        docs.append((url, text))
+    pieces_t = pq.read_table(tok)
+    items = list(zip(pieces_t.column("piece").to_pylist(),
+                     pieces_t.column("prob").to_pylist()))
+    logp = {p: float(np.log(q)) for p, q in items if q > 0}
+    sym = unigram_symbol_ids(items)
+    by_tid = {}
+    for url, text in docs:
+        tid = int(stable_hash_u64(pa.array([url])).astype("int64")[0])
+        ids = []
+        for w in text.split(" "):
+            if w:
+                ids += _unigram_word_ids(w, logp, sym, 6)
+        by_tid[tid] = ids
+    order = sorted(by_tid)
+    lens = np.array([len(by_tid[t]) for t in order], np.int64)
+    excl = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    bins = {}
+    for b, t in zip(excl // 64, order):
+        bins.setdefault(int(b), []).extend(by_tid[t])
+
+    got = {}
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out, f))
+            for b, ids in zip(t.column("bin_id").to_pylist(),
+                              t.column("token_ids").to_pylist()):
+                got[b] = ids
+    assert got == bins
