@@ -505,6 +505,13 @@ def main(argv: list[str] | None = None) -> int:
                          "bigram KN LM on the curated lineage and keep "
                          "this lowest-nll (most fluent) fraction (runs "
                          "after dedup, before DSIR)")
+    sp.add_argument("--span-dedup", type=int, default=None, metavar="K",
+                    help="exact-substring span REMOVAL over the curated "
+                         "corpus (Lee 2022 ExactSubstr at fixed K-token "
+                         "windows): duplicated spans keep one canonical "
+                         "occurrence, other occurrences' tokens are "
+                         "excised before export (runs after the doc-level "
+                         "dedups, before selection)")
     sp.add_argument("--emit-tokens", default=None, metavar="MERGES_PARQUET",
                     help="emit TRAINABLE token shards instead of text: "
                          "encode the curated docs to BPE token-id "
@@ -754,6 +761,37 @@ def main(argv: list[str] | None = None) -> int:
                     bands=bands, text_col="text", id_col="_nid",
                     concurrency=(1, 8),
                 ).drop_columns(["_nid"])
+            if args.span_dedup is not None:
+                from .engine import stable_hash_u64
+                from .functions.text import remove_dup_spans
+
+                def add_sid(t: pa.Table) -> pa.Table:
+                    sid = stable_hash_u64(t.column("url")).astype(
+                        "int64", copy=False
+                    )
+                    return t.append_column("_sid", pa.array(sid))
+
+                add_sid.__name__ = "url_to_span_id"
+                # two consumers inside remove_dup_spans (occurrence
+                # explode + rewrite) — materialize the curated lineage
+                rewritten = remove_dup_spans(
+                    kept.map_batches(add_sid, batch_format="pyarrow",
+                                     batch_size=None).materialize(),
+                    text_col="text", id_col="_sid", k=args.span_dedup,
+                    keep_cols=("url", "lang"),
+                )
+
+                def back(t: pa.Table) -> pa.Table:
+                    return pa.table({
+                        "url": t.column("url"),
+                        "text": t.column("text_clean"),
+                        "lang": t.column("lang"),
+                    })
+
+                back.__name__ = "span_clean_columns"
+                kept = rewritten.map_batches(
+                    back, batch_format="pyarrow", batch_size=None
+                )
             if args.ppl_keep_frac is not None:
                 from .functions.train import (bigram_lm_train,
                                               perplexity_select)

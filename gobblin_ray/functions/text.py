@@ -827,6 +827,7 @@ def remove_dup_spans(
     id_col: str = "doc_id",
     k: int = 5,
     num_parts: int = 32,
+    keep_cols: tuple = (),
 ):
     """Exact-substring span REMOVAL (Lee et al. 2022, "Deduplicating
     Training Data Makes Language Models Better", ExactSubstr semantics at
@@ -930,28 +931,46 @@ def remove_dup_spans(
         .map_groups(removals, batch_format="pyarrow")
     )
 
+    # keep-col types resolved DRIVER-side from the dataset schema: the
+    # rem/doc partition stages run in workers, so a type map populated by
+    # one stage's closure would never reach the other's
+    keep_types: dict = {}
+    if keep_cols:
+        sch = ds.schema()
+        pa_sch = getattr(sch, "base_schema", None)
+        if pa_sch is None:
+            raise ValueError("remove_dup_spans: cannot resolve keep_cols "
+                             "types from the dataset schema")
+        keep_types = {c: pa_sch.field(c).type for c in keep_cols}
+
     def rem_part(t: pa.Table) -> pa.Table:
         doc = t.column("doc").to_numpy(zero_copy_only=False)
-        return pa.table({
+        cols = {
             "doc": t.column("doc"),
             "pos": t.column("pos"),
             "text": pa.nulls(t.num_rows, pa.string()),
-            "_dp": pa.array((doc % num_parts).astype(np.int32)),
-        })
+        }
+        for c in keep_cols:
+            cols[c] = pa.nulls(t.num_rows, keep_types[c])
+        cols["_dp"] = pa.array((doc % num_parts).astype(np.int32))
+        return pa.table(cols)
 
     rem_part.__name__ = "removal_rows"
 
     def doc_part(t: pa.Table) -> pa.Table:
         doc = t.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
+        cols = {
             "doc": pa.array(doc),
             "pos": pa.nulls(t.num_rows, pa.int64()),
             # null text -> "" (same normalization the detect side applies);
             # a null here would make the rewrite stage misread the doc row
             # as a removal row (rows are told apart by text validity)
             "text": t.column(text_col).cast(pa.string()).fill_null(""),
-            "_dp": pa.array((doc % num_parts).astype(np.int32)),
-        })
+        }
+        for c in keep_cols:
+            cols[c] = t.column(c)
+        cols["_dp"] = pa.array((doc % num_parts).astype(np.int32))
+        return pa.table(cols)
 
     doc_part.__name__ = "doc_rows"
 
@@ -961,10 +980,11 @@ def remove_dup_spans(
         rems = g.filter(pa.array(~is_doc))
         d_ids = docs.column("doc").to_numpy(zero_copy_only=False)
         if rems.num_rows == 0:
-            return pa.table({
-                id_col: pa.array(d_ids),
-                "text_clean": docs.column("text"),
-            })
+            cols = {id_col: pa.array(d_ids),
+                    "text_clean": docs.column("text")}
+            for c in keep_cols:
+                cols[c] = docs.column(c)
+            return pa.table(cols)
         r = rems.sort_by([("doc", "ascending"), ("pos", "ascending")])
         r_doc = r.column("doc").to_numpy(zero_copy_only=False)
         r_pos = r.column("pos").to_numpy(zero_copy_only=False)
@@ -982,10 +1002,13 @@ def remove_dup_spans(
             out[i] = " ".join(
                 tok for tok, m in zip(toks, keep_mask) if m
             )
-        return pa.table({
+        cols = {
             id_col: pa.array(d_ids),
             "text_clean": pa.array(out, pa.string()),
-        })
+        }
+        for c in keep_cols:
+            cols[c] = docs.column(c)
+        return pa.table(cols)
 
     rewrite.__name__ = "rewrite_docs"
     both = rem.map_batches(

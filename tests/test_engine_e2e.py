@@ -2448,3 +2448,70 @@ def test_prep_emit_tokens_unigram_cli(ray_session, tmp_path_factory, capsys):
                               t.column("token_ids").to_pylist()):
                 got[b] = ids
     assert got == bins
+
+
+def test_prep_span_dedup_cli(ray_session, tmp_path_factory, capsys):
+    """`prep --span-dedup K`: the exported texts equal a sequential
+    dict-of-span-text removal replay over the same curated corpus
+    (canonical smallest (id, pos) occurrence kept, others' tokens
+    excised) — and url/lang ride the rewrite unchanged."""
+    import json
+    import os
+
+    from gobblin_ray.cli import main as cli_main
+    from gobblin_ray.engine import stable_hash_u64
+
+    K = 5
+    d = str(tmp_path_factory.mktemp("spancorpus"))
+    synth.write_corpus(d, n_pages=40, n_events=300, shard_rows=150)
+    lake = str(tmp_path_factory.mktemp("lake_span"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=150))
+    eng.bootstrap(f"{d}/pages.parquet")
+    eng.run()
+
+    out = str(tmp_path_factory.mktemp("span_out"))
+    rc = cli_main(["prep", lake, out, "--shards", "2", "--min-chars",
+                   "10", "--span-dedup", str(K)])
+    assert rc == 0
+    capsys.readouterr()
+
+    # sequential replay over the curated corpus (gate + exact dedup by
+    # text keeping min url), keyed by the SAME _sid hash order
+    live = eng.read_table_arrow()
+    seen, docs = set(), []
+    for url, text in sorted(zip(live.column("url").to_pylist(),
+                                live.column("text").to_pylist())):
+        if text is None or len(text) < 10 or text in seen:
+            continue
+        seen.add(text)
+        sid = int(stable_hash_u64(pa.array([url])).astype("int64")[0])
+        docs.append((sid, url, text))
+    docs.sort()
+    occ: dict = {}
+    for sid, _u, text in docs:
+        toks = text.split(" ")
+        for p in range(len(toks) - K + 1):
+            occ.setdefault(" ".join(toks[p:p + K]), []).append((sid, p))
+    removed: dict = {}
+    for lst in occ.values():
+        for sid, p in lst[1:] if len(lst) >= 2 else []:
+            removed.setdefault(sid, []).append(p)
+    want = {}
+    for sid, url, text in docs:
+        toks = text.split(" ")
+        cover = np.zeros(len(toks) + 1, np.int64)
+        for p in removed.get(sid, []):
+            cover[p] += 1
+            cover[min(p + K, len(toks))] -= 1
+        keep = np.cumsum(cover[:-1]) == 0
+        want[url] = " ".join(tok for tok, m in zip(toks, keep) if m)
+
+    got = {}
+    for f in sorted(os.listdir(out)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(out, f))
+            for u, txt in zip(t.column("url").to_pylist(),
+                              t.column("text").to_pylist()):
+                got[u] = txt
+    assert got == want
