@@ -512,13 +512,16 @@ def main(argv: list[str] | None = None) -> int:
                          "occurrence, other occurrences' tokens are "
                          "excised before export (runs after the doc-level "
                          "dedups, before selection)")
-    sp.add_argument("--emit-tokens", default=None, metavar="MERGES_PARQUET",
+    sp.add_argument("--emit-tokens", default=None,
+                    metavar="TOKENIZER_PARQUET",
                     help="emit TRAINABLE token shards instead of text: "
-                         "encode the curated docs to BPE token-id "
-                         "sequences under this train-tokenizer artifact, "
-                         "pack into contiguous --pack-budget bins, and "
-                         "shard the bins (each shard file carries "
-                         "bin_id + token_ids)")
+                         "encode the curated docs to token-id sequences "
+                         "under this train-tokenizer artifact — a "
+                         "(piece, prob) unigram vocabulary routes "
+                         "through the Viterbi encoder, anything else "
+                         "through the BPE encoder — pack into contiguous "
+                         "--pack-budget bins, and shard the bins (each "
+                         "shard file carries bin_id + token_ids)")
     sp.add_argument("--pack-budget", type=int, default=4096,
                     help="token budget per packed training bin")
     sp.add_argument("--tag", default=None,
@@ -680,12 +683,33 @@ def main(argv: list[str] | None = None) -> int:
         from .functions.dedup import dedup_exact_by_hash
         from .stages.sink import shuffle_shard_export
 
+        def _add_url_id(col_name: str):
+            """ONE url-hash-to-int64-id stage for the kernels that key on
+            an int id (--near-dedup / --span-dedup / --emit-tokens). A
+            collision (~n^2/2^65 — negligible at any single-prep scale)
+            merges two documents' identities for that kernel only; see
+            the --near-dedup comment for the accepted posture."""
+            from .engine import stable_hash_u64
+
+            def run(t):
+                import pyarrow as _pa
+
+                nid = stable_hash_u64(t.column("url")).astype(
+                    "int64", copy=False
+                )
+                return t.append_column(col_name, _pa.array(nid))
+
+            run.__name__ = f"url_to_{col_name.strip('_')}_id"
+            return run
+
         if args.dsir_target and not 0.0 < args.dsir_keep_frac <= 1.0:
             # fail before Ray spins up and the curation pipeline runs
             p.error("--dsir-keep-frac must be in (0, 1]")
         if args.ppl_keep_frac is not None and \
                 not 0.0 < args.ppl_keep_frac <= 1.0:
             p.error("--ppl-keep-frac must be in (0, 1]")
+        if args.span_dedup is not None and args.span_dedup < 1:
+            p.error("--span-dedup K must be >= 1")
 
         lake = (os.path.join(args.lake_dir, args.table)
                 if args.table else args.lake_dir)
@@ -722,23 +746,15 @@ def main(argv: list[str] | None = None) -> int:
                 "text", "url",
             )
             if args.near_dedup:
-                from .engine import stable_hash_u64
                 from .functions.dedup import dedup_minhash
 
-                # the minhash family keys on an int64 id: derive one from
-                # the url hash. A collision (~n²/2^65 — negligible at any
-                # single-prep scale) merges two documents' identities:
-                # they are never compared with each other and a drop of
-                # one id removes both rows, so an innocent doc can be
-                # lost. Acceptable for a curation sample; a keyed join on
-                # url instead of the int id removes even that.
-                def add_nid(t: pa.Table) -> pa.Table:
-                    nid = stable_hash_u64(t.column("url")).astype(
-                        "int64", copy=False
-                    )
-                    return t.append_column("_nid", pa.array(nid))
-
-                add_nid.__name__ = "url_to_int_id"
+                # the minhash family keys on an int64 id: a hash
+                # collision merges two documents' identities — they are
+                # never compared with each other and a drop of one id
+                # removes both rows, so an innocent doc can be lost.
+                # Acceptable for a curation sample; a keyed join on url
+                # instead of the int id removes even that.
+                add_nid = _add_url_id("_nid")
                 # dedup_minhash consumes its input THREE times (signature
                 # pass, verify text-attach, final filter): materialize the
                 # gated+deduped lineage once so the merge-on-read scan and
@@ -762,16 +778,9 @@ def main(argv: list[str] | None = None) -> int:
                     concurrency=(1, 8),
                 ).drop_columns(["_nid"])
             if args.span_dedup is not None:
-                from .engine import stable_hash_u64
                 from .functions.text import remove_dup_spans
 
-                def add_sid(t: pa.Table) -> pa.Table:
-                    sid = stable_hash_u64(t.column("url")).astype(
-                        "int64", copy=False
-                    )
-                    return t.append_column("_sid", pa.array(sid))
-
-                add_sid.__name__ = "url_to_span_id"
+                add_sid = _add_url_id("_sid")
                 # two consumers inside remove_dup_spans (occurrence
                 # explode + rewrite) — materialize the curated lineage
                 rewritten = remove_dup_spans(
@@ -832,22 +841,13 @@ def main(argv: list[str] | None = None) -> int:
                 # tokenizer-to-training chain of export_tokenized_shards)
                 import pyarrow.parquet as _pq2
 
-                from .engine import stable_hash_u64
                 from .functions.train import (bpe_encode_ids,
                                               pack_token_bins,
                                               unigram_encode_ids)
 
                 artifact = _pq2.read_table(args.emit_tokens)
 
-                def add_tid(t: pa.Table) -> pa.Table:
-                    # pack order needs an int64 key: the url hash (same
-                    # collision posture as --near-dedup's _nid)
-                    tid = stable_hash_u64(t.column("url")).astype(
-                        "int64", copy=False
-                    )
-                    return t.append_column("_tid", pa.array(tid))
-
-                add_tid.__name__ = "url_to_pack_id"
+                add_tid = _add_url_id("_tid")  # pack order key
                 # dispatch on the train-tokenizer artifact's schema:
                 # (piece, prob) = unigram vocabulary, otherwise BPE merges
                 encode = (

@@ -936,6 +936,14 @@ def remove_dup_spans(
     # one stage's closure would never reach the other's
     keep_types: dict = {}
     if keep_cols:
+        reserved = {text_col, id_col, "doc", "pos", "_dp", "text_clean"}
+        bad = [c for c in keep_cols if c in reserved]
+        if bad:
+            # overwriting the internal discriminator columns would turn
+            # null-text docs into phantom removal rows (silent data loss)
+            raise ValueError(
+                f"keep_cols {bad} collide with reserved columns {sorted(reserved)}"
+            )
         sch = ds.schema()
         pa_sch = getattr(sch, "base_schema", None)
         if pa_sch is None:

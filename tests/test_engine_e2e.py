@@ -2410,7 +2410,7 @@ def test_prep_emit_tokens_unigram_cli(ray_session, tmp_path_factory, capsys):
     rc = cli_main(["prep", lake, out, "--shards", "2", "--min-chars",
                    "10", "--emit-tokens", tok, "--pack-budget", "64"])
     assert rc == 0
-    capsys.readouterr()
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
 
     live = eng.read_table_arrow()
     seen, docs = set(), []
@@ -2447,6 +2447,7 @@ def test_prep_emit_tokens_unigram_cli(ray_session, tmp_path_factory, capsys):
             for b, ids in zip(t.column("bin_id").to_pylist(),
                               t.column("token_ids").to_pylist()):
                 got[b] = ids
+    assert rep["rows"] == len(bins)
     assert got == bins
 
 
@@ -2455,7 +2456,6 @@ def test_prep_span_dedup_cli(ray_session, tmp_path_factory, capsys):
     dict-of-span-text removal replay over the same curated corpus
     (canonical smallest (id, pos) occurrence kept, others' tokens
     excised) — and url/lang ride the rewrite unchanged."""
-    import json
     import os
 
     from gobblin_ray.cli import main as cli_main
