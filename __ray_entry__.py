@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_sink_counts": demo.partitioned_sink_counts,
         "export_roundtrip_counts": demo.export_roundtrip_counts,
         "orc_export_roundtrip": demo.orc_export_roundtrip,
+        "avro_export_roundtrip": demo.avro_export_roundtrip,
+        "json_typed_records_events": demo.json_typed_records_events,
+        "rest_source_pages": demo.rest_source_pages,
         "throttled_count_events": demo.throttled_count_events,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
@@ -527,6 +530,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n,
                    CAST(sum(event_id) AS BIGINT) AS sum_id,
                    round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        # Avro write+read roundtrip over the from-scratch container codec:
+        # typed columns survive Avro binary encoding exactly
+        "avro_export_roundtrip": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        # JSON -> typed record under a declared scalar spec: the typed
+        # int64 'k' column sums without float drift
+        "json_typed_records_events": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k')
+                        AS BIGINT)) AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
+        """,
+        # paginated REST pull: staged pages reassemble the exact table
+        "rest_source_pages": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(event_id) AS BIGINT) AS sum_id
             FROM events GROUP BY event_type
         """,
         "partitioned_sink_counts": """

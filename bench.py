@@ -125,6 +125,9 @@ QUERY_NAMES = [
     "knn_ivfpq",
     "export_tokenized_shards",
     "orc_export_roundtrip",
+    "avro_export_roundtrip",
+    "json_typed_records_events",
+    "rest_source_pages",
     "export_unigram_ids",
 ]
 

@@ -444,3 +444,94 @@ def _set_op(a, b, cols: list[str], keep: str):
 
     pick.__name__ = f"set_op_{keep}"
     return g.map_batches(pick, batch_format="pyarrow", batch_size=None)
+
+
+def json_to_typed_records(ds, field: str, spec: dict[str, str],
+                          keep_cols: list[str] | None = None):
+    """JSON-string -> typed-record converter under a declared Avro-style
+    scalar type spec — the JsonIntermediateToAvroConverter /
+    JsonElementConversionFactory analog (gobblin-core/.../converter/avro/
+    JsonIntermediateToAvroConverter.java:1; the ~700-LoC factory's SCALAR
+    lattice, with the same coercion posture: a string-encoded number
+    converts to the declared numeric type, booleans accept true/false in
+    either JSON or string form). ``spec`` maps output column name ->
+    one of int | long | float | double | boolean | string | bytes |
+    timestamp-micros | timestamp-millis. Nested record/array/map specs
+    are rejected loudly — the documented scalar-only boundary (the lake's
+    nested-type path is the struct column support in schema.py, not this
+    converter). Missing keys and JSON nulls become Arrow nulls; a null
+    or unparseable input row yields all-null outputs.
+
+    Scale shape: an actor-pool stage (json.loads is per row — JSON is a
+    row-major format, the same codec boundary as the WARC/Avro readers);
+    output columns build once per batch via pa.array with the declared
+    type. ``keep_cols`` lists input columns carried through unchanged
+    (the converter otherwise REPLACES the record, like the reference's)."""
+    _ARROW = {
+        "int": pa.int32(), "long": pa.int64(), "float": pa.float32(),
+        "double": pa.float64(), "boolean": pa.bool_(),
+        "string": pa.string(), "bytes": pa.binary(),
+        "timestamp-micros": pa.timestamp("us"),
+        "timestamp-millis": pa.timestamp("ms"),
+    }
+    for k, v in spec.items():
+        if v not in _ARROW:
+            raise TypeError(
+                f"json_to_typed_records supports the scalar lattice only "
+                f"({sorted(_ARROW)}); field {k!r} declared {v!r}"
+            )
+
+    def _coerce(v, kind):
+        if v is None:
+            return None
+        if kind in ("int", "long"):
+            return int(v) if not isinstance(v, bool) else int(v)
+        if kind in ("float", "double"):
+            return float(v)
+        if kind == "boolean":
+            if isinstance(v, bool):
+                return v
+            if isinstance(v, str):
+                if v.lower() in ("true", "1"):
+                    return True
+                if v.lower() in ("false", "0"):
+                    return False
+                return None
+            return bool(v)
+        if kind == "string":
+            return v if isinstance(v, str) else __import__("json").dumps(v)
+        if kind == "bytes":
+            return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        return int(v)  # timestamps arrive as epoch ints
+
+    class TypedRecords:
+        def __init__(self):
+            import json
+
+            self.loads = json.loads
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t.column(field).to_pylist()
+            objs = []
+            for s in texts:
+                try:
+                    o = self.loads(s) if s else {}
+                except (ValueError, TypeError):
+                    o = {}
+                objs.append(o if isinstance(o, dict) else {})
+            cols = {}
+            for c in keep_cols or []:
+                cols[c] = t.column(c)
+            for name, kind in spec.items():
+                vals = [_coerce(o.get(name), kind) for o in objs]
+                at = _ARROW[kind]
+                if kind in ("timestamp-micros", "timestamp-millis"):
+                    cols[name] = pa.array(
+                        vals, pa.int64()
+                    ).cast(at)
+                else:
+                    cols[name] = pa.array(vals, at)
+            return pa.table(cols)
+
+    return ds.map_batches(TypedRecords, batch_format="pyarrow",
+                          batch_size=None, concurrency=(1, 8))

@@ -487,3 +487,54 @@ def shuffle_shard_export(
     return rd.from_items(
         [{"path": f} for f in files], override_num_blocks=max(1, len(files))
     ).flat_map(read_back)
+
+
+def export_avro(ds, out_dir: str, codec: str = "deflate"):
+    """Avro object-container export sink (AvroHdfsDataWriter analog,
+    gobblin-core/.../writer/AvroHdfsDataWriter.java:1 — the reference's
+    native record sink) over the from-scratch codec in sources/avro.py.
+    One container file per non-empty block, written by a distributed Ray
+    task per block: tmp + atomic rename under a name carrying BOTH the
+    block ordinal and the content fingerprint — the ordinal keeps two
+    byte-identical blocks from collapsing into one file (the export_orc
+    failure mode the round-4 advisor flagged), while the fingerprint
+    keeps a retried task overwriting its own file (same ordinal + same
+    content -> same name -> idempotent). The dataset is materialized and
+    its block refs enumerated on the driver (O(blocks) work, the lineage
+    posture every sink here has); stale output clears first so a re-run
+    can't double-count. Returns the (path, rows) lineage as a small
+    Dataset read from the write results."""
+    import ray
+    import ray.data as rd
+
+    os.makedirs(out_dir, exist_ok=True)
+    for f in os.listdir(out_dir):
+        if f.startswith(("block-", ".block-")):
+            os.remove(os.path.join(out_dir, f))
+
+    @ray.remote(num_cpus=0.5)
+    def write_block(t: pa.Table, ordinal: int) -> dict:
+        from ..kernels import content_fingerprint
+        from ..sources.avro import write_container
+
+        if t.num_rows == 0:
+            return {"path": "", "rows": 0}
+        fp = content_fingerprint(t)
+        path = os.path.join(out_dir, f"block-{ordinal:05d}-{fp}.avro")
+        # tmp name must NOT end in .avro: read_avro_source globs on the
+        # suffix and a crashed attempt's partial tmp would poison reads
+        tmp = os.path.join(
+            out_dir, f".block-{ordinal:05d}-{fp}.tmp-{os.getpid()}"
+        )
+        write_container(t, tmp, codec=codec)
+        os.replace(tmp, path)
+        return {"path": path, "rows": t.num_rows}
+
+    refs = ds.materialize().to_arrow_refs()
+    lineage = [
+        r for r in ray.get(
+            [write_block.remote(ref, i) for i, ref in enumerate(refs)]
+        )
+        if r["rows"] > 0
+    ]
+    return rd.from_items(lineage or [{"path": "", "rows": 0}])
