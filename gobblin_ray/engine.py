@@ -347,9 +347,10 @@ class _AnnotateNeardup:
     visible under _errors/ and count in the commit gate. Verdicts are per
     (url, epoch) UNIT: every insert event of a flagged url diverts, even
     when the url had several inserts with different texts this epoch (see
-    the EngineConfig.neardup_dedup contract). The dup-url set is broadcast
-    once (ray.put on the driver, fetched per actor in __init__, never
-    captured per task)."""
+    the EngineConfig.neardup_dedup contract). The dup-url array is built
+    inside a Ray task (functions/dedup._ids_array_ref — object-store
+    resident, never on the driver heap) and fetched per actor in
+    __init__, never captured per task."""
 
     def __init__(self, dup_ref):
         import ray
@@ -842,8 +843,6 @@ class CdcEngine:
         materialized once — one epoch in the object store, the same bound
         the merge exchange already implies — so the check pass and the
         merge pipeline don't re-execute the log read."""
-        import ray
-
         from .functions.dedup import neardup_ingest_verdicts
 
         ds = ds.materialize()
@@ -868,7 +867,7 @@ class CdcEngine:
         stage_dir = os.path.dirname(
             ckpt.staging_path(self.lake_dir, epoch_index, 0)
         )
-        dups = neardup_ingest_verdicts(
+        dup_ref, n_dups = neardup_ingest_verdicts(
             sel,
             index_dir=os.path.join(self.lake_dir, NEARDUP_INDEX_DIR),
             stage_dir=stage_dir,
@@ -881,9 +880,11 @@ class CdcEngine:
             shingle_k=self.cfg.neardup_shingle_k,
             num_partitions=self.cfg.neardup_partitions,
         )
-        if not dups:
+        if not n_dups:
             return ds, 0
-        dup_ref = ray.put(pa.array(sorted(dups)))
+        # dup_ref is the TASK-BUILT sorted dup-url array already in the
+        # object store (never on the driver heap) — handed straight to
+        # the annotator actors
         annotated = ds.map_batches(
             _AnnotateNeardup,
             fn_constructor_kwargs=dict(dup_ref=dup_ref),
@@ -891,7 +892,7 @@ class CdcEngine:
             batch_size=None,
             concurrency=(1, 4),
         )
-        return annotated, len(dups)
+        return annotated, n_dups
 
     def _commit_epoch(
         self, epoch: planmod.Epoch, manifest: Manifest, execution: dict | None
