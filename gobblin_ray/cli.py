@@ -859,9 +859,9 @@ def main(argv: list[str] | None = None) -> int:
                     kept.map_batches(add_tid, batch_format="pyarrow",
                                      batch_size=None),
                     artifact, text_col="text", id_col="_tid",
-                )  # single consumer; pack_token_bins materializes the
-                # (id, token_ids) projection itself — no need to pin the
-                # full text corpus in the object store here
+                )  # single consumer; pack_token_bins sorts + pins the
+                # encoded rows itself (hierarchical scan) — no need to
+                # pin the full text corpus in the object store here
                 bins = pack_token_bins(ids, budget=args.pack_budget,
                                        id_col="_tid")
                 lineage = shuffle_shard_export(

@@ -639,15 +639,20 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
     packing that concatenates docs into training sequences; Raffel et al.
     2020 T5 "packing"). Returns one row per doc: (id, n_tokens, bin_id).
 
-    Distributed-scan shape: a PREFIX SUM over an ordered key. Pass 1
-    projects each doc to (id, n_tokens) — 16 bytes/doc — and the driver
-    computes the exclusive cumulative sum vectorized (numpy) in id order;
-    ``bin_id = exclusive_cum // budget``. Pass 2 joins the doc->bin map
-    back per batch via ONE broadcast Arrow hash join. The driver-resident
-    projection is the documented scale bound: at 10^10 docs swap the
-    driver cumsum for a hierarchical scan (per-shard partials -> prefix of
-    shard totals -> per-shard rescan), same two-pass shape."""
+    Distributed-scan shape: a HIERARCHICAL PREFIX SUM over the ordered
+    key (the round-5 scale fix — the earlier version held the whole
+    (id, n_tokens) projection on the driver and broadcast an O(docs)
+    doc->bin map, 160 GB at 10^10 docs). Pass 1 projects each doc to
+    (id, n_tokens) — 16 bytes/doc — and SORTS by id (one range-partition
+    exchange of the tiny projection; sorted datasets enumerate blocks in
+    key order). Pass 2 is the two-level scan: per-block token sums come
+    back to the driver (O(blocks) ints), the driver prefix-sums the
+    block offsets, and one task per block assigns
+    ``bin_id = (block_offset + local_exclusive_cumsum) // budget``
+    vectorized. Nothing O(docs) ever lives on the driver or broadcasts.
+    """
     import ray
+    import ray.data as rd
 
     def doc_tokens(t: pa.Table) -> pa.Table:
         n = pc.list_value_length(
@@ -658,25 +663,37 @@ def pack_sequences(ds, text_col: str = "text", id_col: str = "doc_id",
     doc_tokens.__name__ = "doc_tokens"
     proj = (
         ds.map_batches(doc_tokens, batch_format="pyarrow", batch_size=None)
-        .to_pandas().sort_values(id_col).reset_index(drop=True)
+        .sort(id_col)
+        .materialize()
     )
-    toks = proj["n_tokens"].to_numpy(dtype=np.int64)
-    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
-    proj["bin_id"] = excl // int(budget)
-    bins_ref = ray.put(pa.Table.from_pandas(
-        proj[[id_col, "bin_id"]], preserve_index=False
-    ))
+    refs = proj.to_arrow_refs()
 
-    class AttachBin:
-        def __init__(self):
-            self.bins = ray.get(bins_ref)  # once per worker process
+    @ray.remote(num_cpus=0.25)
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(
+            pc.sum(t.column("n_tokens")).as_py() or 0
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return doc_tokens(batch).join(self.bins, keys=[id_col])
+    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
 
-    return ds.map_batches(
-        AttachBin, batch_format="pyarrow", batch_size=None, concurrency=(1, 8)
-    )
+    @ray.remote(num_cpus=0.25)
+    def assign_bins(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "bin_id": pa.array([], pa.int64()),
+            })
+        toks = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        excl = off + np.concatenate([[0], np.cumsum(toks)[:-1]])
+        return t.append_column("bin_id", pa.array(excl // int(budget)))
+
+    return rd.from_arrow_refs([
+        assign_bins.remote(r, int(o)) for r, o in zip(refs, offsets)
+    ])
 
 
 def build_inverted_index(ds, text_col: str = "text", id_col: str = "doc_id",

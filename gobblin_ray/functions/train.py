@@ -1456,62 +1456,125 @@ def pack_token_bins(ids_ds, budget: int = 4096, id_col: str = "doc_id"):
     docs in ``id_col`` order, bin boundary where the exclusive running
     token count crosses ``budget`` (Raffel et al. 2020 T5 packing), one
     output row per bin with the concatenated id sequence. Same
-    prefix-sum shape as pack_sequences: a 16-byte/doc projection drives a
-    driver-side exclusive cumsum (documented scale bound — hierarchical
-    scan at 10^10 docs), the doc->bin map broadcasts once, and one
-    bounded groupby(bin_id) folds each bin's docs in id order. Returns
-    (bin_id, token_ids, n_docs, n_tokens). The input is consumed twice
-    (projection + attach) — it is materialized here so the encode stage
-    runs once."""
+    HIERARCHICAL-scan shape as pack_sequences (the round-5 scale fix —
+    the earlier version drove a driver-side O(docs) cumsum and broadcast
+    a 16 B/doc doc->bin map): the encoded rows sort by id ONCE (range
+    partition; sorted datasets enumerate blocks in key order), per-block
+    token sums return to the driver (O(blocks) ints), the driver
+    prefix-sums block offsets, and one task per block assigns bins with
+    a local cumsum. Bins fully interior to a block fold IN the block
+    task (no exchange at all for ~budget-sized bins); only the <=2
+    boundary bins per block emit partial rows into one tiny
+    groupby(bin_id) that concatenates partials in block order. Returns
+    (bin_id, token_ids, n_docs, n_tokens)."""
     import ray
+    import ray.data as rd
 
-    ids_ds = ids_ds.materialize()
-    proj = (
-        ids_ds.select_columns([id_col, "n_tokens"])
-        .to_pandas().sort_values(id_col).reset_index(drop=True)
-    )
-    toks = proj["n_tokens"].to_numpy(dtype=np.int64)
-    excl = np.concatenate([[0], np.cumsum(toks)[:-1]])
-    proj["bin_id"] = excl // int(budget)
-    # searchsorted lookup, not an Arrow join: the hash join rejects list
-    # payload columns (token_ids), and the map is already sorted by id
-    bins_ref = ray.put((proj[id_col].to_numpy(dtype=np.int64),
-                        proj["bin_id"].to_numpy(dtype=np.int64)))
+    sorted_full = ids_ds.sort(id_col).materialize()
+    refs = sorted_full.to_arrow_refs()
 
-    class AttachBin:
-        def __init__(self):
-            self.ids_sorted, self.bin_of = ray.get(bins_ref)
+    @ray.remote(num_cpus=0.25)
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return 0
+        return int(pc.sum(t.column("n_tokens")).as_py() or 0)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column(id_col).to_numpy(zero_copy_only=False).astype(
-                np.int64
+    sums = np.array(ray.get([block_sum.remote(r) for r in refs]), np.int64)
+    offsets = np.concatenate([[0], np.cumsum(sums)[:-1]])
+
+    def _empty_bins() -> pa.Table:
+        return pa.table({
+            "bin_id": pa.array([], pa.int64()),
+            "token_ids": pa.array([], pa.list_(pa.int64())),
+            "n_docs": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+
+    if not refs:
+        return rd.from_arrow(_empty_bins())
+
+    def _fold_rows(bins, seqs, rows):
+        """(bin_id, concatenated ids, n_docs, n_tokens) per bin for the
+        given row indices, rows already in id order."""
+        out_b, out_t, out_d, out_n = [], [], [], []
+        i = 0
+        while i < len(rows):
+            j = i
+            b = bins[rows[i]]
+            flat: list[int] = []
+            while j < len(rows) and bins[rows[j]] == b:
+                flat += seqs[rows[j]]
+                j += 1
+            out_b.append(int(b))
+            out_t.append(flat)
+            out_d.append(j - i)
+            out_n.append(len(flat))
+            i = j
+        return out_b, out_t, out_d, out_n
+
+    @ray.remote(num_cpus=0.25, num_returns=2)
+    def fold_block(t: pa.Table, off: int, ordinal: int):
+        """Returns (complete-interior-bins table, boundary-partials
+        table). The block's FIRST and LAST bin may continue into the
+        neighbor blocks, so they always go to the partial side (ordinal
+        keeps the cross-block concatenation in id order); every other
+        bin is complete here by construction (bins are contiguous in the
+        global id order)."""
+        if t.num_rows == 0:
+            return _empty_bins(), _empty_bins().append_column(
+                "_ord", pa.array([], pa.int64())
             )
-            pos = np.searchsorted(self.ids_sorted, ids)
-            return t.append_column(
-                "bin_id", pa.array(self.bin_of[pos], pa.int64())
-            )
+        toks = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        excl = off + np.concatenate([[0], np.cumsum(toks)[:-1]])
+        bins = excl // int(budget)
+        seqs = t.column("token_ids").to_pylist()
+        interior = np.flatnonzero((bins != bins[0]) & (bins != bins[-1]))
+        boundary = np.flatnonzero((bins == bins[0]) | (bins == bins[-1]))
+        ib, it, idn, inn = _fold_rows(bins, seqs, interior)
+        bb, bt, bdn, bnn = _fold_rows(bins, seqs, boundary)
+        comp = pa.table({
+            "bin_id": pa.array(ib, pa.int64()),
+            "token_ids": pa.array(it, pa.list_(pa.int64())),
+            "n_docs": pa.array(idn, pa.int64()),
+            "n_tokens": pa.array(inn, pa.int64()),
+        })
+        part = pa.table({
+            "bin_id": pa.array(bb, pa.int64()),
+            "token_ids": pa.array(bt, pa.list_(pa.int64())),
+            "n_docs": pa.array(bdn, pa.int64()),
+            "n_tokens": pa.array(bnn, pa.int64()),
+            "_ord": pa.array([ordinal] * len(bb), pa.int64()),
+        })
+        return comp, part
 
-    def fold_bin(g: pa.Table) -> pa.Table:
-        g = g.sort_by([(id_col, "ascending")])
-        seqs = g.column("token_ids").to_pylist()
+    comp_refs, part_refs = [], []
+    for i, (r, o) in enumerate(zip(refs, offsets)):
+        c, p = fold_block.remote(r, int(o), i)
+        comp_refs.append(c)
+        part_refs.append(p)
+
+    def fold_partials(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("_ord", "ascending")])
         flat: list[int] = []
-        for s in seqs:
+        for s in g.column("token_ids").to_pylist():
             flat += s
         return pa.table({
             "bin_id": pa.array([int(g.column("bin_id")[0].as_py())],
                                pa.int64()),
             "token_ids": pa.array([flat], pa.list_(pa.int64())),
-            "n_docs": pa.array([g.num_rows], pa.int64()),
+            "n_docs": pa.array(
+                [int(pc.sum(g.column("n_docs")).as_py())], pa.int64()
+            ),
             "n_tokens": pa.array([len(flat)], pa.int64()),
         })
 
-    fold_bin.__name__ = "fold_token_bin"
-    return (
-        ids_ds.map_batches(AttachBin, batch_format="pyarrow",
-                           batch_size=None, concurrency=(1, 8))
+    fold_partials.__name__ = "fold_boundary_bins"
+    boundary = (
+        rd.from_arrow_refs(part_refs)
         .groupby("bin_id")
-        .map_groups(fold_bin, batch_format="pyarrow")
+        .map_groups(fold_partials, batch_format="pyarrow")
     )
+    return rd.from_arrow_refs(comp_refs).union(boundary)
 
 
 def unigram_symbol_ids(pieces: list[tuple[str, float]]) -> dict[str, int]:
