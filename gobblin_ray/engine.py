@@ -749,9 +749,6 @@ class CdcEngine:
             ds = ds.map_batches(_conv, batch_format="pyarrow",
                                 batch_size=None)
         ds = ds.map_batches(_normalize_batch, batch_format="pyarrow", batch_size=None)
-        neardup_dups = 0
-        if self.cfg.neardup_dedup:
-            ds, neardup_dups = self._neardup_stage(ds, epoch.index)
         if manifest.constraints:
             # persisted table constraints (constraints.py): violating
             # UPSERT events quarantine like any row-policy failure;
@@ -774,6 +771,14 @@ class CdcEngine:
             _enforce.__name__ = "enforce_constraints"
             ds = ds.map_batches(_enforce, batch_format="pyarrow",
                                 batch_size=None)
+        # neardup runs AFTER constraint annotation (round-4 advisor
+        # finding): a constraint-quarantined INSERT never reaches the
+        # lake, so it must be neither near-dup-checked nor staged into
+        # the index as a 'survivor' — pick_inserts filters on a null
+        # error column, which now reflects constraints too
+        neardup_dups = 0
+        if self.cfg.neardup_dedup:
+            ds, neardup_dups = self._neardup_stage(ds, epoch.index)
         ds = ds.map_batches(
             _BucketAndReduce(self.cfg.num_buckets, splan.hot_buckets),
             batch_format="pyarrow",

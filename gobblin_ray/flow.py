@@ -142,15 +142,24 @@ def _input_state(inp: dict) -> dict:
                 "shards": len(meta["shards"])}
     if "path" in inp:
         p = inp["path"]
+        # mtime_ns joins the fingerprint (round-4 advisor finding): a
+        # content change that happens to preserve the byte size must
+        # still invalidate the node marker, or the trigger silently
+        # skips a node whose input actually changed. Conservative by
+        # design: a byte-identical rewrite (tmp+rename bumps mtime)
+        # re-triggers — a wasted re-run, never a missed one.
         if os.path.isdir(p):
             entries = sorted(
-                (name, os.path.getsize(os.path.join(p, name)))
+                (name,
+                 os.path.getsize(os.path.join(p, name)),
+                 os.stat(os.path.join(p, name)).st_mtime_ns)
                 for name in os.listdir(p)
                 if os.path.isfile(os.path.join(p, name))
             )
             return {"path": p, "entries": entries}
         if os.path.exists(p):
-            return {"path": p, "size": os.path.getsize(p)}
+            return {"path": p, "size": os.path.getsize(p),
+                    "mtime_ns": os.stat(p).st_mtime_ns}
         return {"path": p, "size": None}
     raise FlowError(f"unknown input kind: {inp!r}")
 

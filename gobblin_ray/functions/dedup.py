@@ -1568,22 +1568,38 @@ def _anchor_sketch_row_builder(text_col: str, id_col: str, k_anchors: int,
     points that share the format."""
 
     def anchor_rows(t: pa.Table) -> pa.Table:
+        import hashlib
+
         ids = t.column(id_col).to_pylist()
         texts = t.column(text_col).to_pylist()
-        out_id, out_anchor, out_sketch = [], [], []
+        out_id, out_anchor, out_sketch, out_tie = [], [], [], []
         for i, txt in zip(ids, texts):
             sh = _char_shingle_hashes(txt or "", shingle_k)  # sorted unique
             if not len(sh):
                 continue
             sketch = sh[:k_sketch].view(np.int64).tolist()
+            # _tie: 64-bit content hash of the sketch — the DETERMINISTIC
+            # tertiary sort key (round-4 advisor finding): an id with
+            # several distinct texts in one epoch yields same-(anchor,
+            # doc) rows whose relative order was shuffle-dependent, so
+            # truncated compare windows in capped buckets differed
+            # across re-executions. (anchor, doc, _tie) is a total order
+            # for distinct texts, making replay verdicts stable.
+            tie = int.from_bytes(
+                hashlib.blake2b(
+                    sh[:k_sketch].tobytes(), digest_size=8
+                ).digest(), "big", signed=True,
+            )
             for a in sh[: min(k_anchors, len(sh))].view(np.int64):
                 out_id.append(i)
                 out_anchor.append(int(a))
                 out_sketch.append(sketch)
+                out_tie.append(tie)
         return pa.table({
             "anchor": pa.array(out_anchor, pa.int64()),
             "doc": pa.array(out_id),
             "sketch": pa.array(out_sketch, pa.list_(pa.int64())),
+            "_tie": pa.array(out_tie, pa.int64()),
             "_ap": pa.array(
                 (np.asarray(out_anchor, np.int64).view(np.uint64)
                  % np.uint64(P)).astype(np.int32)
@@ -1681,25 +1697,37 @@ def dedup_minhash_incremental(
         )
         anchors = g.column("anchor").to_numpy(zero_copy_only=False)
         docs = g.column("doc").to_numpy(zero_copy_only=False)
+        ties = g.column("_tie").to_numpy(zero_copy_only=False)
         sketches = g.column("sketch").to_pylist()
         dup = np.zeros(len(docs), bool)
         old_by_anchor: dict = {}
         if old is not None and old.num_rows:
+            # deterministic prior order (the files are content-named and
+            # internally sorted, but concat order across epochs matters
+            # once the compare loop below truncates at the cap)
+            sort_keys = [("anchor", "ascending"), ("doc", "ascending")]
+            if "_tie" in old.column_names:
+                sort_keys.append(("_tie", "ascending"))
+            old = old.sort_by(sort_keys)
             oa = old.column("anchor").to_numpy(zero_copy_only=False)
             osk = old.column("sketch").to_pylist()
             for j in range(len(oa)):
                 old_by_anchor.setdefault(oa[j], []).append(
                     np.asarray(osk[j], np.int64)
                 )
-        order = np.lexsort((docs, anchors))
+        order = np.lexsort((ties, docs, anchors))
         i = 0
         while i < len(order):
             j = i
             a = anchors[order[i]]
             while j < len(order) and anchors[order[j]] == a:
                 j += 1
-            bucket = order[i:j]  # sorted by doc id within the anchor
-            prior = old_by_anchor.get(a, [])
+            bucket = order[i:j]  # sorted by (doc, tie) within the anchor
+            # bounded prior-compare window (round-4 advisor finding): the
+            # per-epoch stage cap bounds ADDITIONS, not the bucket total,
+            # so without this slice a hot anchor's compare cost grows
+            # unboundedly across epochs
+            prior = old_by_anchor.get(a, [])[:_NEARDUP_PAIRWISE_CAP]
             head_sketch = np.asarray(sketches[bucket[0]], np.int64)
             for pos, row in enumerate(bucket):
                 s = np.asarray(sketches[row], np.int64)
@@ -1746,9 +1774,12 @@ def dedup_minhash_incremental(
         os.makedirs(pdir, exist_ok=True)
         # sort before fingerprinting: the group's row order is
         # shuffle-dependent, and a retried task must write the SAME name
-        # for the same logical content or the index duplicates
+        # for the same logical content or the index duplicates; _tie
+        # makes the order TOTAL even when one doc has several distinct
+        # texts (round-4 advisor finding)
         out = g.drop_columns(["_ap"]).sort_by(
-            [("anchor", "ascending"), ("doc", "ascending")]
+            [("anchor", "ascending"), ("doc", "ascending"),
+             ("_tie", "ascending")]
         )
         from ..kernels import content_fingerprint
 
@@ -1879,7 +1910,11 @@ def neardup_ingest_verdicts(
         def check_partition(g: pa.Table) -> pa.Table:
             part = int(g.column("_ap")[0].as_py())
             files = prior_files.get(part, [])  # driver-time snapshot ONLY
-            g = g.sort_by([("anchor", "ascending"), ("doc", "ascending")])
+            # _tie totalizes the order for multi-text ids (round-4
+            # advisor finding: capped buckets' truncated compare windows
+            # must be replay-stable)
+            g = g.sort_by([("anchor", "ascending"), ("doc", "ascending"),
+                           ("_tie", "ascending")])
             anchors = g.column("anchor").to_numpy(zero_copy_only=False)
             docs = g.column("doc").to_pylist()
             sketches = [
@@ -1888,6 +1923,10 @@ def neardup_ingest_verdicts(
             old_by_anchor: dict = {}
             if files:
                 old = pa.concat_tables([pq.read_table(f) for f in files])
+                sort_keys = [("anchor", "ascending"), ("doc", "ascending")]
+                if "_tie" in old.column_names:
+                    sort_keys.append(("_tie", "ascending"))
+                old = old.sort_by(sort_keys)
                 oa = old.column("anchor").to_numpy(zero_copy_only=False)
                 od = old.column("doc").to_pylist()
                 osk = old.column("sketch").to_pylist()
@@ -1903,7 +1942,11 @@ def neardup_ingest_verdicts(
                 a = anchors[i]
                 while j < n and anchors[j] == a:
                     j += 1
-                prior = old_by_anchor.get(a, [])
+                # bounded prior-compare window (round-4 advisor finding):
+                # the stage cap bounds per-EPOCH additions, not the
+                # bucket's cross-epoch total — truncate in the
+                # deterministic (doc, tie) order built above
+                prior = old_by_anchor.get(a, [])[:_NEARDUP_PAIRWISE_CAP]
                 for r in range(i, j):
                     s = sketches[r]
                     hit = any(
@@ -1963,7 +2006,8 @@ def neardup_ingest_verdicts(
         from the same bucket sizes the check pass saw, then dup docs and
         capped-anchor rows drop before the write."""
         part = int(g.column("_ap")[0].as_py())
-        g = g.sort_by([("anchor", "ascending"), ("doc", "ascending")])
+        g = g.sort_by([("anchor", "ascending"), ("doc", "ascending"),
+                       ("_tie", "ascending")])  # total, replay-stable
         anchors = g.column("anchor").to_numpy(zero_copy_only=False)
         new_a = np.diff(anchors, prepend=anchors[0] - 1) != 0
         a_ids = np.cumsum(new_a) - 1

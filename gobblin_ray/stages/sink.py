@@ -345,16 +345,20 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
     (GobblinOrcWriter analog,
     gobblin-modules/gobblin-orc/.../writer/GobblinOrcWriter.java). Ray
     Data ships no ORC writer, so each block writes ONE ORC file via
-    pyarrow.orc inside a distributed map task: tmp + atomic rename with a
-    content-fingerprint name, so a retried task overwrites the same file
-    (the FsDataWriter idempotence posture shared by every sink here; two
-    blocks with byte-identical content would collapse to one file — the
-    read-back lineage exposes that, and the roundtrip queries would
-    fail on it). The export is DRIVEN EAGERLY (like
-    shuffle_shard_export): stale blocks clear and the writes run inside
-    this call, so a lazy never-consumed return can't leave the directory
-    emptied-but-unwritten. Returns the materialized (path, rows)
-    lineage."""
+    pyarrow.orc inside a distributed Ray task: tmp + atomic rename under
+    a name carrying BOTH the block ordinal and the content fingerprint —
+    the ordinal keeps two byte-identical blocks from collapsing into one
+    file (round-4 advisor finding: the old content-only name silently
+    lost rows on content-equal blocks while the lineage still reported
+    both), while the fingerprint keeps a retried task idempotent (same
+    ordinal + same content -> same name -> overwrite). The dataset is
+    materialized and its block refs enumerated on the driver (O(blocks)
+    work, the lineage posture every sink here has); stale blocks clear
+    first so a re-run can't double-count. Returns the (path, rows)
+    lineage as a small Dataset."""
+    import ray
+    import ray.data as rd
+
     os.makedirs(out_dir, exist_ok=True)
     # stale-output clearing (the shuffle_shard_export invariant): a prior
     # run's blocks this run won't rewrite would silently fold into the
@@ -363,27 +367,33 @@ def export_orc(ds, out_dir: str, compression: str = "zstd"):
         if f.startswith(("block-", ".block-")):
             os.remove(os.path.join(out_dir, f))
 
-    def write_block(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({"path": pa.array([], pa.string()),
-                             "rows": pa.array([], pa.int64())})
+    @ray.remote(num_cpus=0.5)
+    def write_block(t: pa.Table, ordinal: int) -> dict:
         from pyarrow import orc
 
         from ..kernels import content_fingerprint
 
+        if t.num_rows == 0:
+            return {"path": "", "rows": 0}
         fp = content_fingerprint(t)
-        path = os.path.join(out_dir, f"block-{fp}.orc")
+        path = os.path.join(out_dir, f"block-{ordinal:05d}-{fp}.orc")
         # tmp name must NOT end in .orc: read_orc_source globs on the
         # suffix, and a crashed attempt's partial tmp would poison reads
-        tmp = os.path.join(out_dir, f".block-{fp}.tmp-{os.getpid()}")
+        tmp = os.path.join(
+            out_dir, f".block-{ordinal:05d}-{fp}.tmp-{os.getpid()}"
+        )
         orc.write_table(t, tmp, compression=compression)
         os.replace(tmp, path)
-        return pa.table({"path": pa.array([path], pa.string()),
-                         "rows": pa.array([t.num_rows], pa.int64())})
+        return {"path": path, "rows": t.num_rows}
 
-    write_block.__name__ = "orc_block_write"
-    return ds.map_batches(write_block, batch_format="pyarrow",
-                          batch_size=None).materialize()
+    refs = ds.materialize().to_arrow_refs()
+    lineage = [
+        r for r in ray.get(
+            [write_block.remote(ref, i) for i, ref in enumerate(refs)]
+        )
+        if r["rows"] > 0
+    ]
+    return rd.from_items(lineage or [{"path": "", "rows": 0}])
 
 
 def shuffle_shard_export(

@@ -210,3 +210,80 @@ def test_multi_table_neardup_index_isolation(ray_session, corpus, full_run,
         assert _diverted(lake) == _diverted(ref_lake)
         assert _index_rows(lake) == _index_rows(ref_lake)
         assert _live_state(multi.engines[name]) == _live_state(ref_eng)
+
+
+def test_constraint_quarantine_precedes_neardup(ray_session,
+                                                tmp_path_factory):
+    """Ordering contract (round-4 advisor medium finding): constraint
+    enforcement runs BEFORE the neardup stage, so a constraint-violating
+    INSERT is neither near-dup-checked nor staged into the index as a
+    'survivor' — a later legitimate insert of similar content must LAND,
+    not divert against content that never reached the lake."""
+    import numpy as np
+
+    from gobblin_ray.fixtures import (_FRESH1, _FRESH2, _FRESH3, _PARA,
+                                      _PARA2, _PARA3)
+
+    corpus = str(tmp_path_factory.mktemp("cons_corpus"))
+    os.makedirs(f"{corpus}/events", exist_ok=True)
+    t0 = np.datetime64("2026-01-01T00:00:00", "us")
+
+    def ts(h):
+        return t0 + np.timedelta64(h, "h")
+
+    pages = [("http://base/p0", _PARA2), ("http://base/p1", _PARA3)]
+    pq.write_table(pa.table({
+        "url": pa.array([p[0] for p in pages]),
+        "warc_ts": pa.array([ts(0)] * 2, pa.timestamp("us")),
+        "html": pa.array([f"<p>{p[1]}</p>".encode() for p in pages],
+                         pa.binary()),
+        "text": pa.array([p[1] for p in pages]),
+        "lang": pa.array(["en"] * 2),
+    }), f"{corpus}/pages.parquet")
+    events = [
+        # epoch 1 (seq 0-3): b1 violates the lang constraint AND carries
+        # a text that seq-4's legit insert is a near-dup of
+        (0, "http://bad/b1", _PARA, "xx"),
+        (1, "http://new/f1", _FRESH1, "en"),
+        (2, "http://new/f2", _FRESH2, "en"),
+        (3, "http://new/f3", _FRESH3, "en"),
+        # epoch 2 (seq 4]: near-dup of b1's text — must land
+        (4, "http://new/ok", _PARA.replace("quick", "swift"), "en"),
+    ]
+    for shard, lo in enumerate(range(0, len(events), 4)):
+        chunk = events[lo:lo + 4]
+        pq.write_table(pa.table({
+            "event_seq": pa.array([e[0] for e in chunk], pa.int64()),
+            "op": pa.array(["insert"] * len(chunk)),
+            "url": pa.array([e[1] for e in chunk]),
+            "warc_ts": pa.array([ts(e[0] + 1) for e in chunk],
+                                pa.timestamp("us")),
+            "html": pa.array([f"<p>{e[2]}</p>".encode() for e in chunk],
+                             pa.binary()),
+            "text": pa.array([e[2] for e in chunk]),
+            "lang": pa.array([e[3] for e in chunk]),
+        }), f"{corpus}/events/part-{shard:05d}.parquet")
+
+    lake = str(tmp_path_factory.mktemp("cons_lake"))
+    eng = CdcEngine(lake, f"{corpus}/events", _cfg())
+    eng.bootstrap(f"{corpus}/pages.parquet")
+    eng.add_constraint(
+        "lang_en",
+        {"kind": "in_set", "column": "lang", "values": ["en"]},
+    )
+    eng.run(vacuum=False)
+
+    live = _live_state(eng)
+    assert "http://new/ok" in live, "legit near-dup of quarantined text"
+    assert "http://bad/b1" not in live
+    # b1 diverted as a CONSTRAINT failure, not neardup
+    errs = {}
+    for f in sorted(glob.glob(f"{lake}/_errors/epoch=*/bucket=*.parquet")):
+        t = pq.read_table(f)
+        for u, e in zip(t.column("url").to_pylist(),
+                        t.column("_err").to_pylist()):
+            errs[u] = e
+    assert errs.get("http://bad/b1") == "constraint:lang_en"
+    assert "http://new/ok" not in errs
+    # and b1's sketches never entered the index
+    assert not any(d == "http://bad/b1" for _a, d in _index_rows(lake))

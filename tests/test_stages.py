@@ -2380,3 +2380,23 @@ def test_throttle_service_shared_across_pipelines(ray_session):
     # scheduling slack); a split-budget bug halves it
     assert elapsed >= 3.0, f"finished in {elapsed:.2f}s — budget not shared"
     assert ray.get(svc.stats.remote())["granted"] == 10000
+
+
+def test_export_orc_identical_blocks_both_land(ray_session, tmp_path):
+    """Two byte-identical blocks must produce two ORC files (block
+    ordinal in the name): the old content-only naming silently collapsed
+    them into one file while the lineage still reported both blocks'
+    rows."""
+    import ray
+    import ray.data as rd
+
+    from gobblin_ray.sources.readers import read_orc_source
+    from gobblin_ray.stages.sink import export_orc
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64())})
+    ds = rd.from_arrow_refs([ray.put(t), ray.put(t)])
+    out = str(tmp_path / "orc_dup")
+    lineage = export_orc(ds, out)
+    assert sum(r["rows"] for r in lineage.take_all()) == 4
+    back = read_orc_source(out)
+    assert back.count() == 4
