@@ -149,17 +149,18 @@ def _input_state(inp: dict) -> dict:
         # design: a byte-identical rewrite (tmp+rename bumps mtime)
         # re-triggers — a wasted re-run, never a missed one.
         if os.path.isdir(p):
-            entries = sorted(
-                (name,
-                 os.path.getsize(os.path.join(p, name)),
-                 os.stat(os.path.join(p, name)).st_mtime_ns)
-                for name in os.listdir(p)
-                if os.path.isfile(os.path.join(p, name))
-            )
-            return {"path": p, "entries": entries}
+            entries = []
+            for name in os.listdir(p):
+                full = os.path.join(p, name)
+                if not os.path.isfile(full):
+                    continue
+                st = os.stat(full)  # ONE stat: size+mtime self-consistent
+                entries.append((name, st.st_size, st.st_mtime_ns))
+            return {"path": p, "entries": sorted(entries)}
         if os.path.exists(p):
-            return {"path": p, "size": os.path.getsize(p),
-                    "mtime_ns": os.stat(p).st_mtime_ns}
+            st = os.stat(p)
+            return {"path": p, "size": st.st_size,
+                    "mtime_ns": st.st_mtime_ns}
         return {"path": p, "size": None}
     raise FlowError(f"unknown input kind: {inp!r}")
 

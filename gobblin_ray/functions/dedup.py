@@ -1559,6 +1559,20 @@ def dedup_exact_incremental(
 
 # --------------------------------------- cross-run incremental near-dup
 
+def _with_tie(t: pa.Table) -> pa.Table:
+    """Schema-promote an on-disk anchor+sketch index file written BEFORE
+    the ``_tie`` column existed: concat of mixed-vintage files would
+    otherwise raise ArrowInvalid (upgrade-path crasher — a lake whose
+    index predates the tie-break column must keep replaying). Missing
+    ties fill with 0: pre-upgrade rows had no defined intra-(anchor, doc)
+    order, and a constant keeps them grouped ahead deterministically."""
+    if "_tie" in t.column_names:
+        return t
+    return t.append_column(
+        "_tie", pa.array(np.zeros(t.num_rows, np.int64))
+    )
+
+
 def _anchor_sketch_row_builder(text_col: str, id_col: str, k_anchors: int,
                                k_sketch: int, shingle_k: int, P: int):
     """ONE builder for the (anchor, doc, sketch, _ap) row convention that
@@ -1692,7 +1706,7 @@ def dedup_minhash_incremental(
         part = int(g.column("_ap")[0].as_py())
         files = prior_files.get(part, [])  # driver-time snapshot ONLY
         old = (
-            pa.concat_tables([pq.read_table(f) for f in files])
+            pa.concat_tables([_with_tie(pq.read_table(f)) for f in files])
             if files else None
         )
         anchors = g.column("anchor").to_numpy(zero_copy_only=False)
@@ -1705,10 +1719,9 @@ def dedup_minhash_incremental(
             # deterministic prior order (the files are content-named and
             # internally sorted, but concat order across epochs matters
             # once the compare loop below truncates at the cap)
-            sort_keys = [("anchor", "ascending"), ("doc", "ascending")]
-            if "_tie" in old.column_names:
-                sort_keys.append(("_tie", "ascending"))
-            old = old.sort_by(sort_keys)
+            old = old.sort_by([("anchor", "ascending"),
+                               ("doc", "ascending"),
+                               ("_tie", "ascending")])
             oa = old.column("anchor").to_numpy(zero_copy_only=False)
             osk = old.column("sketch").to_pylist()
             for j in range(len(oa)):
@@ -1922,11 +1935,12 @@ def neardup_ingest_verdicts(
             ]
             old_by_anchor: dict = {}
             if files:
-                old = pa.concat_tables([pq.read_table(f) for f in files])
-                sort_keys = [("anchor", "ascending"), ("doc", "ascending")]
-                if "_tie" in old.column_names:
-                    sort_keys.append(("_tie", "ascending"))
-                old = old.sort_by(sort_keys)
+                old = pa.concat_tables(
+                    [_with_tie(pq.read_table(f)) for f in files]
+                )
+                old = old.sort_by([("anchor", "ascending"),
+                                   ("doc", "ascending"),
+                                   ("_tie", "ascending")])
                 oa = old.column("anchor").to_numpy(zero_copy_only=False)
                 od = old.column("doc").to_pylist()
                 osk = old.column("sketch").to_pylist()

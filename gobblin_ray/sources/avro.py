@@ -127,7 +127,9 @@ def _avro_type(t: pa.DataType, path: str) -> object:
             "fields": [
                 {
                     "name": f.name,
-                    "type": ["null", _avro_type(f.type, f"{path}_{f.name}")],
+                    "type": _nullable(
+                        _avro_type(f.type, f"{path}_{f.name}")
+                    ),
                     "default": None,
                 }
                 for f in t
@@ -136,9 +138,16 @@ def _avro_type(t: pa.DataType, path: str) -> object:
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return {
             "type": "array",
-            "items": ["null", _avro_type(t.value_type, f"{path}_item")],
+            "items": _nullable(_avro_type(t.value_type, f"{path}_item")),
         }
     raise TypeError(f"no Avro mapping for Arrow type {t} at {path!r}")
+
+
+def _nullable(avro_t: object) -> object:
+    """Wrap in the standard ["null", T] union — except bare "null",
+    which stays bare: ["null", "null"] is an invalid Avro union (a
+    union may not contain two identical branches)."""
+    return avro_t if avro_t == "null" else ["null", avro_t]
 
 
 def arrow_to_avro_schema(schema: pa.Schema, name: str = "Record") -> dict:
@@ -146,10 +155,9 @@ def arrow_to_avro_schema(schema: pa.Schema, name: str = "Record") -> dict:
     matching the lake's all-columns-nullable evolution rule)."""
     fields = []
     for f in schema:
-        at = _avro_type(f.type, f.name)
         fields.append({
             "name": f.name,
-            "type": at if at == "null" else ["null", at],
+            "type": _nullable(_avro_type(f.type, f.name)),
             "default": None,
         })
     return {"type": "record", "name": name, "fields": fields}
@@ -226,13 +234,16 @@ def _encoder_for(avro_t: object):
             return enc_date
         if avro_t.get("type") == "record":
             subs = [
-                (f["name"], _encoder_for(_non_null(f["type"])))
+                (f["name"], _encoder_for(_non_null(f["type"])),
+                 isinstance(f["type"], list))
                 for f in avro_t["fields"]
             ]
 
             def enc_rec(buf, v, _subs=subs):
-                for name, enc in _subs:
+                for name, enc, is_union in _subs:
                     x = v.get(name)
+                    if not is_union:  # bare "null": zero bytes per spec
+                        continue
                     if x is None:
                         _write_long(buf, 0)
                     else:
@@ -241,11 +252,14 @@ def _encoder_for(avro_t: object):
             return enc_rec
         if avro_t.get("type") == "array":
             item = _encoder_for(_non_null(avro_t["items"]))
+            item_union = isinstance(avro_t["items"], list)
 
-            def enc_arr(buf, v, _item=item):
+            def enc_arr(buf, v, _item=item, _u=item_union):
                 if len(v):
                     _write_long(buf, len(v))
                     for x in v:
+                        if not _u:  # items are bare "null": zero bytes
+                            continue
                         if x is None:
                             _write_long(buf, 0)
                         else:
@@ -288,6 +302,7 @@ def encode_block(table: pa.Table, avro_schema: dict) -> bytes:
     buf = bytearray()
     cols = []
     encs = []
+    unions = []
     for f in avro_schema["fields"]:
         col = table.column(f["name"])
         t = _non_null(f["type"])
@@ -300,8 +315,11 @@ def encode_block(table: pa.Table, avro_schema: dict) -> bytes:
             col = col.cast(pa.date32()).cast(pa.int32())
         cols.append(col.to_pylist())
         encs.append(_encoder_for(t))
+        unions.append(isinstance(f["type"], list))
     for row in range(table.num_rows):
         for ci in range(len(cols)):
+            if not unions[ci]:  # bare "null" field: zero bytes per spec
+                continue
             v = cols[ci][row]
             if v is None:
                 _write_long(buf, 0)
@@ -319,13 +337,17 @@ def _decoder_for(avro_t: object):
     if isinstance(avro_t, dict):
         if avro_t.get("type") == "record":
             subs = [
-                (f["name"], _decoder_for(_non_null(f["type"])))
+                (f["name"], _decoder_for(_non_null(f["type"])),
+                 isinstance(f["type"], list))
                 for f in avro_t["fields"]
             ]
 
             def dec_rec(mv, pos, _subs=subs):
                 out = {}
-                for name, dec in _subs:
+                for name, dec, is_union in _subs:
+                    if not is_union:  # bare "null": zero bytes per spec
+                        out[name] = None
+                        continue
                     ix, pos = _read_long(mv, pos)
                     if ix == 0:
                         out[name] = None
@@ -335,8 +357,9 @@ def _decoder_for(avro_t: object):
             return dec_rec
         if avro_t.get("type") == "array":
             item = _decoder_for(_non_null(avro_t["items"]))
+            item_union = isinstance(avro_t["items"], list)
 
-            def dec_arr(mv, pos, _item=item):
+            def dec_arr(mv, pos, _item=item, _u=item_union):
                 out = []
                 while True:
                     n, pos = _read_long(mv, pos)
@@ -346,6 +369,9 @@ def _decoder_for(avro_t: object):
                         _, pos = _read_long(mv, pos)
                         n = -n
                     for _ in range(n):
+                        if not _u:  # bare "null" items: zero bytes
+                            out.append(None)
+                            continue
                         ix, pos = _read_long(mv, pos)
                         if ix == 0:
                             out.append(None)
@@ -385,17 +411,19 @@ def decode_block(payload: bytes, count: int, avro_schema: dict) -> pa.Table:
     pos = 0
     names = [f["name"] for f in avro_schema["fields"]]
     decs = [_decoder_for(_non_null(f["type"])) for f in avro_schema["fields"]]
-    raw_ts: list[int | None] = []
+    unions = [isinstance(f["type"], list) for f in avro_schema["fields"]]
     cols: list[list] = [[] for _ in names]
     for _ in range(count):
         for ci, dec in enumerate(decs):
+            if not unions[ci]:  # bare "null" field: zero bytes per spec
+                cols[ci].append(None)
+                continue
             ix, pos = _read_long(mv, pos)
             if ix == 0:
                 cols[ci].append(None)
             else:
                 v, pos = dec(mv, pos)
                 cols[ci].append(v)
-    del raw_ts
     arrays = []
     schema = avro_to_arrow_schema(avro_schema)
     for ci, f in enumerate(schema):
@@ -525,7 +553,11 @@ def read_avro_source(paths, **kw):
     projection to push down — documented format trade vs Parquet)."""
     import ray.data as rd
 
-    ds = rd.read_binary_files(paths, include_paths=False, **kw)
+    # suffix filter is the invariant export_avro's tmp naming relies on
+    # (a crashed attempt's non-.avro tmp must never poison reads)
+    ds = rd.read_binary_files(
+        paths, include_paths=False, file_extensions=["avro"], **kw
+    )
 
     def decode(t: pa.Table) -> pa.Table:
         parts = [read_container(b.as_py()) for b in t.column("bytes")]

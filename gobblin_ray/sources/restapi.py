@@ -71,12 +71,15 @@ def _unit_dir(state_dir: str, unit_id: int) -> str:
     return os.path.join(state_dir, f"unit={unit_id}")
 
 
-def _fetch_unit(api: FilePagedApi, unit_id: int, lo, hi,
-                state_dir: str) -> dict:
-    """Pull every page of one work unit, checkpointing the token after
-    each page. Idempotent under kill/retry: page files are content-named
-    per (unit, page ordinal) and the token marker renames atomically, so
-    a resumed run continues at the first unfetched page."""
+def _fetch_unit(api: FilePagedApi, unit_id: int, lo, hi, state_dir: str,
+                max_pages: int | None = None) -> dict:
+    """Pull pages of one work unit, checkpointing the token after each
+    page. Idempotent under kill/retry: page files are named per (unit,
+    page ordinal) and the token marker renames atomically, so a resumed
+    run continues at the first unfetched page. ``max_pages`` bounds the
+    pages fetched THIS call (the kill-simulation hook for the resume
+    test); None pulls to exhaustion. ONE implementation for both modes —
+    the checkpoint protocol must not be able to diverge between them."""
     udir = _unit_dir(state_dir, unit_id)
     os.makedirs(udir, exist_ok=True)
     done_marker = os.path.join(udir, "done")
@@ -90,68 +93,7 @@ def _fetch_unit(api: FilePagedApi, unit_id: int, lo, hi,
             st = json.load(f)
         token, page_no = st["token"], st["page_no"]
     pages = 0
-    while True:
-        page, next_token = api.fetch(lo, hi, token)
-        if page.num_rows:
-            path = os.path.join(udir, f"page-{page_no:06d}.parquet")
-            tmp = f"{path}.tmp-{os.getpid()}"
-            pq.write_table(page, tmp)
-            os.replace(tmp, path)
-        pages += 1
-        page_no += 1
-        if next_token is None:
-            tmp = f"{done_marker}.tmp-{os.getpid()}"
-            with open(tmp, "w") as f:
-                json.dump({"pages": page_no}, f)
-            os.replace(tmp, done_marker)
-            return {"unit": unit_id, "pages": pages, "resumed_done": False}
-        tmp = f"{token_marker}.tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump({"token": next_token, "page_no": page_no}, f)
-        os.replace(tmp, token_marker)
-        token = next_token
-
-
-def paged_pull(api: FilePagedApi, spans: list[tuple], state_dir: str,
-               max_pages_per_call: int | None = None):
-    """Run one paginated pull over ``spans`` (list of half-open (lo, hi]
-    work units) as parallel Ray tasks, one task per unit (pagination is
-    serial inside a unit by contract). Returns the lineage list of
-    per-unit dicts. ``max_pages_per_call`` simulates a mid-listing kill
-    for the resume test: the task stops (checkpointed) after that many
-    pages instead of finishing."""
-    import ray
-
-    @ray.remote(num_cpus=0.5)
-    def run_unit(unit_id: int, lo, hi):
-        if max_pages_per_call is None:
-            return _fetch_unit(api, unit_id, lo, hi, state_dir)
-        return _fetch_unit_bounded(
-            api, unit_id, lo, hi, state_dir, max_pages_per_call
-        )
-
-    return ray.get([
-        run_unit.remote(i, lo, hi) for i, (lo, hi) in enumerate(spans)
-    ])
-
-
-def _fetch_unit_bounded(api, unit_id, lo, hi, state_dir, max_pages) -> dict:
-    """Kill-simulation variant: fetch at most ``max_pages`` pages this
-    call, leaving the token marker behind — the next call resumes."""
-    udir = _unit_dir(state_dir, unit_id)
-    os.makedirs(udir, exist_ok=True)
-    done_marker = os.path.join(udir, "done")
-    token_marker = os.path.join(udir, "token.json")
-    if os.path.exists(done_marker):
-        return {"unit": unit_id, "pages": 0, "resumed_done": True}
-    token = None
-    page_no = 0
-    if os.path.exists(token_marker):
-        with open(token_marker) as f:
-            st = json.load(f)
-        token, page_no = st["token"], st["page_no"]
-    pages = 0
-    while pages < max_pages:
+    while max_pages is None or pages < max_pages:
         page, next_token = api.fetch(lo, hi, token)
         if page.num_rows:
             path = os.path.join(udir, f"page-{page_no:06d}.parquet")
@@ -173,6 +115,26 @@ def _fetch_unit_bounded(api, unit_id, lo, hi, state_dir, max_pages) -> dict:
         token = next_token
     return {"unit": unit_id, "pages": pages, "resumed_done": False,
             "killed_mid_listing": True}
+
+
+def paged_pull(api: FilePagedApi, spans: list[tuple], state_dir: str,
+               max_pages_per_call: int | None = None):
+    """Run one paginated pull over ``spans`` (list of half-open (lo, hi]
+    work units) as parallel Ray tasks, one task per unit (pagination is
+    serial inside a unit by contract). Returns the lineage list of
+    per-unit dicts. ``max_pages_per_call`` simulates a mid-listing kill
+    for the resume test: the task stops (checkpointed) after that many
+    pages instead of finishing."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def run_unit(unit_id: int, lo, hi):
+        return _fetch_unit(api, unit_id, lo, hi, state_dir,
+                           max_pages=max_pages_per_call)
+
+    return ray.get([
+        run_unit.remote(i, lo, hi) for i, (lo, hi) in enumerate(spans)
+    ])
 
 
 def staged_dataset(state_dir: str):

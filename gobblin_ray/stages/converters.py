@@ -482,27 +482,36 @@ def json_to_typed_records(ds, field: str, spec: dict[str, str],
             )
 
     def _coerce(v, kind):
+        """Per-type coercion; an unconvertible value yields NULL, never a
+        raised error — one dirty row must not kill the stage (the
+        reference's converter diverts such rows; here the row-policy
+        layer downstream can gate on the null)."""
         if v is None:
             return None
-        if kind in ("int", "long"):
-            return int(v) if not isinstance(v, bool) else int(v)
-        if kind in ("float", "double"):
-            return float(v)
-        if kind == "boolean":
-            if isinstance(v, bool):
-                return v
-            if isinstance(v, str):
-                if v.lower() in ("true", "1"):
-                    return True
-                if v.lower() in ("false", "0"):
-                    return False
-                return None
-            return bool(v)
-        if kind == "string":
-            return v if isinstance(v, str) else __import__("json").dumps(v)
-        if kind == "bytes":
-            return v.encode("utf-8") if isinstance(v, str) else bytes(v)
-        return int(v)  # timestamps arrive as epoch ints
+        try:
+            if kind in ("int", "long"):
+                return int(v) if not isinstance(v, str) else int(float(v))
+            if kind in ("float", "double"):
+                return float(v)
+            if kind == "boolean":
+                if isinstance(v, bool):
+                    return v
+                if isinstance(v, str):
+                    if v.lower() in ("true", "1"):
+                        return True
+                    if v.lower() in ("false", "0"):
+                        return False
+                    return None
+                return bool(v)
+            if kind == "string":
+                return v if isinstance(v, str) else (
+                    __import__("json").dumps(v)
+                )
+            if kind == "bytes":
+                return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            return int(v)  # timestamps arrive as epoch ints
+        except (ValueError, TypeError, OverflowError):
+            return None
 
     class TypedRecords:
         def __init__(self):

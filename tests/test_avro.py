@@ -179,3 +179,43 @@ def test_json_typed_records_converter(ray_session):
     assert out["a"].isna().tolist()[2:] == [True, True]
     with pytest.raises(TypeError, match="scalar"):
         json_to_typed_records(ds, "js", {"a": "record"}).materialize()
+
+
+def test_bare_null_fields_encode_zero_bytes():
+    """Spec conformance for null-typed columns: a bare "null" schema
+    field encodes ZERO bytes per row (no union index byte — an external
+    Avro reader would otherwise consume the stray byte as the next
+    field's union index and corrupt every subsequent column), and nested
+    null subfields must not produce the invalid ["null","null"] union."""
+    from gobblin_ray.sources.avro import encode_block
+
+    t = pa.table({"nul": pa.array([None] * 3, pa.null())})
+    schema = arrow_to_avro_schema(t.schema)
+    assert schema["fields"][0]["type"] == "null"  # bare, not a union
+    assert encode_block(t, schema) == b""
+    t2 = pa.table({
+        "s": pa.array([{"x": None}], pa.struct([("x", pa.null())])),
+        "tail": pa.array([7], pa.int64()),
+    })
+    s2 = arrow_to_avro_schema(t2.schema)
+    assert s2["fields"][0]["type"][1]["fields"][0]["type"] == "null"
+    buf = io.BytesIO()
+    write_container(t2, buf, codec="null")
+    assert read_container(buf.getvalue()).equals(t2)
+
+
+def test_coerce_dirty_values_null_not_crash(ray_session):
+    """A dirty JSON value that cannot convert to the declared type must
+    yield NULL, not kill the stage (review finding)."""
+    import ray.data as rd
+
+    from gobblin_ray.stages.converters import json_to_typed_records
+
+    rows = ['{"k": "abc", "f": "x", "t": "nope"}', '{"k": "2.5"}']
+    ds = rd.from_arrow(pa.table({"js": pa.array(rows)}))
+    out = json_to_typed_records(
+        ds, "js", {"k": "long", "f": "double", "t": "timestamp-micros"}
+    ).to_pandas()
+    assert out["k"].isna().tolist() == [True, False]
+    assert int(out["k"][1]) == 2  # defined lossy coercion, not a crash
+    assert out["f"].isna().all() and out["t"].isna().all()

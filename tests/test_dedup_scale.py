@@ -143,3 +143,47 @@ def test_incremental_tail_no_driver_collections(ray_session, take_all_spy,
     assert pipeline_calls == [], (
         f"driver-side take_all inside incremental dedup: {pipeline_calls}"
     )
+
+
+def test_incremental_index_pre_tie_files_still_replay(ray_session,
+                                                      tmp_path):
+    """Upgrade path: an index built BEFORE the _tie column existed must
+    keep replaying — mixed-vintage files schema-promote instead of
+    crashing pa.concat_tables (review finding on the round-5 tie-break
+    change)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from gobblin_ray.functions.dedup import dedup_minhash_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the storm "
+        "gathers over distant hills and rivers swell beyond their banks "
+        "carrying silt and broken branches toward the patient sea below"
+    )
+    run1 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array([base]),
+    }))
+    index = str(tmp_path / "idx")
+    dedup_minhash_incremental(run1, index).materialize()
+    # simulate a pre-upgrade index: strip _tie from the persisted files
+    files = glob.glob(f"{index}/part=*/run-*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f)
+        assert "_tie" in t.column_names
+        pq.write_table(t.drop_columns(["_tie"]), f)
+    run2 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([2, 3], pa.int64()),
+        "text": pa.array([
+            base.replace("quick", "swift"),  # near-dup of run-1 doc
+            "completely different content about container orchestration "
+            "schedulers bin packing pods onto nodes respecting affinity "
+            "constraints and preemption priorities across the fleet",
+        ]),
+    }))
+    kept = dedup_minhash_incremental(run2, index).materialize()
+    assert sorted(r["doc_id"] for r in kept.take_all()) == [3]
