@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avro_export_roundtrip": demo.avro_export_roundtrip,
         "json_typed_records_events": demo.json_typed_records_events,
         "rest_source_pages": demo.rest_source_pages,
+        "nested_struct_field_agg": demo.nested_struct_field_agg,
         "throttled_count_events": demo.throttled_count_events,
         # quality checkers (§2.9)
         "quality_policy_pass": demo.quality_policy_pass,
@@ -549,6 +550,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(json_extract_string(props, '$.k')
                         AS BIGINT)) AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
+        """,
+        # nested struct field aggregate: the sidecar is struct-typed and
+        # both sides read the SAME file via nested-field access
+        "nested_struct_field_agg": """
+            SELECT meta.etype AS etype,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(meta.val1000) AS BIGINT) AS sum_v
+            FROM read_parquet('/tmp/gobblin_ray_fixtures/nested_meta.parquet')
+            GROUP BY meta.etype
         """,
         # paginated REST pull: staged pages reassemble the exact table
         "rest_source_pages": """

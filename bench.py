@@ -128,6 +128,7 @@ QUERY_NAMES = [
     "avro_export_roundtrip",
     "json_typed_records_events",
     "rest_source_pages",
+    "nested_struct_field_agg",
     "export_unigram_ids",
 ]
 

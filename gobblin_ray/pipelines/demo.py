@@ -4787,3 +4787,67 @@ def rest_source_pages(sf_dir: str):
         Count(alias_name="n"),
         Sum("event_id", alias_name="sum_id"),
     )
+
+
+def nested_struct_field_agg(sf_dir: str):
+    """Nested (struct) column query parity (round-5: the reference's data
+    model is Avro-nested, SURVEY §1.1; struct evolution + merge support
+    lives in schema.py's recursive lattice): build a struct-typed sidecar
+    from events deterministically (meta = {etype, val1000}), read it back
+    with COLUMN PRUNING (only the struct column leaves storage), extract
+    nested fields vectorized (pc.struct_field — no row loop), and
+    aggregate per nested key. The DuckDB oracle reads the same sidecar
+    with dot-notation struct access, proving nested read+aggregate parity
+    between the Arrow and SQL sides."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    src = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "value"],
+    )
+    meta = pa.StructArray.from_arrays(
+        [
+            src.column("event_type").combine_chunks(),
+            pc.cast(
+                pc.round(
+                    pc.multiply(src.column("value"), pa.scalar(1000.0))
+                ),
+                pa.int64(), safe=False,
+            ).combine_chunks(),
+        ],
+        names=["etype", "val1000"],
+    )
+    side = pa.table({
+        "event_id": src.column("event_id"),
+        "meta": meta,
+    })
+    # FIXED path (not sf-tagged): the oracle_sql string is static, and
+    # the sidecar is rewritten from the CURRENT sf at query time so the
+    # side-by-side compare always reads what this run just built
+    from ..fixtures import FIXTURE_DIR
+
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    out = os.path.join(FIXTURE_DIR, "nested_meta.parquet")
+    tmp = out + ".tmp"
+    pq.write_table(side, tmp)
+    os.replace(tmp, out)
+
+    ds = rd.read_parquet(out, columns=["meta"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        m = t.column("meta")
+        return pa.table({
+            "etype": pc.struct_field(m, "etype"),
+            "val1000": pc.struct_field(m, "val1000"),
+        })
+
+    extract.__name__ = "extract_struct_fields"
+    return ds.map_batches(extract, batch_format="pyarrow",
+                          batch_size=None).groupby("etype").aggregate(
+        Count(alias_name="n"),
+        Sum("val1000", alias_name="sum_v"),
+    )

@@ -90,7 +90,32 @@ def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType | None:
         if value_bits <= 53:
             return pa.float64()
         return None
-    return int_float(a, b) or int_float(b, a)
+    got = int_float(a, b) or int_float(b, a)
+    if got is not None:
+        return got
+    # Nested types (round-5: the reference's data model is Avro-nested,
+    # SURVEY §1.1): struct evolution is ADDITIVE per subfield — the union
+    # of both structs' fields, shared subfields widened recursively (new
+    # subfields null-fill in conform, the AvroUtils null-default merge
+    # posture); list evolution widens the element type. Field-order
+    # follows the same first-seen rule as unify_additive.
+    if t.is_struct(a) and t.is_struct(b):
+        fields: dict[str, pa.Field] = {}
+        for st in (a, b):
+            for f in st:
+                prev = fields.get(f.name)
+                if prev is None:
+                    fields[f.name] = f.with_nullable(True)
+                elif prev.type != f.type:
+                    wide = _widen(prev.type, f.type)
+                    if wide is None:
+                        return None
+                    fields[f.name] = pa.field(f.name, wide, nullable=True)
+        return pa.struct(list(fields.values()))
+    if t.is_list(a) and t.is_list(b):
+        wide = _widen(a.value_type, b.value_type)
+        return pa.list_(wide) if wide is not None else None
+    return None
 
 
 def unify_additive(*schemas: pa.Schema) -> pa.Schema:
@@ -128,11 +153,35 @@ def unify_additive(*schemas: pa.Schema) -> pa.Schema:
     return pa.schema(list(fields.values()))
 
 
+def _conform_array(arr, target: pa.DataType):
+    """Cast an array up to ``target``, recursing into structs: pyarrow's
+    plain cast rejects struct -> wider struct, so evolved-in subfields
+    null-fill by hand (children conform recursively; the parent's
+    validity bitmap is preserved so a null struct stays null rather than
+    becoming a struct of nulls)."""
+    if arr.type == target:
+        return arr
+    if pa.types.is_struct(arr.type) and pa.types.is_struct(target):
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        have = {f.name for f in arr.type}
+        children = []
+        for f in target:
+            child = (arr.field(f.name) if f.name in have
+                     else pa.nulls(n, f.type))
+            children.append(_conform_array(child, f.type))
+        return pa.StructArray.from_arrays(
+            children, fields=list(target), mask=arr.is_null()
+        )
+    return arr.cast(target)
+
+
 def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project ``table`` to ``schema``: missing columns become all-null,
     column order follows ``schema``. The vectorized analog of Gobblin's
     null-default record upconversion (AvroUtils.nullifyFieldsForSchemaMerge).
-    """
+    Struct columns conform recursively (evolved-in subfields null-fill)."""
     n = table.num_rows
     cols = []
     names = set(table.column_names)
@@ -140,7 +189,7 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
         if field.name in names:
             col = table.column(field.name)
             if col.type != field.type:
-                col = col.cast(field.type)
+                col = _conform_array(col, field.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, field.type))
@@ -183,6 +232,32 @@ def rename_schema(schema: pa.Schema, renames: dict[str, str] | None) -> pa.Schem
             f.with_name(t) if t is not None and t not in present else f
         )
     return pa.schema(fields)
+
+
+def comparable_key_fields(schema: pa.Schema,
+                          exclude: tuple = ("event_seq", "is_deleted")
+                          ) -> list[str]:
+    """Dedup-key projection: the columns of ``schema`` whose types can
+    serve as grouping/ordering keys — the AvroKeyMapper posture
+    (gobblin-compaction/.../AvroKeyMapper.java:83-119: the reference's
+    key projection explicitly SKIPS fields whose Avro type cannot
+    compare — maps, arrays, unions of complex types — so a nested column
+    never silently breaks the dedup reduce). Here: scalar orderable
+    types keep (ints, floats, strings, bool, timestamps, dates);
+    struct / list / map / binary / null columns and the engine's
+    bookkeeping columns are excluded. Callers doing exact dedup over
+    "all key columns" should key on exactly this list."""
+    t = pa.types
+    out = []
+    for f in schema:
+        if f.name in exclude:
+            continue
+        ty = f.type
+        if (t.is_integer(ty) or t.is_floating(ty) or t.is_string(ty)
+                or t.is_large_string(ty) or t.is_boolean(ty)
+                or t.is_timestamp(ty) or t.is_date(ty)):
+            out.append(f.name)
+    return out
 
 
 def schema_fingerprint(schema: pa.Schema) -> str:
