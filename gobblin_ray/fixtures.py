@@ -1599,19 +1599,25 @@ COOC_ORACLE_PATH = os.path.join(FIXTURE_DIR, "cooc_embed_oracle.parquet")
 
 def cooc_embed_oracle_sidecar(sf_dir: str, vocab_size: int = 200,
                               window: int = 2, dim: int = 16,
-                              iters: int = 60,
+                              iters: int = 60, sparse: bool | None = None,
                               path: str = COOC_ORACLE_PATH) -> str:
     """Sequential replay of co-occurrence embedding training: independent
     pure-Python vocab + windowed pair recount feeding the shared
     deterministic factorization — the oracle for
-    ``train.cooc_embed_train``."""
+    ``train.cooc_embed_train``. ``sparse`` mirrors the distributed
+    side's kernel selection (nonzero-triplet factorization above 500
+    words); the RECOUNT stays an independent pure-Python pass — only the
+    deterministic factorization kernel is shared, per the sidecar
+    contract."""
     from collections import Counter
 
     import pyarrow.parquet as _pq
 
-    from .functions.train import factorize_cooc
+    from .functions.train import factorize_cooc, factorize_cooc_sparse
     from .kernels import duck_round
 
+    if sparse is None:
+        sparse = vocab_size > 500
     t = _pq.read_table(os.path.join(sf_dir, "documents.parquet"),
                        columns=["text"])
     wc: Counter = Counter()
@@ -1624,16 +1630,28 @@ def cooc_embed_oracle_sidecar(sf_dir: str, vocab_size: int = 200,
         wc.items(), key=lambda kv: (-kv[1], kv[0])
     )[:vocab_size]]
     vmap = {w: i for i, w in enumerate(vocab)}
-    C = np.zeros((len(vocab), len(vocab)), np.int64)
+    pair_counts: Counter = Counter()
     for toks in docs_tokens:
         ids = [vmap[w] for w in toks if w in vmap]
         for i, a in enumerate(ids):
             for off in range(1, window + 1):
                 if i + off < len(ids):
                     b = ids[i + off]
-                    C[a, b] += 1
-                    C[b, a] += 1
-    emb = duck_round(factorize_cooc(C, dim=dim, iters=iters), 6)
+                    pair_counts[(a, b)] += 1
+                    pair_counts[(b, a)] += 1
+    if sparse:
+        items = sorted(pair_counts.items())
+        r = np.array([k[0] for k, _ in items], np.int64)
+        c = np.array([k[1] for k, _ in items], np.int64)
+        n = np.array([v for _, v in items], np.int64)
+        emb = duck_round(
+            factorize_cooc_sparse(r, c, n, len(vocab), dim=dim,
+                                  iters=iters), 6)
+    else:
+        C = np.zeros((len(vocab), len(vocab)), np.int64)
+        for (a, b), v in pair_counts.items():
+            C[a, b] = v
+        emb = duck_round(factorize_cooc(C, dim=dim, iters=iters), 6)
     out = pa.table({
         "word": pa.array(vocab, pa.string()),
         "embedding": pa.array(

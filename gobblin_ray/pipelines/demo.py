@@ -4483,15 +4483,17 @@ def cooc_embed_documents(sf_dir: str):
     """Word-embedding TRAINING from corpus co-occurrence (GloVe-family
     shape; functions/train.cooc_embed_train): exact distributed
     vocabulary + windowed pair counts (one bounded exchange each), then
-    the deterministic log-count factorization on the driver. Oracle:
+    the deterministic SPARSE nonzero-triplet factorization on the driver
+    (vocab_size 2000 — past the former dense V x V cap; the GloVe
+    objective fits nonzeros only, train.factorize_cooc_sparse). Oracle:
     independent sequential recount + shared factorization sidecar."""
     from ..fixtures import cooc_embed_oracle_sidecar
     from ..functions import train as tr
 
-    cooc_embed_oracle_sidecar(sf_dir, vocab_size=200, window=2,
+    cooc_embed_oracle_sidecar(sf_dir, vocab_size=2000, window=2,
                               dim=16, iters=60)
     ds = read_table(sf_dir, "documents", columns=["text"])
-    return tr.cooc_embed_train(ds, vocab_size=200, window=2,
+    return tr.cooc_embed_train(ds, vocab_size=2000, window=2,
                                dim=16, iters=60)
 
 

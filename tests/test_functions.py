@@ -1793,3 +1793,52 @@ def test_ivfpq_incremental_rebuild_adds_nothing(ray_session, tmp_path):
     C1, B1 = ivfpq_fit_or_load(idx, None)
     C2, B2 = ivfpq_fit_or_load(idx, mat[:10])  # train ignored: model exists
     assert np.array_equal(C1, C2) and np.array_equal(B1, B2)
+
+
+def test_factorize_cooc_sparse_semantics(ray_session):
+    """Sparse nonzero-triplet factorization (round-5 scale path):
+    (1) bit-identical under any triplet input order (the internal
+    (row, col) sort + bincount accumulation is the determinism
+    contract); (2) matches the dense kernel to float tolerance when the
+    matrix is fully dense (same objective, different summation order);
+    (3) the distributed trainer is bit-identical across repartitionings
+    with the sparse path engaged (vocab > 500)."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.train import (cooc_embed_train,
+                                             factorize_cooc,
+                                             factorize_cooc_sparse)
+
+    rng = np.random.default_rng(11)
+    V = 30
+    # unique (r, c) pairs, ~40% dense
+    all_pairs = [(i, j) for i in range(V) for j in range(V)]
+    pick = rng.choice(len(all_pairs), size=350, replace=False)
+    r = np.array([all_pairs[k][0] for k in pick], np.int64)
+    c = np.array([all_pairs[k][1] for k in pick], np.int64)
+    n = rng.integers(1, 50, size=len(pick)).astype(np.int64)
+    e1 = factorize_cooc_sparse(r, c, n, V, iters=25)
+    perm = rng.permutation(len(r))
+    e2 = factorize_cooc_sparse(r[perm], c[perm], n[perm], V, iters=25)
+    assert (e1 == e2).all()  # bit-identical, any input order
+
+    # fully dense triplets == dense kernel (float tolerance)
+    C = rng.integers(1, 20, size=(V, V)).astype(np.int64)
+    rr, cc = np.divmod(np.arange(V * V), V)
+    dense = factorize_cooc(C, iters=25)
+    sparse = factorize_cooc_sparse(rr, cc, C.ravel(), V, iters=25)
+    assert np.allclose(dense, sparse, rtol=1e-9, atol=1e-12)
+
+    # distributed: partitioning-invariant with the sparse path engaged
+    words = [f"tok{i:04d}" for i in range(600)]
+    docs = [" ".join(words[i:i + 12]) for i in range(0, 600, 4)]
+    tbl = pa.table({"text": pa.array(docs)})
+    outs = []
+    for parts in (2, 7):
+        got = cooc_embed_train(
+            rd.from_arrow(tbl).repartition(parts),
+            vocab_size=600, window=2, dim=8, iters=10,
+        )
+        assert got.num_rows == 600
+        outs.append(got)
+    assert outs[0].equals(outs[1])
