@@ -70,6 +70,14 @@ class BucketState:
     # (stats.zone_ranges); absent can only mean less pruning, never a
     # wrong read.
     ts_ranges: dict = field(default_factory=dict)
+    # Merge-task wall seconds for THIS epoch (0.0 when untouched): the
+    # straggler signal salt_plan consumes alongside events_epoch — a
+    # bucket whose merge dominated the epoch wall gets salted next epoch
+    # even when its event COUNT looked even (skewed row widths / compact
+    # turns). Mid-run hot-work-unit re-split analog
+    # (gobblin-api/.../stream/WorkUnitChangeEvent.java), resolved at the
+    # next plan instead of mid-epoch.
+    merge_sec: float = 0.0
 
 
 @dataclass

@@ -407,8 +407,11 @@ class _MergeBucket:
         self.renames = dict(renames or {})  # stored-name -> current-name
 
     def __call__(self, group: pa.Table) -> pa.Table:
+        import time as _time
+
         from .merge import merge_bases
 
+        _m0 = _time.time()
         bucket = int(group.column(_BUCKET_COL)[0].as_py())
         err_mask = pc.is_valid(group.column(_ERR_COL))
         errors = group.filter(err_mask)
@@ -459,6 +462,11 @@ class _MergeBucket:
                 "kind": pa.array([kind], pa.string()),
                 "ts_min": pa.array([tmn], pa.int64()),
                 "ts_max": pa.array([tmx], pa.int64()),
+                # merge wall-time: the straggler signal the NEXT epoch's
+                # salt plan feeds on (WorkUnitChangeEvent analog — the
+                # reference re-splits hot work units mid-run; here the
+                # feedback lands at the next plan, one epoch later)
+                "merge_sec": pa.array([_time.time() - _m0], pa.float64()),
             }
         )
 
@@ -715,8 +723,13 @@ class CdcEngine:
             )
 
         prev_counts = {b: s.events_epoch for b, s in manifest.buckets.items()}
+        prev_times = {
+            b: getattr(s, "merge_sec", 0.0)
+            for b, s in manifest.buckets.items()
+        }
         splan = planmod.salt_plan(
-            prev_counts, self.cfg.num_buckets, self.cfg.hot_factor, self.cfg.max_salt
+            prev_counts, self.cfg.num_buckets, self.cfg.hot_factor,
+            self.cfg.max_salt, prev_times=prev_times,
         )
 
         ds = self._read_epoch_events(log_meta, epoch, raw_events_schema)
@@ -1011,6 +1024,7 @@ class CdcEngine:
                     delta_epochs=deltas,
                     delta_rows=delta_rows,
                     ts_ranges=ts_ranges,
+                    merge_sec=round(float(r.get("merge_sec") or 0.0), 4),
                 )
                 report.events += n_ev
                 report.errors += n_err

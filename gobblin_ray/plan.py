@@ -249,17 +249,40 @@ def salt_plan(
     num_buckets: int,
     hot_factor: float = 4.0,
     max_salt: int = 8,
+    prev_times: dict[int, float] | None = None,
+    min_hot_sec: float = 0.25,
 ) -> SaltPlan:
-    """Buckets whose previous-epoch event count exceeded ``hot_factor`` x the
-    mean get ``min(count/mean, max_salt)`` salt sub-groups."""
-    if not prev_counts:
-        return SaltPlan(hot_buckets={})
-    total = sum(prev_counts.values())
-    if total == 0:
-        return SaltPlan(hot_buckets={})
-    mean = max(1.0, total / max(1, num_buckets))
-    hot = {}
-    for b, c in prev_counts.items():
-        if c > hot_factor * mean:
-            hot[b] = int(min(max_salt, max(2, round(c / mean))))
+    """Buckets whose previous-epoch event count exceeded ``hot_factor`` x
+    the mean get ``min(count/mean, max_salt)`` salt sub-groups.
+
+    ``prev_times`` (per-bucket merge WALL seconds from the previous
+    epoch's lineage, BucketState.merge_sec) adds the straggler axis the
+    count signal misses: a bucket whose merge time exceeded
+    ``hot_factor`` x the mean time — skewed row widths, a compaction
+    turn, one pathological key — salts next epoch even with an even
+    event count. ``min_hot_sec`` floors the absolute time so sub-second
+    scheduling noise never triggers salting. This is the mid-run
+    hot-work-unit re-split analog (WorkUnitChangeEvent, handled in
+    AbstractJobLauncher): epochs are short, so reacting at the NEXT plan
+    bounds the straggler to one epoch without mid-flight re-routing."""
+    hot: dict[int, int] = {}
+    if prev_counts:
+        total = sum(prev_counts.values())
+        if total > 0:
+            mean = max(1.0, total / max(1, num_buckets))
+            for b, c in prev_counts.items():
+                if c > hot_factor * mean:
+                    hot[b] = int(min(max_salt, max(2, round(c / mean))))
+    if prev_times:
+        active = sorted(t for t in prev_times.values() if t > 0)
+        if active:
+            # MEDIAN baseline, not mean: one extreme straggler would
+            # inflate a mean of few buckets past its own hot threshold
+            # (t > hot_factor * mean is unreachable when t dominates the
+            # total) — the median stays at the typical bucket's time
+            median_t = max(1e-9, active[len(active) // 2])
+            for b, t in prev_times.items():
+                if t > hot_factor * median_t and t >= min_hot_sec:
+                    salt = int(min(max_salt, max(2, round(t / median_t))))
+                    hot[b] = max(hot.get(b, 0), salt)
     return SaltPlan(hot_buckets=hot)

@@ -125,3 +125,33 @@ def test_expected_event_count_row_group_granular(tmp_path):
         pl.expected_event_count(meta, str(tmp_path), a, b)
         for a, b in zip(cuts, cuts[1:])
     ) == 200
+
+
+def test_salt_plan_time_axis():
+    """Straggler feedback (round-5): a bucket whose previous-epoch merge
+    WALL time dominated gets salted even with an even event count; noise
+    under the absolute floor never salts; count- and time-hot take the
+    larger salt."""
+    from gobblin_ray.plan import salt_plan
+
+    even = {b: 100 for b in range(8)}
+    # one bucket 10x the mean merge time -> salted, capped at max_salt
+    times = {b: 0.1 for b in range(8)}
+    times[3] = 8.0
+    p = salt_plan(even, 8, hot_factor=4.0, max_salt=8, prev_times=times)
+    assert set(p.hot_buckets) == {3}
+    assert 2 <= p.hot_buckets[3] <= 8
+    # sub-floor absolute times: relative skew alone must not salt
+    tiny = {b: 0.001 for b in range(8)}
+    tiny[5] = 0.02
+    assert salt_plan(
+        even, 8, prev_times=tiny
+    ).hot_buckets == {}
+    # count-hot AND time-hot: max of the two salts wins
+    counts = dict(even)
+    counts[3] = 100_000  # count salt -> max_salt
+    p2 = salt_plan(counts, 8, max_salt=8, prev_times=times)
+    assert p2.hot_buckets[3] == 8
+    # no signals -> no salting (back-compat with the count-only contract)
+    assert salt_plan(even, 8).hot_buckets == {}
+    assert salt_plan(None, 8, prev_times=None).hot_buckets == {}
