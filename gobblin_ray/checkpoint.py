@@ -78,6 +78,11 @@ class BucketState:
     # (gobblin-api/.../stream/WorkUnitChangeEvent.java), resolved at the
     # next plan instead of mid-epoch.
     merge_sec: float = 0.0
+    # Salt applied to this bucket THIS epoch (0 = unsalted): the
+    # hysteresis input — once salted, the heavy reduce moves into the
+    # untimed salted-partial stage and merge_sec collapses, so without
+    # memory the bucket would unsalt and flap on alternating epochs.
+    salt_carry: int = 0
 
 
 @dataclass

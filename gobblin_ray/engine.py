@@ -727,9 +727,14 @@ class CdcEngine:
             b: getattr(s, "merge_sec", 0.0)
             for b, s in manifest.buckets.items()
         }
+        prev_salts = {
+            b: getattr(s, "salt_carry", 0)
+            for b, s in manifest.buckets.items()
+        }
         splan = planmod.salt_plan(
             prev_counts, self.cfg.num_buckets, self.cfg.hot_factor,
             self.cfg.max_salt, prev_times=prev_times,
+            prev_salts=prev_salts,
         )
 
         ds = self._read_epoch_events(log_meta, epoch, raw_events_schema)
@@ -845,6 +850,7 @@ class CdcEngine:
             "lineage": lineage,
             "base_schema": base_schema,
             "salted": len(splan.hot_buckets),
+            "salt_map": dict(splan.hot_buckets),
             "expected_events": expected,
             "neardup": self.cfg.neardup_dedup,
             "neardup_dups": neardup_dups,
@@ -1025,6 +1031,9 @@ class CdcEngine:
                     delta_rows=delta_rows,
                     ts_ranges=ts_ranges,
                     merge_sec=round(float(r.get("merge_sec") or 0.0), 4),
+                    salt_carry=int(
+                        execution.get("salt_map", {}).get(b, 0)
+                    ),
                 )
                 report.events += n_ev
                 report.errors += n_err

@@ -83,9 +83,24 @@ def _fold61(v: np.ndarray) -> np.ndarray:
 
 # ---------------------------------------------------------------- exact
 
-def dedup_exact(ds, keys: list[str], order_col: str):
+def dedup_exact(ds, keys: list[str] | None, order_col: str):
     """Keep one row per key group: the row with the minimal ``order_col``.
-    One shuffle (the groupby hash-partitions by key)."""
+    One shuffle (the groupby hash-partitions by key). ``keys=None`` means
+    "all comparable columns": the key set derives from the schema through
+    ``schema.comparable_key_fields`` — struct / list / binary columns are
+    EXCLUDED, the AvroKeyMapper posture
+    (gobblin-compaction/.../AvroKeyMapper.java:83-119: uncomparable
+    fields never silently join the dedup key), so a nested column added
+    by evolution cannot break the reduce."""
+    if keys is None:
+        from ..schema import comparable_key_fields
+
+        keys = [
+            k for k in comparable_key_fields(ds.schema().base_schema)
+            if k != order_col
+        ]
+        if not keys:
+            raise ValueError("no comparable key columns in schema")
 
     def first(group: pa.Table) -> pa.Table:
         return group.sort_by([(order_col, "ascending")]).slice(0, 1)

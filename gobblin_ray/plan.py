@@ -251,6 +251,7 @@ def salt_plan(
     max_salt: int = 8,
     prev_times: dict[int, float] | None = None,
     min_hot_sec: float = 0.25,
+    prev_salts: dict[int, int] | None = None,
 ) -> SaltPlan:
     """Buckets whose previous-epoch event count exceeded ``hot_factor`` x
     the mean get ``min(count/mean, max_salt)`` salt sub-groups.
@@ -279,10 +280,24 @@ def salt_plan(
             # MEDIAN baseline, not mean: one extreme straggler would
             # inflate a mean of few buckets past its own hot threshold
             # (t > hot_factor * mean is unreachable when t dominates the
-            # total) — the median stays at the typical bucket's time
-            median_t = max(1e-9, active[len(active) // 2])
+            # total) — the median stays at the typical bucket's time.
+            # LOWER median ((n-1)//2): with two active buckets the upper
+            # median IS the straggler and it could never flag itself
+            median_t = max(1e-9, active[(len(active) - 1) // 2])
             for b, t in prev_times.items():
                 if t > hot_factor * median_t and t >= min_hot_sec:
                     salt = int(min(max_salt, max(2, round(t / median_t))))
                     hot[b] = max(hot.get(b, 0), salt)
+    if prev_salts:
+        # Hysteresis (review finding): a salted bucket's heavy reduce
+        # moves into the salted-partial stage, so its measured merge_sec
+        # collapses and the time signal alone would unsalt it — then it
+        # straggles again, flapping on alternating epochs. Keep last
+        # epoch's salt while the bucket's merge time stays at or above
+        # the absolute floor (it is still doing real work); a bucket
+        # whose salted merge went trivially cheap unsalts cleanly.
+        for b, s in prev_salts.items():
+            if s > 0 and b not in hot and prev_times \
+                    and prev_times.get(b, 0.0) >= min_hot_sec:
+                hot[b] = int(s)
     return SaltPlan(hot_buckets=hot)

@@ -184,3 +184,59 @@ def test_struct_conform_preserves_parent_nulls():
     vals = out.column("m").to_pylist()
     assert vals[0] == {"fetch_ms": 1, "kind": "a", "status": None}
     assert vals[1] is None  # null struct stays null, not struct-of-nulls
+
+
+def test_list_of_struct_widening_conforms():
+    """Every type _widen can unify, conform must deliver (review
+    finding): list<struct> widening rebuilds the list from offsets with
+    the conformed child, preserving slices and nulls."""
+    v1 = pa.list_(pa.struct([("x", pa.int32())]))
+    v2 = pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())]))
+    u = unify_additive(pa.schema([("l", v1)]), pa.schema([("l", v2)]))
+    t = pa.table({"l": pa.array(
+        [[{"x": 1}, {"x": 2}], None, [], [{"x": None}]], v1
+    )})
+    out = conform(t, u)
+    assert out.column("l").type == u.field("l").type
+    vals = out.column("l").to_pylist()
+    assert vals[0] == [{"x": 1, "y": None}, {"x": 2, "y": None}]
+    assert vals[1] is None and vals[2] == []
+    assert vals[3] == [{"x": None, "y": None}]
+    # sliced input keeps alignment
+    sliced = conform(t.slice(1), u).column("l").to_pylist()
+    assert sliced == [None, [], [{"x": None, "y": None}]]
+
+
+def test_forward_compat_accepts_additive_struct_subfield():
+    """Registry modes must treat an additive nested subfield like the
+    equivalent top-level column addition (review finding): the reader
+    projects writer-only subfields away, so FORWARD/FULL pass."""
+    from gobblin_ray.schema import check_compatibility, compatibility_violations
+
+    old = pa.schema([("m", META_V1)])
+    new = pa.schema([("m", META_V2)])
+    for mode in ("BACKWARD", "FORWARD", "FULL"):
+        assert compatibility_violations(old, new, mode) == [], mode
+        check_compatibility(old, new, mode)  # must not raise
+    # a NARROWING nested change still rejects
+    narrowed = pa.schema([
+        ("m", pa.struct([("fetch_ms", pa.int32()), ("kind", pa.string())]))
+    ])
+    assert compatibility_violations(new, narrowed, "BACKWARD")
+
+
+def test_dedup_exact_default_keys_exclude_uncomparable(ray_session,
+                                                       struct_lake):
+    """keys=None derives the dedup key set from the schema through
+    comparable_key_fields — struct/binary columns never silently join
+    the key (the wired-in AvroKeyMapper guard)."""
+    import ray.data as rd
+
+    from gobblin_ray.functions.dedup import dedup_exact
+
+    t = struct_lake.read_table_arrow()
+    ds = rd.from_arrow(t)
+    kept = dedup_exact(ds, None, "event_seq").materialize()
+    # grouping by all comparable columns on an already-unique table is
+    # identity — and it did not crash on the struct/binary columns
+    assert kept.count() == t.num_rows

@@ -155,3 +155,24 @@ def test_salt_plan_time_axis():
     # no signals -> no salting (back-compat with the count-only contract)
     assert salt_plan(even, 8).hot_buckets == {}
     assert salt_plan(None, 8, prev_times=None).hot_buckets == {}
+
+
+def test_salt_plan_two_bucket_straggler_and_hysteresis():
+    """Review findings: (1) with two active buckets the LOWER median is
+    the baseline, so the dominant straggler still flags; (2) a bucket
+    salted last epoch keeps its salt while its merge time stays above
+    the floor (the salted pre-reduce hides the time signal), and unsalts
+    once trivially cheap."""
+    from gobblin_ray.plan import salt_plan
+
+    even = {0: 100, 1: 100}
+    p = salt_plan(even, 2, prev_times={0: 0.1, 1: 30.0})
+    assert 1 in p.hot_buckets  # lower median 0.1 is the baseline
+    # hysteresis: salted last epoch, time collapsed but >= floor -> keep
+    p2 = salt_plan(even, 2, prev_times={0: 0.1, 1: 0.3},
+                   prev_salts={1: 4})
+    assert p2.hot_buckets.get(1) == 4
+    # salted bucket gone trivially cheap -> unsalts
+    p3 = salt_plan(even, 2, prev_times={0: 0.1, 1: 0.05},
+                   prev_salts={1: 4})
+    assert 1 not in p3.hot_buckets
