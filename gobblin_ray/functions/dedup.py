@@ -744,24 +744,23 @@ def filter_out_ids(
         ref = _ids_array_ref(m, drop_col)
         id_c = id_col
 
-        class DropBroadcast:
-            def __init__(self):
-                self.ids = ray.get(ref)  # once per actor process
+        def drop_broadcast(t: pa.Table) -> pa.Table:
+            # stateless TASK pool, not actors: the per-task ray.get is a
+            # zero-copy shared-memory fetch of the Arrow id array, and
+            # skipping actor-pool spin-up saves seconds on short queries
+            # (measured: the actor variant cost dedup_images ~2x)
+            ids = ray.get(ref)
+            if len(ids) == 0:
+                return t
+            col = t.column(id_c)
+            if col.type != ids.type:
+                col = col.cast(ids.type)
+            hit = pc.fill_null(pc.is_in(col, value_set=ids), False)
+            return t.filter(pc.invert(hit))
 
-            def __call__(self, t: pa.Table) -> pa.Table:
-                if len(self.ids) == 0:
-                    return t
-                col = t.column(id_c)
-                if col.type != self.ids.type:
-                    col = col.cast(self.ids.type)
-                hit = pc.fill_null(
-                    pc.is_in(col, value_set=self.ids), False
-                )
-                return t.filter(pc.invert(hit))
-
+        drop_broadcast.__name__ = "drop_ids_broadcast"
         return docs.map_batches(
-            DropBroadcast, batch_format="pyarrow", batch_size=None,
-            concurrency=(1, 8),
+            drop_broadcast, batch_format="pyarrow", batch_size=None
         )
     # large path: one bounded exchange, ids co-partitioned with docs
     import ray
@@ -861,10 +860,11 @@ def select_cluster_representatives(
 
     Scale shape (Dataset-native since round 5): labels stay a Dataset;
     the (member, label) pair arrays are built inside a Ray task and live
-    in the OBJECT STORE (fetched once per scoring actor, never on the
-    driver — O(dups) ints of store memory, the documented bound; at the
-    regime where even that broadcast is too big, co-partition docs with
-    the label table on id, the ``filter_out_ids`` large path's shape).
+    in the OBJECT STORE (fetched zero-copy per scoring task, never on
+    the driver — O(dups) ints of store memory, the documented bound; at
+    the regime where even that broadcast is too big, co-partition docs
+    with the label table on id, the ``filter_out_ids`` large path's
+    shape).
     Scoring touches member rows only (one corpus scan, per-batch
     vectorized); the winner argmax is a bounded groupby over O(members)
     (label, score, id) triples — never text — whose groups emit their
@@ -894,39 +894,37 @@ def select_cluster_representatives(
 
     map_ref = build_member_map.remote(*labels_m.to_arrow_refs())
 
-    class MemberScores:
-        def __init__(self):
-            self.member_ids, self.labels_arr = ray.get(map_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            member_ids, labels_arr = self.member_ids, self.labels_arr
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(member_ids, ids)
-            pos = np.minimum(pos, max(len(member_ids) - 1, 0))
-            hit = (member_ids[pos] == ids) if len(member_ids) else (
-                np.zeros(len(ids), bool)
-            )
-            sub = t.filter(pa.array(hit))
-            if sub.num_rows == 0:
-                return pa.table(
-                    {
-                        id_col: pa.array([], pa.int64()),
-                        "label": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
-            score = np.asarray(score_fn(sub), dtype=np.float64)
+    def member_scores(t: pa.Table) -> pa.Table:
+        # stateless task pool; per-task ray.get is a zero-copy
+        # shared-memory fetch (no actor spin-up on short queries)
+        member_ids, labels_arr = ray.get(map_ref)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(member_ids, ids)
+        pos = np.minimum(pos, max(len(member_ids) - 1, 0))
+        hit = (member_ids[pos] == ids) if len(member_ids) else (
+            np.zeros(len(ids), bool)
+        )
+        sub = t.filter(pa.array(hit))
+        if sub.num_rows == 0:
             return pa.table(
                 {
-                    id_col: sub.column(id_col),
-                    "label": pa.array(labels_arr[pos[hit]]),
-                    "score": pa.array(score),
+                    id_col: pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
                 }
             )
+        score = np.asarray(score_fn(sub), dtype=np.float64)
+        return pa.table(
+            {
+                id_col: sub.column(id_col),
+                "label": pa.array(labels_arr[pos[hit]]),
+                "score": pa.array(score),
+            }
+        )
 
+    member_scores.__name__ = "score_dup_members"
     scored = docs.map_batches(
-        MemberScores, batch_format="pyarrow", batch_size=None,
-        concurrency=(1, 8),
+        member_scores, batch_format="pyarrow", batch_size=None
     )
 
     def pick_losers(t: pa.Table) -> pa.Table:
