@@ -719,6 +719,7 @@ def filter_out_ids(
     drop_col: str | None = None,
     broadcast_bytes_limit: int = 64 << 20,
     num_partitions: int | None = None,
+    keep: bool = False,
 ):
     """Dataset-native anti-filter: drop from ``docs`` every row whose
     ``id_col`` appears in the ``drop_ids`` Dataset (column ``drop_col``).
@@ -733,10 +734,20 @@ def filter_out_ids(
       (the ``_co_partition`` shape every two-sided join here shares) and
       each bounded partition drops members vectorized. Corpus bytes
       cross the exchange once; no driver- or worker-resident global set.
+
+    ``keep=True`` inverts the verdict (SEMI instead of ANTI — keep only
+    members); ``semi_join_ids`` is the readable alias.
     """
     drop_col = drop_col or id_col
     m = drop_ids.materialize()
     if m.count() == 0:
+        if keep:  # semi of an empty id set keeps nothing
+            def _none(t: pa.Table) -> pa.Table:
+                return t.slice(0, 0)
+
+            _none.__name__ = "empty_semi"
+            return docs.map_batches(_none, batch_format="pyarrow",
+                                    batch_size=None)
         return docs
     if (m.size_bytes() or 0) <= broadcast_bytes_limit:
         import ray
@@ -751,12 +762,12 @@ def filter_out_ids(
             # (measured: the actor variant cost dedup_images ~2x)
             ids = ray.get(ref)
             if len(ids) == 0:
-                return t
+                return t.slice(0, 0) if keep else t
             col = t.column(id_c)
             if col.type != ids.type:
                 col = col.cast(ids.type)
             hit = pc.fill_null(pc.is_in(col, value_set=ids), False)
-            return t.filter(pc.invert(hit))
+            return t.filter(hit if keep else pc.invert(hit))
 
         drop_broadcast.__name__ = "drop_ids_broadcast"
         return docs.map_batches(
@@ -793,11 +804,23 @@ def filter_out_ids(
         if len(xs):
             hit = pc.fill_null(pc.is_in(d.column(id_col), value_set=xs),
                                False)
-            d = d.filter(pc.invert(hit))
+            d = d.filter(hit if keep else pc.invert(hit))
+        elif keep:
+            d = d.slice(0, 0)
         return d.drop_columns(["_side", "_kp"])
 
-    anti.__name__ = "anti_join_drop_ids"
+    anti.__name__ = "semi_join_ids" if keep else "anti_join_drop_ids"
     return tagged.groupby("_kp").map_groups(anti, batch_format="pyarrow")
+
+
+def semi_join_ids(docs, ids_ds, id_col: str, ids_col: str | None = None,
+                  **kw):
+    """Dataset-native SEMI join against an id Dataset — the keep-side
+    sibling of ``filter_out_ids`` (same byte-gated broadcast / large
+    co-partition machinery); the scale-safe replacement for collecting a
+    keep-set to the driver and broadcasting a Python list."""
+    return filter_out_ids(docs, ids_ds, id_col, drop_col=ids_col,
+                          keep=True, **kw)
 
 
 def _drop_non_representatives(docs, confirmed_pairs, id_col: str):
