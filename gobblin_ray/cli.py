@@ -494,6 +494,10 @@ def main(argv: list[str] | None = None) -> int:
                          "(recall degrades below ~0.45)")
     sp.add_argument("--salt", default="",
                     help="shuffle-coin salt (vary for a new permutation)")
+    sp.add_argument("--shard-format", default="parquet",
+                    choices=["parquet", "avro"],
+                    help="shard file format (avro = object containers "
+                         "through the from-scratch codec)")
     sp.add_argument("--dsir-target", default=None, metavar="LANG",
                     help="DSIR selection: fit target = docs with this "
                          "lang, keep the --dsir-keep-frac that scores "
@@ -599,6 +603,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="unique row key column the shuffle coin hashes")
     sp.add_argument("--salt", default="",
                     help="coin salt: vary to get a different permutation")
+    sp.add_argument("--shard-format", default="parquet",
+                    choices=["parquet", "avro"],
+                    help="shard file format (avro = object containers "
+                         "through the from-scratch codec)")
     sp.add_argument("--columns", default=None,
                     help="comma-separated output column subset")
 
@@ -868,11 +876,13 @@ def main(argv: list[str] | None = None) -> int:
                     bins, args.out_dir, n_shards=args.shards,
                     key_col="bin_id", salt=args.salt,
                     columns=["bin_id", "token_ids", "n_docs", "n_tokens"],
+                    file_format=args.shard_format,
                 )
             else:
                 lineage = shuffle_shard_export(
                     kept, args.out_dir, n_shards=args.shards, key_col="url",
                     salt=args.salt, columns=["url", "text", "lang"],
+                    file_format=args.shard_format,
                 )
             rows = lineage.count()
             print(json.dumps({
@@ -1045,6 +1055,7 @@ def main(argv: list[str] | None = None) -> int:
             lineage = shuffle_shard_export(
                 ds, args.out_dir, n_shards=args.shards, key_col=args.key,
                 salt=args.salt, columns=cols,
+                file_format=args.shard_format,
             )
             rows = lineage.count()
             print(json.dumps({

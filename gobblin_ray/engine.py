@@ -512,20 +512,33 @@ class CdcEngine:
         if self.store.is_applied(0):
             return self.store.load(0)
 
-        # pages_path may be one parquet file or a sharded directory (the
-        # WARC on-ramp writes a distributed dir); read_schema wants a file
+        # pages_path may be one file or a sharded directory (the WARC
+        # on-ramp writes a distributed dir); schema probes want a file.
+        # Format dispatch by suffix: parquet (default) or Avro object
+        # containers — the reference's native record format
+        # (AvroFileSource / DatePartitionedAvroFileSource posture:
+        # Gobblin pipelines commonly bootstrap FROM avro), read through
+        # the from-scratch codec in sources/avro.py.
         schema_file = pages_path
         if os.path.isdir(pages_path):
             shards = sorted(
-                f for f in os.listdir(pages_path) if f.endswith(".parquet")
+                f for f in os.listdir(pages_path)
+                if f.endswith((".parquet", ".avro"))
             )
             if not shards:
                 raise FileNotFoundError(
-                    f"no .parquet shards in snapshot dir {pages_path!r}"
+                    f"no .parquet/.avro shards in snapshot dir "
+                    f"{pages_path!r}"
                 )
             schema_file = os.path.join(pages_path, shards[0])
+        if schema_file.endswith(".avro"):
+            from .sources.avro import container_schema
+
+            snapshot_schema = container_schema(schema_file)
+        else:
+            snapshot_schema = pq.read_schema(schema_file)
         base_schema = unify_additive(
-            pq.read_schema(schema_file),
+            snapshot_schema,
             pa.schema([("event_seq", pa.int64()), ("is_deleted", pa.bool_())]),
         )
         lake_dir, B, schema = self.lake_dir, self.cfg.num_buckets, base_schema
@@ -559,7 +572,14 @@ class CdcEngine:
                 "op", pa.array(["insert"] * tbl.num_rows, pa.string())
             )
 
-        ds = rd.read_parquet(pages_path)
+        if schema_file.endswith(".avro"):
+            from .sources.avro import read_avro_source
+
+            ds = read_avro_source(
+                pages_path + ("/" if os.path.isdir(pages_path) else "")
+            )
+        else:
+            ds = rd.read_parquet(pages_path)
         lineage = (
             ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
             .groupby(_BUCKET_COL)

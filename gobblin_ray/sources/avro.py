@@ -545,6 +545,33 @@ def read_container(path_or_bytes) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def container_schema(path: str) -> pa.Schema:
+    """Read ONLY the container header (magic + metadata map) and return
+    the Arrow schema — the cheap schema probe bootstrap needs before
+    launching the distributed read (parquet's ``pq.read_schema``
+    analog; Avro's schema lives in the file header, so this reads a few
+    KB regardless of file size)."""
+    with open(path, "rb") as f:
+        head = f.read(1 << 20)  # header is tiny; 1 MB covers huge schemas
+    mv = memoryview(head)
+    if bytes(mv[:4]) != MAGIC:
+        raise ValueError("not an Avro object container (bad magic)")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _read_long(mv, pos)
+        if n == 0:
+            break
+        if n < 0:
+            _, pos = _read_long(mv, pos)
+            n = -n
+        for _ in range(n):
+            k, pos = _read_bytes(mv, pos)
+            v, pos = _read_bytes(mv, pos)
+            meta[k.decode()] = v
+    return avro_to_arrow_schema(json.loads(meta["avro.schema"].decode()))
+
+
 def read_avro_source(paths, **kw):
     """Distributed Avro container source: list files, read bytes in
     parallel tasks (``read_binary_files`` — one task per file, the WARC

@@ -403,6 +403,7 @@ def shuffle_shard_export(
     key_col: str,
     salt: str = "",
     columns: list[str] | None = None,
+    file_format: str = "parquet",
 ):
     """Deterministic shuffle-and-shard export — the canonical LAST step of
     a training-data pipeline: give every row a reproducible pseudo-random
@@ -421,6 +422,11 @@ def shuffle_shard_export(
     external k-way merge. Returns lineage rows
     (shard_id, position, <key_col>) read back FROM THE WRITTEN FILES, so
     the returned table proves file content and order, not intent.
+
+    ``file_format``: parquet (default) or ``avro`` — one Avro object
+    container per shard through the from-scratch codec (the reference's
+    native record format; AvroHdfsDataWriter posture), same tmp+rename
+    and read-back-lineage discipline.
 
     Reference analog: Gobblin's partitioned fork+writer fan-out
     (PartitionedDataWriter.java:80-360) with a deterministic
@@ -458,6 +464,9 @@ def shuffle_shard_export(
                             batch_size=None)
 
     keep = columns
+    if file_format not in ("parquet", "avro"):
+        raise ValueError(f"unsupported shard format {file_format!r}")
+    suffix = f".{file_format}"
 
     def write_shard(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(
@@ -469,8 +478,15 @@ def shuffle_shard_export(
         if keep is not None:
             body = body.select(keep)
         tmp = os.path.join(out_dir, f".shard-{shard_id:05d}.tmp")
-        pq.write_table(body, tmp)
-        os.replace(tmp, os.path.join(out_dir, f"shard-{shard_id:05d}.parquet"))
+        if file_format == "avro":
+            from ..sources.avro import write_container
+
+            write_container(body, tmp)
+        else:
+            pq.write_table(body, tmp)
+        os.replace(
+            tmp, os.path.join(out_dir, f"shard-{shard_id:05d}{suffix}")
+        )
         return pa.table({"_shard": pa.array([shard_id], pa.int64())})
 
     # drive the export; one group per shard
@@ -482,13 +498,18 @@ def shuffle_shard_export(
 
     files = sorted(
         os.path.join(out_dir, f) for f in os.listdir(out_dir)
-        if f.startswith("shard-") and f.endswith(".parquet")
+        if f.startswith("shard-") and f.endswith(suffix)
     )
 
     def read_back(row: dict) -> list[dict]:
-        t = pq.read_table(row["path"], columns=[key_col])
+        if file_format == "avro":
+            from ..sources.avro import read_container
+
+            t = read_container(row["path"]).select([key_col])
+        else:
+            t = pq.read_table(row["path"], columns=[key_col])
         # {:05d} is a MINIMUM width: parse up to the suffix, not a slice
-        sid = int(os.path.basename(row["path"])[len("shard-"):-len(".parquet")])
+        sid = int(os.path.basename(row["path"])[len("shard-"):-len(suffix)])
         return [
             {"shard_id": sid, "position": i, key_col: k}
             for i, k in enumerate(t.column(key_col).to_pylist())
