@@ -679,16 +679,56 @@ class CdcEngine:
                 max(1, ray.cluster_resources().get("CPU", 8) * self.cfg.blocks_per_cpu),
             )
         )
-        return rd.read_parquet(
-            paths, schema=events_schema, filter=flt, override_num_blocks=blocks
-        )
+        pq_paths = [p for p in paths if not p.endswith(".avro")]
+        av_paths = [p for p in paths if p.endswith(".avro")]
+        parts = []
+        if pq_paths:
+            parts.append(rd.read_parquet(
+                pq_paths, schema=events_schema, filter=flt,
+                override_num_blocks=blocks,
+            ))
+        if av_paths:
+            # Avro log shards (the reference's native binlog format):
+            # per-file container decode, then the same seq-span filter
+            # (no row-group pushdown exists in Avro — shard-level
+            # pruning already happened in prune_shards) and a conform
+            # up to the unified events schema (evolution null-fill)
+            from .schema import conform as _conform
+            from .sources.avro import read_avro_source
+
+            lo, hi = epoch.low_seq, epoch.high_seq
+            sch = events_schema
+
+            def span_conform(t: pa.Table) -> pa.Table:
+                m = pc.and_(
+                    pc.greater(t.column("event_seq"), pa.scalar(lo)),
+                    pc.less_equal(t.column("event_seq"), pa.scalar(hi)),
+                )
+                return _conform(t.filter(m), sch)
+
+            span_conform.__name__ = "avro_span_conform"
+            parts.append(
+                read_avro_source(av_paths).map_batches(
+                    span_conform, batch_format="pyarrow", batch_size=None
+                )
+            )
+        ds = parts[0]
+        for p in parts[1:]:
+            ds = ds.union(p)
+        return ds
 
     def _event_schemas(self, log_meta: dict, shards: list[dict]) -> pa.Schema:
         seen: dict[int, pa.Schema] = {}
         for s in shards:
             v = s.get("schema_version", 0)
             if v not in seen:
-                seen[v] = pq.read_schema(os.path.join(self.events_dir, s["file"]))
+                path = os.path.join(self.events_dir, s["file"])
+                if path.endswith(".avro"):
+                    from .sources.avro import container_schema
+
+                    seen[v] = container_schema(path)
+                else:
+                    seen[v] = pq.read_schema(path)
         return unify_additive(*seen.values())
 
     def _execute_epoch(

@@ -55,11 +55,25 @@ def load_log_meta(events_dir: str) -> dict:
     # shard whose schema differs from the first one read).
     version_of: dict[str, int] = {}
     for name in sorted(os.listdir(events_dir)):
-        if not name.endswith(".parquet"):
-            continue
         path = os.path.join(events_dir, name)
-        md = pq.read_metadata(path)
-        arrow_schema = md.schema.to_arrow_schema()
+        if name.endswith(".parquet"):
+            md = pq.read_metadata(path)
+            arrow_schema = md.schema.to_arrow_schema()
+            n_rows = md.num_rows
+        elif name.endswith(".avro"):
+            # Avro shards (the reference's native log format): the
+            # container header gives the schema cheaply; min/max need a
+            # decode — Avro carries no column statistics, so the span
+            # probe IS the slow path (one driver decode per shard,
+            # O(files) like the no-stats parquet fallback below; a
+            # producer that writes _meta.json skips all of this)
+            from .sources.avro import container_schema, read_container
+
+            arrow_schema = container_schema(path)
+            md = None
+            n_rows = None
+        else:
+            continue
         fp = ",".join(f"{f.name}:{f.type}" for f in arrow_schema)
         version = version_of.setdefault(fp, len(version_of))
         idx = arrow_schema.get_field_index("event_seq")
@@ -68,17 +82,27 @@ def load_log_meta(events_dir: str) -> dict:
                 f"log shard {name} has no event_seq column — not a change "
                 "log this engine can plan"
             )
-        stats = [md.row_group(g).column(idx).statistics
-                 for g in range(md.num_row_groups)]
-        if all(st is not None and st.has_min_max for st in stats):
+        stats = (
+            [md.row_group(g).column(idx).statistics
+             for g in range(md.num_row_groups)]
+            if md is not None else []
+        )
+        if stats and all(st is not None and st.has_min_max for st in stats):
             lo = min(st.min for st in stats)
             hi = max(st.max for st in stats)
         else:
-            # producer wrote the shard without statistics: one column read
-            # (footer fallback is already the slow path; never crash on it)
-            col = pq.read_table(path, columns=["event_seq"]).column("event_seq")
+            # no statistics (stat-less parquet or an avro container):
+            # one column read — the slow path; never crash on it
             import pyarrow.compute as _pc
 
+            if md is not None:
+                col = pq.read_table(
+                    path, columns=["event_seq"]
+                ).column("event_seq")
+            else:
+                tbl = read_container(path)
+                col = tbl.column("event_seq")
+                n_rows = tbl.num_rows
             lo = _pc.min(col).as_py()
             hi = _pc.max(col).as_py()
         shards.append(
@@ -86,7 +110,7 @@ def load_log_meta(events_dir: str) -> dict:
                 "file": name,
                 "min_seq": int(lo),
                 "max_seq": int(hi),
-                "rows": md.num_rows,
+                "rows": int(n_rows),
                 "bytes": os.path.getsize(path),
                 "schema_version": version,
             }
@@ -212,6 +236,19 @@ def expected_event_count(log_meta: dict, events_dir: str, low: int, high: int) -
     for s in prune_shards(log_meta, low, high):
         if s["min_seq"] > low and s["max_seq"] <= high:
             total += s["rows"]
+            continue
+        if s["file"].endswith(".avro"):
+            # avro boundary shard: no row groups/stats — decode the
+            # shard's event_seq once (driver-side; boundary shards are
+            # <=2 per epoch, same bound as the parquet straddle path)
+            from .sources.avro import read_container
+
+            col = read_container(
+                os.path.join(events_dir, s["file"])
+            ).column("event_seq")
+            in_range = pc.and_(pc.greater(col, low),
+                               pc.less_equal(col, high))
+            total += int(pc.sum(pc.cast(in_range, pa.int64())).as_py() or 0)
             continue
         pf = pq.ParquetFile(os.path.join(events_dir, s["file"]))
         idx = pf.schema_arrow.get_field_index("event_seq")

@@ -303,3 +303,48 @@ def test_shuffle_shard_export_avro_format(ray_session, tmp_path):
             open(os.path.join(out, f), "rb").read()
         ).hexdigest()
         assert got == md5s[f]
+
+
+def test_avro_events_log_replay(ray_session, tmp_path_factory):
+    """The change LOG itself in Avro containers (the reference's native
+    binlog format): full replay over avro shards — including the mid-log
+    schema-evolution shard — lands byte-identical to the parquet-log
+    replay; a MIXED log (parquet + avro shards) works too."""
+    from gobblin_ray import synth
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.sources.avro import write_container
+
+    d = str(tmp_path_factory.mktemp("avlog_corpus"))
+    synth.write_corpus(d, n_pages=80, n_events=900, shard_rows=300)
+    shards = sorted(
+        f for f in os.listdir(f"{d}/events") if f.endswith(".parquet")
+    )
+    assert len(shards) >= 3
+    # all-avro log
+    av_events = str(tmp_path_factory.mktemp("avlog_events"))
+    for f in shards:
+        t = pq.read_table(f"{d}/events/{f}")
+        write_container(t, f"{av_events}/{f[:-len('.parquet')]}.avro")
+    # mixed log: first shard stays parquet, the rest avro
+    mx_events = str(tmp_path_factory.mktemp("mxlog_events"))
+    for i, f in enumerate(shards):
+        t = pq.read_table(f"{d}/events/{f}")
+        if i == 0:
+            pq.write_table(t, f"{mx_events}/{f}")
+        else:
+            write_container(t, f"{mx_events}/{f[:-len('.parquet')]}.avro")
+
+    cfg = EngineConfig(num_buckets=4, epoch_width=300)
+    tables = {}
+    for tag, events_dir in (
+        ("parquet", f"{d}/events"), ("avro", av_events), ("mixed", mx_events)
+    ):
+        lake = str(tmp_path_factory.mktemp(f"avlog_lake_{tag}"))
+        eng = CdcEngine(lake, events_dir, cfg)
+        eng.bootstrap(f"{d}/pages.parquet")
+        eng.run(vacuum=False)
+        tables[tag] = eng.read_table_arrow().sort_by([("url", "ascending")])
+    assert tables["avro"].equals(tables["parquet"])
+    assert tables["mixed"].equals(tables["parquet"])
+    # the evolution column rode the avro log too
+    assert "fetch_status" in tables["avro"].column_names
