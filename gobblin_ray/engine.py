@@ -513,32 +513,42 @@ class CdcEngine:
             return self.store.load(0)
 
         # pages_path may be one file or a sharded directory (the WARC
-        # on-ramp writes a distributed dir); schema probes want a file.
-        # Format dispatch by suffix: parquet (default) or Avro object
-        # containers — the reference's native record format
-        # (AvroFileSource / DatePartitionedAvroFileSource posture:
-        # Gobblin pipelines commonly bootstrap FROM avro), read through
-        # the from-scratch codec in sources/avro.py.
-        schema_file = pages_path
+        # on-ramp writes a distributed dir). Format dispatch by suffix:
+        # parquet (default) and/or Avro object containers — the
+        # reference's native record format (AvroFileSource /
+        # DatePartitionedAvroFileSource posture: Gobblin pipelines
+        # commonly bootstrap FROM avro), read through the from-scratch
+        # codec in sources/avro.py. A MIXED dir reads both (one schema
+        # probe per format, unified — review finding: dispatching the
+        # whole dir on the first shard's suffix silently dropped the
+        # other format's rows).
         if os.path.isdir(pages_path):
-            shards = sorted(
-                f for f in os.listdir(pages_path)
-                if f.endswith((".parquet", ".avro"))
+            pq_files = sorted(
+                os.path.join(pages_path, f)
+                for f in os.listdir(pages_path) if f.endswith(".parquet")
             )
-            if not shards:
+            av_files = sorted(
+                os.path.join(pages_path, f)
+                for f in os.listdir(pages_path) if f.endswith(".avro")
+            )
+            if not pq_files and not av_files:
                 raise FileNotFoundError(
                     f"no .parquet/.avro shards in snapshot dir "
                     f"{pages_path!r}"
                 )
-            schema_file = os.path.join(pages_path, shards[0])
-        if schema_file.endswith(".avro"):
+        elif pages_path.endswith(".avro"):
+            pq_files, av_files = [], [pages_path]
+        else:
+            pq_files, av_files = [pages_path], []
+        probes = []
+        if pq_files:
+            probes.append(pq.read_schema(pq_files[0]))
+        if av_files:
             from .sources.avro import container_schema
 
-            snapshot_schema = container_schema(schema_file)
-        else:
-            snapshot_schema = pq.read_schema(schema_file)
+            probes.append(container_schema(av_files[0]))
         base_schema = unify_additive(
-            snapshot_schema,
+            *probes,
             pa.schema([("event_seq", pa.int64()), ("is_deleted", pa.bool_())]),
         )
         lake_dir, B, schema = self.lake_dir, self.cfg.num_buckets, base_schema
@@ -572,14 +582,18 @@ class CdcEngine:
                 "op", pa.array(["insert"] * tbl.num_rows, pa.string())
             )
 
-        if schema_file.endswith(".avro"):
+        snap_parts = []
+        if pq_files:
+            snap_parts.append(rd.read_parquet(pq_files))
+        if av_files:
             from .sources.avro import read_avro_source
 
-            ds = read_avro_source(
-                pages_path + ("/" if os.path.isdir(pages_path) else "")
-            )
-        else:
-            ds = rd.read_parquet(pages_path)
+            # no per-format conform needed: prep() conforms every batch
+            # to the unified base schema before bucketing
+            snap_parts.append(read_avro_source(av_files))
+        ds = snap_parts[0]
+        for p in snap_parts[1:]:
+            ds = ds.union(p)
         lineage = (
             ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
             .groupby(_BUCKET_COL)
@@ -693,7 +707,6 @@ class CdcEngine:
             # (no row-group pushdown exists in Avro — shard-level
             # pruning already happened in prune_shards) and a conform
             # up to the unified events schema (evolution null-fill)
-            from .schema import conform as _conform
             from .sources.avro import read_avro_source
 
             lo, hi = epoch.low_seq, epoch.high_seq
@@ -704,7 +717,7 @@ class CdcEngine:
                     pc.greater(t.column("event_seq"), pa.scalar(lo)),
                     pc.less_equal(t.column("event_seq"), pa.scalar(hi)),
                 )
-                return _conform(t.filter(m), sch)
+                return conform(t.filter(m), sch)
 
             span_conform.__name__ = "avro_span_conform"
             parts.append(

@@ -741,13 +741,11 @@ def filter_out_ids(
     drop_col = drop_col or id_col
     m = drop_ids.materialize()
     if m.count() == 0:
-        if keep:  # semi of an empty id set keeps nothing
-            def _none(t: pa.Table) -> pa.Table:
-                return t.slice(0, 0)
-
-            _none.__name__ = "empty_semi"
-            return docs.map_batches(_none, batch_format="pyarrow",
-                                    batch_size=None)
+        if keep:
+            # semi of an empty id set keeps nothing — limit(0) preserves
+            # the schema WITHOUT scanning the corpus (review finding: a
+            # slice-to-empty map still executed a full read)
+            return docs.limit(0)
         return docs
     if (m.size_bytes() or 0) <= broadcast_bytes_limit:
         import ray

@@ -496,14 +496,11 @@ def write_container(
             f.write(bytes(buf))
 
 
-def read_container(path_or_bytes) -> pa.Table:
-    """Read one Avro object-container file back to Arrow."""
-    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
-        data = bytes(path_or_bytes)
-    else:
-        with open(path_or_bytes, "rb") as f:
-            data = f.read()
-    mv = memoryview(data)
+def _read_header(mv: memoryview) -> tuple[dict, int]:
+    """Parse the container header (magic + metadata map) -> (meta, pos).
+    ONE implementation shared by read_container and container_schema
+    (review finding: two copies of the header loop can silently
+    desync)."""
     if bytes(mv[:4]) != MAGIC:
         raise ValueError("not an Avro object container (bad magic)")
     pos = 4
@@ -519,6 +516,18 @@ def read_container(path_or_bytes) -> pa.Table:
             k, pos = _read_bytes(mv, pos)
             v, pos = _read_bytes(mv, pos)
             meta[k.decode()] = v
+    return meta, pos
+
+
+def read_container(path_or_bytes) -> pa.Table:
+    """Read one Avro object-container file back to Arrow."""
+    if isinstance(path_or_bytes, (bytes, bytearray, memoryview)):
+        data = bytes(path_or_bytes)
+    else:
+        with open(path_or_bytes, "rb") as f:
+            data = f.read()
+    mv = memoryview(data)
+    meta, pos = _read_header(mv)
     avro_schema = json.loads(meta["avro.schema"].decode())
     codec = meta.get("avro.codec", b"null").decode()
     sync = bytes(mv[pos:pos + 16])
@@ -553,22 +562,13 @@ def container_schema(path: str) -> pa.Schema:
     KB regardless of file size)."""
     with open(path, "rb") as f:
         head = f.read(1 << 20)  # header is tiny; 1 MB covers huge schemas
-    mv = memoryview(head)
-    if bytes(mv[:4]) != MAGIC:
-        raise ValueError("not an Avro object container (bad magic)")
-    pos = 4
-    meta = {}
-    while True:
-        n, pos = _read_long(mv, pos)
-        if n == 0:
-            break
-        if n < 0:
-            _, pos = _read_long(mv, pos)
-            n = -n
-        for _ in range(n):
-            k, pos = _read_bytes(mv, pos)
-            v, pos = _read_bytes(mv, pos)
-            meta[k.decode()] = v
+    try:
+        meta, _pos = _read_header(memoryview(head))
+    except IndexError:
+        raise ValueError(
+            f"Avro container header in {path!r} exceeds the 1 MB probe "
+            "window — read the full file via read_container"
+        ) from None
     return avro_to_arrow_schema(json.loads(meta["avro.schema"].decode()))
 
 

@@ -348,3 +348,28 @@ def test_avro_events_log_replay(ray_session, tmp_path_factory):
     assert tables["mixed"].equals(tables["parquet"])
     # the evolution column rode the avro log too
     assert "fetch_status" in tables["avro"].column_names
+
+
+def test_bootstrap_from_mixed_snapshot_dir(ray_session, tmp_path_factory):
+    """A snapshot dir with BOTH parquet and avro shards bootstraps with
+    all rows (review finding: first-shard suffix dispatch silently
+    dropped the other format)."""
+    from gobblin_ray import synth
+    from gobblin_ray.engine import CdcEngine, EngineConfig
+    from gobblin_ray.sources.avro import write_container
+
+    d = str(tmp_path_factory.mktemp("mix_corpus"))
+    synth.write_corpus(d, n_pages=60, n_events=300, shard_rows=300)
+    pages = pq.read_table(f"{d}/pages.parquet")
+    mix = str(tmp_path_factory.mktemp("mix_pages"))
+    half = pages.num_rows // 2
+    # avro shard sorts FIRST (the silent-drop ordering)
+    write_container(pages.slice(0, half), f"{mix}/a-part.avro")
+    pq.write_table(pages.slice(half), f"{mix}/b-part.parquet")
+
+    lake = str(tmp_path_factory.mktemp("mix_lake"))
+    eng = CdcEngine(lake, f"{d}/events",
+                    EngineConfig(num_buckets=4, epoch_width=300))
+    m = eng.bootstrap(mix)
+    rows = sum(s.rows for s in m.buckets.values())
+    assert rows == pages.num_rows  # every shard of BOTH formats landed
